@@ -1,0 +1,593 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** The scored query surface: one entry per implemented operator from
+  * SURVEY.md §2, each paired with DuckDB SQL computing the identical
+  * result (the driver hash-compares parquet dumps, so both sides must
+  * agree to the last row and — after the documented rounding — the last
+  * bit).
+  *
+  * Determinism rules (SURVEY.md §5, FIXTURES.md):
+  *  - every query ends in ORDER BY on a deterministic key;
+  *  - per-row IEEE arithmetic from identical inputs is bit-exact across
+  *    engines → no rounding; transcendentals (exp/pow) differ by ulps →
+  *    round(6); aggregates sum in engine-specific order → round(4) (means,
+  *    small sums) or round(2) (large sums);
+  *  - double literals are folded in Scala and embedded via
+  *    `Double.toString` so both engines parse the identical bit pattern;
+  *  - integral outputs cast to BIGINT on both sides;
+  *  - events.ts reads as epoch-nanos long (= DuckDB `epoch_ns(ts)`).
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  /** Shortest round-trip decimal of a double — both Scala's parser and
+    * DuckDB's strtod map it back to the identical bit pattern. */
+  private def d(x: Double): String = java.lang.Double.toString(x)
+
+  private val Gamma = 0.99
+  private val Tau = 0.005
+  private val IqlTau = 0.7
+  private val Beta = 2.0
+
+  // ------------------------------------------------------------------
+  // §2.1 scans / ingest
+  // ------------------------------------------------------------------
+
+  private val s1Ingest = Q("s1_ingest_transitions",
+    (s, dir) => Tables.transitions(s, dir)
+      .orderBy(col("episode_id"), col("t")),
+    Some("""SELECT l_orderkey AS episode_id, CAST(l_linenumber AS BIGINT) AS t,
+      l_quantity AS state0, l_extendedprice*0.1 AS reward,
+      l_discount*10.0 AS cost,
+      CASE WHEN l_returnflag='R' OR l_linestatus='F' THEN 1.0 ELSE 0.0 END AS done
+      FROM lineitem ORDER BY episode_id, t"""))
+
+  /** S3: outlier filter + deterministic noise injection + density-based
+    * per-(cost_bin × reward_bin) capped subsampling (reference
+    * train_fawac_iql.py:59-75). Noise is integer-arithmetic pseudo-random
+    * so both engines reproduce it exactly. */
+  private val s3Preprocess = Q("s3_preprocess_density",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity").between(2, 49))
+        .withColumn("noise",
+          (pmod(col("l_orderkey") * 9973 + col("l_linenumber") * 7919, lit(1000))
+            .cast("double") / lit(1000.0)) - lit(0.5))
+        .withColumn("noisy_price", col("l_extendedprice") + col("noise") * lit(10.0))
+        .withColumn("cost_bin", floor(col("l_discount") * lit(100.0) / lit(2.0)))
+        .withColumn("reward_bin", floor(col("l_quantity") / lit(10.0)))
+      val w = Window.partitionBy(col("cost_bin"), col("reward_bin"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rn", row_number().over(w)).where(col("rn") <= 40)
+        .groupBy(col("cost_bin"), col("reward_bin"))
+        .agg(count(lit(1)).as("n_kept"), round(sum(col("noisy_price")), 2).as("sum_price"))
+        .orderBy(col("cost_bin"), col("reward_bin"))
+    },
+    Some("""WITH f AS (
+        SELECT *, (CAST((l_orderkey*9973 + l_linenumber*7919) % 1000 AS DOUBLE)/1000.0) - 0.5 AS noise,
+               CAST(floor(l_discount*100.0/2.0) AS BIGINT) AS cost_bin,
+               CAST(floor(l_quantity/10.0) AS BIGINT) AS reward_bin
+        FROM lineitem WHERE l_quantity BETWEEN 2 AND 49),
+      r AS (SELECT *, l_extendedprice + noise*10.0 AS noisy_price,
+               row_number() OVER (PARTITION BY cost_bin, reward_bin ORDER BY l_orderkey, l_linenumber) AS rn
+            FROM f)
+      SELECT cost_bin, reward_bin, CAST(count(*) AS BIGINT) AS n_kept,
+             round(sum(noisy_price), 2) AS sum_price
+      FROM r WHERE rn <= 40 GROUP BY cost_bin, reward_bin ORDER BY cost_bin, reward_bin"""))
+
+  // ------------------------------------------------------------------
+  // §2.2 projections / scalar expressions
+  // ------------------------------------------------------------------
+
+  private val pScalar = Q("p_scalar_ops",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val q1 = col("l_quantity") * lit(0.9)
+      val q2 = col("l_quantity") * lit(1.1)
+      val mask = CoreOps.safetyMask(col("l_discount"), col("l_tax"), 0.05)
+      li.select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        CoreOps.twinRewardQ(q1, q2).as("twin_reward_q"),
+        CoreOps.twinCostQ(q1, q2).as("twin_cost_q"),
+        CoreOps.clamp(col("l_discount"), 0.02, 0.08).as("clamped_disc"),
+        mask.as("safety_mask"),
+        CoreOps.netAdvantage(col("l_quantity") - lit(25.0),
+          -(col("l_discount") * lit(10.0)),
+          CoreOps.penaltyGate(col("l_discount") * lit(10.0), 0.5, 20.0)).as("net_adv"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      least(l_quantity*0.9, l_quantity*1.1) AS twin_reward_q,
+      greatest(greatest(l_quantity*0.9, l_quantity*1.1), 0.0) AS twin_cost_q,
+      least(greatest(l_discount, 0.02), 0.08) AS clamped_disc,
+      (CASE WHEN l_discount < 0.05 THEN 1.0 ELSE 0.0 END)
+        * (CASE WHEN l_tax < 0.05 THEN 1.0 ELSE 0.0 END) AS safety_mask,
+      (l_quantity - 25.0) + ((CASE WHEN (l_discount*10.0) - 0.5 > 0.0 THEN 1.0 ELSE 0.0 END) * 20.0)
+        * (-(l_discount*10.0)) AS net_adv
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  private val pExp = Q("p_exp_advantage",
+    (s, dir) => Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      round(CoreOps.expAdvantage(col("l_quantity") / lit(25.0) - lit(1.0), Beta, 100.0), 6)
+        .as("exp_adv"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+      "round(least(exp(" + d(Beta) + "*(l_quantity/25.0 - 1.0)), 100.0), 6) AS exp_adv " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+
+  /** P8: row-wise squared-residual sum between consecutive embedding
+    * vectors (reference fawac.py:449 `Σ_dim (π(s)−a)²`). */
+  private val p8Residual = Q("p8_residual_sum",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id"), col("embedding").cast("array<double>").as("va"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").cast("array<double>").as("vb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"), round(CoreOps.squaredResidualSum(col("va"), col("vb")), 6).as("bc_loss"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS va FROM embeddings),
+      b AS (SELECT vec_id - 1 AS vec_id, embedding::DOUBLE[] AS vb FROM embeddings)
+      SELECT a.vec_id,
+        round(list_sum(list_transform(range(len(va)), i -> (va[i+1]-vb[i+1])*(va[i+1]-vb[i+1]))), 6) AS bc_loss
+      FROM a JOIN b USING (vec_id) ORDER BY vec_id"""))
+
+  /** P10: fixed two-layer MLP forward pass (4 ReLU units) over the
+    * embedding column, weights from the closed form w(o,i)=((3o+5i)%13−6)/10. */
+  private val p10Mlp = Q("p10_mlp_inference",
+    (s, dir) => {
+      val x = col("embedding").cast("array<double>")
+      val w = ModelOps.pseudoWeights(4, 64)
+      val y = ModelOps.denseLayer(x, w, Seq.fill(4)(0.1), ModelOps.relu)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(y, v => round(v, 6)).as("y"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val units = (0 until 4).map { o =>
+        s"round(greatest(0.1 + list_sum(list_transform(range(len(x)), i -> x[i+1] * (CAST(((3*$o + 5*i) % 13) - 6 AS DOUBLE)/10.0))), 0.0), 6)"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+      SELECT vec_id, [$units] AS y FROM e ORDER BY vec_id"""
+    })
+
+  // ------------------------------------------------------------------
+  // §2.4 aggregations
+  // ------------------------------------------------------------------
+
+  private val aStats = Q("a_stats",
+    (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("cnt"),
+      min(col("l_quantity")).as("min_q"),
+      max(col("l_quantity")).as("max_q"),
+      AggOps.lowerMedian(col("l_quantity")).as("median_q"),
+      round(AggOps.stddevPop(col("l_quantity")), 4).as("std_q"),
+      round(sum(col("l_quantity")), 2).as("sum_q"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
+      min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+      quantile_disc(l_quantity, 0.5) AS median_q,
+      round(stddev_pop(l_quantity), 4) AS std_q,
+      round(sum(l_quantity), 2) AS sum_q
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val aLosses = Q("a_losses",
+    (s, dir) => {
+      val u = col("l_quantity") - lit(25.5)
+      val q1 = col("l_quantity") * lit(0.9)
+      val q2 = col("l_quantity") * lit(1.1)
+      val w = CoreOps.expAdvantage(col("l_quantity") * lit(0.1) - lit(2.5), 1.0, 10.0)
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        round(sum(abs(lit(IqlTau) - CoreOps.indicator(u < lit(0.0))) * u * u), 4)
+          .as("expectile_loss_sum"),
+        round((sum((q1 - col("l_quantity")) * (q1 - col("l_quantity")))
+          + sum((q2 - col("l_quantity")) * (q2 - col("l_quantity")))) / lit(2.0), 4)
+          .as("twin_mse_halfsum"),
+        round(AggOps.weightedMean(w, col("l_quantity")), 4).as("weighted_mean"),
+        round(AggOps.normalizedWeightedMean(w, col("l_quantity")), 4).as("norm_weighted_mean"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("SELECT l_returnflag, " +
+      "round(sum(abs(" + d(IqlTau) + " - (CASE WHEN (l_quantity - 25.5) < 0.0 THEN 1.0 ELSE 0.0 END)) " +
+      "* (l_quantity - 25.5) * (l_quantity - 25.5)), 4) AS expectile_loss_sum, " +
+      "round((sum((l_quantity*0.9 - l_quantity)*(l_quantity*0.9 - l_quantity)) " +
+      "+ sum((l_quantity*1.1 - l_quantity)*(l_quantity*1.1 - l_quantity)))/2.0, 4) AS twin_mse_halfsum, " +
+      "round(avg(least(exp(1.0*(l_quantity*0.1 - 2.5)), 10.0) * l_quantity), 4) AS weighted_mean, " +
+      "round(sum(least(exp(1.0*(l_quantity*0.1 - 2.5)), 10.0) * l_quantity) " +
+      "/ sum(least(exp(1.0*(l_quantity*0.1 - 2.5)), 10.0)), 4) AS norm_weighted_mean " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  // ------------------------------------------------------------------
+  // §2.3 joins / lookups / sampling
+  // ------------------------------------------------------------------
+
+  private val j1Sample = Q("j1_deterministic_sample",
+    (s, dir) => JoinOps.deterministicSample(Tables.events(s, dir), col("event_id"), 10)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM events WHERE event_id % 10 = 0 ORDER BY event_id"""))
+
+  private val j2Td = Q("j2_td_target",
+    (s, dir) => JoinOps.tdTarget(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("value"), lit(0.0), col("value"),
+      Gamma, "td_target")
+      .select(col("user_id"), col("event_id"), col("td_target"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("SELECT user_id, event_id, value + (1.0 - 0.0) * " + d(Gamma) +
+      " * coalesce(lead(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id), 0.0) AS td_target " +
+      "FROM events ORDER BY user_id, event_id"))
+
+  private val j3Soft = Q("j3_soft_update",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val target = e.where(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val source = e.where(pmod(col("vec_id"), lit(2)) === 1)
+        .select((col("vec_id") - 1).as("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      JoinOps.softUpdate(target, source, "vec_id", "vec", Tau, "updated")
+        .select(col("vec_id"), col("updated"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings WHERE vec_id % 2 = 0),
+      s AS (SELECT vec_id - 1 AS vec_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id % 2 = 1)
+      SELECT vec_id, list_transform(range(len(tv)), i -> """ +
+      d(1.0 - Tau) + "*tv[i+1] + " + d(Tau) + """*sv[i+1]) AS updated
+      FROM t JOIN s USING (vec_id) ORDER BY vec_id"""))
+
+  // ------------------------------------------------------------------
+  // §2.5 windows / sequences
+  // ------------------------------------------------------------------
+
+  private val w1Discounted = Q("w1_discounted_return",
+    (s, dir) => SeqOps.discountedReturn(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("value"), Gamma, "disc_return")
+      .select(col("user_id"), col("event_id"), round(col("disc_return"), 4).as("disc_return"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""WITH r AS (SELECT user_id, event_id, value,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events)
+      SELECT user_id, event_id,
+        round(sum(value * pow(""" + d(Gamma) + """, rn)) OVER (PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn), 4) AS disc_return
+      FROM r ORDER BY user_id, event_id"""))
+
+  private val w2Ema = Q("w2_ema_smoothing",
+    (s, dir) => SeqOps.emaFinal(Tables.events(s, dir), "user_id",
+      Seq("ts", "event_id"), "value", 0.5, "ema")
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      list_reduce(list(value ORDER BY epoch_ns(ts), event_id), (s, x) -> 0.5*s + 0.5*x) AS ema
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  private val w3Sessions = Q("w3_episode_accumulation",
+    (s, dir) => SeqOps.sessionAgg(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("value"))
+      .select(col("user_id"), round(col("session_sum"), 4).as("session_sum"),
+        col("session_len"), col("session_min"), col("session_max"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, round(sum(value), 4) AS session_sum,
+      CAST(count(*) AS BIGINT) AS session_len,
+      min(value) AS session_min, max(value) AS session_max
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  private val w4Best = Q("w4_best_per_key",
+    (s, dir) => SeqOps.bestPerKey(Tables.events(s, dir), Seq("user_id"),
+      Seq(col("value").desc, col("event_id").asc))
+      .select(col("user_id"), col("event_id"), col("value"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+        FROM events) WHERE rk = 1 ORDER BY user_id"""))
+
+  private val w4Feasible = Q("w4_feasible_best",
+    (s, dir) => SeqOps.feasibleBest(Tables.orders(s, dir), col("o_totalprice"), 50000.0,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 50000.0
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1"""))
+
+  private val w5Cadence = Q("w5_cadence",
+    (s, dir) => SeqOps.cadence(Tables.events(s, dir), col("event_id"), 20)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id")),
+    Some("SELECT event_id, user_id, value FROM events WHERE event_id % 20 = 0 ORDER BY event_id"))
+
+  private val w6TopN = Q("w6_topn_per_key",
+    (s, dir) => SeqOps.topNPerKey(Tables.events(s, dir), Seq("user_id"),
+      Seq(col("ts"), col("event_id")), 3)
+      .select(col("user_id"), col("event_id"), col("__rn").cast("long").as("rn"))
+      .orderBy(col("user_id"), col("rn")),
+    Some("""SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+        SELECT user_id, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+        FROM events) WHERE rn <= 3 ORDER BY user_id, rn"""))
+
+  // ------------------------------------------------------------------
+  // §2.7 streaming/CDC semantics (batch-equivalent, oracle-checked)
+  // ------------------------------------------------------------------
+
+  private val cdcLatest = Q("cdc_latest_state",
+    (s, dir) => StreamingOps.cdcLatestState(Tables.events(s, dir))
+      .withColumn("last_ts", expr("last_ts div 1000"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
+        event_type AS last_type, value AS last_value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
+        FROM events) WHERE rk = 1 AND event_type NOT IN ('error') ORDER BY user_id"""))
+
+  private val sessWindow = Q("session_windows",
+    (s, dir) => StreamingOps.sessionSums(Tables.events(s, dir), "30 minutes")
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        round(col("session_value"), 4).as("session_value"), col("session_events"))
+      .orderBy(col("user_id"), col("session_start_us")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      m AS (SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+              THEN 1 ELSE 0 END AS brk FROM e),
+      g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT user_id, min(us) AS session_start_us, max(us) + 1800000000 AS session_end_us,
+        round(sum(value), 4) AS session_value, CAST(count(*) AS BIGINT) AS session_events
+      FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us"""))
+
+  private val tumbling = Q("tumbling_window",
+    (s, dir) => StreamingOps.tumblingAgg(Tables.events(s, dir), "1 day")
+      .select(col("w_start_us"), col("event_type"), col("n"), round(col("total"), 2).as("total"))
+      .orderBy(col("w_start_us"), col("event_type")),
+    Some("""SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS w_start_us, event_type,
+      CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type"""))
+
+  // ------------------------------------------------------------------
+  // engine built-ins over the star schema (SURVEY.md §2.6)
+  // ------------------------------------------------------------------
+
+  private val aggPricing = Q("q1_pricing_summary",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_discount")), 4).as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      round(sum(l_discount), 4) AS sum_disc,
+      CAST(count(*) AS BIGINT) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  private val joinStar = Q("join_star_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(
+          count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_items,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  private val semiJoin = Q("semi_join_segments",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val antiJoin = Q("anti_join_customers",
+    (s, dir) => Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  private val setOps = Q("set_ops_except",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchasers = ev.where(col("event_type") === "purchase").select(col("user_id"))
+      val erroring = ev.where(col("event_type") === "error").select(col("user_id"))
+      purchasers.except(erroring).orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT SELECT user_id FROM events WHERE event_type = 'error' ORDER BY user_id"""))
+
+  private val stringDate = Q("string_date_funcs",
+    (s, dir) => Tables.orders(s, dir).groupBy(
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      upper(substring(col("o_orderpriority"), 1, 1)).as("prio"))
+      .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("y"), col("m"), col("prio")),
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+      upper(substring(o_orderpriority, 1, 1)) AS prio,
+      CAST(count(*) AS BIGINT) AS n, min(o_totalprice) AS min_price
+      FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, prio"""))
+
+  private val jsonFuncs = Q("json_extract",
+    (s, dir) => Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY k ORDER BY k"""))
+
+  // ------------------------------------------------------------------
+  // §2.8 LLM-pipeline extensions X1–X4
+  // ------------------------------------------------------------------
+
+  private val x1Exact = Q("x1_exact_dedup",
+    (s, dir) => Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("fp")),
+    Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
+      FROM documents GROUP BY fp ORDER BY fp"""))
+
+  private val tokenSetSql =
+    """SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS toks
+       FROM documents"""
+
+  private val x1Jaccard = Q("x1_jaccard_neardup",
+    (s, dir) => Dedup.jaccardNearDup(Tables.documents(s, dir), "doc_id", "text",
+      maxDf = 8, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH sets AS ($tokenSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) <= 8 AND count(*) >= 2),
+      rt AS (SELECT doc_id, tok FROM tok JOIN rare USING (tok)),
+      cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+               FROM rt l JOIN rt r ON l.tok = r.tok AND l.doc_id < r.doc_id),
+      j AS (SELECT doc_a, doc_b,
+              len(list_intersect(a.toks, b.toks)) AS inter, len(a.toks) AS na, len(b.toks) AS nb
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+      FROM j WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  private val x1Minhash = Q("x1_minhash_signatures",
+    (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")),
+    Some {
+      val sigs = (0 until 8).map { j =>
+        s"CAST(min((${Dedup.minhashA(j)}*tok_id + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      s"""WITH sets AS ($tokenSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
+               FROM (SELECT DISTINCT tok FROM tok)),
+      j AS (SELECT doc_id, tok_id FROM tok JOIN dict USING (tok))
+      SELECT doc_id, $sigs FROM j GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  private val x2TopK = Q("x2_similarity_topk",
+    (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      pmod(col("vec_id"), lit(500)) === 0, k = 5)
+      .orderBy(col("query_id"), col("rk")),
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 500 = 0),
+      scored AS (SELECT query_id, e.vec_id AS cand_id,
+          round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*qv[i+1])))
+             * sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  private val x3Text = Q("x3_text_analysis",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def hits(l: String) = {
+        val words = TextOps.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> list_contains([$words], t)))"
+      }
+      s"""WITH base AS (SELECT doc_id, text,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+        FROM documents),
+      h AS (SELECT doc_id, text, toks,
+          ${hits("de")} AS hd, ${hits("en")} AS he, ${hits("es")} AS hes, ${hits("fr")} AS hf
+        FROM base)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_punct,
+        round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
+          + greatest(1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1)) * 4.0, 0.0)
+          + least((CAST(${hits("en")} AS DOUBLE) / greatest(len(toks), 1)) * 4.0, 1.0)) / 3.0, 6) AS quality,
+        CASE WHEN hd >= he AND hd >= hes AND hd >= hf AND hd > 0 THEN 'de'
+             WHEN he >= hes AND he >= hf AND he > 0 THEN 'en'
+             WHEN hes >= hf AND hes > 0 THEN 'es'
+             WHEN hf > 0 THEN 'fr'
+             ELSE 'und' END AS lang_pred,
+        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM h ORDER BY doc_id"""
+    })
+
+  private val x4Multimodal = Q("x4_multimodal_join",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("label").cast("long").as("label"),
+          round(CoreOps.l2Norm(col("embedding").cast("array<double>")), 6).as("emb_norm"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, n_chars, CAST(label AS BIGINT) AS label,
+      round(sqrt(list_sum(list_transform(range(len(embedding)),
+        i -> CAST(embedding[i+1] AS DOUBLE)*CAST(embedding[i+1] AS DOUBLE)))), 6) AS emb_norm
+      FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+    s1Ingest, s3Preprocess,
+    pScalar, pExp, p8Residual, p10Mlp,
+    aStats, aLosses,
+    j1Sample, j2Td, j3Soft,
+    w1Discounted, w2Ema, w3Sessions, w4Best, w4Feasible, w5Cadence, w6TopN,
+    cdcLatest, sessWindow, tumbling,
+    aggPricing, joinStar, semiJoin, antiJoin, setOps, stringDate, jsonFuncs,
+    x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal)
+
+  /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
+    * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
+    * selection in one pipeline. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val withReturn = SeqOps.discountedReturn(Tables.events(spark, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("value"), Gamma, "disc_return")
+    withReturn.groupBy(col("user_id")).agg(
+      round(max(col("disc_return")), 4).as("max_disc_return"),
+      round(sum(col("value")), 4).as("episode_cost"),
+      count(lit(1)).as("episode_len"))
+      .withColumn("feasible", (col("episode_cost") < lit(20000.0)).cast("double"))
+      .orderBy(col("user_id"))
+  }
+}

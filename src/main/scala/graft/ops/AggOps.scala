@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4, A1–A8).
+  *
+  * All expressed with built-in aggregate expressions so Spark plans them
+  * as partial (map-side) + final aggregates automatically — the property
+  * that makes a 100 TB groupBy shuffle only one pre-aggregated row per
+  * (partition × group) instead of the raw rows.
+  */
+object AggOps {
+
+  /** A3 — torch-style lower median (`torch.median` returns the lower of
+    * the two middle elements, reference fawac.py:471,493,501,509), i.e.
+    * the element at 1-based rank ⌊(n+1)/2⌋ of the sorted column.
+    * Spark 4's `median` interpolates, so we sort explicitly for oracle
+    * parity (DuckDB `quantile_disc(0.5)` has the same lower-middle
+    * semantics — verified empirically). Exact but collects the group into
+    * one array — correct up to millions of rows per group; the 100 TB
+    * scale path is [[approxMedian]] with a documented ε. */
+  def lowerMedian(c: Column): Column =
+    element_at(array_sort(collect_list(c)),
+      floor((count(c) + lit(1)) / lit(2)).cast("int"))
+
+  /** A3 scale path — mergeable sketch-based median (exact rank ± n/accuracy). */
+  def approxMedian(c: Column, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(0.5), lit(accuracy))
+
+  /** A4 — population stddev (`np.std` ddof=0, reference fawac.py:595). */
+  def stddevPop(c: Column): Column = stddev_pop(c)
+
+  /** A5 — weighted mean: `mean(w·x)` (advantage-weighted regression core,
+    * reference fawac.py:450). */
+  def weightedMean(w: Column, x: Column): Column = avg(w * x)
+
+  /** A5 variant — normalized weighted mean Σwx/Σw. */
+  def normalizedWeightedMean(w: Column, x: Column): Column = sum(w * x) / sum(w)
+
+  /** A6 — MSE of a prediction column against a target column
+    * (reference fawac.py:367-368). */
+  def mse(pred: Column, target: Column): Column =
+    avg((pred - target) * (pred - target))
+
+  /** A6 — twin-head MSE: mean of per-head MSEs (reference fawac.py:368). */
+  def twinMse(q1: Column, q2: Column, target: Column): Column =
+    (mse(q1, target) + mse(q2, target)) / lit(2.0)
+
+  /** A7 — expectile (asymmetric L2) loss:
+    * `mean(|τ − 1[u<0]| · u²)` (reference fawac.py:99-100, τ=iql_tau).
+    * A single built-in expression — no UDAF needed, stays codegen'd. */
+  def expectileLoss(u: Column, tau: Double): Column =
+    avg(abs(lit(tau) - CoreOps.indicator(u < lit(0.0))) * u * u)
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join / lookup / sampling operators (SURVEY.md §2.3, J1–J3). */
+object JoinOps {
+
+  /** J1 — deterministic sample (reference fawac.py:77-85 draws uniform
+    * random row indices; our engine keys the sample on the stable primary
+    * key so both Spark and the DuckDB oracle agree row-for-row).
+    * Keeps rows where pk ≡ keep (mod m) — a 1/m systematic sample that
+    * needs no shuffle, no state, and prunes at the scan when the table is
+    * bucketed/partitioned by pk. Seeded pseudo-random sampling at scale:
+    * `df.sample(withReplacement, frac, seed)` (not oracle-hashable). */
+  def deterministicSample(df: DataFrame, pk: Column, mod: Int, keep: Int = 0): DataFrame =
+    df.where(pmod(pk, lit(mod)) === lit(keep))
+
+  /** J2 — TD-target next-row lookup (reference fawac.py:366,417:
+    * `target = r + (1−done)·γ·V(s′)`). With episode-ordered data the
+    * next-state value is `lead(v)` over (episode, time) — a window, not a
+    * self-join, so it costs one shuffle on the episode key instead of two.
+    * The terminal row has no successor: bootstrap value 0 (done=1 there in
+    * well-formed data; we also null-guard via coalesce). */
+  def tdTarget(df: DataFrame, partitionCol: String, orderCols: Seq[Column],
+               rewardCol: Column, doneCol: Column, valueCol: Column,
+               gamma: Double, out: String): DataFrame = {
+    val w = Window.partitionBy(col(partitionCol)).orderBy(orderCols: _*)
+    df.withColumn(out,
+      rewardCol + (lit(1.0) - doneCol) * lit(gamma)
+        * coalesce(lead(valueCol, 1).over(w), lit(0.0)))
+  }
+
+  /** J3 — soft update: per-element EMA of two aligned parameter tables
+    * (reference fawac.py:15-17: `target ← (1−τ)·target + τ·source`).
+    * Parameter vectors stay as arrays (no explode → no row blow-up); the
+    * zip is a per-row higher-order function after an equi-join on the
+    * parameter key. At scale the "source" side is the model delta —
+    * broadcast when small. */
+  def softUpdate(target: DataFrame, source: DataFrame, key: String,
+                 vecCol: String, tau: Double, out: String): DataFrame =
+    target.join(source.withColumnRenamed(vecCol, "__src"), Seq(key))
+      .withColumn(out,
+        zip_with(col(vecCol), col("__src"),
+          (t, s) => (lit(1.0) - lit(tau)) * t + lit(tau) * s))
+      .drop("__src")
+}

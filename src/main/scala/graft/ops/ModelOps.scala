@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Batch model inference as pure Catalyst expressions (SURVEY.md §2.2
+  * P10: the reference's MLP actor/critic forward passes, fawac.py:112-231).
+  *
+  * A dense layer y = act(W·x + b) over an `array<double>` column is a
+  * `transform` over the rows of W, each row a fused multiply-accumulate
+  * (`zip_with` + `aggregate`). Weights are plan literals (the Spark
+  * analogue of broadcasting frozen parameters to every executor), so the
+  * whole forward pass codegens into the projection — no UDF, no shuffle,
+  * and column pruning still reaches the scan.
+  */
+object ModelOps {
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Fused w·x + b for one output unit. */
+  def mac(x: Column, w: Seq[Double], b: Double): Column =
+    aggregate(zip_with(x, litVec(w), (xi, wi) => xi * wi), lit(b), (acc, v) => acc + v)
+
+  /** One dense layer: weights (outDim × inDim), biases (outDim),
+    * activation applied per unit. Output is an array<double> column. */
+  def denseLayer(x: Column, weights: Seq[Seq[Double]], biases: Seq[Double],
+                 activation: Column => Column): Column =
+    array(weights.zip(biases).map { case (w, b) => activation(mac(x, w, b)) }: _*)
+
+  val relu: Column => Column = c => greatest(c, lit(0.0))
+  val tanhAct: Column => Column = tanh
+  val identityAct: Column => Column = c => c
+
+  /** Multi-layer forward pass; layers = (weights, biases, activation).
+    * Mirrors reference MLP construction (fawac.py:112-144). */
+  def mlp(x: Column, layers: Seq[(Seq[Seq[Double]], Seq[Double], Column => Column)]): Column =
+    layers.foldLeft(x) { case (h, (w, b, act)) => denseLayer(h, w, b, act) }
+
+  /** Deterministic pseudo-weights for tests/fixed-inference queries:
+    * w(i,j) = ((3i + 5j) mod 13 − 6) / 10 — closed form both engines can
+    * reproduce. */
+  def pseudoWeights(outDim: Int, inDim: Int): Seq[Seq[Double]] =
+    (0 until outDim).map(o => (0 until inDim).map(i => (((3 * o + 5 * i) % 13) - 6) / 10.0))
+
+  /** Tanh-squashed actor head scaled by maxAction (fawac.py:146-157). */
+  def actorHead(x: Column, weights: Seq[Seq[Double]], biases: Seq[Double],
+                maxAction: Double): Column =
+    transform(denseLayer(x, weights, biases, tanhAct), v => v * lit(maxAction))
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.8 X4).
+  *
+  * Media (image/audio/video) are opaque `binary` columns with typed
+  * metadata travelling alongside. The Spark-side mechanics — schema,
+  * partition sizing, batch shape, pruning — are real; the codec itself is
+  * a deterministic STUB (`fakeDecode*`) because no media libraries ship in
+  * this container. Swapping the stub for a real decoder keeps every plan
+  * unchanged: the decode is a per-row expression / mapPartitions kernel
+  * with the same signature.
+  *
+  * Scale notes: binary payloads dominate row size, so (a) metadata-only
+  * queries must prune the binary column at the scan (verified via
+  * ReadSchema in .explain), and (b) decode fan-out uses
+  * `spark.sql.files.maxPartitionBytes` to keep a partition's decoded
+  * batch in executor memory.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic binary payload from text — the stand-in
+    * for raw media bytes in fixtures. */
+  def syntheticMedia(text: Column): Column = encode(text, "UTF-8")
+
+  /** Typed media metadata struct: (n_bytes, checksum, kind). */
+  def mediaMeta(bin: Column, kind: String): Column =
+    struct(length(bin).cast("long").as("n_bytes"),
+      md5(bin).as("checksum"), lit(kind).as("kind"))
+
+  /** STUB decode — deterministic fake "image decode": derives a fixed
+    * 4-dim feature vector from the payload bytes (length, first/last byte,
+    * checksum nibble). A real decoder would replace the body, keeping the
+    * (binary → array<double>) contract. */
+  def fakeDecodeFeatures(bin: Column): Column = {
+    val n = length(bin).cast("double")
+    // byte access via hex: first byte = first two hex chars, last byte = last two.
+    val hx = hex(bin)
+    val firstByte = coalesce(conv(substring(hx, 1, 2), 16, 10).cast("double"), lit(0.0))
+    val lastByte = coalesce(conv(substring(hx, -2, 2), 16, 10).cast("double"), lit(0.0))
+    val nibble = coalesce(conv(substring(md5(bin), 1, 1), 16, 10).cast("double"), lit(0.0))
+    array(n, firstByte, lastByte, nibble)
+  }
+
+  /** STUB frame-sample: pretend the payload is a video and emit k evenly
+    * spaced "frame offsets" — exercises the explode/fan-out shape of real
+    * frame extraction. */
+  def fakeFrameOffsets(bin: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => (i.cast("long") * length(bin).cast("long") / lit(k.toLong)))
+
+  /** Attach media payload + metadata + decoded features to a documents
+    * table — the canonical multimodal enrichment pipeline. */
+  def enrich(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bin = encode(col(textCol), "UTF-8")
+    docs.select(col(idCol),
+      bin.as("media"),
+      mediaMeta(bin, "text/fake").as("meta"),
+      fakeDecodeFeatures(bin).as("features"))
+  }
+}

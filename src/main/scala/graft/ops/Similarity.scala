@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (SURVEY.md §2.8 X2).
+  *
+  * Baseline: brute-force cosine top-k — the *query* side is broadcast
+  * (queries ≪ corpus), so the corpus scans once with no shuffle of the
+  * big side; top-k per query is a windowed rank over (query, candidate)
+  * scores. Scale path: sign-LSH bucketing so each query only scores its
+  * bucket — same output schema, tunable recall.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for each query vector (selected by a
+    * deterministic pk predicate), the k nearest corpus vectors by cosine.
+    * Scores are rounded *before* ranking so rank order is identical in any
+    * engine evaluating the same closed form (float ties broken by pk). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int = 5): DataFrame = {
+    val corpus = emb.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cvec"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(CoreOps.cosine(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
+  }
+
+  /** Sign-LSH bucket id: b deterministic hyperplanes, hyperplane j's
+    * weight for dimension i = ((i·(j+3)) mod 11 − 5)/10 — a fixed closed
+    * form reproducible in SQL. Bucket = Σ_j 2^j·[w_j·x ≥ 0]. */
+  def signLshBucket(vec: Column, bits: Int = 8): Column =
+    (0 until bits).map { j =>
+      val dotj = aggregate(
+        zip_with(asDouble(vec),
+          transform(vec, (_, i) => ((i * (j + 3)) % 11).cast("double") / lit(10.0) - lit(0.5)),
+          (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN variant: score only candidates in the query's LSH bucket.
+    * At 100 TB this turns the broadcast-scan into a bucket-colocated join
+    * (both sides repartitioned by bucket). Recall < 1 by construction —
+    * benchmark companion to [[bruteForceTopK]], same schema. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int = 5, bits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col(idCol), col(vecCol),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    val corpus = withBucket.select(col(idCol).as("cand_id"),
+      asDouble(col(vecCol)).as("cvec"), col("bucket"))
+    val queries = withBucket.where(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"), col("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(CoreOps.cosine(col("qvec"), col("cvec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
+  }
+
+  /** X1 embedding near-dup: all unordered pairs above a cosine threshold,
+    * bucket-pruned by sign-LSH (exact within bucket). */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.99, bits: Int = 8): DataFrame = {
+    val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    withBucket.as("l").join(withBucket.as("r"), Seq("bucket"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("cosine", round(CoreOps.cosine(col("l.v"), col("r.v")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
+  * §2.8 X3): tokenization, language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Everything is built-in expressions (regex + higher-order functions) so
+  * a 100 TB documents scan stays inside whole-stage codegen with column
+  * pruning — only `text` is read for these. Regex classes are kept to
+  * ASCII ranges so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+  */
+object TextOps {
+
+  /** Lowercased alpha tokens; empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
+
+  /** Distinct token set (for set-Jaccard / dedup). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count — the cheap `wc -w` style count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: alpha runs contribute ceil(len/4)
+    * subwords, digits/punct one each — a deterministic, closed-form
+    * stand-in for a tokenizer vocabulary (no external model in-container). */
+  def subwordCountEstimate(text: Column): Column = {
+    val alphaRuns = filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
+    val nonSpace = length(regexp_replace(text, "[a-zA-Z\\s]", ""))
+    aggregate(alphaRuns, lit(0L),
+      (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")) + nonSpace.cast("long")
+  }
+
+  /** Character-class counts used by quality scoring. */
+  def charCount(text: Column): Column = length(text)
+  def alphaCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9 \\t\\n\\r]", ""))
+
+  /** Ratio of non-alphanumeric, non-whitespace characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9 \\t\\n\\r]", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Small multilingual stopword lists for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "pas", "pour", "que", "une"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "en", "por", "con", "una"))
+
+  /** Stopword hit count for one language (counts occurrences, not distinct). */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => stopwords(lang).map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Stopword ratio against the English list (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    stopwordHits(toks, "en").cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** X3 — n-gram-free language-ID heuristic: argmax of per-language
+    * stopword hits, ties broken alphabetically, no hits → "und"
+    * (undetermined). Deterministic, hence oracle-hashable. */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    // (−hits, lang) sorted ascending ⇒ hits descending, alpha tie-break.
+    val scored = langs.map(l =>
+      struct((-stopwordHits(toks, l)).as("neg_hits"), lit(l).as("lang")))
+    val best = sort_array(array(scored: _*)).getItem(0)
+    when(best.getField("neg_hits") < 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** X3 — composite quality score in [0,1]: length, punctuation and
+    * stopword signals (the usual cheap pre-filters before LLM training). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    round((lenScore + punctScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** X3 — document fingerprint: md5 of whitespace-normalized lowercase
+    * text. md5 hex is identical across engines → the canonical exact-dedup
+    * and grouping key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

