@@ -49,7 +49,7 @@ object Multimodal {
     * frame extraction. */
   def fakeFrameOffsets(bin: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => (i.cast("long") * length(bin).cast("long") / lit(k.toLong)))
+      i => floor(i.cast("double") * length(bin).cast("double") / lit(k.toDouble)).cast("long"))
 
   /** Attach media payload + metadata + decoded features to a documents
     * table — the canonical multimodal enrichment pipeline. */

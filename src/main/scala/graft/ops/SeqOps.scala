@@ -24,6 +24,7 @@ object SeqOps {
     */
   def discountedReturn(df: DataFrame, partitionCol: String, orderCols: Seq[Column],
                        valueCol: Column, gamma: Double, out: String): DataFrame = {
+    if (gamma == 0.0) return df.withColumn(out, valueCol) // closed form would divide by 0^rn
     val wOrd = Window.partitionBy(col(partitionCol)).orderBy(orderCols: _*)
     val wSuffix = Window.partitionBy(col(partitionCol)).orderBy(col("__rn"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)

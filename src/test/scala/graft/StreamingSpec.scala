@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{KeyedValue, EmaOut}
+
+/** Streaming/CDC semantics (SURVEY.md §2.7): stateful EMA, session
+  * windows, latest-state compaction, ingest guards. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful EMA (batch dataset) matches the fold recurrence") {
+    val ds = Seq(KeyedValue(1L, 0L, 10.0), KeyedValue(1L, 1L, 20.0),
+      KeyedValue(1L, 2L, 30.0), KeyedValue(2L, 0L, 5.0)).toDS()
+    val got = StreamingOps.statefulEma(ds, 0.5).collect()
+      .groupBy(_.key).view.mapValues(_.sortBy(_.order).map(_.ema).toSeq).toMap
+    assert(got(1L) == Seq(10.0, 15.0, 22.5))
+    assert(got(2L) == Seq(5.0))
+  }
+
+  test("stateful EMA over a MemoryStream carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KeyedValue]
+    val q = StreamingOps.statefulEma(mem.toDS(), 0.5)
+      .writeStream.format("memory").queryName("ema_out").outputMode("append").start()
+    mem.addData(KeyedValue(1L, 0L, 10.0))
+    q.processAllAvailable()
+    mem.addData(KeyedValue(1L, 1L, 20.0)) // second micro-batch: state must persist
+    q.processAllAvailable()
+    val got = spark.table("ema_out").as[EmaOut].collect().sortBy(_.order).map(_.ema).toSeq
+    q.stop()
+    assert(got == Seq(10.0, 15.0))
+  }
+
+  test("session windows split on gap and close at last+gap") {
+    // two bursts 1h apart, 30min gap → two sessions
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
+    val ev = Seq(
+      (1L, (base + 0L) * 1000L, 7L, "click", 1.0, "{}"),
+      (2L, (base + 60L * 1000000L) * 1000L, 7L, "click", 2.0, "{}"),
+      (3L, (base + 3600L * 1000000L) * 1000L, 7L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamingOps.sessionSums(ev, "30 minutes")
+      .orderBy("session_start_us")
+      .select("session_value", "session_events", "session_start_us", "session_end_us")
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(got.size == 2)
+    assert(got(0)._1 == 3.0 && got(0)._2 == 2L)
+    assert(got(0)._4 == base + 60L * 1000000L + 1800L * 1000000L) // last event + gap
+    assert(got(1)._1 == 3.0 && got(1)._2 == 1L)
+  }
+
+  test("CDC latest-state keeps newest row per key, tombstones delete types") {
+    val ev = Seq(
+      (1L, 1000L, 7L, "click", 1.0, "{}"),
+      (2L, 2000L, 7L, "purchase", 2.0, "{}"),
+      (3L, 1000L, 8L, "click", 1.0, "{}"),
+      (4L, 2000L, 8L, "error", 9.0, "{}")) // latest is a delete → key dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamingOps.cdcLatestState(ev)
+      .select("user_id", "last_event_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 2L))
+  }
+
+  test("ingest guards mirror the reference buffer checks (fawac.py:57-63)") {
+    val df = (1 to 5).toDF("x")
+    assertThrows[IllegalArgumentException] {
+      StreamingOps.validateIngest(df, existingCount = 1, capacity = 100)
+    }
+    assertThrows[IllegalArgumentException] {
+      StreamingOps.validateIngest(df, existingCount = 0, capacity = 3)
+    }
+    assert(StreamingOps.validateIngest(df, 0, 100).count() == 5)
+  }
+
+  test("streaming session-window aggregation runs end-to-end with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamingOps.sessionSums(df, "30 minutes", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    val base = 1704067200L * 1000000000L
+    mem.addData((1L, base, 7L, "click", 1.0, "{}"),
+      (2L, base + 60L * 1000000000L, 7L, "click", 2.0, "{}"),
+      // 3 hours later: pushes watermark past the first session → it closes
+      (3L, base + 10800L * 1000000000L, 7L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((4L, base + 14400L * 1000000000L, 7L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select("session_value", "session_events").as[(Double, Long)].collect().toSeq
+    q.stop()
+    assert(rows.contains((3.0, 2L))) // first burst emitted as a closed session
+  }
+}
