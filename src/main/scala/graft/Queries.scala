@@ -461,6 +461,16 @@ object Queries {
     """SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS toks
        FROM documents"""
 
+  /** Word 3-gram shingle sets — must mirror Dedup.wordShingles exactly. */
+  private val shingleSetSql =
+    """SELECT doc_id,
+        CASE WHEN len(toks0) >= 3
+          THEN list_distinct(list_transform(range(len(toks0)-2),
+                 i -> toks0[i+1] || ' ' || toks0[i+2] || ' ' || toks0[i+3]))
+          ELSE list_filter([array_to_string(toks0, ' ')], s -> s <> '') END AS toks
+       FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks0
+             FROM documents)"""
+
   private val x1Jaccard = Q("x1_jaccard_neardup",
     (s, dir) => Dedup.jaccardNearDup(Tables.documents(s, dir), "doc_id", "text",
       maxDf = 8, threshold = 0.5)
@@ -486,7 +496,7 @@ object Queries {
       val sigs = (0 until 8).map { j =>
         s"CAST(min((${Dedup.minhashA(j)}*tok_id + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS BIGINT) AS mh$j"
       }.mkString(", ")
-      s"""WITH sets AS ($tokenSetSql),
+      s"""WITH sets AS ($shingleSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
       dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
                FROM (SELECT DISTINCT tok FROM tok)),
@@ -496,10 +506,10 @@ object Queries {
 
   private val x2TopK = Q("x2_similarity_topk",
     (s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-      pmod(col("vec_id"), lit(500)) === 0, k = 5)
+      pmod(col("vec_id"), lit(100)) === 0, k = 5)
       .orderBy(col("query_id"), col("rk")),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 500 = 0),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
       scored AS (SELECT query_id, e.vec_id AS cand_id,
           round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
             / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*qv[i+1])))
@@ -566,6 +576,197 @@ object Queries {
       FROM documents JOIN embeddings ON doc_id = vec_id ORDER BY doc_id"""))
 
   // ------------------------------------------------------------------
+  // batch 2: LSH/simhash dedup, ANN, set/grouping built-ins, running
+  // windows, checkpoint/metric plumbing
+  // ------------------------------------------------------------------
+
+  private val x1Lsh = Q("x1_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, r = 4, estMin = 0.75, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some {
+      val sigs = (0 until 8).map { j =>
+        s"CAST(min((${Dedup.minhashA(j)}*tok_id + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS BIGINT) AS mh$j"
+      }.mkString(", ")
+      val bandSelects = (0 until 2).map { b =>
+        val parts = (0 until 4).map(i => s"mh${4 * b + i}").mkString(", '_', ")
+        s"SELECT *, $b AS band, concat($parts) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      val est = (0 until 8).map(i =>
+        s"(CASE WHEN l.mh$i = r.mh$i THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+      s"""WITH sets AS ($shingleSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
+               FROM (SELECT DISTINCT tok FROM tok)),
+      j AS (SELECT doc_id, tok_id FROM tok JOIN dict USING (tok)),
+      sig AS (SELECT doc_id, $sigs FROM j GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+               FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+               WHERE l.doc_id < r.doc_id AND ($est) / 8.0 >= 0.75),
+      v AS (SELECT doc_a, doc_b,
+              len(list_intersect(a.toks, b.toks)) AS inter, len(a.toks) AS na, len(b.toks) AS nb
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
+      FROM v WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""
+    })
+
+  private val x1Simhash = Q("x1_simhash",
+    (s, dir) => Dedup.simhashFingerprint(Tables.documents(s, dir), "doc_id", "text", bits = 16)
+      .orderBy(col("doc_id")),
+    Some {
+      val bitSums = (0 until 16).map { j =>
+        s"CAST(sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+      }.mkString(", ")
+      val fp = (0 until 16).map { j =>
+        s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH sets AS ($tokenSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
+               FROM (SELECT DISTINCT tok FROM tok)),
+      j AS (SELECT doc_id, (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP} AS h
+            FROM tok JOIN dict USING (tok)),
+      agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id)
+      SELECT doc_id, $fp AS simhash FROM agg ORDER BY doc_id"""
+    })
+
+  private def lshBucketSql(vecExpr: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(range(len($vecExpr)), i -> $vecExpr[i+1] * (CAST((i*(${j + 3})) % 11 AS DOUBLE)/10.0 - 0.5))) >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val x2Ann = Q("x2_ann_lsh_topk",
+    (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      pmod(col("vec_id"), lit(100)) === 0, k = 5, bits = 4)
+      .orderBy(col("query_id"), col("rk")),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 100 = 0),
+      scored AS (SELECT query_id, e.vec_id AS cand_id,
+          round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*qv[i+1])))
+             * sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS cosine
+        FROM e JOIN q USING (bucket) WHERE e.vec_id <> query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  private val distinctAgg = Q("distinct_agg",
+    (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"),
+      count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val rollupAgg = Q("rollup_agg",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus")).agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+      CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  private val intersectUsers = Q("set_ops_intersect",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(ev.where(col("event_type") === "signup").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT SELECT user_id FROM events WHERE event_type = 'signup' ORDER BY user_id"""))
+
+  private val runningWindow = Q("running_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("running_sum",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("running_sum"), col("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum,
+      value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS delta
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** S5: checkpoint round-trip — explode the parameter vectors into the
+    * canonical (key, idx, value) parameter table (reference state_dict,
+    * fawac.py:555-583) and reassemble, proving the snapshot is lossless. */
+  private val s5Checkpoint = Q("s5_checkpoint_roundtrip",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>")))
+      e.groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")).as("vec"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH p AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
+          embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0),
+      kv AS (SELECT vec_id, pos, v[pos] AS val FROM p)
+      SELECT vec_id, list(val ORDER BY pos) AS vec FROM kv GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** S6: metric-log sink shape — melt events into (step, key, value) log
+    * rows then pivot back per entity (reference logger.store/write,
+    * train_fawac_iql.py:145-166). */
+  private val s6Metrics = Q("s6_metrics_pivot",
+    (s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(t =>
+        round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 4).as(s"${t}_sum"))
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"))
+    },
+    Some {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"round(sum(CASE WHEN event_type = '$t' THEN value ELSE 0.0 END), 4) AS ${t}_sum")
+        .mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+    })
+
+  /** P7: vector concatenation (reference fawac.py:206 cat([s, a], dim=1)). */
+  private val p7Concat = Q("p7_vector_concat",
+    (s, dir) => {
+      val v = col("embedding").cast("array<double>")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          CoreOps.concatVec(slice(v, 1, 4), slice(v, 61, 4)).as("sa"),
+          size(v).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""SELECT vec_id, (embedding::DOUBLE[])[1:4] || (embedding::DOUBLE[])[61:64] AS sa,
+      CAST(len(embedding) AS BIGINT) AS dim FROM embeddings ORDER BY vec_id"""))
+
+  private val inSubquery = Q("in_subquery",
+    (s, dir) => {
+      val building = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      Tables.orders(s, dir)
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      round(sum(o_totalprice), 2) AS total
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     s1Ingest, s3Preprocess,
@@ -575,7 +776,9 @@ object Queries {
     w1Discounted, w2Ema, w3Sessions, w4Best, w4Feasible, w5Cadence, w6TopN,
     cdcLatest, sessWindow, tumbling,
     aggPricing, joinStar, semiJoin, antiJoin, setOps, stringDate, jsonFuncs,
-    x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal)
+    x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal,
+    x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
+    runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

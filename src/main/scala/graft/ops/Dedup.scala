@@ -42,7 +42,7 @@ object Dedup {
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDf: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sets = docTokenSets(docs, idCol, textCol)
+    val sets = docTokenSets(docs, idCol, textCol).cache() // reused 3× below
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
     val rare = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2)
@@ -62,17 +62,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Token dictionary: distinct tokens → dense 0-based ids in lexicographic
-    * order. The id assignment is a window over the *vocabulary* (≪ corpus;
-    * bounded by language), so the single-partition sort is on thousands-to-
-    * millions of short strings — cheap and, critically, identical to the
-    * oracle's `dense_rank() over (order by token)`. */
-  def tokenDictionary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docTokenSets(docs, idCol, textCol)
-      .select(explode(col("toks")).as("tok")).distinct()
-    tok.withColumn("tok_id",
-      (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+  /** Word n-gram shingles of the ordered token stream, deduplicated.
+    * Shingling (not unigram sets) is what makes MinHash discriminative:
+    * on a small vocabulary every document contains the globally-minimal
+    * *token*, so unigram minhashes collide corpus-wide and LSH buckets
+    * degenerate to all-pairs; 3-gram shingles are near-unique per word
+    * sequence, so buckets stay duplicate-cluster-sized. Docs shorter than
+    * n shingle to their whole (non-empty) text. */
+  /** Shingles from an already-materialized token-array column. The input
+    * MUST be a bound attribute, not the tokenization expression itself:
+    * Catalyst does no common-subexpression elimination inside higher-order
+    * lambdas, so an inline `split(...)` would be re-evaluated for every
+    * `element_at` — ~3·|doc| regex splits per document (measured 20s for
+    * 5k docs before this split into two projections). */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+    array_distinct(
+      when(size(toks) >= n, grams)
+        .otherwise(filter(array(concat_ws(" ", toks)), s => s =!= lit(""))))
   }
+
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(text), n)
+
+  /** Per-document distinct shingle sets, with set size. Tokenizes in one
+    * projection, shingles from the bound column in the next. */
+  def docShingleSets(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks0"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks0"), n).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+  /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in
+    * lexicographic order. The id assignment is a window over the
+    * *vocabulary* (≪ corpus), so the single-partition sort is on
+    * thousands-to-millions of short strings — cheap and, critically,
+    * identical to the oracle's `dense_rank() over (order by tok)`. */
+  def featureDictionary(sets: DataFrame): DataFrame =
+    sets.select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("tok"))) - 1).cast("long"))
+
+  def tokenDictionary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    featureDictionary(docTokenSets(docs, idCol, textCol))
 
   /** MinHash parameters: k independent universal hashes
     * h_j(x) = (a_j·x + b_j) mod P over the token-id universe.
@@ -82,15 +115,13 @@ object Dedup {
   def minhashA(j: Int): Long = 2L * j + 1L + 104729L * j // odd, deterministic
   def minhashB(j: Int): Long = 12582917L * (j + 1) % MinhashP
 
-  /** X1 MinHash — per-document signature: sig[j] = min over the doc's
-    * token ids of h_j(id), j = 0..k−1. Computed with one explode + join to
-    * the broadcast dictionary + groupBy(doc) with k min-aggregates — the
-    * shuffle carries k longs per doc. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8): DataFrame = {
-    val dict = tokenDictionary(docs, idCol, textCol)
-    val tok = docTokenSets(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+  /** X1 MinHash — per-document signature over a materialized shingle-set
+    * table: sig[j] = min over the doc's shingle ids of h_j(id). One
+    * explode + join to the broadcast dictionary + groupBy(doc) with k
+    * min-aggregates — the shuffle carries k longs per doc. */
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int = 8): DataFrame = {
+    val dict = featureDictionary(sets)
+    val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(dict), "tok")
     val sigCols = (0 until k).map { j =>
       min(pmod(lit(minhashA(j)) * col("tok_id") + lit(minhashB(j)), lit(MinhashP)))
@@ -99,23 +130,90 @@ object Dedup {
     tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** X1 MinHash+LSH — banding: k minhashes split into bands of r rows; a
-    * pair landing in the same bucket for any band is a candidate; verified
-    * with exact token-set Jaccard. Output like [[jaccardNearDup]]. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, r: Int = 2, threshold: Double = 0.5): DataFrame = {
-    require(k % r == 0, "k must be divisible by band width r")
-    val sig = minhashSignatures(docs, idCol, textCol, k)
-    val bands = (0 until k / r).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bucket"))
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, shingleN: Int = 3): DataFrame =
+    // cache: the shingle table feeds both the dictionary build and the
+    // signature aggregation — without it the (interpreted, HOF-heavy)
+    // tokenize+shingle pass re-runs per consumer. At 100 TB the same move
+    // is a one-off materialization of the shingle table before the dedup
+    // campaign (the reference's `.detach()` barrier, SURVEY.md §4).
+    minhashSignaturesFromSets(
+      docShingleSets(docs, idCol, textCol, shingleN).cache(), k)
+
+  /** SimHash token-hash constants (same universal-hash family as MinHash,
+    * fixed slot 37 so signatures are independent of the MinHash set). */
+  val SimhashA: Long = minhashA(37)
+  val SimhashB: Long = minhashB(37)
+
+  /** X1 SimHash — per-document b-bit fingerprint: token hash h(id), bit j
+    * of the fingerprint is the sign of Σ_tokens (2·((h >> j) & 1) − 1).
+    * Ties (sum == 0) count as bit 1 (>= 0). One groupBy(doc) with b
+    * sum-aggregates — shuffle carries b ints per doc. */
+  def simhashFingerprint(docs: DataFrame, idCol: String, textCol: String,
+                         bits: Int = 16): DataFrame = {
+    val sets = docTokenSets(docs, idCol, textCol).cache() // feeds dict + bit sums
+    val dict = featureDictionary(sets)
+    val tok = sets
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(dict), "tok")
+      .withColumn("h", pmod(lit(SimhashA) * col("tok_id") + lit(SimhashB), lit(MinhashP)))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** X1 SimHash near-dup — candidate pairs share at least one of the four
+    * 4-bit nibble bands (classic simhash blocking), verified by Hamming
+    * distance on the full fingerprint. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 2): DataFrame = {
+    val sig = simhashFingerprint(docs, idCol, textCol, bits)
+    val bands = (0 until bits / 4).map { b =>
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nibble"))
     }.reduce(_ unionAll _)
+    bands.as("l").join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.nibble") === col("r.nibble"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** X1 MinHash+LSH — banding: k minhashes split into bands of r rows; a
+    * pair landing in the same bucket for any band is a candidate. Before
+    * the (expensive) exact token-set verify, candidates are pre-filtered
+    * by the *signature-estimated* Jaccard — the fraction of agreeing
+    * minhash components, a scalar compare on columns already present in
+    * the pair row. At 100 TB this is the step that keeps the verify join
+    * proportional to true near-dups rather than to candidate noise.
+    * Output like [[jaccardNearDup]]. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    require(k % r == 0, "k must be divisible by band width r")
+    val shingleSets = docShingleSets(docs, idCol, textCol, shingleN).cache()
+    val sig = minhashSignaturesFromSets(shingleSets, k)
+    val bands = (0 until k / r).map { b =>
+      sig.select((col("doc_id") +: (0 until k).map(i => col(s"mh$i"))) :+
+        lit(b).as("band") :+
+        concat_ws("_", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bucket"): _*)
+    }.reduce(_ unionAll _)
+    val est = (0 until k).map(i =>
+      when(col(s"l.mh$i") === col(s"r.mh$i"), 1.0).otherwise(0.0)).reduce(_ + _) / lit(k.toDouble)
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .where(col("l.doc_id") < col("r.doc_id"))
+      .where(est >= lit(estMin))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sets = docTokenSets(docs, idCol, textCol)
+    val sets = shingleSets
     val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("na"))
     val b2 = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("nb"))
     cand.join(a, "doc_a").join(b2, "doc_b")
