@@ -766,6 +766,41 @@ object Queries {
       FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Stateful EMA as a *streaming* operator (flatMapGroupsWithState,
+    * reference soft-update/smoothing J3/W2) run in batch mode — the same
+    * code path Structured Streaming executes per micro-batch. Oracle:
+    * per-row prefix folds via DuckDB list_reduce (identical recurrence →
+    * bit-exact, no rounding). */
+  private val statefulEmaQ = Q("stateful_ema_series",
+    (s, dir) => {
+      import s.implicits._
+      val ds = Tables.events(s, dir)
+        .select(col("user_id").as("key"), expr("ts div 1000").as("order"), col("value"))
+        .as[StreamingOps.KeyedValue]
+      StreamingOps.statefulEma(ds, 0.5).toDF()
+        .select(col("key").as("user_id"), col("order").as("ts_us"), col("ema"))
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      l AS (SELECT user_id, list(value ORDER BY us) AS vs, list(us ORDER BY us) AS uss
+            FROM e GROUP BY user_id),
+      x AS (SELECT user_id, unnest(range(1, len(vs)+1)) AS i, vs, uss FROM l)
+      SELECT user_id, uss[i] AS ts_us, list_reduce(vs[1:i], (s, y) -> 0.5*s + 0.5*y) AS ema
+      FROM x ORDER BY user_id, ts_us"""))
+
+  private val x2NearDup = Q("x2_cosine_neardup",
+    (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = 0.35, bits = 4)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
+      p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+          round(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*r.v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*l.v[i+1])))
+             * sqrt(list_sum(list_transform(range(len(r.v)), i -> r.v[i+1]*r.v[i+1])))), 6) AS cosine
+        FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+      SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -778,7 +813,8 @@ object Queries {
     aggPricing, joinStar, semiJoin, antiJoin, setOps, stringDate, jsonFuncs,
     x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal,
     x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
-    runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery)
+    runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
+    statefulEmaQ, x2NearDup)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

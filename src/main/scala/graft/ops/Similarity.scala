@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over an embedding column (SURVEY.md §2.8 X2).
   *
   * Baseline: brute-force cosine top-k — the *query* side is broadcast
@@ -11,10 +13,20 @@ import org.apache.spark.sql.functions._
   * big side; top-k per query is a windowed rank over (query, candidate)
   * scores. Scale path: sign-LSH bucketing so each query only scores its
   * bucket — same output schema, tunable recall.
+  *
+  * The dot-product kernel is the custom codegen expression
+  * [[graft.functions.DotProductD]] (`graft_dot`); norms are precomputed
+  * per side so each (query, candidate) pair costs exactly one fused
+  * multiply-accumulate loop. Summation order matches the HOF/DuckDB form
+  * bit-for-bit (oracle requirement).
   */
 object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** cosine from a fused dot + precomputed norms. */
+  private def fastCosine: Column =
+    expr("graft_dot(qvec, cvec)") / (col("qnorm") * col("cnorm"))
 
   /** Brute-force cosine top-k: for each query vector (selected by a
     * deterministic pk predicate), the k nearest corpus vectors by cosine.
@@ -22,12 +34,15 @@ object Similarity {
     * engine evaluating the same closed form (float ties broken by pk). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int = 5): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
     val queries = emb.where(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
     val scored = corpus.crossJoin(broadcast(queries))
       .where(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine", round(CoreOps.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("cosine", round(fastCosine, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -36,7 +51,7 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: b deterministic hyperplanes, hyperplane j's
-    * weight for dimension i = ((i·(j+3)) mod 11 − 5)/10 — a fixed closed
+    * weight for dimension i = ((i·(j+3)) mod 11)/10 − 0.5 — a fixed closed
     * form reproducible in SQL. Bucket = Σ_j 2^j·[w_j·x ≥ 0]. */
   def signLshBucket(vec: Column, bits: Int = 8): Column =
     (0 until bits).map { j =>
@@ -54,15 +69,18 @@ object Similarity {
     * benchmark companion to [[bruteForceTopK]], same schema. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int = 5, bits: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val withBucket = emb.select(col(idCol), col(vecCol),
       signLshBucket(col(vecCol), bits).as("bucket"))
     val corpus = withBucket.select(col(idCol).as("cand_id"),
       asDouble(col(vecCol)).as("cvec"), col("bucket"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
     val queries = withBucket.where(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"), col("bucket"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
     val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .where(col("cand_id") =!= col("query_id"))
-      .withColumn("cosine", round(CoreOps.cosine(col("qvec"), col("cvec")), 6))
+      .withColumn("cosine", round(fastCosine, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -74,12 +92,17 @@ object Similarity {
     * bucket-pruned by sign-LSH (exact within bucket). */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.99, bits: Int = 8): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
       signLshBucket(col(vecCol), bits).as("bucket"))
-    withBucket.as("l").join(withBucket.as("r"), Seq("bucket"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("cosine", round(CoreOps.cosine(col("l.v"), col("r.v")), 6))
+    val l = withBucket.select(col(idCol).as("id_a"), col("v").as("qvec"), col("bucket"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val r = withBucket.select(col(idCol).as("id_b"), col("v").as("cvec"), col("bucket"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(fastCosine, 6))
       .where(col("cosine") >= threshold)
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
