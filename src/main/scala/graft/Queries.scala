@@ -801,6 +801,30 @@ object Queries {
         FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
       SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b"""))
 
+  /** S4: CSV time-series source + sink round-trip (reference make_plots
+    * pd.read_csv, notebook cell 1): dump a (step, value) series to CSV with
+    * an explicit schema, read it back, EMA-fold it. The oracle reads the
+    * same CSV file — proving the format boundary, not just the transform. */
+  private val s4Csv = Q("s4_csv_roundtrip",
+    (s, dir) => {
+      val path = "/tmp/graft_s4_csv"
+      Tables.events(s, dir)
+        .select(col("event_id").as("step"), col("user_id"), col("value"))
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("step LONG, user_id LONG, value DOUBLE")
+        .csv(path)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      FROM read_csv('/tmp/graft_s4_csv/*.csv', header = true,
+        columns = {'step': 'BIGINT', 'user_id': 'BIGINT', 'value': 'DOUBLE'})
+      GROUP BY user_id ORDER BY user_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -814,7 +838,7 @@ object Queries {
     x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal,
     x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
-    statefulEmaQ, x2NearDup)
+    statefulEmaQ, x2NearDup, s4Csv)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -85,4 +85,11 @@ class CoreOpsSpec extends SparkSpec {
       .select(CoreOps.penaltyGate(col("vc"), 0.366, 20.0)).as[Double].collect().toSeq
     assert(gate == Seq(0.0, 20.0))
   }
+
+  test("ExpectileAggregator (typed UDAF) matches the expression form") {
+    val us = Seq(-2.0, -1.0, 0.5, 3.0, 7.5)
+    val viaExpr = us.toDF("u").select(AggOps.expectileLoss(col("u"), 0.7)).as[Double].head()
+    val viaAgg = us.toDS().select(new ExpectileAggregator(0.7).toColumn).head()
+    assert(math.abs(viaExpr - viaAgg) < 1e-12)
+  }
 }
