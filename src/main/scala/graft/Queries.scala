@@ -825,6 +825,79 @@ object Queries {
         columns = {'step': 'BIGINT', 'user_id': 'BIGINT', 'value': 'DOUBLE'})
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** As-of join: every purchase event enriched with the user's most recent
+    * at-or-before click (µs) — composed as one conditional window, no join. */
+  private val asofJoin = Q("asof_join",
+    (s, dir) => JoinOps.asOfLastMarker(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")),
+      col("event_type") === "click", expr("ts div 1000"), "last_click_us")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("last_click_us"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""SELECT user_id, event_id, value, last_click_us FROM (
+        SELECT user_id, event_id, value, event_type,
+          max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+            OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        FROM events)
+      WHERE event_type = 'purchase' ORDER BY user_id, event_id"""))
+
+  /** Range/band join: quantities bucketed by a broadcast bands table. */
+  private val rangeJoin = Q("range_band_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq((0.0, 10.0, "low"), (10.0, 30.0, "mid"), (30.0, 100.0, "high"))
+        .toDF("lo", "hi", "band")
+      JoinOps.bandJoin(Tables.lineitem(s, dir), bands, col("l_quantity"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH bands(lo, hi, band) AS (VALUES (0.0, 10.0, 'low'), (10.0, 30.0, 'mid'), (30.0, 100.0, 'high'))
+      SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+      GROUP BY band ORDER BY band"""))
+
+  private val unionUsers = Q("set_ops_union",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.where(col("event_type") === "purchase").select(col("user_id"))
+        .union(ev.where(col("event_type") === "signup").select(col("user_id")))
+        .distinct()
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION SELECT user_id FROM events WHERE event_type = 'signup' ORDER BY user_id"""))
+
+  private val dateFuncs = Q("date_funcs",
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("month_start_us", unix_micros(date_trunc("month", col("o_orderdate"))))
+      .groupBy(col("month_start_us"))
+      .agg(count(lit(1)).as("n"),
+        max(datediff(col("o_orderdate"), to_date(lit("2024-01-01")))).as("max_day_offset"))
+      .orderBy(col("month_start_us")),
+    Some("""SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(max(datediff('day', DATE '2024-01-01', o_orderdate)) AS INTEGER) AS max_day_offset
+      FROM orders GROUP BY 1 ORDER BY month_start_us"""))
+
+  /** X4 media metadata: documents → synthetic binary payload + typed
+    * metadata (bytes, checksum) — the decode itself stays a stub, but the
+    * binary column, its pruning behavior and checksum plumbing are real
+    * and oracle-checked (DuckDB strlen = bytes, md5 = same hex). */
+  private val x4Media = Q("x4_media_metadata",
+    (s, dir) => {
+      val enriched = Multimodal.enrich(Tables.documents(s, dir), "doc_id", "text")
+      enriched.select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"),
+        element_at(col("features"), 1).as("f0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      md5(text) AS checksum, CAST(strlen(text) AS DOUBLE) AS f0
+      FROM documents ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -838,7 +911,8 @@ object Queries {
     x1Exact, x1Jaccard, x1Minhash, x2TopK, x3Text, x4Multimodal,
     x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
-    statefulEmaQ, x2NearDup, s4Csv)
+    statefulEmaQ, x2NearDup, s4Csv,
+    asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -75,3 +75,19 @@ object GraftFunctions {
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
   }
 }
+
+/** `SparkSessionExtensions` hook — the deployment-grade registration path:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) injects the engine's functions
+  * into every session at build time, the place where injected rules /
+  * planner strategies would also live. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+  }
+}

@@ -32,6 +32,24 @@ object JoinOps {
         * coalesce(lead(valueCol, 1).over(w), lit(0.0)))
   }
 
+  /** As-of lookup composed from a single conditional window — for each row,
+    * the most recent at-or-before row of a marker type within the same key
+    * (the events-enrichment as-of join, SURVEY.md §2.3 taxonomy). One hash
+    * shuffle on the key + sort; no join at all, which beats a sort-merge
+    * as-of for the common same-table case. */
+  def asOfLastMarker(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                     markerCond: Column, markerValue: Column, out: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, max(when(markerCond, markerValue)).over(w))
+  }
+
+  /** Range (band) join: each row matched to the band [lo, hi) containing
+    * its value. The bands table is tiny → broadcast nested-loop with a
+    * range predicate; no shuffle of the fact side. */
+  def bandJoin(facts: DataFrame, bands: DataFrame, valueCol: Column): DataFrame =
+    facts.join(broadcast(bands), valueCol >= col("lo") && valueCol < col("hi"))
+
   /** J3 — soft update: per-element EMA of two aligned parameter tables
     * (reference fawac.py:15-17: `target ← (1−τ)·target + τ·source`).
     * Parameter vectors stay as arrays (no explode → no row blow-up); the

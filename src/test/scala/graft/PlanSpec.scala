@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, partial aggregation) asserted on
+  * the actual physical plans, so a refactor can't silently lose them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.all.find(_.name == name).get.run(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("s1 ingest prunes unused lineitem columns at the scan") {
+    val p = plan("s1_ingest_transitions")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_tax"), "l_tax must be pruned from the scan")
+    assert(!p.contains("l_shipdate"), "l_shipdate must be pruned from the scan")
+  }
+
+  test("j1 sampling pushes the not-null filter into the parquet scan") {
+    val p = plan("j1_deterministic_sample")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id)]"))
+  }
+
+  test("star join broadcasts every dimension table") {
+    val p = plan("join_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "all four dimension joins must be broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join for dimensions")
+  }
+
+  test("aggregations split into partial + final HashAggregate") {
+    val p = plan("a_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("window ops shuffle once on the partition key") {
+    val p = plan("w1_discounted_return")
+    // one hash exchange for the window key; the second exchange is the
+    // oracle-mandated final ORDER BY (range partitioning)
+    assert("hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("similarity kernels use the codegen graft_dot expression") {
+    val p = plan("x2_similarity_topk")
+    assert(p.contains("graft_dot"))
+    assert(!p.toLowerCase.contains("batchevalpython"))
+  }
+
+  test("graft_dot registered function evaluates the fused kernel") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("graft_dot(a, b)").as[Double].head()
+    assert(got == 11.0)
+    // and it agrees bit-for-bit with the HOF form on float-derived doubles
+    val hof = Seq((Seq(1.1, 2.2, 3.3), Seq(0.1, 0.2, 0.3))).toDF("a", "b")
+    val e = hof.select(graft.ops.CoreOps.dot(col("a"), col("b"))).as[Double].head()
+    val c = hof.selectExpr("graft_dot(a, b)").as[Double].head()
+    assert(e == c)
+  }
+}

@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.validateIngest(df, 0, 100).count() == 5)
   }
 
+  test("S6 metric sink: foreachBatch parquet append with checkpoint recovery dir") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("step", "key", "value")
+    val q = df.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(out): Unit
+      }
+      .start()
+    mem.addData((1L, "loss", 0.5), (2L, "loss", 0.4))
+    q.processAllAvailable()
+    mem.addData((3L, "loss", 0.3))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
