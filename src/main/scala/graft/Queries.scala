@@ -900,6 +900,30 @@ object Queries {
       md5(text) AS checksum, CAST(strlen(text) AS DOUBLE) AS f0
       FROM documents ORDER BY doc_id"""))
 
+  /** The same as-of semantics through the CUSTOM OPERATOR stack
+    * (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): its oracle is the
+    * identical window-composed SQL, so the physical operator's merge is
+    * verified row-for-row against an independent formulation. */
+  private val asofCustom = Q("asof_join_custom_operator",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          expr("ts div 1000").as("last_click_us"))
+      JoinOps.asOfJoin(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+        .select(col("user_id"), col("event_id"), col("value"), col("last_click_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, value, last_click_us FROM (
+        SELECT user_id, event_id, value, event_type,
+          max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+            OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        FROM events)
+      WHERE event_type = 'purchase' ORDER BY user_id, event_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -914,7 +938,7 @@ object Queries {
     x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
     statefulEmaQ, x2NearDup, s4Csv,
-    asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media)
+    asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -44,6 +44,30 @@ object JoinOps {
     df.withColumn(out, max(when(markerCond, markerValue)).over(w))
   }
 
+  /** As-of join via the custom whole-operator stack ([[graft.plans.AsOfJoinPlan]]
+    * → Strategy → Exec): for each left row, the latest right row with
+    * rightTime ≤ leftTime in the same key. One shuffle + sort per side and a
+    * streaming merge — the plan shape a native engine would pick. Key/time
+    * columns must be LongType (v1). Right-side column names must not clash. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
   /** Range (band) join: each row matched to the band [lo, hi) containing
     * its value. The bands table is tiny → broadcast nested-loop with a
     * range predicate; no shuffle of the fact side. */

@@ -81,6 +81,29 @@ class SeqJoinOpsSpec extends SparkSpec {
     assert(got == Seq(1.0 + 0.5 * 20.0, 2.0 + 0.5 * 30.0, 3.0)) // last: (1-1)·γ·0
   }
 
+  test("custom as-of join: match, staleness reset, and no-match null") {
+    // left: (key, time); right: (key, time, tag)
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (3L, 50L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 9L, 100L), (1L, 20L, 200L), (2L, 6L, 300L))
+      .toDF("rk", "rt", "rv")
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("tag"), col("rv")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got("a") == 100L) // 9 <= 10, latest
+    assert(got("b") == 200L) // 20 <= 25 supersedes 9
+    assert(got("c") == -1L)  // right time 6 > 5 → no match
+    assert(got("d") == -1L)  // key 3 absent → stale key-2 match must not leak
+  }
+
+  test("custom as-of join: equal timestamps match inclusively") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 7L)).toDF("rk", "rt", "rv")
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("rv")).as[Long].head()
+    assert(got == 7L)
+  }
+
   test("J3 soft update: target==source is a fixpoint (fawac.py:15-17)") {
     val t = Seq((1L, Seq(1.0, 2.0))).toDF("k", "vec")
     val got = JoinOps.softUpdate(t, t.withColumnRenamed("vec", "vec"), "k", "vec", 0.005, "u")
