@@ -582,21 +582,19 @@ object Queries {
   // windows, checkpoint/metric plumbing
   // ------------------------------------------------------------------
 
-  private val x1Lsh = Q("x1_minhash_lsh_pairs",
-    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-      k = 8, r = 4, estMin = 0.75, threshold = 0.8)
-      .orderBy(col("doc_a"), col("doc_b")),
-    Some {
-      val sigs = (0 until 8).map { j =>
-        s"CAST(min((${Dedup.minhashA(j)}*tok_id + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS BIGINT) AS mh$j"
-      }.mkString(", ")
-      val bandSelects = (0 until 2).map { b =>
-        val parts = (0 until 4).map(i => s"mh${4 * b + i}").mkString(", '_', ")
-        s"SELECT *, $b AS band, concat($parts) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      val est = (0 until 8).map(i =>
-        s"(CASE WHEN l.mh$i = r.mh$i THEN 1.0 ELSE 0.0 END)").mkString(" + ")
-      s"""WITH sets AS ($shingleSetSql),
+  /** Shared CTE chain for the shingle→minhash→banding→verify pipeline —
+    * reused by the pairs query and the end-to-end dedup query. */
+  private def lshPairCtes: String = {
+    val sigs = (0 until 8).map { j =>
+      s"CAST(min((${Dedup.minhashA(j)}*tok_id + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS BIGINT) AS mh$j"
+    }.mkString(", ")
+    val bandSelects = (0 until 2).map { b =>
+      val parts = (0 until 4).map(i => s"mh${4 * b + i}").mkString(", '_', ")
+      s"SELECT *, $b AS band, concat($parts) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val est = (0 until 8).map(i =>
+      s"(CASE WHEN l.mh$i = r.mh$i THEN 1.0 ELSE 0.0 END)").mkString(" + ")
+    s"""sets AS ($shingleSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
       dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
                FROM (SELECT DISTINCT tok FROM tok)),
@@ -608,12 +606,33 @@ object Queries {
                WHERE l.doc_id < r.doc_id AND ($est) / 8.0 >= 0.75),
       v AS (SELECT doc_a, doc_b,
               len(list_intersect(a.toks, b.toks)) AS inter, len(a.toks) AS na, len(b.toks) AS nb
-            FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)"""
+  }
+
+  private val x1Lsh = Q("x1_minhash_lsh_pairs",
+    (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 8, r = 4, estMin = 0.75, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $lshPairCtes
       SELECT doc_a, doc_b,
         round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6) AS jaccard
       FROM v WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8
-      ORDER BY doc_a, doc_b"""
-    })
+      ORDER BY doc_a, doc_b"""))
+
+  /** X1 end-to-end: the corpus after exact dedup + near-dup removal. */
+  private val x1Pipeline = Q("x1_dedup_pipeline",
+    (s, dir) => Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $lshPairCtes,
+      losers AS (SELECT DISTINCT doc_b AS doc_id FROM v
+                 WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+      exact AS (SELECT min(doc_id) AS keep_id FROM documents
+                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+      SELECT doc_id FROM documents
+      WHERE doc_id IN (SELECT keep_id FROM exact)
+        AND doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id"""))
 
   private val x1Simhash = Q("x1_simhash",
     (s, dir) => Dedup.simhashFingerprint(Tables.documents(s, dir), "doc_id", "text", bits = 16)
@@ -924,6 +943,18 @@ object Queries {
         FROM events)
       WHERE event_type = 'purchase' ORDER BY user_id, event_id"""))
 
+  /** Skew-resistant salted two-stage aggregation — identical results to the
+    * direct groupBy (the oracle is the direct form), different shuffle
+    * profile: the hot key spreads over 16 salt buckets before merging. */
+  private val saltedAgg = Q("salted_agg",
+    (s, dir) => AggOps.saltedSum(Tables.events(s, dir), "event_type", "value",
+      saltBuckets = 16, saltSource = col("event_id"))
+      .select(col("event_type"), col("n"), round(col("total"), 4).as("total"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      round(sum(value), 4) AS total
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -938,7 +969,8 @@ object Queries {
     x1Lsh, x1Simhash, x2Ann, distinctAgg, rollupAgg, intersectUsers,
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
     statefulEmaQ, x2NearDup, s4Csv,
-    asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom)
+    asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
+    x1Pipeline, saltedAgg)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

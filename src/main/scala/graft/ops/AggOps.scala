@@ -47,6 +47,19 @@ object AggOps {
   def twinMse(q1: Column, q2: Column, target: Column): Column =
     (mse(q1, target) + mse(q2, target)) / lit(2.0)
 
+  /** Skew-resistant two-stage aggregation: salt the hot key with a hash
+    * bucket, pre-aggregate per (key, salt), then merge per key. Results are
+    * identical to the direct groupBy for algebraic aggregates (counts/sums);
+    * at 100 TB this is the manual fallback when AQE skew handling can't
+    * split a pathological reduce key. */
+  def saltedSum(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                valueCol: String, saltBuckets: Int = 16,
+                saltSource: Column): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(keyCol), pmod(saltSource, lit(saltBuckets)).as("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"), sum(col("__s")).as("total"))
+
   /** A7 — expectile (asymmetric L2) loss:
     * `mean(|τ − 1[u<0]| · u²)` (reference fawac.py:99-100, τ=iql_tau).
     * A single built-in expression — no UDAF needed, stays codegen'd. */

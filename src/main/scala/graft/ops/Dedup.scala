@@ -94,6 +94,20 @@ object Dedup {
       .select(col("doc_id"), shinglesFromTokens(col("toks0"), n).as("toks"))
       .withColumn("n_toks", size(col("toks")))
 
+  /** X1 end-to-end dedup: drop exact duplicates (keep lowest doc_id per
+    * normalized-text fingerprint), then drop the higher id of every
+    * near-duplicate pair (MinHash-LSH verified). Returns the surviving
+    * doc ids — the shape of a production corpus-dedup job. */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8): DataFrame = {
+    val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
+    val survivors = docs.select(col(idCol).as("doc_id"))
+      .join(exactKept, Seq("doc_id"), "left_semi")
+    val nearDupLosers = minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
   /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in
     * lexicographic order. The id assignment is a window over the
     * *vocabulary* (≪ corpus), so the single-partition sort is on

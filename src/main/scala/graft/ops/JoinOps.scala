@@ -32,6 +32,14 @@ object JoinOps {
         * coalesce(lead(valueCol, 1).over(w), lit(0.0)))
   }
 
+  /** J1 (stochastic form) — the reference's uniform with-replacement batch
+    * sampler (fawac.py:77-85) as seeded Bernoulli/Poisson sampling: not
+    * oracle-hashable across engines (engine-specific RNG streams), so the
+    * scored surface uses [[deterministicSample]]; this is the runtime API. */
+  def seededSample(df: DataFrame, fraction: Double, seed: Long,
+                   withReplacement: Boolean = true): DataFrame =
+    df.sample(withReplacement, fraction, seed)
+
   /** As-of lookup composed from a single conditional window — for each row,
     * the most recent at-or-before row of a marker type within the same key
     * (the events-enrichment as-of join, SURVEY.md §2.3 taxonomy). One hash

@@ -63,6 +63,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(7L -> 2L))
   }
 
+  test("file-stream tumbling aggregation equals the batch result") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_ev_stream")
+    Files.copy(Paths.get(s"$sf001/events.parquet"), tmp.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = graft.sources.Tables.events(spark, sf001).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+    val q = StreamingOps.tumblingAgg(stream, "1 day")
+      .writeStream.format("memory").queryName("tumbling_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumbling_stream")
+      .select("w_start_us", "event_type", "n", "total")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = StreamingOps.tumblingAgg(graft.sources.Tables.events(spark, sf001), "1 day")
+      .select("w_start_us", "event_type", "n", "total")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch) // same Catalyst plan shape → identical results
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      graft.sources.Tables.events(spark, sf001)
+        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+        .saveAsTable("ev_bucketed")
+      val t = spark.table("ev_bucketed")
+      val joined = t.as("a").join(t.as("b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed self-join must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("ingest guards mirror the reference buffer checks (fawac.py:57-63)") {
     val df = (1 to 5).toDF("x")
     assertThrows[IllegalArgumentException] {
