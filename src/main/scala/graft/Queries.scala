@@ -17,9 +17,10 @@ import graft.streaming.StreamingOps
   * Determinism rules (SURVEY.md §5, FIXTURES.md):
   *  - every query ends in ORDER BY on a deterministic key;
   *  - per-row IEEE arithmetic from identical inputs is bit-exact across
-  *    engines → no rounding; transcendentals (exp/pow) differ by ulps →
-  *    round(6); aggregates sum in engine-specific order → round(4) (means,
-  *    small sums) or round(2) (large sums);
+  *    engines → no rounding; engine-ordered aggregates round at LATTICE-SAFE
+  *    scales (≥ the data's decimal places); irrational-valued sums
+  *    (transcendental multipliers) round coarsely (2–4 digits) since no
+  *    lattice protects their boundaries — see SCALING.md;
   *  - double literals are folded in Scala and embedded via
   *    `Double.toString` so both engines parse the identical bit pattern;
   *  - integral outputs cast to BIGINT on both sides;
@@ -943,6 +944,55 @@ object Queries {
         FROM events)
       WHERE event_type = 'purchase' ORDER BY user_id, event_id"""))
 
+  /** RANGE-frame window (vs ROWS frames elsewhere): per user, the rolling
+    * 1-hour event-time sum — frame bounds in value space, not row counts. */
+  private val rangeFrame = Q("range_frame_window",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ev.withColumn("hour_sum", round(sum(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("hour_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+      FROM events ORDER BY user_id, event_id"""))
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1]))"
+
+  /** X2 IVF ANN: deterministic centroids → nearest-centroid cells →
+    * per-cell search. Cell assignment (argmin squared L2, centroid-id
+    * tie-break) is bit-reproducible in the oracle. */
+  private val x2Ivf = Q("x2_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      centroidPred = pmod(col("vec_id"), lit(97)) === 3,
+      queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5)
+      .orderBy(col("query_id"), col("rk")),
+    Some {
+      val dvv = dotSql("v", "v"); val dvc = dotSql("v", "cv"); val dcc = dotSql("cv", "cv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
+      assign AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (($dvv - 2*$dvc) + $dcc) ASC, c.centroid_id ASC) AS rk
+          FROM e CROSS JOIN c) WHERE rk = 1),
+      corpus AS (SELECT e.vec_id AS cand_id, v AS cvv, cell FROM e JOIN assign ON e.vec_id = assign.vec_id),
+      q AS (SELECT e.vec_id AS query_id, v AS qv, cell FROM e JOIN assign ON e.vec_id = assign.vec_id
+            WHERE e.vec_id % 100 = 0),
+      scored AS (SELECT query_id, cand_id,
+          round(${dotSql("qv", "cvv")}
+            / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cvv", "cvv")})), 6) AS cosine
+        FROM corpus JOIN q USING (cell) WHERE cand_id <> query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+    })
+
   /** Skew-resistant salted two-stage aggregation — identical results to the
     * direct groupBy (the oracle is the direct form), different shuffle
     * profile: the hot key spreads over 16 salt buckets before merging. */
@@ -970,7 +1020,7 @@ object Queries {
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
-    x1Pipeline, saltedAgg)
+    x1Pipeline, saltedAgg, rangeFrame, x2Ivf)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

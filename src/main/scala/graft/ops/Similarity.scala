@@ -88,6 +88,41 @@ object Similarity {
         col("cand_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic centroid subset partitions
+    * the corpus into cells (nearest centroid by squared L2, ties by
+    * centroid id); each query searches only its own cell. Centroid count
+    * ~√N at scale; here a pk predicate picks them so the oracle can
+    * reproduce the exact cell assignment. Same output schema as
+    * [[bruteForceTopK]]; recall < 1 by construction. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              centroidPred: Column, queryPred: Column, k: Int = 5): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec_c"))
+    def assign(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val scored = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+        .crossJoin(broadcast(centroids))
+        .withColumn("dist",
+          expr(s"graft_dot($vecAs, $vecAs) - 2 * graft_dot($vecAs, cvec_c)")
+            + expr("graft_dot(cvec_c, cvec_c)"))
+      val w = Window.partitionBy(col(idAs)).orderBy(col("dist").asc, col("centroid_id").asc)
+      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+        .select(col(idAs), col(vecAs), col("centroid_id").as("cell"))
+    }
+    val corpus = assign(emb, "cand_id", "cvec")
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val queries = assign(emb.where(queryPred), "query_id", "qvec")
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
+  }
+
   /** X1 embedding near-dup: all unordered pairs above a cosine threshold,
     * bucket-pruned by sign-LSH (exact within bucket). */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,

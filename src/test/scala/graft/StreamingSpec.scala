@@ -85,21 +85,25 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
-      graft.sources.Tables.events(spark, sf001)
-        .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
-        .saveAsTable("ev_bucketed")
-      val t = spark.table("ev_bucketed")
-      val joined = t.as("a").join(t.as("b"), "user_id")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        "bucketed self-join must not shuffle")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // files persist — clear the stale location or CTAS refuses to create
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
     }
+    rm(new java.io.File("/tmp/graft_warehouse/ev_bucketed"))
+    graft.sources.Tables.events(spark, sf001)
+      .write.mode("overwrite").bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("ev_bucketed")
+    val t = spark.table("ev_bucketed")
+    // merge hint pins a sort-merge join (broadcast would trivially avoid the
+    // shuffle) without mutating session conf shared across suites
+    val joined = t.as("a").join(t.as("b").hint("merge"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bucketed self-join must not shuffle")
   }
 
   test("ingest guards mirror the reference buffer checks (fawac.py:57-63)") {
