@@ -1005,6 +1005,38 @@ object Queries {
       round(sum(value), 4) AS total
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Analytic rank functions over a fully-deterministic ordering
+    * (value, event_id) — rank/percent_rank/cume_dist/ntile divisions are
+    * exact int ratios, identical in both engines. */
+  private val analyticFuncs = Q("analytic_rank_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        rank().over(w).cast("long").as("rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY user_id, event_id"""))
+
+  private val cubeAgg = Q("cube_agg",
+    (s, dir) => Tables.events(s, dir)
+      .cube(col("event_type"), pmod(col("user_id"), lit(3)).as("user_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first),
+    Some("""SELECT event_type, user_id % 3 AS user_bucket,
+      CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+      FROM events GROUP BY CUBE (event_type, user_bucket)
+      ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1020,7 +1052,7 @@ object Queries {
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
-    x1Pipeline, saltedAgg, rangeFrame, x2Ivf)
+    x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
