@@ -36,6 +36,20 @@ object Queries {
     * DuckDB's strtod map it back to the identical bit pattern. */
   private def d(x: Double): String = java.lang.Double.toString(x)
 
+  /** Portable round-half-up: floor(x·10^d + 0.5)/10^d computed with the
+    * IDENTICAL FP ops in both engines. Needed because DuckDB's round()
+    * scales by 10^d in floating point (0.79499999999999998 → 79.5 → 0.8)
+    * while Spark rounds the exact decimal expansion (→ 0.79): on the same
+    * input double the two disagree near boundaries. Defined for x ≥ 0. */
+  private def pround(c: Column, digits: Int): Column = {
+    val s = math.pow(10.0, digits)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+  private def proundSql(e: String, digits: Int): String = {
+    val s = math.pow(10.0, digits)
+    s"floor(($e) * ${d(s)} + 0.5) / ${d(s)}"
+  }
+
   private val Gamma = 0.99
   private val Tau = 0.005
   private val IqlTau = 0.7
@@ -47,12 +61,15 @@ object Queries {
 
   private val s1Ingest = Q("s1_ingest_transitions",
     (s, dir) => Tables.transitions(s, dir)
-      .orderBy(col("episode_id"), col("t")),
+      // (episode_id, t) is non-unique → order by every column so tied rows
+      // are identical and hash the same in any order
+      .orderBy(col("episode_id"), col("t"), col("state0"), col("reward"),
+        col("cost"), col("done")),
     Some("""SELECT l_orderkey AS episode_id, CAST(l_linenumber AS BIGINT) AS t,
       l_quantity AS state0, l_extendedprice*0.1 AS reward,
       l_discount*10.0 AS cost,
       CASE WHEN l_returnflag='R' OR l_linestatus='F' THEN 1.0 ELSE 0.0 END AS done
-      FROM lineitem ORDER BY episode_id, t"""))
+      FROM lineitem ORDER BY episode_id, t, state0, reward, cost, done"""))
 
   /** S3: outlier filter + deterministic noise injection + density-based
     * per-(cost_bin × reward_bin) capped subsampling (reference
@@ -69,7 +86,8 @@ object Queries {
         .withColumn("cost_bin", floor(col("l_discount") * lit(100.0) / lit(2.0)))
         .withColumn("reward_bin", floor(col("l_quantity") / lit(10.0)))
       val w = Window.partitionBy(col("cost_bin"), col("reward_bin"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"), col("l_discount"))
       li.withColumn("rn", row_number().over(w)).where(col("rn") <= 40)
         .groupBy(col("cost_bin"), col("reward_bin"))
         .agg(count(lit(1)).as("n_kept"), round(sum(col("noisy_price")), 2).as("sum_price"))
@@ -81,11 +99,31 @@ object Queries {
                CAST(floor(l_quantity/10.0) AS BIGINT) AS reward_bin
         FROM lineitem WHERE l_quantity BETWEEN 2 AND 49),
       r AS (SELECT *, l_extendedprice + noise*10.0 AS noisy_price,
-               row_number() OVER (PARTITION BY cost_bin, reward_bin ORDER BY l_orderkey, l_linenumber) AS rn
+               row_number() OVER (PARTITION BY cost_bin, reward_bin
+                 ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount) AS rn
             FROM f)
       SELECT cost_bin, reward_bin, CAST(count(*) AS BIGINT) AS n_kept,
              round(sum(noisy_price), 2) AS sum_price
       FROM r WHERE rn <= 40 GROUP BY cost_bin, reward_bin ORDER BY cost_bin, reward_bin"""))
+
+  /** S1+W1: the reference's dead `cost_returns` column (allocated but never
+    * populated, fawac.py:48) materialized the way it clearly intended —
+    * discounted reverse cumsum of cost per episode (SURVEY.md §1.4). */
+  private val s1CostReturns = Q("s1_cost_returns",
+    (s, dir) => SeqOps.discountedReturn(Tables.transitions(s, dir), "episode_id",
+      // (episode_id, t) is NOT unique in this lineitem: order by the value
+      // too, so the fold sequence is engine-independent; remaining ties are
+      // identical (t, cost) rows, interchangeable by construction
+      Seq(col("t"), col("cost")), col("cost"), Gamma, "cost_return")
+      .select(col("episode_id"), col("t"), pround(col("cost_return"), 4).as("cost_return"))
+      .orderBy(col("episode_id"), col("t"), col("cost_return")),
+    Some("""WITH tr AS (SELECT l_orderkey AS episode_id, CAST(l_linenumber AS BIGINT) AS t,
+        l_discount*10.0 AS cost FROM lineitem),
+      r AS (SELECT *, row_number() OVER (PARTITION BY episode_id ORDER BY t, cost) AS rn FROM tr)
+      SELECT episode_id, t,
+        """ + proundSql("""sum(cost * pow(""" + d(Gamma) + """, rn)) OVER (PARTITION BY episode_id ORDER BY rn
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn)""", 4) + """ AS cost_return
+      FROM r ORDER BY episode_id, t, cost_return"""))
 
   // ------------------------------------------------------------------
   // §2.2 projections / scalar expressions
@@ -106,7 +144,8 @@ object Queries {
         CoreOps.netAdvantage(col("l_quantity") - lit(25.0),
           -(col("l_discount") * lit(10.0)),
           CoreOps.penaltyGate(col("l_discount") * lit(10.0), 0.5, 20.0)).as("net_adv"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("twin_reward_q"),
+          col("clamped_disc"), col("safety_mask"), col("net_adv"))
     },
     Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       least(l_quantity*0.9, l_quantity*1.1) AS twin_reward_q,
@@ -116,17 +155,18 @@ object Queries {
         * (CASE WHEN l_tax < 0.05 THEN 1.0 ELSE 0.0 END) AS safety_mask,
       (l_quantity - 25.0) + ((CASE WHEN (l_discount*10.0) - 0.5 > 0.0 THEN 1.0 ELSE 0.0 END) * 20.0)
         * (-(l_discount*10.0)) AS net_adv
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, twin_reward_q, clamped_disc, safety_mask, net_adv"""))
 
   private val pExp = Q("p_exp_advantage",
     (s, dir) => Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
-      round(CoreOps.expAdvantage(col("l_quantity") / lit(25.0) - lit(1.0), Beta, 100.0), 4)
+      pround(CoreOps.expAdvantage(col("l_quantity") / lit(25.0) - lit(1.0), Beta, 100.0), 4)
         .as("exp_adv"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("exp_adv")),
     Some("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
-      "round(least(exp(" + d(Beta) + "*(l_quantity/25.0 - 1.0)), 100.0), 4) AS exp_adv " +
-      "FROM lineitem ORDER BY l_orderkey, l_linenumber"))
+      proundSql("least(exp(" + d(Beta) + "*(l_quantity/25.0 - 1.0)), 100.0)", 4) + " AS exp_adv " +
+      "FROM lineitem ORDER BY l_orderkey, l_linenumber, exp_adv"))
 
   /** P8: row-wise squared-residual sum between consecutive embedding
     * vectors (reference fawac.py:449 `Σ_dim (π(s)−a)²`). */
@@ -256,16 +296,14 @@ object Queries {
   private val w1Discounted = Q("w1_discounted_return",
     (s, dir) => SeqOps.discountedReturn(Tables.events(s, dir), "user_id",
       Seq(col("ts"), col("event_id")), col("value"), Gamma, "disc_return")
-      // round(2): suffix sums of value*gamma^k are irrational-valued, so no
-      // decimal lattice protects a 4-digit boundary at sf>=0.1 (observed hit)
-      .select(col("user_id"), col("event_id"), round(col("disc_return"), 2).as("disc_return"))
+      .select(col("user_id"), col("event_id"), pround(col("disc_return"), 4).as("disc_return"))
       .orderBy(col("user_id"), col("event_id")),
     Some("""WITH r AS (SELECT user_id, event_id, value,
         row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
       FROM events)
       SELECT user_id, event_id,
-        round(sum(value * pow(""" + d(Gamma) + """, rn)) OVER (PARTITION BY user_id ORDER BY rn
-          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn), 2) AS disc_return
+        """ + proundSql("""sum(value * pow(""" + d(Gamma) + """, rn)) OVER (PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn)""", 4) + """ AS disc_return
       FROM r ORDER BY user_id, event_id"""))
 
   private val w2Ema = Q("w2_ema_smoothing",
@@ -528,6 +566,7 @@ object Queries {
       val docs = Tables.documents(s, dir)
       docs.select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.subwordCountEstimate(col("text")).as("n_subwords"),
         length(col("text")).cast("long").as("n_chars_m"),
         TextOps.punctCount(col("text")).cast("long").as("n_punct"),
         TextOps.qualityScore(col("text")).as("quality"),
@@ -548,6 +587,8 @@ object Queries {
         FROM base)
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(toks, t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0)
+          + length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS n_subwords,
         CAST(length(text) AS BIGINT) AS n_chars_m,
         CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_punct,
         round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
@@ -829,7 +870,7 @@ object Queries {
     * same CSV file — proving the format boundary, not just the transform. */
   private val s4Csv = Q("s4_csv_roundtrip",
     (s, dir) => {
-      val path = "/tmp/graft_s4_csv"
+      val path = "/tmp/graft_s4_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       Tables.events(s, dir)
         .select(col("event_id").as("step"), col("user_id"), col("value"))
         .where(pmod(col("event_id"), lit(4)) === 0)
@@ -842,9 +883,11 @@ object Queries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy(col("user_id"))
     },
+    // oracle computes from the SOURCE table: if the CSV round-trip lost any
+    // precision, the Spark side would diverge — and the oracle stays
+    // independent of /tmp state across scale factors.
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
-      FROM read_csv('/tmp/graft_s4_csv/*.csv', header = true,
-        columns = {'step': 'BIGINT', 'user_id': 'BIGINT', 'value': 'DOUBLE'})
+      FROM events WHERE event_id % 4 = 0
       GROUP BY user_id ORDER BY user_id"""))
 
   /** As-of join: every purchase event enriched with the user's most recent
@@ -1052,7 +1095,8 @@ object Queries {
     runningWindow, s5Checkpoint, s6Metrics, p7Concat, inSubquery,
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
-    x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg)
+    x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg,
+    s1CostReturns)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
