@@ -1080,6 +1080,30 @@ object Queries {
       FROM events GROUP BY CUBE (event_type, user_bucket)
       ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST"""))
 
+  /** §3.4 notebook pipeline: per-series truncation to the first ⌊n/2⌋+1
+    * points (make_plots cell 4) then EMA smoothing (cell 5) — an ordered
+    * fold over the truncated prefix, bit-exact in both engines. */
+  private val notebookSmoothing = Q("notebook_truncate_ema",
+    (s, dir) => {
+      val series = array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+      val xs = transform(series, r => r.getField("value"))
+      val used = slice(xs, lit(1), floor(size(xs) / lit(2)).cast("int") + lit(1))
+      val ema = aggregate(
+        slice(used, lit(2), greatest(size(used) - 1, lit(0))),
+        element_at(used, 1),
+        (acc, x) => lit(0.5) * acc + lit(0.5) * x)
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(size(xs).cast("long").as("n_points"),
+          size(used).cast("long").as("n_used"), ema.as("ema"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id, list(value ORDER BY epoch_ns(ts), event_id) AS vs
+            FROM events GROUP BY user_id)
+      SELECT user_id, CAST(len(vs) AS BIGINT) AS n_points,
+        CAST(len(vs)//2 + 1 AS BIGINT) AS n_used,
+        list_reduce(vs[1:(len(vs)//2 + 1)], (s, y) -> 0.5*s + 0.5*y) AS ema
+      FROM l ORDER BY user_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1096,7 +1120,7 @@ object Queries {
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
     x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg,
-    s1CostReturns)
+    s1CostReturns, notebookSmoothing)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
