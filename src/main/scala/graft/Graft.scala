@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** Public facade — the library surface a user of the reference pipeline
+  * would call. Everything returns a lazy DataFrame; nothing collects.
+  *
+  * {{{
+  * val spark = Graft.session("local[8]")
+  * val t = Graft.transitions(spark, dir)                       // S1 ingest
+  * val ret = Graft.discountedReturns(t, gamma = 0.99)          // W1
+  * val best = Graft.feasibleBest(eps, limit = 20.0)            // W4
+  * val kept = Graft.dedupCorpus(docs)                          // X1 pipeline
+  * val nn = Graft.similaritySearch(emb, $"vec_id" % 100 === 0) // X2
+  * }}}
+  */
+object Graft {
+
+  /** Session with the engine's settings (nanos timestamps, AQE, UTC,
+    * custom functions registered). */
+  def session(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  // ---- sources (S1–S4) ----
+  def transitions(spark: SparkSession, dir: String): DataFrame = Tables.transitions(spark, dir)
+  def events(spark: SparkSession, dir: String): DataFrame = Tables.events(spark, dir)
+  def documents(spark: SparkSession, dir: String): DataFrame = Tables.documents(spark, dir)
+  def embeddings(spark: SparkSession, dir: String): DataFrame = Tables.embeddings(spark, dir)
+
+  // ---- reference dataflow ----
+  /** W1: per-episode discounted reverse cumulative return. */
+  def discountedReturns(transitions: DataFrame, gamma: Double = 0.99,
+                        episodeCol: String = "episode_id", timeCol: String = "t",
+                        valueCol: String = "cost"): DataFrame =
+    SeqOps.discountedReturn(transitions, episodeCol,
+      Seq(col(timeCol), col(valueCol)), col(valueCol), gamma, "return")
+
+  /** W3: per-episode accumulation with optional length cap. */
+  def episodeSummary(transitions: DataFrame, episodeCol: String, timeCol: String,
+                     valueCol: String, lengthCap: Option[Int] = None): DataFrame =
+    SeqOps.sessionAgg(transitions, episodeCol, Seq(col(timeCol)), col(valueCol), lengthCap)
+
+  /** W4: feasible-best selection (cost under limit, highest return). */
+  def feasibleBest(episodes: DataFrame, costCol: String, returnCol: String,
+                   limit: Double, pkCol: String): DataFrame =
+    SeqOps.feasibleBest(episodes, col(costCol), limit,
+      Seq(col(returnCol).desc, col(pkCol).asc))
+
+  /** J2: TD targets from episode-ordered data. */
+  def tdTargets(transitions: DataFrame, episodeCol: String, orderCols: Seq[Column],
+                rewardCol: Column, doneCol: Column, valueCol: Column,
+                gamma: Double): DataFrame =
+    JoinOps.tdTarget(transitions, episodeCol, orderCols, rewardCol, doneCol,
+      valueCol, gamma, "td_target")
+
+  /** J3: soft update of a parameter table toward a source table. */
+  def softUpdate(target: DataFrame, source: DataFrame, key: String,
+                 vecCol: String, tau: Double = 0.005): DataFrame =
+    JoinOps.softUpdate(target, source, key, vecCol, tau, "updated")
+
+  /** Custom-operator as-of join (latest right row at-or-before left time). */
+  def asOfJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame =
+    JoinOps.asOfJoin(left, right, leftKey, rightKey, leftTime, rightTime)
+
+  // ---- LLM-pipeline extensions (X1–X4) ----
+  /** X1: full corpus dedup — exact + MinHash-LSH near-dup removal. */
+  def dedupCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                  threshold: Double = 0.8): DataFrame =
+    Dedup.dedupPipeline(docs, idCol, textCol, threshold)
+
+  /** X2: cosine top-k for a query subset (brute force, codegen kernel). */
+  def similaritySearch(emb: DataFrame, queryPred: Column, k: Int = 5,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+
+  /** X2 scale path: LSH-bucketed approximate top-k. */
+  def annSearch(emb: DataFrame, queryPred: Column, k: Int = 5, bits: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.lshTopK(emb, idCol, vecCol, queryPred, k, bits)
+
+  /** X3: per-document text analysis (tokens, quality, language, fingerprint). */
+  def analyzeText(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextOps.subwordCountEstimate(col(textCol)).as("n_subwords"),
+      TextOps.qualityScore(col(textCol)).as("quality"),
+      TextOps.langIdHeuristic(col(textCol)).as("lang_pred"),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+
+  // ---- streaming / CDC (§2.7) ----
+  /** Session-window accumulation (batch or streaming input). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: Option[String] = None): DataFrame =
+    StreamingOps.sessionSums(events, gap, watermark)
+
+  /** CDC latest-state compaction with tombstone types. */
+  def latestState(events: DataFrame, keyCol: String = "user_id",
+                  deleteTypes: Seq[String] = Seq("error")): DataFrame =
+    StreamingOps.cdcLatestState(events, keyCol, deleteTypes)
+}

@@ -71,6 +71,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("X1 dedup pipeline keeps one doc per duplicate cluster") {
+    val kept = graft.Graft.dedupCorpus(docs, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L)) // exact dup of 1 removed
+    assert(kept.contains(4L))                        // unrelated doc survives
+  }
+
   test("X3 language-ID heuristic on clear samples") {
     val t = Seq(
       "the cat is in the house and it is warm",
