@@ -1104,6 +1104,48 @@ object Queries {
         list_reduce(vs[1:(len(vs)//2 + 1)], (s, y) -> 0.5*s + 0.5*y) AS ema
       FROM l ORDER BY user_id"""))
 
+  /** P10 actor head: tanh-squashed dense layer scaled by max_action
+    * (reference fawac.py:146-157), 2 units over the embedding. */
+  private val p10Actor = Q("p10_actor_head",
+    (s, dir) => {
+      val x = col("embedding").cast("array<double>")
+      val act = ModelOps.actorHead(x, ModelOps.pseudoWeights(2, 64), Seq(0.1, 0.1), 2.0)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(act, v => pround(v, 4)).as("action"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      // DuckDB 1.0 has no tanh(): use (e^2z - 1)/(e^2z + 1); pround(4)
+      // absorbs its ulp-level difference from Math.tanh
+      val units = (0 until 2).map { o =>
+        val z = s"(0.1 + list_sum(list_transform(range(len(x)), i -> x[i+1] * (CAST(((3*$o + 5*i) % 13) - 6 AS DOUBLE)/10.0))))"
+        proundSql(s"2.0 * ((exp(2.0*$z) - 1.0) / (exp(2.0*$z) + 1.0))", 4)
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
+      SELECT vec_id, [$units] AS action FROM e ORDER BY vec_id"""
+    })
+
+  /** §3.3 evaluate(): mean/std/count over the per-episode summaries
+    * (reference np.mean/np.std over rollout returns, fawac.py:585-595). */
+  private val evalSummary = Q("eval_summary",
+    (s, dir) => {
+      val episodes = SeqOps.sessionAgg(Tables.events(s, dir), "user_id",
+        Seq(col("ts"), col("event_id")), col("value"))
+      episodes.agg(
+        count(lit(1)).as("n_episodes"),
+        round(avg(col("session_sum")), 4).as("mean_return"),
+        round(stddev_pop(col("session_sum")), 4).as("std_return"),
+        min(col("session_len")).as("min_len"),
+        max(col("session_len")).as("max_len"))
+    },
+    Some("""WITH ep AS (SELECT user_id, sum(value) AS ret, count(*) AS len
+            FROM events GROUP BY user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_episodes,
+        round(avg(ret), 4) AS mean_return,
+        round(stddev_pop(ret), 4) AS std_return,
+        CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len
+      FROM ep"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -1120,7 +1162,7 @@ object Queries {
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
     x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg,
-    s1CostReturns, notebookSmoothing)
+    s1CostReturns, notebookSmoothing, p10Actor, evalSummary)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
