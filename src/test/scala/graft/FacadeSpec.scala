@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Remaining-op coverage: simhash pairs, salted agg, as-of marker window,
+  * IVF, seeded sampling, and the Graft facade smoke. */
+class FacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash pairs surface identical documents at hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("salted two-stage aggregation equals the direct groupBy") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 5.0, 3L), ("a", 4.0, 4L))
+      .toDF("k", "v", "pk")
+    val salted = AggOps.saltedSum(df, "k", "v", saltBuckets = 4, saltSource = col("pk"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(salted == Seq(("a", 3L, 7.0), ("b", 1L, 5.0)))
+  }
+
+  test("asOfLastMarker window: latest marker at-or-before each row") {
+    val df = Seq((1L, 1L, "click", 10L), (1L, 2L, "view", 0L),
+      (1L, 3L, "click", 30L), (1L, 4L, "view", 0L)).toDF("k", "t", "typ", "m")
+    val got = JoinOps.asOfLastMarker(df, "k", Seq(col("t")),
+      col("typ") === "click", col("m"), "last_click")
+      .orderBy("t").select("last_click").as[Long].collect().toSeq
+    assert(got == Seq(10L, 10L, 30L, 30L))
+  }
+
+  test("IVF top-k finds the near-parallel vector within its cell") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),          // centroid (pred: id % 2 == 0 picks 0, 2)
+      (1L, Seq(0.99f, 0.01f)),        // near 0's cell
+      (2L, Seq(0.0f, 1.0f)),          // centroid
+      (3L, Seq(0.01f, 0.99f)))        // near 2's cell
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      centroidPred = pmod(col("vec_id"), lit(2)) === 0,
+      queryPred = col("vec_id") === 1L, k = 1)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(got == Seq(0L)) // cell-mate, not the orthogonal pair
+  }
+
+  test("seeded sampling is reproducible for a fixed seed") {
+    val df = spark.range(1000).toDF("x")
+    val a = JoinOps.seededSample(df, 0.1, seed = 7).as[Long].collect().toSeq
+    val b = JoinOps.seededSample(df, 0.1, seed = 7).as[Long].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("Graft facade smoke over sf0.001") {
+    val docs = Graft.documents(spark, sf001)
+    assert(Graft.analyzeText(docs).count() == 500)
+    val ev = Graft.events(spark, sf001)
+    assert(Graft.sessionize(ev).count() > 0)
+    assert(Graft.latestState(ev).count() > 0)
+    val t = Graft.transitions(spark, sf001)
+    assert(Graft.discountedReturns(t).columns.contains("return"))
+    assert(Graft.similaritySearch(Graft.embeddings(spark, sf001),
+      col("vec_id") === 0L, k = 3).count() == 3)
+  }
+}
