@@ -67,12 +67,73 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused squared L2 norm — what [[NormRewrite]] turns `graft_dot(a, a)`
+  * into: one array traversal instead of two bindings of the same child.
+  * Same left-to-right summation as DotProductD → bit-identical result. */
+case class SquaredNormD(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_norm2 expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm2"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+        double $acc = 0.0;
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          double $v = $a.getDouble($i);
+          $acc += $v * $v;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Optimizer rule: `graft_dot(a, a)` → `graft_norm2(a)` whenever both sides
+  * are semantically the same expression — the engine's own rewrite layered
+  * on Catalyst, numerically a no-op (identical fold order). */
+object NormRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case DotProductD(a, b) if a.semanticEquals(b) => SquaredNormD(a)
+    }
+}
+
 /** Session registration for the custom expressions — callable from SQL and
   * `expr(...)` once registered; idempotent per session. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm2", exprs => SquaredNormD(exprs(0)), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NormRewrite
+    }
   }
 }
 

@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("batchevalpython"))
   }
 
+  test("NormRewrite optimizer rule fuses graft_dot(a, a) into graft_norm2") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // non-literal source — a literal Seq would constant-fold to a
+    // LocalRelation before the rewrite is visible in the plan
+    val df = spark.range(2).selectExpr("array(cast(id as double), 4.0) AS a")
+      .selectExpr("graft_dot(a, a) AS n2")
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_norm2"))
+    assert(df.as[Double].collect().toSet == Set(16.0, 17.0))
+    // non-identical children must NOT rewrite
+    val df2 = spark.range(2)
+      .selectExpr("array(cast(id as double)) AS a", "array(cast(2.0 as double)) AS b")
+      .selectExpr("graft_dot(a, b) AS d")
+    assert(!df2.queryExecution.optimizedPlan.toString.contains("graft_norm2"))
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
