@@ -186,22 +186,29 @@ object Queries {
       FROM a JOIN b USING (vec_id) ORDER BY vec_id"""))
 
   /** P10: fixed two-layer MLP forward pass (4 ReLU units) over the
-    * embedding column, weights from the closed form w(o,i)=((3o+5i)%13−6)/10. */
+    * embedding column, weights from the closed form w(o,i)=((3o+5i)%13−6)/10.
+    * Output is exploded to (vec_id, unit, y) rows: the driver's compare
+    * sorts/hashes with pandas, which cannot sort ndarray cells — array
+    * payloads stay out of the hashed output (ADVICE r1). */
   private val p10Mlp = Q("p10_mlp_inference",
     (s, dir) => {
       val x = col("embedding").cast("array<double>")
       val w = ModelOps.pseudoWeights(4, 64)
       val y = ModelOps.denseLayer(x, w, Seq.fill(4)(0.1), ModelOps.relu)
       Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(y, v => round(v, 6)).as("y"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(transform(y, v => round(v, 6))))
+        .select(col("vec_id"), col("pos").cast("long").as("unit"), col("col").as("y"))
+        .orderBy(col("vec_id"), col("unit"))
     },
     Some {
       val units = (0 until 4).map { o =>
         s"round(greatest(0.1 + list_sum(list_transform(range(len(x)), i -> x[i+1] * (CAST(((3*$o + 5*i) % 13) - 6 AS DOUBLE)/10.0))), 0.0), 6)"
       }.mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
-      SELECT vec_id, [$units] AS y FROM e ORDER BY vec_id"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      ys AS (SELECT vec_id, [$units] AS y FROM e)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS unit, y[i] AS y
+      FROM (SELECT vec_id, unnest(range(1, len(y)+1)) AS i, y FROM ys)
+      ORDER BY vec_id, unit"""
     })
 
   // ------------------------------------------------------------------
@@ -279,15 +286,21 @@ object Queries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       val source = e.where(pmod(col("vec_id"), lit(2)) === 1)
         .select((col("vec_id") - 1).as("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      // exploded to the canonical (key, idx, value) parameter-table shape
+      // (reference state_dict) — keeps ndarray cells out of the gate's sort
       JoinOps.softUpdate(target, source, "vec_id", "vec", Tau, "updated")
-        .select(col("vec_id"), col("updated"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(col("updated")))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"), col("col").as("updated"))
+        .orderBy(col("vec_id"), col("idx"))
     },
     Some("""WITH t AS (SELECT vec_id, embedding::DOUBLE[] AS tv FROM embeddings WHERE vec_id % 2 = 0),
-      s AS (SELECT vec_id - 1 AS vec_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id % 2 = 1)
-      SELECT vec_id, list_transform(range(len(tv)), i -> """ +
-      d(1.0 - Tau) + "*tv[i+1] + " + d(Tau) + """*sv[i+1]) AS updated
-      FROM t JOIN s USING (vec_id) ORDER BY vec_id"""))
+      s AS (SELECT vec_id - 1 AS vec_id, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id % 2 = 1),
+      u AS (SELECT vec_id, list_transform(range(len(tv)), i -> """ +
+      d(1.0 - Tau) + "*tv[i+1] + " + d(Tau) + """*sv[i+1]) AS upd
+            FROM t JOIN s USING (vec_id))
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS idx, upd[i] AS updated
+      FROM (SELECT vec_id, unnest(range(1, len(upd)+1)) AS i, upd FROM u)
+      ORDER BY vec_id, idx"""))
 
   // ------------------------------------------------------------------
   // §2.5 windows / sequences
@@ -767,7 +780,9 @@ object Queries {
 
   /** S5: checkpoint round-trip — explode the parameter vectors into the
     * canonical (key, idx, value) parameter table (reference state_dict,
-    * fawac.py:555-583) and reassemble, proving the snapshot is lossless. */
+    * fawac.py:555-583), reassemble, and re-explode the reassembled vector.
+    * A hash match against the directly-exploded oracle proves the snapshot
+    * is lossless; the output stays row-shaped so the gate can sort it. */
   private val s5Checkpoint = Q("s5_checkpoint_roundtrip",
     (s, dir) => {
       val e = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(5)) === 0)
@@ -775,12 +790,14 @@ object Queries {
       e.groupBy(col("vec_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("col")))),
           x => x.getField("col")).as("vec"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(col("vec")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
     },
-    Some("""WITH p AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos,
-          embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0),
-      kv AS (SELECT vec_id, pos, v[pos] AS val FROM p)
-      SELECT vec_id, list(val ORDER BY pos) AS vec FROM kv GROUP BY vec_id ORDER BY vec_id"""))
+    Some("""WITH p AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i,
+          embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, v[i] AS val
+      FROM p ORDER BY vec_id, pos"""))
 
   /** S6: metric-log sink shape — melt events into (step, key, value) log
     * rows then pivot back per entity (reference logger.store/write,
@@ -801,18 +818,23 @@ object Queries {
       s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
     })
 
-  /** P7: vector concatenation (reference fawac.py:206 cat([s, a], dim=1)). */
+  /** P7: vector concatenation (reference fawac.py:206 cat([s, a], dim=1)),
+    * exploded to (vec_id, pos, sa, dim) rows for the gate's pandas sort. */
   private val p7Concat = Q("p7_vector_concat",
     (s, dir) => {
       val v = col("embedding").cast("array<double>")
       Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          CoreOps.concatVec(slice(v, 1, 4), slice(v, 61, 4)).as("sa"),
-          size(v).cast("long").as("dim"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), size(v).cast("long").as("dim"),
+          posexplode(CoreOps.concatVec(slice(v, 1, 4), slice(v, 61, 4))))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sa"), col("dim"))
+        .orderBy(col("vec_id"), col("pos"))
     },
-    Some("""SELECT vec_id, (embedding::DOUBLE[])[1:4] || (embedding::DOUBLE[])[61:64] AS sa,
-      CAST(len(embedding) AS BIGINT) AS dim FROM embeddings ORDER BY vec_id"""))
+    Some("""WITH c AS (SELECT vec_id, (embedding::DOUBLE[])[1:4] || (embedding::DOUBLE[])[61:64] AS sa,
+          CAST(len(embedding) AS BIGINT) AS dim FROM embeddings)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, sa[i] AS sa, dim
+      FROM (SELECT vec_id, unnest(range(1, len(sa)+1)) AS i, sa, dim FROM c)
+      ORDER BY vec_id, pos"""))
 
   private val inSubquery = Q("in_subquery",
     (s, dir) => {
@@ -837,19 +859,27 @@ object Queries {
   private val statefulEmaQ = Q("stateful_ema_series",
     (s, dir) => {
       import s.implicits._
+      // fold order = full NANOSECOND ts with event_id tie-break (same as
+      // every other sequence query); ts_us is derived only in the output
+      // projection (ADVICE r1: µs-truncated order made ties nondeterministic)
       val ds = Tables.events(s, dir)
-        .select(col("user_id").as("key"), expr("ts div 1000").as("order"), col("value"))
+        .select(col("user_id").as("key"), col("ts").as("order"),
+          col("event_id").as("tie"), col("value"))
         .as[StreamingOps.KeyedValue]
       StreamingOps.statefulEma(ds, 0.5).toDF()
-        .select(col("key").as("user_id"), col("order").as("ts_us"), col("ema"))
-        .orderBy(col("user_id"), col("ts_us"))
+        .select(col("key").as("user_id"), col("tie").as("event_id"),
+          expr("`order` div 1000").as("ts_us"), col("ema"))
+        .orderBy(col("user_id"), col("event_id"))
     },
-    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
-      l AS (SELECT user_id, list(value ORDER BY us) AS vs, list(us ORDER BY us) AS uss
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ns, epoch_us(ts) AS us, value FROM events),
+      l AS (SELECT user_id, list(value ORDER BY ns, event_id) AS vs,
+              list(event_id ORDER BY ns, event_id) AS ids,
+              list(us ORDER BY ns, event_id) AS uss
             FROM e GROUP BY user_id),
-      x AS (SELECT user_id, unnest(range(1, len(vs)+1)) AS i, vs, uss FROM l)
-      SELECT user_id, uss[i] AS ts_us, list_reduce(vs[1:i], (s, y) -> 0.5*s + 0.5*y) AS ema
-      FROM x ORDER BY user_id, ts_us"""))
+      x AS (SELECT user_id, unnest(range(1, len(vs)+1)) AS i, vs, ids, uss FROM l)
+      SELECT user_id, ids[i] AS event_id, uss[i] AS ts_us,
+        list_reduce(vs[1:i], (s, y) -> 0.5*s + 0.5*y) AS ema
+      FROM x ORDER BY user_id, event_id"""))
 
   private val x2NearDup = Q("x2_cosine_neardup",
     (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -901,7 +931,7 @@ object Queries {
       .orderBy(col("user_id"), col("event_id")),
     Some("""SELECT user_id, event_id, value, last_click_us FROM (
         SELECT user_id, event_id, value, event_type,
-          max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+          last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
             OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
         FROM events)
@@ -1105,14 +1135,16 @@ object Queries {
       FROM l ORDER BY user_id"""))
 
   /** P10 actor head: tanh-squashed dense layer scaled by max_action
-    * (reference fawac.py:146-157), 2 units over the embedding. */
+    * (reference fawac.py:146-157), 2 units over the embedding; exploded
+    * to (vec_id, unit, action) rows for the gate's pandas sort. */
   private val p10Actor = Q("p10_actor_head",
     (s, dir) => {
       val x = col("embedding").cast("array<double>")
       val act = ModelOps.actorHead(x, ModelOps.pseudoWeights(2, 64), Seq(0.1, 0.1), 2.0)
       Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(act, v => pround(v, 4)).as("action"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(transform(act, v => pround(v, 4))))
+        .select(col("vec_id"), col("pos").cast("long").as("unit"), col("col").as("action"))
+        .orderBy(col("vec_id"), col("unit"))
     },
     Some {
       // DuckDB 1.0 has no tanh(): use (e^2z - 1)/(e^2z + 1); pround(4)
@@ -1121,8 +1153,11 @@ object Queries {
         val z = s"(0.1 + list_sum(list_transform(range(len(x)), i -> x[i+1] * (CAST(((3*$o + 5*i) % 13) - 6 AS DOUBLE)/10.0))))"
         proundSql(s"2.0 * ((exp(2.0*$z) - 1.0) / (exp(2.0*$z) + 1.0))", 4)
       }.mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)
-      SELECT vec_id, [$units] AS action FROM e ORDER BY vec_id"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      a AS (SELECT vec_id, [$units] AS act FROM e)
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS unit, act[i] AS action
+      FROM (SELECT vec_id, unnest(range(1, len(act)+1)) AS i, act FROM a)
+      ORDER BY vec_id, unit"""
     })
 
   /** §3.3 evaluate(): mean/std/count over the per-episode summaries

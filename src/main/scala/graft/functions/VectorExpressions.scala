@@ -35,10 +35,16 @@ case class DotProductD(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // null on length mismatch (matching aggregate(zip_with(...)), where
+  // zip_with null-pads the shorter side and the sum becomes NULL) —
+  // so the expression is always nullable, even over non-null inputs
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,12 +60,16 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 
@@ -146,9 +156,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    // the full engine surface — identical to GraftFunctions.register, so
+    // both registration paths produce the same functions AND the same
+    // optimizer (ADVICE r1: this path used to install graft_dot only)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[SquaredNormD].getName, "graft_norm2"),
+      (exprs: Seq[Expression]) => SquaredNormD(exprs(0))))
+    ext.injectOptimizerRule(_ => NormRewrite)
   }
 }

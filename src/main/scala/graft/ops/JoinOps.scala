@@ -49,7 +49,10 @@ object JoinOps {
                      markerCond: Column, markerValue: Column, out: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(out, max(when(markerCond, markerValue)).over(w))
+    // last(…, ignoreNulls), NOT a running max: the value of the latest
+    // marker row in window order, correct for arbitrary (non-monotone)
+    // marker payloads.
+    df.withColumn(out, last(when(markerCond, markerValue), ignoreNulls = true).over(w))
   }
 
   /** As-of join via the custom whole-operator stack ([[graft.plans.AsOfJoinPlan]]

@@ -83,24 +83,42 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchRow: InternalRow = null // .copy()'d — sort output rows are reused
 
       lIter.map { lRow =>
-        val key = boundLk.eval(lRow).asInstanceOf[Long]
-        val time = boundLt.eval(lRow).asInstanceOf[Long]
-        // advance the right side to the last row with (key, time') ≤ (key, time)
-        var continue = rBuffered.hasNext
-        while (continue) {
-          val head = rBuffered.head
-          val hKey = boundRk.eval(head).asInstanceOf[Long]
-          val hTime = boundRt.eval(head).asInstanceOf[Long]
-          if (hKey < key || (hKey == key && hTime <= time)) {
-            val r = rBuffered.next()
-            if (hKey == key) { matchKey = hKey; matchRow = r.copy() }
-            continue = rBuffered.hasNext
-          } else {
-            continue = false
+        val keyV = boundLk.eval(lRow)
+        val timeV = boundLt.eval(lRow)
+        if (keyV == null || timeV == null) {
+          // null key/time never matches (SQL equi-join semantics) — emit
+          // the left row with an all-null right side instead of unboxing
+          // null to 0L and silently matching key 0
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val key = keyV.asInstanceOf[Long]
+          val time = timeV.asInstanceOf[Long]
+          // advance the right side to the last row with (key, time') ≤ (key, time)
+          var continue = rBuffered.hasNext
+          while (continue) {
+            val head = rBuffered.head
+            val hKeyV = boundRk.eval(head)
+            val hTimeV = boundRt.eval(head)
+            if (hKeyV == null || hTimeV == null) {
+              // unmatched by definition; nulls sort first, so skipping keeps
+              // the two-pointer invariant
+              rBuffered.next()
+              continue = rBuffered.hasNext
+            } else {
+              val hKey = hKeyV.asInstanceOf[Long]
+              val hTime = hTimeV.asInstanceOf[Long]
+              if (hKey < key || (hKey == key && hTime <= time)) {
+                val r = rBuffered.next()
+                if (hKey == key) { matchKey = hKey; matchRow = r.copy() }
+                continue = rBuffered.hasNext
+              } else {
+                continue = false
+              }
+            }
           }
+          val rSide = if (matchRow != null && matchKey == key) matchRow else nullRight
+          resultProj(joined(lRow, rSide))
         }
-        val rSide = if (matchRow != null && matchKey == key) matchRow else nullRight
-        resultProj(joined(lRow, rSide))
       }
     }
   }

@@ -57,25 +57,26 @@ object StreamingOps {
   }
 
   case class EmaState(ema: Double)
-  case class KeyedValue(key: Long, order: Long, value: Double)
-  case class EmaOut(key: Long, order: Long, ema: Double)
+  case class KeyedValue(key: Long, order: Long, tie: Long, value: Double)
+  case class EmaOut(key: Long, order: Long, tie: Long, ema: Double)
 
   /** Stateful EMA per key (reference soft-update J3 / smoothing W2 as a
     * stream): s ← α·s + (1−α)·x per arriving row, emitted per row.
     * State is one double per key — O(keys) memory, the canonical
     * mapGroupsWithState shape. Batch input: rows within a key are folded
-    * in `order` order for determinism. */
+    * in (order, tie) order — the tie-break makes the fold deterministic
+    * when two rows share an `order` value (ADVICE r1). */
   def statefulEma(ds: Dataset[KeyedValue], alpha: Double): Dataset[EmaOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[EmaState, EmaOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: Long, rows: Iterator[KeyedValue], state: GroupState[EmaState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.order))
+          val sorted = rows.toSeq.sortBy(r => (r.order, r.tie))
           var s = state.getOption.map(_.ema)
           val out = sorted.map { r =>
             s = Some(s.fold(r.value)(prev => alpha * prev + (1 - alpha) * r.value))
-            EmaOut(key, r.order, s.get)
+            EmaOut(key, r.order, r.tie, s.get)
           }
           if (s.isDefined) state.update(EmaState(s.get))
           out.iterator

@@ -11,12 +11,21 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("stateful EMA (batch dataset) matches the fold recurrence") {
-    val ds = Seq(KeyedValue(1L, 0L, 10.0), KeyedValue(1L, 1L, 20.0),
-      KeyedValue(1L, 2L, 30.0), KeyedValue(2L, 0L, 5.0)).toDS()
+    val ds = Seq(KeyedValue(1L, 0L, 0L, 10.0), KeyedValue(1L, 1L, 1L, 20.0),
+      KeyedValue(1L, 2L, 2L, 30.0), KeyedValue(2L, 0L, 3L, 5.0)).toDS()
     val got = StreamingOps.statefulEma(ds, 0.5).collect()
       .groupBy(_.key).view.mapValues(_.sortBy(_.order).map(_.ema).toSeq).toMap
     assert(got(1L) == Seq(10.0, 15.0, 22.5))
     assert(got(2L) == Seq(5.0))
+  }
+
+  test("stateful EMA tie-breaks equal order values by the tie column") {
+    val ds = Seq(KeyedValue(1L, 5L, 2L, 30.0), KeyedValue(1L, 5L, 1L, 20.0),
+      KeyedValue(1L, 0L, 0L, 10.0)).toDS()
+    val got = StreamingOps.statefulEma(ds, 0.5).collect()
+      .sortBy(r => (r.order, r.tie)).map(_.ema).toSeq
+    // fold order (0,0)→(5,1)→(5,2): 10, 15, 22.5 — NOT value-arrival order
+    assert(got == Seq(10.0, 15.0, 22.5))
   }
 
   test("stateful EMA over a MemoryStream carries state across micro-batches") {
@@ -24,9 +33,9 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[KeyedValue]
     val q = StreamingOps.statefulEma(mem.toDS(), 0.5)
       .writeStream.format("memory").queryName("ema_out").outputMode("append").start()
-    mem.addData(KeyedValue(1L, 0L, 10.0))
+    mem.addData(KeyedValue(1L, 0L, 0L, 10.0))
     q.processAllAvailable()
-    mem.addData(KeyedValue(1L, 1L, 20.0)) // second micro-batch: state must persist
+    mem.addData(KeyedValue(1L, 1L, 1L, 20.0)) // second micro-batch: state must persist
     q.processAllAvailable()
     val got = spark.table("ema_out").as[EmaOut].collect().sortBy(_.order).map(_.ema).toSeq
     q.stop()
