@@ -140,6 +140,11 @@ object GraftFunctions {
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm2", exprs => SquaredNormD(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens", exprs => TokenizeWords(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NormRewrite
@@ -167,6 +172,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(classOf[SquaredNormD].getName, "graft_norm2"),
       (exprs: Seq[Expression]) => SquaredNormD(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokenizeWords].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => TokenizeWords(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => NormRewrite)
   }
 }

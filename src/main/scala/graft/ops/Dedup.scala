@@ -83,15 +83,23 @@ object Dedup {
         .otherwise(filter(array(concat_ws(" ", toks)), s => s =!= lit(""))))
   }
 
+  /** Word n-gram shingle set via the single-pass codegen kernel
+    * [[graft.functions.WordShingles]]. Same set as
+    * `shinglesFromTokens(TextOps.tokensHof(text), n)` (cross-checked in
+    * TextKernelSpec) — but one scan per document, and safe against
+    * Catalyst inferring `size(toks) > 0` filters from a downstream
+    * `explode` and pushing the whole chain into a per-row filter (the
+    * declarative chain re-evaluates its `split` per element there —
+    * measured 13s vs <1s for 5k docs at sf0.1). */
   def wordShingles(text: Column, n: Int = 3): Column =
-    shinglesFromTokens(TextOps.tokens(text), n)
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), n))
 
-  /** Per-document distinct shingle sets, with set size. Tokenizes in one
-    * projection, shingles from the bound column in the next. */
+  /** Per-document distinct shingle sets, with set size. */
   def docShingleSets(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks0"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks0"), n).as("toks"))
+    docs.select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("toks"))
       .withColumn("n_toks", size(col("toks")))
 
   /** X1 end-to-end dedup: drop exact duplicates (keep lowest doc_id per
@@ -141,7 +149,13 @@ object Dedup {
       min(pmod(lit(minhashA(j)) * col("tok_id") + lit(minhashB(j)), lit(MinhashP)))
         .as(s"mh$j")
     }
-    tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // cache: k longs per doc — tiny, and the LSH banding union references
+    // this table once per band on BOTH sides of the candidate self-join
+    // (4× for k=8, r=4), so uncached it would recompute the whole
+    // explode+dictionary-join+groupBy chain each time. Spark's CacheManager
+    // also matches the plan across queries in a session, so the signature,
+    // pairs, and pipeline queries share one materialization.
+    tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).cache()
   }
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,

@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased alpha tokens; empty strings dropped. */
+  /** Lowercased alpha tokens; empty strings dropped. Evaluates through the
+    * single-pass codegen kernel [[graft.functions.TokenizeWords]] — same
+    * result set as [[tokensHof]] (cross-checked in TextKernelSpec), one
+    * linear scan instead of an interpreted regex split + HOF filter. */
   def tokens(text: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.TokenizeWords(
+        org.apache.spark.sql.GraftPlanBridge.expression(text)))
+
+  /** The declarative tokenizer the codegen kernel must match (and the
+    * form the DuckDB oracle mirrors with string_split_regex). */
+  def tokensHof(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
 
   /** Distinct token set (for set-Jaccard / dedup). */
@@ -28,7 +38,7 @@ object TextOps {
     * subwords, digits/punct one each — a deterministic, closed-form
     * stand-in for a tokenizer vocabulary (no external model in-container). */
   def subwordCountEstimate(text: Column): Column = {
-    val alphaRuns = filter(split(lower(text), "[^a-z]+"), t => t =!= lit(""))
+    val alphaRuns = tokens(text)
     val nonSpace = length(regexp_replace(text, "[a-zA-Z\\s]", ""))
     aggregate(alphaRuns, lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")) + nonSpace.cast("long")

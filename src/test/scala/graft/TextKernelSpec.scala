@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** The codegen text kernels (graft_tokens / graft_shingles) must produce
+  * EXACTLY the declarative chain's results — the DuckDB oracle mirrors the
+  * declarative form, so any divergence breaks the correctness gate. */
+class TextKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "hello",                        // single token (< shingle width)
+    "two words",                    // below shingle width, joined fallback
+    "a b c",                        // exactly shingle width
+    "",                             // empty → empty token set
+    "123 !!! ???",                  // no alpha runs at all
+    "  leading   and trailing  ",   // whitespace runs
+    "MiXeD CaSe AND punct-uation, splits;here",
+    "repeat repeat repeat repeat repeat", // duplicate shingles collapse
+    "ünïcödé déjà vu naïve café",   // accented chars are delimiters
+    "a1b2c3 x y z")                 // digits split runs
+
+  test("graft_tokens equals the declarative regex tokenizer") {
+    val df = cases.toDF("text")
+    val got = df.select(TextOps.tokens(col("text"))).as[Seq[String]].collect()
+    val want = df.select(TextOps.tokensHof(col("text"))).as[Seq[String]].collect()
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g == w, s"tokens mismatch for '$c'")
+    }
+  }
+
+  test("graft_shingles equals the declarative shingle chain (as a set)") {
+    val df = cases.toDF("text")
+    val got = df.select(Dedup.wordShingles(col("text"), 3)).as[Seq[String]].collect()
+    val want = df.select(
+      Dedup.shinglesFromTokens(TextOps.tokensHof(col("text")), 3)).as[Seq[String]].collect()
+    got.zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g.toSet == w.toSet, s"shingle set mismatch for '$c'")
+      assert(g.length == g.toSet.size, s"duplicates in kernel output for '$c'")
+    }
+  }
+
+  test("kernels match on the real documents table") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val both = docs.select(col("doc_id"),
+      TextOps.tokens(col("text")).as("tk"),
+      TextOps.tokensHof(col("text")).as("th"),
+      Dedup.wordShingles(col("text"), 3).as("sk"),
+      Dedup.shinglesFromTokens(TextOps.tokensHof(col("text")), 3).as("sh"))
+    val bad = both.where(col("tk") =!= col("th") ||
+      size(array_except(col("sk"), col("sh"))) > 0 ||
+      size(array_except(col("sh"), col("sk"))) > 0)
+    assert(bad.count() == 0)
+  }
+
+  test("graft_tokens / graft_shingles callable from SQL via both registration paths") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_tokens('A b! c'), graft_shingles('a b c d', 3)")
+      .as[(Seq[String], Seq[String])].head()
+    assert(r._1 == Seq("a", "b", "c"))
+    assert(r._2 == Seq("a b c", "b c d"))
+  }
+
+  test("shingle explode plan keeps the kernel out of a re-inlined filter") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val plan = Dedup.docShingleSets(docs, "doc_id", "text")
+      .select(explode(col("toks")))
+      .queryExecution.optimizedPlan.toString
+    // the pushed-down size()>0 filter may duplicate graft_shingles (cheap,
+    // single-pass) but must NOT contain the interpreted split/transform chain
+    assert(!plan.contains("split("), plan.take(500))
+  }
+}
