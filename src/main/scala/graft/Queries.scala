@@ -1182,6 +1182,259 @@ object Queries {
       FROM ep"""))
 
   // ------------------------------------------------------------------
+  // batch 3 (round 2): correlation stats, arg-extrema, grouping sets,
+  // sliding windows, nth_value frames, unpivot, simhash pairs, TF-IDF,
+  // int8 quantization, partitioned/JSON source round-trips, config
+  // overlay, approximate distinct
+  // ------------------------------------------------------------------
+
+  /** A-family extension: two-column association aggregates (corr /
+    * covar_pop / regr_slope) — ratio-of-sums forms, rounded at 4 since
+    * partial-aggregation order differs between engines. */
+  private val aCorr = Q("a_corr_stats",
+    (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+      round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+      round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+      count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+      round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
+      round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A-family: argument extrema (max_by/min_by ↔ DuckDB arg_max/arg_min);
+    * the ordering argument (event_id) is unique per key → deterministic. */
+  private val aMinMaxBy = Q("a_minmax_by",
+    (s, dir) => Tables.events(s, dir).groupBy(col("user_id")).agg(
+      max_by(col("value"), col("event_id")).as("latest_value"),
+      min_by(col("value"), col("event_id")).as("earliest_value"),
+      max(col("event_id")).as("last_event_id"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, arg_max(value, event_id) AS latest_value,
+      arg_min(value, event_id) AS earliest_value, max(event_id) AS last_event_id
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): chosen aggregation
+    * lattice cells in one pass. */
+  private val groupingSetsAgg = Q("grouping_sets_agg",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+      CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Sliding (hopping) event-time window: width 1 day, slide 12 h —
+    * every event lands in exactly 2 windows, both aligned to the epoch
+    * like Spark's `window()`. */
+  private val slidingWindow = Q("sliding_window",
+    (s, dir) => StreamingOps.slidingAgg(Tables.events(s, dir), "1 day", "12 hours")
+      .select(col("w_start_us"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("w_start_us"), col("event_type")),
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+      x AS (SELECT unnest([(us // 43200000000) * 43200000000,
+                           (us // 43200000000) * 43200000000 - 43200000000]) AS w_start_us,
+                   event_type, value FROM e)
+      SELECT w_start_us, event_type, CAST(count(*) AS BIGINT) AS n,
+        round(sum(value), 2) AS total
+      FROM x GROUP BY 1, 2 ORDER BY w_start_us, event_type"""))
+
+  /** Positional window functions: first / nth / last value over running
+    * and full-partition frames. */
+  private val nthWindow = Q("nth_value_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        first(col("value")).over(wRun).as("first_v"),
+        nth_value(col("value"), 2).over(wRun).as("second_v"),
+        last(col("value")).over(wAll).as("final_v"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      first_value(value) OVER w1 AS first_v,
+      nth_value(value, 2) OVER w1 AS second_v,
+      last_value(value) OVER w2 AS final_v
+      FROM events
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id, event_id"""))
+
+  /** S6 melt direction: wide metric columns → (user, metric, value) log
+    * rows via the native unpivot operator (reference logger.store shape). */
+  private val unpivotMetrics = Q("unpivot_metrics",
+    (s, dir) => Tables.events(s, dir).groupBy(col("user_id")).agg(
+      round(sum(when(col("event_type") === "click", col("value")).otherwise(0.0)), 4).as("click_sum"),
+      round(sum(when(col("event_type") === "view", col("value")).otherwise(0.0)), 4).as("view_sum"),
+      round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 4).as("purchase_sum"))
+      .unpivot(Array(col("user_id")),
+        Array(col("click_sum"), col("view_sum"), col("purchase_sum")),
+        "metric", "value")
+      .orderBy(col("user_id"), col("metric")),
+    Some("""WITH p AS (SELECT user_id,
+        round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click_sum,
+        round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_sum,
+        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_sum
+        FROM events GROUP BY user_id)
+      SELECT user_id, metric, value FROM (
+        SELECT user_id, 'click_sum' AS metric, click_sum AS value FROM p
+        UNION ALL SELECT user_id, 'view_sum', view_sum FROM p
+        UNION ALL SELECT user_id, 'purchase_sum', purchase_sum FROM p)
+      ORDER BY user_id, metric"""))
+
+  /** X1 SimHash near-dup pairs: 48-bit fingerprint, 4×12-bit band
+    * blocking + Hamming verify (the SimHash counterpart of the
+    * MinHash-LSH pair query; band width is the anti-quadratic lever —
+    * see Dedup.simhashPairs). */
+  private val x1SimhashPairs = Q("x1_simhash_pairs",
+    (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      bits = 48, nBands = 4, maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some {
+      val bitSums = (0 until 48).map { j =>
+        s"CAST(sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+      }.mkString(", ")
+      val fpExpr = (0 until 48).map { j =>
+        s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH sets AS ($shingleSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
+               FROM (SELECT DISTINCT tok FROM tok)),
+      j AS (SELECT doc_id, (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP} AS h
+            FROM tok JOIN dict USING (tok)),
+      agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id),
+      fp AS (SELECT doc_id, $fpExpr AS simhash FROM agg),
+      bands AS (SELECT doc_id, simhash, band, (simhash >> (band*12)) & 4095 AS bucket
+                FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+               FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+               WHERE l.doc_id < r.doc_id
+                 AND bit_count(xor(l.simhash, r.simhash)) <= 3)
+      SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b"""
+    })
+
+  /** X3 TF-IDF: top-3 terms per document, ranked on the rounded score
+    * with a term tie-break. */
+  private val x3Tfidf = Q("x3_tfidf_topterms",
+    (s, dir) => TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rk")),
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+      idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (SELECT doc_id, tok,
+          round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS tfidf
+        FROM tf JOIN idf USING (tok) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk
+        FROM scored)
+      SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
+  /** X2 int8 scalar quantization of the embedding column (4× ANN memory
+    * cut) with per-element reconstruction error — portable floor(x+0.5)
+    * rounding, identical FP ops in both engines. */
+  private val x2Quantize = Q("x2_embedding_quantize",
+    (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"), col("pos")),
+    Some("""WITH p AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i,
+          embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+          least(greatest(v[i], -1.0), 1.0) AS cl FROM p)
+      SELECT vec_id, pos, CAST(floor(cl*127.0 + 0.5) AS BIGINT) AS q,
+        floor(cl*127.0 + 0.5)/127.0 AS recon,
+        abs(floor(cl*127.0 + 0.5)/127.0 - cl) AS err
+      FROM c ORDER BY vec_id, pos"""))
+
+  /** S-family: hive-style partitioned parquet sink + partition-pruned
+    * re-read (the layout a 100 TB events table would use: the filter on
+    * the partition column prunes directories, not rows). */
+  private val s7Partitioned = Q("s7_partitioned_roundtrip",
+    (s, dir) => {
+      val path = "/tmp/graft_s7_part_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** S4 JSON-lines source/sink round-trip (same proof as the CSV one:
+    * doubles survive the text format via shortest-round-trip rendering). */
+  private val s4Jsonl = Q("s4_jsonl_roundtrip",
+    (s, dir) => {
+      val path = "/tmp/graft_s4_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .where(pmod(col("event_id"), lit(7)) === 0)
+        .coalesce(1)
+        .write.mode("overwrite").json(path)
+      s.read.schema("event_id LONG, user_id LONG, value DOUBLE").json(path)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+      FROM events WHERE event_id % 7 = 0
+      GROUP BY user_id ORDER BY user_id"""))
+
+  /** J4 — config cascade overlay (reference train_fawac_iql.py:28-32):
+    * per-task overrides overlaid on defaults, full-outer so new keys
+    * survive, provenance flag per key. */
+  private val configOverlay = Q("j4_config_overlay",
+    (s, dir) => {
+      import s.implicits._
+      val defaults = Seq(("discount", 0.99), ("tau", 0.005), ("beta", 2.0),
+        ("iql_tau", 0.7), ("cost_limit", 10.0))
+        .toDF("key", "default_v")
+      val overrides = Seq(("beta", 4.0), ("cost_limit", 20.0), ("episode_len", 300.0))
+        .toDF("key", "override_v")
+      defaults.join(overrides, Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("override_v"), col("default_v")).as("value"),
+          col("override_v").isNotNull.as("overridden"))
+        .orderBy(col("key"))
+    },
+    Some("""WITH d(key, default_v) AS (VALUES ('discount', 0.99), ('tau', 0.005),
+        ('beta', 2.0), ('iql_tau', 0.7), ('cost_limit', 10.0)),
+      o(key, override_v) AS (VALUES ('beta', 4.0), ('cost_limit', 20.0), ('episode_len', 300.0))
+      SELECT coalesce(d.key, o.key) AS key,
+        CAST(coalesce(override_v, default_v) AS DOUBLE) AS value,
+        override_v IS NOT NULL AS overridden
+      FROM d FULL JOIN o ON d.key = o.key ORDER BY key"""))
+
+  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
+    * exact count. No DuckDB oracle (HLL implementations differ) → the
+    * driver records the weaker rows-only check; the exact-count column is
+    * additionally asserted in unit tests. */
+  private val x5ApproxDistinct = Q("x5_approx_distinct",
+    (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag")),
+    None)
+
+  // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     s1Ingest, s3Preprocess,
@@ -1197,7 +1450,10 @@ object Queries {
     statefulEmaQ, x2NearDup, s4Csv,
     asofJoin, rangeJoin, unionUsers, dateFuncs, x4Media, asofCustom,
     x1Pipeline, saltedAgg, rangeFrame, x2Ivf, analyticFuncs, cubeAgg,
-    s1CostReturns, notebookSmoothing, p10Actor, evalSummary)
+    s1CostReturns, notebookSmoothing, p10Actor, evalSummary,
+    aCorr, aMinMaxBy, groupingSetsAgg, slidingWindow, nthWindow,
+    unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
+    s4Jsonl, configOverlay, x5ApproxDistinct)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -178,8 +178,14 @@ object Dedup {
     * Ties (sum == 0) count as bit 1 (>= 0). One groupBy(doc) with b
     * sum-aggregates — shuffle carries b ints per doc. */
   def simhashFingerprint(docs: DataFrame, idCol: String, textCol: String,
-                         bits: Int = 16): DataFrame = {
-    val sets = docTokenSets(docs, idCol, textCol).cache() // feeds dict + bit sums
+                         bits: Int = 16): DataFrame =
+    simhashFromSets(docTokenSets(docs, idCol, textCol).cache(), bits)
+
+  /** SimHash over an already-materialized feature-set table (caller picks
+    * unigram tokens vs shingles — on a small-vocabulary corpus unigram
+    * sets are densely similar and the fingerprint loses discrimination,
+    * the same degeneracy minhash has; see [[docShingleSets]]). */
+  def simhashFromSets(sets: DataFrame, bits: Int): DataFrame = {
     val dict = featureDictionary(sets)
     val tok = sets
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -195,23 +201,40 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** X1 SimHash near-dup — candidate pairs share at least one of the four
-    * 4-bit nibble bands (classic simhash blocking), verified by Hamming
-    * distance on the full fingerprint. */
+  /** X1 SimHash near-dup — candidate pairs share at least one band of the
+    * fingerprint (classic simhash blocking), verified by Hamming distance
+    * on the full fingerprint.
+    *
+    * Band width is the scale lever: buckets hold ~|corpus| / 2^bandBits
+    * docs and the blocking join is quadratic per bucket. 4-bit nibbles on
+    * a 5k corpus meant ~312-doc buckets → ~12M candidate pairs (measured
+    * 21s at sf0.1); the production shape is a wide fingerprint with wide
+    * bands — default 48 bits in 4×12-bit bands → 4096 buckets, candidates
+    * proportional to true near-dups. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 16, maxHamming: Int = 2): DataFrame = {
-    val sig = simhashFingerprint(docs, idCol, textCol, bits)
-    val bands = (0 until bits / 4).map { b =>
+                   bits: Int = 48, nBands: Int = 4,
+                   maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+    require(bits % nBands == 0, "bits must be divisible by nBands")
+    require(bits <= 62, "fingerprint must fit a positive BIGINT")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1L
+    // shingle features, not unigrams: unigram sets on a small vocabulary
+    // are densely similar corpus-wide and every fingerprint collides
+    val sig = simhashFromSets(
+      docShingleSets(docs, idCol, textCol, shingleN).cache(), bits)
+    val bands = (0 until nBands).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nibble"))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
     }.reduce(_ unionAll _)
     bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.nibble") === col("r.nibble"))
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming check is a per-row scalar, so
+      // the dedup shuffle carries only true near-pairs, not bucket noise
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** X1 MinHash+LSH — banding: k minhashes split into bands of r rows; a

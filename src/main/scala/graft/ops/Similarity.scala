@@ -140,4 +140,19 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** X2 scale path — int8 scalar quantization of the embedding column:
+    * q = round_half_up(clamp(v, −1, 1) · 127), with the reconstruction
+    * and its absolute error per element. 4× memory cut for ANN shortlists;
+    * rescoring uses the float vector. The rounding is the portable
+    * floor(x+0.5) form (identical FP ops in any engine — see pround).
+    * Output exploded to (vec_id, pos, q, recon, err) rows. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), posexplode(asDouble(col(vecCol))))
+      .withColumn("cl", least(greatest(col("col"), lit(-1.0)), lit(1.0)))
+      .withColumn("qd", floor(col("cl") * lit(127.0) + lit(0.5)))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("qd").cast("long").as("q"),
+        (col("qd") / lit(127.0)).as("recon"),
+        abs(col("qd") / lit(127.0) - col("cl")).as("err"))
 }

@@ -103,4 +103,26 @@ object TextOps {
     * and grouping key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** X3 — TF-IDF top-k terms per document: tf = in-doc term count,
+    * idf = ln(N/df) with df = documents containing the term. The document
+    * frequency table is vocabulary-sized and broadcast; the rank is over
+    * the ROUNDED score with a term tie-break, so the top-k selection is
+    * engine-independent. N arrives as a count() — at scale that is a
+    * metadata-cheap action, not a data pass. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "tok")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
+  }
 }

@@ -56,6 +56,20 @@ object StreamingOps {
         col("n"), col("total"))
   }
 
+  /** Sliding (hopping) window aggregation — each event lands in
+    * width/slide overlapping windows (the smoothing-over-steps view of the
+    * reference's eval cadence). Works in batch and streaming. */
+  def slidingAgg(events: DataFrame, width: String = "1 day",
+                 slide: String = "12 hours",
+                 watermark: Option[String] = None): DataFrame = {
+    val src = withEventTime(events)
+    val marked = watermark.map(src.withWatermark("ts_t", _)).getOrElse(src)
+    marked.groupBy(window(col("ts_t"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n"), col("total"))
+  }
+
   case class EmaState(ema: Double)
   case class KeyedValue(key: Long, order: Long, tie: Long, value: Double)
   case class EmaOut(key: Long, order: Long, tie: Long, ema: Double)
