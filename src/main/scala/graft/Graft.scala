@@ -106,6 +106,21 @@ object Graft {
       TextOps.langIdHeuristic(col(textCol)).as("lang_pred"),
       TextOps.fingerprint(col(textCol)).as("fingerprint"))
 
+  /** X3: TF-IDF top-k terms per document. */
+  def topTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    TextOps.tfidfTopTerms(docs, idCol, textCol, k)
+
+  /** X1: SimHash near-dup pairs (wide-band blocking + Hamming verify). */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    Dedup.simhashPairs(docs, idCol, textCol, maxHamming = maxHamming)
+
+  /** X2 scale path: int8 scalar quantization of the embedding column. */
+  def quantizeEmbeddings(emb: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    Similarity.quantizeInt8(emb, idCol, vecCol)
+
   // ---- streaming / CDC (§2.7) ----
   /** Session-window accumulation (batch or streaming input). */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
@@ -116,4 +131,10 @@ object Graft {
   def latestState(events: DataFrame, keyCol: String = "user_id",
                   deleteTypes: Seq[String] = Seq("error")): DataFrame =
     StreamingOps.cdcLatestState(events, keyCol, deleteTypes)
+
+  /** Sliding (hopping) event-time window aggregation (batch or streaming). */
+  def slidingWindows(events: DataFrame, width: String = "1 day",
+                     slide: String = "12 hours",
+                     watermark: Option[String] = None): DataFrame =
+    StreamingOps.slidingAgg(events, width, slide, watermark)
 }

@@ -36,6 +36,15 @@ class FacadeSpec extends SparkSpec {
     assert(got == Seq(10L, 10L, 30L, 30L))
   }
 
+  test("asOfLastMarker returns the LATEST marker, not the max (non-monotone payload)") {
+    val df = Seq((1L, 1L, "click", 90L), (1L, 2L, "click", 10L),
+      (1L, 3L, "view", 0L)).toDF("k", "t", "typ", "m")
+    val got = JoinOps.asOfLastMarker(df, "k", Seq(col("t")),
+      col("typ") === "click", col("m"), "last_click")
+      .orderBy("t").select("last_click").as[Long].collect().toSeq
+    assert(got == Seq(90L, 10L, 10L)) // a running max would give 90, 90, 90
+  }
+
   test("IVF top-k finds the near-parallel vector within its cell") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f)),          // centroid (pred: id % 2 == 0 picks 0, 2)
