@@ -219,9 +219,13 @@ object Dedup {
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1L
     // shingle features, not unigrams: unigram sets on a small vocabulary
-    // are densely similar corpus-wide and every fingerprint collides
+    // are densely similar corpus-wide and every fingerprint collides.
+    // cache: one long per doc, but the plan below references it 2·nBands
+    // times (each band of the union, on both sides of the self-join) —
+    // uncached, the whole explode+dictionary-join+bit-sum chain re-runs
+    // per reference (measured 8× ≈ 5 s of a 6.6 s query at sf0.1).
     val sig = simhashFromSets(
-      docShingleSets(docs, idCol, textCol, shingleN).cache(), bits)
+      docShingleSets(docs, idCol, textCol, shingleN).cache(), bits).cache()
     val bands = (0 until nBands).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))

@@ -6,11 +6,12 @@ import graft.ops._
 import graft.sources.Tables
 import graft.tools.Profile.time
 
+/** Dev-only: stage-by-stage timing of the simhash-pairs pipeline. */
 object Profile2 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -19,19 +20,17 @@ object Profile2 {
     val docs = Tables.documents(spark, dir)
     docs.count()
 
-    val tokens = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks0"))
-    time("tokens explode")(tokens.select(explode(col("toks0"))).count())
-
-    val sets = Dedup.docShingleSets(docs, "doc_id", "text")
-    println(sets.select(explode(col("toks"))).queryExecution.optimizedPlan.toString.take(2000))
-    time("shingle explode")(sets.select(explode(col("toks"))).count())
-
-    // variant: shingle via posexplode of tokens (Generate barrier) then window collect
-    val cached = tokens.cache()
-    cached.count()
-    time("shingle explode (cached toks)")(
-      cached.select(col("doc_id"), Dedup.shinglesFromTokens(col("toks0")).as("toks"))
-        .select(explode(col("toks"))).count())
+    val sets = Dedup.docShingleSets(docs, "doc_id", "text").cache()
+    time("shingle sets (cache)")(sets.count())
+    val dict = Dedup.featureDictionary(sets)
+    time("dictionary")(println("  dict rows: " + dict.count()))
+    val sig = Dedup.simhashFromSets(sets, 48)
+    time("simhash fingerprints")(sig.count())
+    time("simhash fingerprints x2")(sig.count())
+    time("full simhashPairs")(
+      Dedup.simhashPairs(docs, "doc_id", "text").count())
+    time("full simhashPairs x2")(
+      Dedup.simhashPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
