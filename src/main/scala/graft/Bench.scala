@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark surface (driver contract): times every registered query at
+  * SPARK_GRAFT_SF_DIR and prints ONE short JSON line.
+  *
+  * The driver captures a bounded tail of stdout, so the printed line keeps
+  * only a headline per-query subset (one representative per operator
+  * family); the full per-query timing map is written to
+  * `target/bench_full.json` for local inspection.
+  *
+  * Queries are forced through the `noop` sink (not `count()`): count lets
+  * Catalyst prune every computed column on projection-style queries, which
+  * would under-report the real work. noop materializes all output columns.
+  */
 object Bench {
+  private val headline = Seq(
+    "q1_pricing_summary",        // TPC-H style agg
+    "join_star_revenue",         // multi-way broadcast star join
+    "asof_join_custom_operator", // custom LogicalPlan/Strategy/Exec
+    "session_windows",           // sessionization
+    "cdc_latest_state",          // CDC latest-state compaction
+    "w1_discounted_return",      // window recurrence (discounted cumsum)
+    "stateful_ema_series",       // per-key ordered fold
+    "s3_preprocess_density",     // density-capped subsample
+    "p10_mlp_inference",         // batch MLP over array cols
+    "x1_dedup_pipeline",         // end-to-end near-dedup
+    "x1_minhash_lsh_pairs",      // MinHash+LSH banding
+    "x2_similarity_topk",        // brute-force cosine top-k
+    "x2_ann_lsh_topk",           // LSH-bucketed ANN
+    "x3_text_analysis")          // text quality/lang-id kernels
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,15 +45,26 @@ object Bench {
     // Warmup: JIT/codegen + file-index the inputs once so the first timed
     // query doesn't absorb ~10s of JVM startup (measured; see BENCH notes).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def fmt(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val full = fmt(results)
+    val head = fmt(results.filter { case (k, _) => headline.contains(k) })
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes)
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -577,13 +577,37 @@ object Queries {
   private val x3Text = Q("x3_text_analysis",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // one tokenization pass per document (TextStatsExpr); the naive
+      // per-column forms re-tokenize ~6× through interpreted HOF lambdas
+      // (CodegenFallback) — measured 4.6 s vs <1 s at sf0.1. Each derived
+      // expression below reproduces its TextOps declarative form exactly
+      // (cross-checked in TextKernelSpec), so the oracle is unchanged.
+      val st = TextOps.textStats(col("text"))
+      val nToks = st.getField("n_tokens")
+      val he = st.getField("hits_en"); val hd = st.getField("hits_de")
+      val hf = st.getField("hits_fr"); val hes = st.getField("hits_es")
+      val nonSpace = length(regexp_replace(col("text"), "[a-zA-Z\\s]", ""))
+      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r]", ""))
+      val lenScore = least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
+      val punctScore = greatest(
+        lit(1.0) - (punct.cast("double") / greatest(length(col("text")), lit(1)).cast("double")) * lit(4.0),
+        lit(0.0))
+      val stopScore = least(
+        (he.cast("double") / greatest(nToks, lit(1)).cast("double")) * lit(4.0), lit(1.0))
+      // argmax(hits) with alphabetical tie-break (de < en < es < fr) —
+      // same result as TextOps.langIdHeuristic's sorted-struct form
+      val lang = when(hd >= he && hd >= hes && hd >= hf && hd > 0, lit("de"))
+        .when(he >= hes && he >= hf && he > 0, lit("en"))
+        .when(hes >= hf && hes > 0, lit("es"))
+        .when(hf > 0, lit("fr"))
+        .otherwise(lit("und"))
       docs.select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextOps.subwordCountEstimate(col("text")).as("n_subwords"),
+        nToks.cast("long").as("n_tokens"),
+        (st.getField("n_subwords_alpha") + nonSpace.cast("long")).as("n_subwords"),
         length(col("text")).cast("long").as("n_chars_m"),
-        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        punct.cast("long").as("n_punct"),
+        round((lenScore + punctScore + stopScore) / lit(3.0), 6).as("quality"),
+        lang.as("lang_pred"),
         TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
@@ -703,7 +727,9 @@ object Queries {
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
       dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
                FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id, (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP} AS h
+      j AS (SELECT doc_id,
+              (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP}
+                + (((${Dedup.SimhashA2}*tok_id + ${Dedup.SimhashB2}) % ${Dedup.MinhashP}) << 31) AS h
             FROM tok JOIN dict USING (tok)),
       agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id)
       SELECT doc_id, $fp AS simhash FROM agg ORDER BY doc_id"""
@@ -1312,7 +1338,9 @@ object Queries {
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
       dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
                FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id, (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP} AS h
+      j AS (SELECT doc_id,
+              (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP}
+                + (((${Dedup.SimhashA2}*tok_id + ${Dedup.SimhashB2}) % ${Dedup.MinhashP}) << 31) AS h
             FROM tok JOIN dict USING (tok)),
       agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id),
       fp AS (SELECT doc_id, $fpExpr AS simhash FROM agg),

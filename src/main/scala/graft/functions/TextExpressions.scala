@@ -1,10 +1,12 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass codegen text kernels for the dedup/text-analysis surface.
@@ -54,6 +56,57 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Canonical stopword lists for the language-ID heuristic (the single
+    * source of truth — `ops.TextOps.stopwords` aliases this map, and the
+    * DuckDB oracle SQL embeds the same lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "pas", "pour", "que", "une"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "en", "por", "con", "una"))
+
+  /** Language order of the hit-count fields in [[textStats]]. */
+  val statLangs: Seq[String] = Seq("en", "de", "fr", "es")
+
+  // word → bitmask over statLangs (a word can sit in several lists,
+  // e.g. "la" is both French and Spanish)
+  private val wordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    for ((lang, i) <- statLangs.zipWithIndex; w <- stopwords(lang)) {
+      val prev = m.get(w)
+      m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+    }
+    m
+  }
+
+  /** One scan over the token stream: token count, the BPE-ish alpha
+    * subword estimate Σ ceil(len/4), and occurrence counts against each
+    * language's stopword list. Each value equals its declarative form
+    * (`size(tokens)`, the `aggregate` fold, `stopwordHits`) — asserted in
+    * TextKernelSpec; the declarative chain re-tokenizes per derived
+    * column and its HOF lambdas evaluate interpreted (CodegenFallback),
+    * measured 4.6 s → sub-second for 5k docs at sf0.1. */
+  def textStats(text: UTF8String): InternalRow = {
+    val toks = tokenize(text)
+    var subw = 0L
+    var hitsEn = 0; var hitsDe = 0; var hitsFr = 0; var hitsEs = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      subw += (t.length + 3) / 4 // = ceil(len/4) for len >= 0
+      val m = wordMask.get(t)
+      if (m != null) {
+        val mask = m.intValue()
+        if ((mask & 1) != 0) hitsEn += 1
+        if ((mask & 2) != 0) hitsDe += 1
+        if ((mask & 4) != 0) hitsFr += 1
+        if ((mask & 8) != 0) hitsEs += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, subw, hitsEn, hitsDe, hitsFr, hitsEs))
+  }
+
   /** Distinct word n-gram shingle set; first-occurrence order (same set
     * as `array_distinct` over the declarative n-gram transform). */
   def shinglesArray(text: UTF8String, n: Int): ArrayData = {
@@ -100,6 +153,33 @@ case class TokenizeWords(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.functions.TextKernels.tokensArray($t)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_text_stats(text)` — single-pass token/subword/stopword counters
+  * (see [[TextKernels.textStats]]). */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_text_stats expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_subwords_alpha", LongType, nullable = false),
+    StructField("hits_en", IntegerType, nullable = false),
+    StructField("hits_de", IntegerType, nullable = false),
+    StructField("hits_fr", IntegerType, nullable = false),
+    StructField("hits_es", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_text_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.textStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.textStats($t)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -169,9 +169,16 @@ object Dedup {
       docShingleSets(docs, idCol, textCol, shingleN).cache(), k)
 
   /** SimHash token-hash constants (same universal-hash family as MinHash,
-    * fixed slot 37 so signatures are independent of the MinHash set). */
+    * fixed slots 37/41 so signatures are independent of the MinHash set).
+    * TWO independent hashes: each is mod P = 2^31−1, so a single hash only
+    * carries 31 bits of entropy — fingerprint bits ≥ 31 derived from it
+    * would be constant 0, which put every doc in one bucket for any band
+    * covering those bits (measured: 12.5M junk candidate pairs at sf0.1).
+    * The combined h = h1 | (h2 << 31) has 62 independent bits. */
   val SimhashA: Long = minhashA(37)
   val SimhashB: Long = minhashB(37)
+  val SimhashA2: Long = minhashA(41)
+  val SimhashB2: Long = minhashB(41)
 
   /** X1 SimHash — per-document b-bit fingerprint: token hash h(id), bit j
     * of the fingerprint is the sign of Σ_tokens (2·((h >> j) & 1) − 1).
@@ -190,7 +197,9 @@ object Dedup {
     val tok = sets
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(dict), "tok")
-      .withColumn("h", pmod(lit(SimhashA) * col("tok_id") + lit(SimhashB), lit(MinhashP)))
+      .withColumn("h",
+        pmod(lit(SimhashA) * col("tok_id") + lit(SimhashB), lit(MinhashP)) +
+          shiftleft(pmod(lit(SimhashA2) * col("tok_id") + lit(SimhashB2), lit(MinhashP)), 31))
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
     }

@@ -59,12 +59,19 @@ object TextOps {
     punct.cast("double") / greatest(length(text), lit(1)).cast("double")
   }
 
-  /** Small multilingual stopword lists for the language-ID heuristic. */
-  val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "de", "est", "pas", "pour", "que", "une"),
-    "es" -> Seq("el", "la", "los", "de", "que", "es", "en", "por", "con", "una"))
+  /** Small multilingual stopword lists for the language-ID heuristic
+    * (canonical copy lives next to the codegen kernel). */
+  val stopwords: Map[String, Seq[String]] = graft.functions.TextKernels.stopwords
+
+  /** Single-pass token/subword/stopword counters as one struct column —
+    * the fused form of `tokenCount` + `subwordCountEstimate`'s fold +
+    * four `stopwordHits` (see [[graft.functions.TextStatsExpr]]).
+    * Fields: n_tokens, n_subwords_alpha, hits_en, hits_de, hits_fr,
+    * hits_es. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.TextStatsExpr(
+        org.apache.spark.sql.GraftPlanBridge.expression(text)))
 
   /** Stopword hit count for one language (counts occurrences, not distinct). */
   def stopwordHits(toks: Column, lang: String): Column =

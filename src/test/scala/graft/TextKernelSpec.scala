@@ -42,6 +42,43 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("graft_text_stats equals the declarative counter forms") {
+    val df = cases.toDF("text") union Seq(
+      "the la de que words shared across lists",  // multi-language stopwords
+      "der die das und ist von mit den nicht ein" // pure German
+    ).toDF("text")
+    val st = TextOps.textStats(col("text"))
+    val got = df.select(st.getField("n_tokens"),
+      st.getField("n_subwords_alpha").cast("long"),
+      st.getField("hits_en"), st.getField("hits_de"),
+      st.getField("hits_fr"), st.getField("hits_es"))
+      .as[(Int, Long, Int, Int, Int, Int)].collect()
+    val toks = TextOps.tokensHof(col("text"))
+    val want = df.select(size(toks),
+      aggregate(toks, lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")),
+      TextOps.stopwordHits(toks, "en"), TextOps.stopwordHits(toks, "de"),
+      TextOps.stopwordHits(toks, "fr"), TextOps.stopwordHits(toks, "es"))
+      .as[(Int, Long, Int, Int, Int, Int)].collect()
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("x3 fused lang/quality match the declarative TextOps forms on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val st = TextOps.textStats(col("text"))
+    val he = st.getField("hits_en"); val hd = st.getField("hits_de")
+    val hf = st.getField("hits_fr"); val hes = st.getField("hits_es")
+    val fusedLang = when(hd >= he && hd >= hes && hd >= hf && hd > 0, lit("de"))
+      .when(he >= hes && he >= hf && he > 0, lit("en"))
+      .when(hes >= hf && hes > 0, lit("es"))
+      .when(hf > 0, lit("fr"))
+      .otherwise(lit("und"))
+    val bad = docs.select(
+      fusedLang.as("fl"), TextOps.langIdHeuristic(col("text")).as("dl"),
+      st.getField("n_tokens").as("fn"), TextOps.tokenCount(col("text")).as("dn"))
+      .where(col("fl") =!= col("dl") || col("fn") =!= col("dn"))
+    assert(bad.count() == 0)
+  }
+
   test("kernels match on the real documents table") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val both = docs.select(col("doc_id"),
