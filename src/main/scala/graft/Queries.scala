@@ -552,9 +552,7 @@ object Queries {
       }.mkString(", ")
       s"""WITH sets AS ($shingleSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
-               FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id, tok_id FROM tok JOIN dict USING (tok))
+      j AS (SELECT doc_id, ${Dedup.FeatureHashSql} % ${Dedup.MinhashP} AS tok_id FROM tok)
       SELECT doc_id, $sigs FROM j GROUP BY doc_id ORDER BY doc_id"""
     })
 
@@ -675,9 +673,7 @@ object Queries {
       s"(CASE WHEN l.mh$i = r.mh$i THEN 1.0 ELSE 0.0 END)").mkString(" + ")
     s"""sets AS ($shingleSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
-               FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id, tok_id FROM tok JOIN dict USING (tok)),
+      j AS (SELECT doc_id, ${Dedup.FeatureHashSql} % ${Dedup.MinhashP} AS tok_id FROM tok),
       sig AS (SELECT doc_id, $sigs FROM j GROUP BY doc_id),
       bands AS ($bandSelects),
       cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
@@ -725,12 +721,7 @@ object Queries {
       }.mkString(" + ")
       s"""WITH sets AS ($tokenSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
-               FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id,
-              (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP}
-                + (((${Dedup.SimhashA2}*tok_id + ${Dedup.SimhashB2}) % ${Dedup.MinhashP}) << 31) AS h
-            FROM tok JOIN dict USING (tok)),
+      j AS (SELECT doc_id, ${Dedup.FeatureHashSql} AS h FROM tok),
       agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id)
       SELECT doc_id, $fp AS simhash FROM agg ORDER BY doc_id"""
     })
@@ -1336,12 +1327,7 @@ object Queries {
       }.mkString(" + ")
       s"""WITH sets AS ($shingleSetSql),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
-      dict AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) - 1 AS BIGINT) AS tok_id
-               FROM (SELECT DISTINCT tok FROM tok)),
-      j AS (SELECT doc_id,
-              (${Dedup.SimhashA}*tok_id + ${Dedup.SimhashB}) % ${Dedup.MinhashP}
-                + (((${Dedup.SimhashA2}*tok_id + ${Dedup.SimhashB2}) % ${Dedup.MinhashP}) << 31) AS h
-            FROM tok JOIN dict USING (tok)),
+      j AS (SELECT doc_id, ${Dedup.FeatureHashSql} AS h FROM tok),
       agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id),
       fp AS (SELECT doc_id, $fpExpr AS simhash FROM agg),
       bands AS (SELECT doc_id, simhash, band, (simhash >> (band*12)) & 4095 AS bucket

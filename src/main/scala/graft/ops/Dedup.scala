@@ -13,9 +13,28 @@ import org.apache.spark.sql.functions._
   *  - near-dup candidate generation never does an all-pairs join: either
   *    rare-token prefix filtering (doc-frequency cap) or MinHash banding
   *    bounds candidates; exact Jaccard runs only on candidates.
-  *  - the token dictionary is vocabulary-sized (≪ corpus) and broadcast.
+  *  - features (shingles/tokens) are HASHED, never dictionary-encoded:
+  *    the 60-bit md5-based [[featureHash]] needs no vocabulary
+  *    materialization, so there is no corpus-growing global sort or
+  *    broadcast anywhere in the family. ([[featureDictionary]] remains
+  *    for explicit dense-feature-id use on bounded vocabularies.)
   */
 object Dedup {
+
+  /** 60-bit feature hash: the first 15 hex chars of md5, parsed as an
+    * integer. Chosen over hash()/xxhash64 because the DuckDB oracle can
+    * reproduce it from the same closed form —
+    * `CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)` — and md5 of the
+    * same UTF-8 bytes is engine-independent. This replaces the earlier
+    * dense_rank dictionary id: a dictionary needs a DISTINCT + global
+    * window sort over the feature vocabulary, which at 100 TB is itself a
+    * corpus-scale shuffle; hashing is embarrassingly parallel and keeps
+    * every dedup operator a pure map + one aggregation. */
+  def featureHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SQL mirror of [[featureHash]] (DuckDB syntax). */
+  val FeatureHashSql: String = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
 
   /** X1 exact — one row per distinct normalized text: keeper = min doc_id,
     * plus the duplicate count. Equivalent of `dropDuplicates` but keeps
@@ -117,10 +136,12 @@ object Dedup {
   }
 
   /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in
-    * lexicographic order. The id assignment is a window over the
-    * *vocabulary* (≪ corpus), so the single-partition sort is on
-    * thousands-to-millions of short strings — cheap and, critically,
-    * identical to the oracle's `dense_rank() over (order by tok)`. */
+    * lexicographic order (`dense_rank() over (order by tok)` in SQL).
+    * NOT used by the minhash/simhash family — those hash features with
+    * [[featureHash]] precisely to avoid this operator's DISTINCT + global
+    * window sort, which grows with the vocabulary. Kept for explicit
+    * dense-feature-id needs on bounded vocabularies (e.g. model feature
+    * tables), where the single-partition sort is genuinely small. */
   def featureDictionary(sets: DataFrame): DataFrame =
     sets.select(explode(col("toks")).as("tok")).distinct()
       .withColumn("tok_id",
@@ -138,13 +159,13 @@ object Dedup {
   def minhashB(j: Int): Long = 12582917L * (j + 1) % MinhashP
 
   /** X1 MinHash — per-document signature over a materialized shingle-set
-    * table: sig[j] = min over the doc's shingle ids of h_j(id). One
-    * explode + join to the broadcast dictionary + groupBy(doc) with k
-    * min-aggregates — the shuffle carries k longs per doc. */
+    * table: sig[j] = min over the doc's hashed shingles of h_j(x), with
+    * x = [[featureHash]] mod P. One explode + hash projection +
+    * groupBy(doc) with k min-aggregates — no dictionary, and the shuffle
+    * carries k longs per doc. */
   def minhashSignaturesFromSets(sets: DataFrame, k: Int = 8): DataFrame = {
-    val dict = featureDictionary(sets)
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(dict), "tok")
+      .withColumn("tok_id", pmod(featureHash(col("tok")), lit(MinhashP)))
     val sigCols = (0 until k).map { j =>
       min(pmod(lit(minhashA(j)) * col("tok_id") + lit(minhashB(j)), lit(MinhashP)))
         .as(s"mh$j")
@@ -152,7 +173,7 @@ object Dedup {
     // cache: k longs per doc — tiny, and the LSH banding union references
     // this table once per band on BOTH sides of the candidate self-join
     // (4× for k=8, r=4), so uncached it would recompute the whole
-    // explode+dictionary-join+groupBy chain each time. Spark's CacheManager
+    // explode+hash+groupBy chain each time. Spark's CacheManager
     // also matches the plan across queries in a session, so the signature,
     // pairs, and pipeline queries share one materialization.
     tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).cache()
@@ -168,22 +189,14 @@ object Dedup {
     minhashSignaturesFromSets(
       docShingleSets(docs, idCol, textCol, shingleN).cache(), k)
 
-  /** SimHash token-hash constants (same universal-hash family as MinHash,
-    * fixed slots 37/41 so signatures are independent of the MinHash set).
-    * TWO independent hashes: each is mod P = 2^31−1, so a single hash only
-    * carries 31 bits of entropy — fingerprint bits ≥ 31 derived from it
-    * would be constant 0, which put every doc in one bucket for any band
-    * covering those bits (measured: 12.5M junk candidate pairs at sf0.1).
-    * The combined h = h1 | (h2 << 31) has 62 independent bits. */
-  val SimhashA: Long = minhashA(37)
-  val SimhashB: Long = minhashB(37)
-  val SimhashA2: Long = minhashA(41)
-  val SimhashB2: Long = minhashB(41)
-
-  /** X1 SimHash — per-document b-bit fingerprint: token hash h(id), bit j
-    * of the fingerprint is the sign of Σ_tokens (2·((h >> j) & 1) − 1).
-    * Ties (sum == 0) count as bit 1 (>= 0). One groupBy(doc) with b
-    * sum-aggregates — shuffle carries b ints per doc. */
+  /** X1 SimHash — per-document b-bit fingerprint: token hash
+    * h = [[featureHash]](tok), bit j of the fingerprint is the sign of
+    * Σ_tokens (2·((h >> j) & 1) − 1). Ties (sum == 0) count as bit 1
+    * (>= 0). One groupBy(doc) with b sum-aggregates — shuffle carries b
+    * ints per doc. The md5-derived h has 60 independent uniform bits, so
+    * every fingerprint bit carries real entropy (a mod-2^31 universal
+    * hash here once zeroed bits ≥ 31, which put ALL docs in one LSH
+    * bucket for the top band — 12.5M junk candidate pairs at sf0.1). */
   def simhashFingerprint(docs: DataFrame, idCol: String, textCol: String,
                          bits: Int = 16): DataFrame =
     simhashFromSets(docTokenSets(docs, idCol, textCol).cache(), bits)
@@ -193,13 +206,10 @@ object Dedup {
     * sets are densely similar and the fingerprint loses discrimination,
     * the same degeneracy minhash has; see [[docShingleSets]]). */
   def simhashFromSets(sets: DataFrame, bits: Int): DataFrame = {
-    val dict = featureDictionary(sets)
+    require(bits <= 60, "fingerprint width exceeds the 60-bit feature hash")
     val tok = sets
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(dict), "tok")
-      .withColumn("h",
-        pmod(lit(SimhashA) * col("tok_id") + lit(SimhashB), lit(MinhashP)) +
-          shiftleft(pmod(lit(SimhashA2) * col("tok_id") + lit(SimhashB2), lit(MinhashP)), 31))
+      .withColumn("h", featureHash(col("tok")))
     val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j")
     }
@@ -224,14 +234,14 @@ object Dedup {
                    bits: Int = 48, nBands: Int = 4,
                    maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
     require(bits % nBands == 0, "bits must be divisible by nBands")
-    require(bits <= 62, "fingerprint must fit a positive BIGINT")
+    require(bits <= 60, "fingerprint width exceeds the 60-bit feature hash")
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1L
     // shingle features, not unigrams: unigram sets on a small vocabulary
     // are densely similar corpus-wide and every fingerprint collides.
     // cache: one long per doc, but the plan below references it 2·nBands
     // times (each band of the union, on both sides of the self-join) —
-    // uncached, the whole explode+dictionary-join+bit-sum chain re-runs
+    // uncached, the whole explode+hash+bit-sum chain re-runs
     // per reference (measured 8× ≈ 5 s of a 6.6 s query at sf0.1).
     val sig = simhashFromSets(
       docShingleSets(docs, idCol, textCol, shingleN).cache(), bits).cache()
