@@ -384,6 +384,52 @@ object Queries {
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
         FROM events) WHERE rk = 1 AND event_type NOT IN ('error') ORDER BY user_id"""))
 
+  /** CDC at-least-once replay dedup (batch form of
+    * StreamingOps.dedupEvents): the input is the event log plus a
+    * replayed subset (every 7th event delivered twice); exactly one row
+    * per event_id must survive. */
+  private val cdcDedupReplay = Q("cdc_dedup_replay",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val replayed = ev.unionAll(ev.where(pmod(col("event_id"), lit(7)) === 0))
+      StreamingOps.dedupEvents(replayed)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+              ORDER BY epoch_ns(ts), user_id, event_type) AS rk
+            FROM (SELECT * FROM events
+                  UNION ALL SELECT * FROM events WHERE event_id % 7 = 0))
+      WHERE rk = 1 ORDER BY event_id"""))
+
+  /** Stream-stream interval join, batch form (StreamingOps
+    * .attributionJoin): per click, the same user's views in the
+    * preceding hour. */
+  private val cdcIntervalJoin = Q("cdc_interval_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      StreamingOps.attributionJoin(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "click"), "1 hour")
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(col("view_id")).as("first_view_id"),
+          max(unix_micros(col("v_ts"))).as("last_view_us"),
+          max(col("click_value")).as("click_value"))
+        .orderBy(col("click_id"))
+    },
+    Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS v_us, event_id AS view_id
+              FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id, value AS click_value
+              FROM events WHERE event_type = 'click')
+      SELECT click_id, CAST(count(*) AS BIGINT) AS n_views, min(view_id) AS first_view_id,
+        max(v_us) AS last_view_us, max(click_value) AS click_value
+      FROM v JOIN c ON v.user_id = c.user_id
+        AND v_us <= c_us AND v_us >= c_us - 3600000000
+      GROUP BY click_id ORDER BY click_id"""))
+
   private val sessWindow = Q("session_windows",
     (s, dir) => StreamingOps.sessionSums(Tables.events(s, dir), "30 minutes")
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
@@ -1467,7 +1513,8 @@ object Queries {
     s1CostReturns, notebookSmoothing, p10Actor, evalSummary,
     aCorr, aMinMaxBy, groupingSetsAgg, slidingWindow, nthWindow,
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
-    s4Jsonl, configOverlay, x5ApproxDistinct)
+    s4Jsonl, configOverlay, x5ApproxDistinct,
+    cdcDedupReplay, cdcIntervalJoin)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -113,6 +113,49 @@ object StreamingOps {
         col("value").as("last_value"))
   }
 
+  /** At-least-once delivery dedup — the first streaming op of any real
+    * CDC ingest: upstream replays deliver the same event twice, the sink
+    * must see it once. Streaming form: `dropDuplicatesWithinWatermark`
+    * (state = one key per event inside the watermark horizon — bounded,
+    * unlike plain dropDuplicates whose state grows forever). Batch form:
+    * deterministic rank so the same single row per event_id survives in
+    * both engines. */
+  def dedupEvents(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    watermark match {
+      case Some(d) =>
+        withEventTime(events).withWatermark("ts_t", d)
+          .dropDuplicatesWithinWatermark("event_id").drop("ts_t")
+      case None =>
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("ts"), col("user_id"), col("event_type"))
+        events.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1).drop("__rk")
+    }
+
+  /** Stream-stream interval join (view→click attribution): pair each
+    * click with the same user's views in the preceding `lookback`. With
+    * watermarks on BOTH sides plus the time-range join condition,
+    * Structured Streaming bounds each side's join state to the lookback +
+    * watermark horizon — the canonical bounded-state stream-stream join.
+    * Batch form: the identical plan minus watermarks (range join; the
+    * per-user key keeps candidates bucket-sized). */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+                      lookback: String = "1 hour",
+                      watermark: Option[String] = None): DataFrame = {
+    val v = withEventTime(views).select(col("user_id").as("v_user"),
+      col("ts_t").as("v_ts"), col("event_id").as("view_id"))
+    val c = withEventTime(clicks).select(col("user_id").as("c_user"),
+      col("ts_t").as("c_ts"), col("event_id").as("click_id"),
+      col("value").as("click_value"))
+    val (vm, cm) = watermark match {
+      case Some(d) => (v.withWatermark("v_ts", d), c.withWatermark("c_ts", d))
+      case None => (v, c)
+    }
+    vm.join(cm, col("v_user") === col("c_user") &&
+      col("v_ts") <= col("c_ts") &&
+      col("v_ts") >= col("c_ts") - expr(s"INTERVAL $lookback"))
+  }
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

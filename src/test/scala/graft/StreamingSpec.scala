@@ -147,6 +147,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("streaming dedup drops a replayed event inside the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamingOps.dedupEvents(df, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val base = 1704067200L * 1000000000L
+    mem.addData((1L, base, 7L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // at-least-once replay of event 1 within the horizon + a fresh event
+    mem.addData((1L, base, 7L, "click", 1.0, "{}"),
+      (2L, base + 60L * 1000000000L, 7L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().toSeq
+    q.stop()
+    assert(ids.sorted == Seq(1L, 2L)) // the replay was suppressed
+  }
+
+  test("stream-stream attribution join pairs clicks with in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mkMem = () => MemoryStream[(Long, Long, Long, String, Double, String)]
+    val vMem = mkMem(); val cMem = mkMem()
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = StreamingOps.attributionJoin(
+        vMem.toDF().toDF(cols: _*), cMem.toDF().toDF(cols: _*),
+        "1 hour", watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    val base = 1704067200L * 1000000000L
+    val hour = 3600L * 1000000000L
+    vMem.addData(
+      (10L, base, 7L, "view", 0.0, "{}"),           // in window of click 20
+      (11L, base - 2 * hour, 7L, "view", 0.0, "{}"), // too old for click 20
+      (12L, base, 8L, "view", 0.0, "{}"))            // other user
+    cMem.addData((20L, base + hour / 2, 7L, "click", 5.0, "{}"))
+    q.processAllAvailable()
+    val got = spark.table("attr_out").select("view_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((10L, 20L)))
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
