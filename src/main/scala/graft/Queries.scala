@@ -216,14 +216,23 @@ object Queries {
   // ------------------------------------------------------------------
 
   private val aStats = Q("a_stats",
-    (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
-      count(lit(1)).as("cnt"),
-      min(col("l_quantity")).as("min_q"),
-      max(col("l_quantity")).as("max_q"),
-      AggOps.lowerMedian(col("l_quantity")).as("median_q"),
-      round(AggOps.stddevPop(col("l_quantity")), 4).as("std_q"),
-      round(sum(col("l_quantity")), 2).as("sum_q"))
-      .orderBy(col("l_returnflag")),
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // exact lower median via the histogram path (l_quantity has a
+      // bounded domain) — same value as AggOps.lowerMedian but without
+      // collecting each group into one array; see AggOps scaladoc.
+      val med = AggOps.exactMedianByValue(li, Seq("l_returnflag"), "l_quantity", "median_q")
+      li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        round(AggOps.stddevPop(col("l_quantity")), 4).as("std_q"),
+        round(sum(col("l_quantity")), 2).as("sum_q"))
+        .join(med, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cnt"), col("min_q"), col("max_q"),
+          col("median_q"), col("std_q"), col("sum_q"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt,
       min(l_quantity) AS min_q, max(l_quantity) AS max_q,
       quantile_disc(l_quantity, 0.5) AS median_q,
@@ -729,6 +738,29 @@ object Queries {
               len(list_intersect(a.toks, b.toks)) AS inter, len(a.toks) AS na, len(b.toks) AS nb
             FROM cand JOIN sets a ON cand.doc_a = a.doc_id JOIN sets b ON cand.doc_b = b.doc_id)"""
   }
+
+  /** X1 — near-dup pairs → dedup clusters: connected components by
+    * iterative min-label propagation (Dedup.connectedComponents); the
+    * oracle computes the same min-reachable-id per node with a recursive
+    * CTE over the identical pair set. */
+  private val x1Components = Q("x1_dedup_components",
+    (s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, r = 4, estMin = 0.75, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("component_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshPairCtes,
+      p AS (SELECT doc_a, doc_b FROM v
+            WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+      reach AS (SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+      SELECT src AS doc_id, least(src, min(dst)) AS component_id
+      FROM reach GROUP BY src ORDER BY doc_id"""))
 
   private val x1Lsh = Q("x1_minhash_lsh_pairs",
     (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1514,7 +1546,7 @@ object Queries {
     aCorr, aMinMaxBy, groupingSetsAgg, slidingWindow, nthWindow,
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
-    cdcDedupReplay, cdcIntervalJoin)
+    cdcDedupReplay, cdcIntervalJoin, x1Components)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

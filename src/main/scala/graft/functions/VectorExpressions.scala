@@ -77,6 +77,67 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Fused sign-LSH bucket id over `array<double>`: b deterministic
+  * hyperplanes, hyperplane j's weight for dimension i =
+  * ((i·(j+3)) mod 11)/10 − 0.5; bucket = Σ_j 2^j·[w_j·x ≥ 0].
+  *
+  * Equals `Similarity.signLshBucketHof` exactly (asserted in
+  * ExtensionsSpec): per plane, terms x_i·w_ij accumulate left-to-right
+  * from seed 0.0 — the HOF `aggregate(zip_with(...))` order and the
+  * oracle's `list_sum(list_transform(...))` order, bit for bit. The HOF
+  * form walks the array once per plane through interpreted lambdas
+  * (8 passes for the default 8 bits); this kernel is one pass total,
+  * inlined into whole-stage codegen. */
+case class SignLshBucket(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 62, "bits must be in [1, 62]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_lsh expects array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sign_lsh"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    SignLshBucket.bucket(x, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SignLshBucket.bucket($a, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SignLshBucket {
+  /** One pass over the vector, all planes accumulated together. Term
+    * order per plane is identical to the per-plane HOF fold. */
+  def bucket(x: ArrayData, bits: Int): Long = {
+    val n = x.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val v = x.getDouble(i)
+      var j = 0
+      while (j < bits) {
+        acc(j) += v * (((i * (j + 3)) % 11) / 10.0 - 0.5)
+        j += 1
+      }
+      i += 1
+    }
+    var b = 0L
+    var j = 0
+    while (j < bits) {
+      if (acc(j) >= 0.0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+}
+
 /** Fused squared L2 norm — what [[NormRewrite]] turns `graft_dot(a, a)`
   * into: one array traversal instead of two bindings of the same child.
   * Same left-to-right summation as DotProductD → bit-identical result. */
@@ -145,6 +206,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_text_stats", exprs => TextStatsExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sign_lsh", exprs => SignLshBucket(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NormRewrite
@@ -180,6 +246,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_stats"),
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "graft_text_stats"),
+      (exprs: Seq[Expression]) => TextStatsExpr(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sign_lsh"),
+      new ExpressionInfo(classOf[SignLshBucket].getName, "graft_sign_lsh"),
+      (exprs: Seq[Expression]) => SignLshBucket(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => NormRewrite)
   }

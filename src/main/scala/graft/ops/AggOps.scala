@@ -28,6 +28,29 @@ object AggOps {
   def approxMedian(c: Column, accuracy: Int = 10000): Column =
     percentile_approx(c, lit(0.5), lit(accuracy))
 
+  /** A3 exact-at-scale path — lower median via a value histogram:
+    * count per (group, value), then the median is the first value whose
+    * cumulative count reaches rank ⌊(n+1)/2⌋. Identical result to
+    * [[lowerMedian]], but the only full-data pass is a partial+final
+    * count aggregation — no per-group array materialization — and the
+    * window sort runs over the per-group DISTINCT VALUES, not the rows.
+    * The method of choice whenever the value domain is bounded (metrics,
+    * quantities, quantized scores); for unbounded domains use
+    * [[approxMedian]]. Returns one row per group: (keyCols*, outCol). */
+  def exactMedianByValue(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                         valueCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val hist = df.groupBy(keys :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(keys: _*)
+    val rank = floor((sum(col("__c")).over(wAll) + lit(1)) / lit(2))
+    hist.withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__rank", rank)
+      .where(col("__cum") >= col("__rank") && col("__cum") - col("__c") < col("__rank"))
+      .select(keys :+ col(valueCol).as(outCol): _*)
+  }
+
   /** A4 — population stddev (`np.std` ddof=0, reference fawac.py:595). */
   def stddevPop(c: Column): Column = stddev_pop(c)
 

@@ -135,6 +135,49 @@ object Dedup {
     survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * pairwise matches into dedup CLUSTERS (a production dedup keeps one
+    * representative per component, not per pair; dropping `doc_b` of each
+    * pair over-deletes when pairs chain a-b, b-c).
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/GraphX shape
+    * expressed in DataFrames): every node starts labeled with its own id;
+    * each round a node takes the min of its label and its neighbors'
+    * labels; fixpoint = every node carries the min id of its component.
+    * Rounds needed = graph diameter — near-dup components are
+    * bucket-shaped (cliques/stars from LSH banding), so 2–3 rounds in
+    * practice; `maxIter` bounds pathological chains. Each round is one
+    * join + one min-aggregate, both shuffling on the node id — at 100 TB
+    * each round is a co-partitioned shuffle of (node, label) pairs, and
+    * the iterated plan should be checkpointed every few rounds to cut
+    * lineage (here bounded by maxIter, so cache suffices).
+    *
+    * Returns (id, component) for every node that appears in `pairs`;
+    * component = min doc id reachable (deterministic). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).cache()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("component")).as("component")).cache()
+      changed = next.join(labels.select(col("id"), col("component").as("__old")), "id")
+        .where(col("component") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in
     * lexicographic order (`dense_rank() over (order by tok)` in SQL).
     * NOT used by the minhash/simhash family — those hash features with

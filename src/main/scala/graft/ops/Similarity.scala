@@ -52,8 +52,18 @@ object Similarity {
 
   /** Sign-LSH bucket id: b deterministic hyperplanes, hyperplane j's
     * weight for dimension i = ((i·(j+3)) mod 11)/10 − 0.5 — a fixed closed
-    * form reproducible in SQL. Bucket = Σ_j 2^j·[w_j·x ≥ 0]. */
+    * form reproducible in SQL. Bucket = Σ_j 2^j·[w_j·x ≥ 0]. Evaluates
+    * through the one-pass codegen kernel
+    * [[graft.functions.SignLshBucket]]; [[signLshBucketHof]] is the
+    * declarative form it must match (cross-checked in ExtensionsSpec). */
   def signLshBucket(vec: Column, bits: Int = 8): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.SignLshBucket(
+        org.apache.spark.sql.GraftPlanBridge.expression(asDouble(vec)), bits))
+
+  /** The declarative HOF form of [[signLshBucket]] (one interpreted array
+    * pass per plane) — the form the DuckDB oracle mirrors. */
+  def signLshBucketHof(vec: Column, bits: Int = 8): Column =
     (0 until bits).map { j =>
       val dotj = aggregate(
         zip_with(asDouble(vec),

@@ -55,6 +55,17 @@ class CoreOpsSpec extends SparkSpec {
     assert(odd.select(AggOps.lowerMedian(col("x"))).as[Double].head() == 3.0)
   }
 
+  test("histogram median equals array-sort lower median per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
+      ("b", 5.0), ("b", 1.0), ("b", 3.0)).toDF("g", "x")
+    val hist = AggOps.exactMedianByValue(df, Seq("g"), "x", "m")
+      .as[(String, Double)].collect().toMap
+    val arr = df.groupBy(col("g")).agg(AggOps.lowerMedian(col("x")).as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(hist == arr)
+    assert(hist == Map("a" -> 2.0, "b" -> 3.0))
+  }
+
   test("squared residual sum over vector dim (fawac.py:449)") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.0, 2.0, 5.0))).toDF("a", "b")
     val got = df.select(CoreOps.squaredResidualSum(col("a"), col("b"))).as[Double].head()

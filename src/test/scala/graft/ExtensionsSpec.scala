@@ -65,10 +65,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(b(1L) == b(2L))
   }
 
+  test("X2 sign-LSH codegen kernel equals the declarative HOF form on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val bad = emb.select(
+      Similarity.signLshBucket(col("embedding")).as("k"),
+      Similarity.signLshBucketHof(col("embedding")).as("h"))
+      .where(col("k") =!= col("h"))
+    assert(bad.count() == 0)
+  }
+
   test("X1 cosine near-dup finds the ~1.0 pair only") {
     val got = Similarity.cosineNearDup(vecs, "vec_id", "embedding", threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 2L)))
+  }
+
+  test("X1 connected components: chains collapse to min id, needs >1 round") {
+    // a 5-chain (diameter 4) forces several propagation rounds, plus a
+    // separate 2-clique; component = min reachable id
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
   }
 
   test("X1 dedup pipeline keeps one doc per duplicate cluster") {
