@@ -140,42 +140,68 @@ object Dedup {
     * representative per component, not per pair; dropping `doc_b` of each
     * pair over-deletes when pairs chain a-b, b-c).
     *
-    * Algorithm: iterative min-label propagation (the Pregel/GraphX shape
-    * expressed in DataFrames): every node starts labeled with its own id;
-    * each round a node takes the min of its label and its neighbors'
-    * labels; fixpoint = every node carries the min id of its component.
-    * Rounds needed = graph diameter — near-dup components are
-    * bucket-shaped (cliques/stars from LSH banding), so 2–3 rounds in
-    * practice; `maxIter` bounds pathological chains. Each round is one
-    * join + one min-aggregate, both shuffling on the node id — at 100 TB
-    * each round is a co-partitioned shuffle of (node, label) pairs, and
-    * the iterated plan should be checkpointed every few rounds to cut
-    * lineage (here bounded by maxIter, so cache suffices).
+    * The pair graph is orders of magnitude smaller than the corpus
+    * (candidate generation is LSH-bounded), so the strategy is adaptive —
+    * the same shape as Spark's own broadcast-vs-shuffle join choice:
+    *  - |edges| ≤ `localEdgeThreshold`: collect the edge list and run
+    *    union–find (path compression + union-by-min) on the driver —
+    *    microseconds, no per-round jobs. 1M edges ≈ 16 MB collected.
+    *  - larger: distributed min-label propagation with pointer jumping
+    *    (label(label(v)) halves remaining label-tree depth per round →
+    *    O(log diameter) rounds; each round is two co-partitioned joins +
+    *    one min-aggregate on the node id, checkpoint-friendly).
     *
     * Returns (id, component) for every node that appears in `pairs`;
-    * component = min doc id reachable (deterministic). */
+    * component = min doc id reachable (deterministic, both paths). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIter) {
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("src"), col("component")), "src")
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.unionAll(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("component")).as("component")).cache()
-      changed = next.join(labels.select(col("id"), col("component").as("__old")), "id")
-        .where(col("component") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
-      it += 1
+    if (edges.count() <= localEdgeThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // union by min
+      }
+      val nodes = es.iterator.map(_._1).toSeq.distinct
+      spark.createDataFrame(nodes.map(n => (n, find(n))))
+        .toDF("id", "component")
+    } else {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")).cache()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val viaNeighbors = edges
+          .join(labels.select(col("id").as("src"), col("component")), "src")
+          .select(col("dst").as("id"), col("component"))
+        // pointer jump: label(label(v)) — components are trees rooted at
+        // their min id, this halves remaining tree depth each round
+        val jumped = labels
+          .join(labels.select(col("id").as("component"), col("component").as("__j")),
+            "component")
+          .select(col("id"), col("__j").as("component"))
+        val next = labels.unionAll(viaNeighbors).unionAll(jumped)
+          .groupBy(col("id")).agg(min(col("component")).as("component")).cache()
+        changed = next.join(labels.select(col("id"), col("component").as("__old")), "id")
+          .where(col("component") =!= col("__old")).count()
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      labels
     }
-    labels
   }
 
   /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in

@@ -85,10 +85,15 @@ class ExtensionsSpec extends SparkSpec {
     // separate 2-clique; component = min reachable id
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(local == want)
+    // force the distributed min-label path; must agree with union-find
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == want)
   }
 
   test("X1 dedup pipeline keeps one doc per duplicate cluster") {
