@@ -1527,6 +1527,55 @@ object Queries {
     None)
 
   // ------------------------------------------------------------------
+  // X6 — training-data assembly (ops.Curation): split / mix / pack
+  // ------------------------------------------------------------------
+
+  private val bucketSql =
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+  /** X6 — deterministic train/val/test split (90/5/5 by id bucket);
+    * growth-stable, never moves an existing document between splits. */
+  private val x6Split = Q("x6_split_assign",
+    (s, dir) => Curation.splitAssign(Tables.documents(s, dir), "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang")),
+    Some(s"""WITH b AS (SELECT *, $bucketSql AS bk FROM documents)
+      SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+        lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1, 2 ORDER BY split, lang"""))
+
+  /** X6 — stratified mix sampling: language keep-rates (downsample the
+    * dominant en, keep all zh), id-bucket keyed → exactly reproducible. */
+  private val x6Sample = Q("x6_stratified_sample",
+    (s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+      Map("en" -> 25, "zh" -> 100), defaultPct = 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, lang
+      FROM (SELECT *, $bucketSql AS bk FROM documents)
+      WHERE bk < CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 100 ELSE 50 END
+      ORDER BY doc_id"""))
+
+  /** X6 — greedy contiguous sequence packing into 512-token bins per
+    * language (bin = where the document's token span starts). */
+  private val x6Pack = Q("x6_pack_sequences",
+    (s, dir) => {
+      val nToks = TextOps.textStats(col("text")).getField("n_tokens").cast("long")
+      Curation.packSequences(Tables.documents(s, dir), "doc_id", "lang", nToks, 512)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin FROM t)
+      SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+      FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
+
+  // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     s1Ingest, s3Preprocess,
@@ -1546,7 +1595,8 @@ object Queries {
     aCorr, aMinMaxBy, groupingSetsAgg, slidingWindow, nthWindow,
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
-    cdcDedupReplay, cdcIntervalJoin, x1Components)
+    cdcDedupReplay, cdcIntervalJoin, x1Components,
+    x6Split, x6Sample, x6Pack)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Similarity, TextOps}
 import graft.streaming.StreamingOps
 
 /** Unit coverage for the round-2 operators: TF-IDF, int8 quantization,
@@ -55,6 +55,38 @@ class Round2OpsSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("splitAssign covers every row, is deterministic, and never moves a doc") {
+    val docs = (1L to 500L).toDF("doc_id")
+    val a = Curation.splitAssign(docs, "doc_id").as[(Long, String)].collect().toMap
+    assert(a.size == 500 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // growth stability: adding rows changes no existing assignment
+    val b = Curation.splitAssign((1L to 1000L).toDF("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+    // roughly 90/5/5 (hash noise tolerated)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.06, frac.toString)
+  }
+
+  test("stratifiedSample applies per-stratum rates, keeps a 100% stratum whole") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val kept = Curation.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0, "zh" -> 100), defaultPct = 50)
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 == "zh") && kept.length == 200) // en dropped, zh intact
+  }
+
+  test("packSequences: bins fill to budget, overflow by at most one doc") {
+    val df = (1L to 20L).map(i => (i, "en", s"doc $i")).toDF("doc_id", "lang", "text")
+    val packed = Curation.packSequences(df, "doc_id", "lang", lit(100L), 250)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // each doc is 100 tokens, budget 250 → bins of [100,100,100]=300 spans:
+    // doc1,2,3 start at cum 0,100,200 (<250 → bin 0), doc4 at 300 → bin 1
+    assert(packed(1L) == 0L && packed(3L) == 0L && packed(4L) == 1L)
+    val binSizes = packed.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(binSizes.values.forall(_ <= 3))
   }
 
   test("approx_count_distinct lands within 5% of exact on lineitem") {
