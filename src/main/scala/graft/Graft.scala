@@ -96,15 +96,20 @@ object Graft {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.lshTopK(emb, idCol, vecCol, queryPred, k, bits)
 
-  /** X3: per-document text analysis (tokens, quality, language, fingerprint). */
+  /** X3: per-document text analysis (tokens, quality, language,
+    * fingerprint) — one tokenization pass via the graft_text_stats
+    * kernel; each output equals its declarative TextOps form. */
   def analyzeText(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame =
+                  textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val st = TextOps.textStats(t)
     docs.select(col(idCol),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      TextOps.subwordCountEstimate(col(textCol)).as("n_subwords"),
-      TextOps.qualityScore(col(textCol)).as("quality"),
-      TextOps.langIdHeuristic(col(textCol)).as("lang_pred"),
-      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      st.getField("n_tokens").cast("long").as("n_tokens"),
+      TextOps.subwordCountFromStats(st, t).as("n_subwords"),
+      TextOps.qualityScoreFromStats(st, t).as("quality"),
+      TextOps.langIdFromStats(st).as("lang_pred"),
+      TextOps.fingerprint(t).as("fingerprint"))
+  }
 
   /** X3: TF-IDF top-k terms per document. */
   def topTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
@@ -121,7 +126,39 @@ object Graft {
                          vecCol: String = "embedding"): DataFrame =
     Similarity.quantizeInt8(emb, idCol, vecCol)
 
+  /** X1: near-dup pairs → dedup clusters (adaptive connected components;
+    * component = min doc id, one representative per cluster). */
+  def dedupClusters(pairs: DataFrame, aCol: String = "doc_a",
+                    bCol: String = "doc_b"): DataFrame =
+    Dedup.connectedComponents(pairs, aCol, bCol)
+
+  // ---- training-data assembly (X6, ops.Curation) ----
+  /** X6: deterministic, growth-stable train/val/test split. */
+  def assignSplits(df: DataFrame, idCol: String = "doc_id",
+                   trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    Curation.splitAssign(df, idCol, trainPct, valPct)
+
+  /** X6: per-stratum deterministic mix sampling (keep-rates in percent). */
+  def mixSample(df: DataFrame, rates: Map[String, Int], defaultPct: Int,
+                idCol: String = "doc_id", stratumCol: String = "lang"): DataFrame =
+    Curation.stratifiedSample(df, idCol, stratumCol, rates, defaultPct)
+
+  /** X6: greedy contiguous packing into token-budget bins per stratum. */
+  def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
+                    stratumCol: String = "lang", textCol: String = "text"): DataFrame =
+    Curation.packSequences(docs, idCol, stratumCol,
+      TextOps.textStats(col(textCol)).getField("n_tokens").cast("long"), budget)
+
   // ---- streaming / CDC (§2.7) ----
+  /** At-least-once replay dedup (bounded state under a watermark). */
+  def dedupStream(events: DataFrame, watermark: Option[String] = None): DataFrame =
+    StreamingOps.dedupEvents(events, watermark)
+
+  /** Stream-stream interval join: clicks to same-user views in a lookback. */
+  def attribution(views: DataFrame, clicks: DataFrame, lookback: String = "1 hour",
+                  watermark: Option[String] = None): DataFrame =
+    StreamingOps.attributionJoin(views, clicks, lookback, watermark)
+
   /** Session-window accumulation (batch or streaming input). */
   def sessionize(events: DataFrame, gap: String = "30 minutes",
                  watermark: Option[String] = None): DataFrame =

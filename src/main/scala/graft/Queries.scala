@@ -636,31 +636,13 @@ object Queries {
       // expression below reproduces its TextOps declarative form exactly
       // (cross-checked in TextKernelSpec), so the oracle is unchanged.
       val st = TextOps.textStats(col("text"))
-      val nToks = st.getField("n_tokens")
-      val he = st.getField("hits_en"); val hd = st.getField("hits_de")
-      val hf = st.getField("hits_fr"); val hes = st.getField("hits_es")
-      val nonSpace = length(regexp_replace(col("text"), "[a-zA-Z\\s]", ""))
-      val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9 \\t\\n\\r]", ""))
-      val lenScore = least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
-      val punctScore = greatest(
-        lit(1.0) - (punct.cast("double") / greatest(length(col("text")), lit(1)).cast("double")) * lit(4.0),
-        lit(0.0))
-      val stopScore = least(
-        (he.cast("double") / greatest(nToks, lit(1)).cast("double")) * lit(4.0), lit(1.0))
-      // argmax(hits) with alphabetical tie-break (de < en < es < fr) —
-      // same result as TextOps.langIdHeuristic's sorted-struct form
-      val lang = when(hd >= he && hd >= hes && hd >= hf && hd > 0, lit("de"))
-        .when(he >= hes && he >= hf && he > 0, lit("en"))
-        .when(hes >= hf && hes > 0, lit("es"))
-        .when(hf > 0, lit("fr"))
-        .otherwise(lit("und"))
       docs.select(col("doc_id"),
-        nToks.cast("long").as("n_tokens"),
-        (st.getField("n_subwords_alpha") + nonSpace.cast("long")).as("n_subwords"),
+        st.getField("n_tokens").cast("long").as("n_tokens"),
+        TextOps.subwordCountFromStats(st, col("text")).as("n_subwords"),
         length(col("text")).cast("long").as("n_chars_m"),
-        punct.cast("long").as("n_punct"),
-        round((lenScore + punctScore + stopScore) / lit(3.0), 6).as("quality"),
-        lang.as("lang_pred"),
+        TextOps.punctCount(col("text")).cast("long").as("n_punct"),
+        TextOps.qualityScoreFromStats(st, col("text")).as("quality"),
+        TextOps.langIdFromStats(st).as("lang_pred"),
         TextOps.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },

@@ -51,6 +51,46 @@ object Multimodal {
     transform(sequence(lit(0), lit(k - 1)),
       i => floor(i.cast("double") * length(bin).cast("double") / lit(k.toDouble)).cast("long"))
 
+  case class MediaRow(doc_id: Long, media: Array[Byte])
+  case class DecodedMedia(doc_id: Long, width: Int, height: Int,
+                          n_bytes: Long, features: Array[Double])
+
+  /** STUB codec with the lifecycle of a real one: construction is the
+    * expensive per-partition step (a real decoder loads native libs /
+    * model weights there), decode is per-row. Deterministic outputs so
+    * tests and reruns agree. */
+  final class StubCodec {
+    StubCodec.constructions.incrementAndGet(): Unit
+    def decode(r: MediaRow): DecodedMedia = {
+      val n = r.media.length
+      val first = if (n > 0) r.media(0) & 0xff else 0
+      val last = if (n > 0) r.media(n - 1) & 0xff else 0
+      DecodedMedia(r.doc_id, 1 + first % 64, 1 + last % 64, n.toLong,
+        Array(n.toDouble, first.toDouble, last.toDouble))
+    }
+  }
+  object StubCodec {
+    /** Test hook: how many codec instances were constructed (≈ one per
+      * partition when used via [[decodeMedia]]). */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** The decode fan-out shape real media pipelines need: `mapPartitions`,
+    * iterator-to-iterator — ONE codec init per partition (not per row),
+    * and Spark streams the partition through without materializing it.
+    * Swapping the stub for a real decoder changes only the codec body;
+    * the signature (binary in, typed struct + feature vector out), the
+    * plan shape, and the partition-sizing story
+    * (`spark.sql.files.maxPartitionBytes` bounds a partition's decoded
+    * batch) all stay. */
+  def decodeMedia(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new StubCodec
+      it.map(codec.decode)
+    }
+  }
+
   /** Attach media payload + metadata + decoded features to a documents
     * table — the canonical multimodal enrichment pipeline. */
   def enrich(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

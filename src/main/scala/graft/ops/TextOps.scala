@@ -73,6 +73,35 @@ object TextOps {
       graft.functions.TextStatsExpr(
         org.apache.spark.sql.GraftPlanBridge.expression(text)))
 
+  /** [[qualityScore]] derived from a [[textStats]] struct — identical
+    * value, but shares the struct's single tokenization pass. */
+  def qualityScoreFromStats(st: Column, text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    val stopScore = least(
+      (st.getField("hits_en").cast("double") /
+        greatest(st.getField("n_tokens"), lit(1)).cast("double")) * lit(4.0), lit(1.0))
+    round((lenScore + punctScore + stopScore) / lit(3.0), 6)
+  }
+
+  /** [[langIdHeuristic]] derived from a [[textStats]] struct — argmax of
+    * hits with alphabetical tie-break (de < en < es < fr), same result as
+    * the sorted-struct form (asserted in TextKernelSpec). */
+  def langIdFromStats(st: Column): Column = {
+    val he = st.getField("hits_en"); val hd = st.getField("hits_de")
+    val hf = st.getField("hits_fr"); val hes = st.getField("hits_es")
+    when(hd >= he && hd >= hes && hd >= hf && hd > 0, lit("de"))
+      .when(he >= hes && he >= hf && he > 0, lit("en"))
+      .when(hes >= hf && hes > 0, lit("es"))
+      .when(hf > 0, lit("fr"))
+      .otherwise(lit("und"))
+  }
+
+  /** [[subwordCountEstimate]] derived from a [[textStats]] struct. */
+  def subwordCountFromStats(st: Column, text: Column): Column =
+    st.getField("n_subwords_alpha") +
+      length(regexp_replace(text, "[a-zA-Z\\s]", "")).cast("long")
+
   /** Stopword hit count for one language (counts occurrences, not distinct). */
   def stopwordHits(toks: Column, lang: String): Column =
     size(filter(toks, t => stopwords(lang).map(w => t === lit(w)).reduce(_ || _)))

@@ -123,6 +123,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2)._2 > got(1)._2) // real text scores above punctuation noise
   }
 
+  test("X4 decodeMedia: one codec per partition, deterministic decode, typed output") {
+    import graft.ops.Multimodal.{MediaRow, StubCodec}
+    val rows = (1L to 100L).map(i => MediaRow(i, s"payload-$i".getBytes("UTF-8")))
+    val ds = spark.createDataset(rows).repartition(4)
+    StubCodec.constructions.set(0L)
+    val out = graft.ops.Multimodal.decodeMedia(ds).collect()
+    assert(out.length == 100)
+    assert(StubCodec.constructions.get() == 4L) // per partition, not per row
+    val r1 = out.find(_.doc_id == 1L).get
+    assert(r1.n_bytes == "payload-1".length.toLong)
+    assert(r1.features.length == 3 && r1.features(0) == r1.n_bytes.toDouble)
+    assert(r1.width == 1 + 'p' % 64)
+  }
+
   test("X4 multimodal plumbing: payload, metadata, stub decode are deterministic") {
     val d = Seq((1L, "hello world")).toDF("doc_id", "text")
     val e = Multimodal.enrich(d, "doc_id", "text")

@@ -65,17 +65,16 @@ class TextKernelSpec extends SparkSpec {
   test("x3 fused lang/quality match the declarative TextOps forms on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val st = TextOps.textStats(col("text"))
-    val he = st.getField("hits_en"); val hd = st.getField("hits_de")
-    val hf = st.getField("hits_fr"); val hes = st.getField("hits_es")
-    val fusedLang = when(hd >= he && hd >= hes && hd >= hf && hd > 0, lit("de"))
-      .when(he >= hes && he >= hf && he > 0, lit("en"))
-      .when(hes >= hf && hes > 0, lit("es"))
-      .when(hf > 0, lit("fr"))
-      .otherwise(lit("und"))
     val bad = docs.select(
-      fusedLang.as("fl"), TextOps.langIdHeuristic(col("text")).as("dl"),
+      TextOps.langIdFromStats(st).as("fl"),
+      TextOps.langIdHeuristic(col("text")).as("dl"),
+      TextOps.qualityScoreFromStats(st, col("text")).as("fq"),
+      TextOps.qualityScore(col("text")).as("dq"),
+      TextOps.subwordCountFromStats(st, col("text")).as("fs"),
+      TextOps.subwordCountEstimate(col("text")).as("ds"),
       st.getField("n_tokens").as("fn"), TextOps.tokenCount(col("text")).as("dn"))
-      .where(col("fl") =!= col("dl") || col("fn") =!= col("dn"))
+      .where(col("fl") =!= col("dl") || col("fn") =!= col("dn") ||
+        col("fq") =!= col("dq") || col("fs") =!= col("ds"))
     assert(bad.count() == 0)
   }
 
