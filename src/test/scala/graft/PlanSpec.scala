@@ -65,6 +65,34 @@ class PlanSpec extends SparkSpec {
     assert(!df2.queryExecution.optimizedPlan.toString.contains("graft_norm2"))
   }
 
+  test("minhash signatures plan has no window and no global sort (dictionary-free)") {
+    val p = plan("x1_minhash_signatures")
+    // the dense_rank dictionary needed Window + a single-partition sort
+    // over the vocabulary; the hashed path must have neither
+    assert(!p.contains("Window"), "no window operator in the hashed-feature path")
+    assert(!p.contains("rangepartitioning(tok"), "no vocabulary-wide sort")
+  }
+
+  test("x6 packing plan is a single window over the stratum key") {
+    val p = plan("x6_pack_sequences")
+    assert("Window".r.findAllIn(p).size == 1)
+    assert(p.contains("graft_text_stats"), "token counts come from the fused kernel")
+  }
+
+  test("x3 text analysis evaluates one graft_text_stats per row set") {
+    val p = plan("x3_text_analysis")
+    // 7 derived columns but ONE kernel invocation (subexpression
+    // elimination keeps the fused pass shared)
+    assert(p.contains("graft_text_stats"))
+    assert(!p.contains("array_filter"), "no interpreted HOF tokenizer in the plan")
+  }
+
+  test("sign-LSH plan uses the one-pass codegen kernel") {
+    val p = plan("x2_ann_lsh_topk")
+    assert(p.contains("graft_sign_lsh"))
+    assert(!p.contains("ArrayAggregate"), "no interpreted per-plane HOF fold")
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
