@@ -1508,6 +1508,34 @@ object Queries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** P10 at parameter-table scale — the distributed join-aggregate
+    * matmul (ModelOps.denseLayerFromTable): a 64→8 ReLU layer whose
+    * weights live in a table built from the same closed form as
+    * pseudoWeights, broadcast-joined to the exploded input. The sum per
+    * (row, unit) crosses partition boundaries → rounded on both sides. */
+  private val p10Table = Q("p10_table_inference",
+    (s, dir) => {
+      val iCol = col("id") % 64
+      val jCol = expr("id div 64")
+      val w = s.range(8L * 64L).select(
+        iCol.as("i"), jCol.as("j"),
+        ((((lit(3) * jCol + lit(5) * iCol) % 13) - lit(6)).cast("double") / lit(10.0)).as("w"))
+      ModelOps.denseLayerFromTable(Tables.embeddings(s, dir), "vec_id", "embedding",
+        w, ModelOps.pseudoBias, ModelOps.relu)
+        .select(col("vec_id"), col("j"), round(col("h"), 6).as("h"))
+        .orderBy(col("vec_id"), col("j"))
+    },
+    Some("""WITH idx AS (SELECT unnest(range(64)) AS i),
+      ou AS (SELECT unnest(range(8)) AS j),
+      x AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN idx),
+      w AS (SELECT i, j, CAST(((3*j + 5*i) % 13) - 6 AS DOUBLE) / 10.0 AS w
+            FROM idx CROSS JOIN ou),
+      h AS (SELECT vec_id, j, sum(x * w) AS s FROM x JOIN w USING (i) GROUP BY vec_id, j)
+      SELECT vec_id, CAST(j AS BIGINT) AS j,
+        round(greatest(s + CAST((5*j) % 7 - 3 AS DOUBLE) / 10.0, 0.0), 6) AS h
+      FROM h ORDER BY vec_id, j"""))
+
   // ------------------------------------------------------------------
   // X6 — training-data assembly (ops.Curation): split / mix / pack
   // ------------------------------------------------------------------
@@ -1578,7 +1606,7 @@ object Queries {
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
-    x6Split, x6Sample, x6Pack)
+    x6Split, x6Sample, x6Pack, p10Table)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -46,4 +46,31 @@ object ModelOps {
   def actorHead(x: Column, weights: Seq[Seq[Double]], biases: Seq[Double],
                 maxAction: Double): Column =
     transform(denseLayer(x, weights, biases, tanhAct), v => v * lit(maxAction))
+
+  /** Deterministic pseudo-bias companion to [[pseudoWeights]]:
+    * b(j) = ((5j) mod 7 − 3) / 10. */
+  def pseudoBias(j: Column): Column =
+    (((lit(5) * j) % 7) - lit(3)).cast("double") / lit(10.0)
+
+  /** P10 at parameter-table scale: dense layer with weights read from a
+    * TABLE (i, j, w) instead of plan literals — the shape needed when the
+    * parameter count is too large to inline or when the weights are the
+    * OUTPUT of the pipeline itself (the soft-update J3 writes exactly
+    * this table). The distributed matmul: explode x to (row, i, x),
+    * broadcast-join W on the input index, partial+final sum per
+    * (row, j) — the input relation shuffles once on (row, j) carrying
+    * one double per output unit, and W (params ≪ data) broadcasts.
+    * Output: (idCol, j, h) with h = act(Σ_i x_i·w_ij + bias(j)). */
+  def denseLayerFromTable(xs: org.apache.spark.sql.DataFrame, idCol: String,
+                          vecCol: String, weights: org.apache.spark.sql.DataFrame,
+                          bias: Column => Column,
+                          activation: Column => Column): org.apache.spark.sql.DataFrame = {
+    val x = xs.select(col(idCol), posexplode(col(vecCol).cast("array<double>")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    x.join(broadcast(weights), "i")
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("x") * col("w")).as("__s"))
+      .select(col(idCol), col("j"),
+        activation(col("__s") + bias(col("j"))).as("h"))
+  }
 }

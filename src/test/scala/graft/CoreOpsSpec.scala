@@ -55,6 +55,29 @@ class CoreOpsSpec extends SparkSpec {
     assert(odd.select(AggOps.lowerMedian(col("x"))).as[Double].head() == 3.0)
   }
 
+  test("table-weights dense layer matches the literal-weights layer") {
+    val xs = Seq((1L, Seq(0.5, -1.0, 2.0)), (2L, Seq(1.0, 0.0, -0.5)))
+      .toDF("vec_id", "embedding")
+    val inDim = 3; val outDim = 2
+    val wTable = spark.range(outDim.toLong * inDim).select(
+      (col("id") % inDim).as("i"), expr(s"id div $inDim").as("j"),
+      ((((lit(3) * expr(s"id div $inDim") + lit(5) * (col("id") % inDim)) % 13) - lit(6))
+        .cast("double") / lit(10.0)).as("w"))
+    val got = ModelOps.denseLayerFromTable(xs, "vec_id", "embedding",
+      wTable, ModelOps.pseudoBias, ModelOps.relu)
+      .select("vec_id", "j", "h").as[(Long, Long, Double)].collect()
+      .map { case (id, j, h) => (id, j) -> h }.toMap
+    val ws = ModelOps.pseudoWeights(outDim, inDim)
+    val bs = (0 until outDim).map(j => ((5 * j) % 7 - 3) / 10.0)
+    val want = xs.select(col("vec_id"),
+      ModelOps.denseLayer(col("embedding"), ws, bs, ModelOps.relu).as("h"))
+      .as[(Long, Seq[Double])].collect()
+      .flatMap { case (id, hs) => hs.zipWithIndex.map { case (h, j) => (id, j.toLong) -> h } }
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+  }
+
   test("histogram median equals array-sort lower median per group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 9.0),
       ("b", 5.0), ("b", 1.0), ("b", 3.0)).toDF("g", "x")

@@ -147,6 +147,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("stateful EMA runs on the RocksDB state store (the at-scale provider)") {
+    // HDFSBackedStateStore holds every key on-heap; RocksDB is the
+    // provider that makes 100 TB-scale keyed state feasible (spillable,
+    // incremental snapshots). Same query, same results.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[KeyedValue]
+      val q = StreamingOps.statefulEma(mem.toDS(), 0.5)
+        .writeStream.format("memory").queryName("ema_rocks").outputMode("append").start()
+      mem.addData(KeyedValue(1L, 0L, 0L, 10.0))
+      q.processAllAvailable()
+      mem.addData(KeyedValue(1L, 1L, 1L, 20.0))
+      q.processAllAvailable()
+      val got = spark.table("ema_rocks").as[EmaOut].collect().sortBy(_.order).map(_.ema).toSeq
+      q.stop()
+      assert(got == Seq(10.0, 15.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops a replayed event inside the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
