@@ -1508,6 +1508,36 @@ object Queries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** TPC-H Q3-style shipping priority: selective dimension filter
+    * (broadcast), fact-fact join on the order key, revenue aggregate,
+    * top-10 on the ROUNDED revenue with pk tie-break (rank stability
+    * across engines). Revenue terms price·(1−discount) live on a 4-decimal
+    * lattice → round(4) is exact. */
+  private val q3Ship = Q("q3_shipping_priority",
+    (s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderpriority,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""))
+
   /** P10 at parameter-table scale — the distributed join-aggregate
     * matmul (ModelOps.denseLayerFromTable): a 64→8 ReLU layer whose
     * weights live in a table built from the same closed form as
@@ -1606,7 +1636,7 @@ object Queries {
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
-    x6Split, x6Sample, x6Pack, p10Table)
+    x6Split, x6Sample, x6Pack, p10Table, q3Ship)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
