@@ -156,6 +156,45 @@ object StreamingOps {
       col("v_ts") >= col("c_ts") - expr(s"INTERVAL $lookback"))
   }
 
+  /** Incremental exact corpus dedup — the CDC form of X1: documents
+    * arrive as a stream; each micro-batch keeps the first document per
+    * fingerprint within the batch, anti-joins the persisted fingerprint
+    * LEDGER to drop documents seen in any earlier batch, then appends
+    * survivors to the corpus and their fingerprints to the ledger.
+    *
+    * The ledger row is 32 hex chars — at 100 TB it is the compacted,
+    * bucketable state table this job shares across restarts (checkpoint
+    * restores the stream position; the ledger makes the dedup decision
+    * durable). A failed batch can replay after the corpus append —
+    * at-least-once on the corpus sink; ledger-first ordering or a
+    * transactional table format upgrades it to exactly-once.
+    * Returns the started query. */
+  def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
+                            corpusPath: String, ledgerPath: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val withFp = batch.withColumn("fp", graft.ops.TextOps.fingerprint(col(textCol)))
+        val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+        val firstPerFp = withFp.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1).drop("__rk")
+        val seen =
+          try spark.read.parquet(ledgerPath)
+          catch { case _: Throwable =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("fp",
+                  org.apache.spark.sql.types.StringType))))
+          }
+        val fresh = firstPerFp.join(seen, Seq("fp"), "left_anti").cache()
+        fresh.drop("fp").write.mode("append").parquet(corpusPath)
+        fresh.select(col("fp")).write.mode("append").parquet(ledgerPath)
+        fresh.unpersist(): Unit
+      }
+      .start()
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

@@ -216,6 +216,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 20L)))
   }
 
+  test("incremental exact dedup: ledger suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft_corpus").toString
+    val ledger = Files.createTempDirectory("graft_ledger").toString + "/fp"
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalExactDedup(docs, "doc_id", "text",
+      corpus, ledger, ckpt)
+    mem.addData((1L, "alpha text"), (2L, "alpha text"), (3L, "beta text"))
+    q.processAllAvailable()
+    // batch 2: replays a seen text (cross-batch dup) + one new doc
+    mem.addData((4L, "alpha text"), (5L, "gamma text"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L)) // in-batch dup 2, cross-batch dup 4 dropped
+    assert(spark.read.parquet(ledger).count() == 3)
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
