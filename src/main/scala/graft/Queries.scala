@@ -1508,6 +1508,74 @@ object Queries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** Time-series resample + gap fill: per user, a continuous daily grid
+    * from first to last purchase day, value = last observation carried
+    * forward (LOCF). The grid is generated per key (sequence + explode —
+    * no driver loop) and the fill is one window pass. */
+  private val resampleLocf = Q("resample_locf",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .withColumn("day", to_date(timestamp_micros(expr("ts div 1000"))))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+        .select(col("user_id"), col("day"), round(col("value"), 4).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val filled = grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("v_filled",
+          last(col("v"), ignoreNulls = true).over(
+            Window.partitionBy(col("user_id")).orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      filled.select(col("user_id"), col("day").cast("string").as("day"), col("v_filled"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value, epoch_ns(ts) AS ns, event_id
+              FROM events WHERE event_type = 'purchase'),
+      daily AS (SELECT user_id, day, round(value, 4) AS v FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, day ORDER BY ns DESC, event_id DESC) AS rk
+          FROM ev) WHERE rk = 1),
+      grid AS (SELECT user_id,
+          CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id),
+      filled AS (SELECT g.user_id, g.day,
+          last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+            ROWS UNBOUNDED PRECEDING) AS v_filled
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+      SELECT user_id, CAST(day AS VARCHAR) AS day, v_filled
+      FROM filled ORDER BY user_id, day"""))
+
+  /** Ordered funnel (view → click → purchase): each stage's timestamp
+    * must follow the previous stage's; counts per stage in one row.
+    * Sequential min-after-min via two re-aggregations — no window over
+    * the full log, each stage is a groupBy + broadcast-join. */
+  private val funnelStages = Q("funnel_stages",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("us_v"))
+      val c = ev.where(col("event_type") === "click")
+        .join(broadcast(v), "user_id").where(col("us") > col("us_v"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("us_c"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id").where(col("us") > col("us_c"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("us_p"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS us_v FROM e WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(us) AS us_c FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > us_v GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(us) AS us_p FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > us_c GROUP BY e.user_id)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel"""))
+
   /** TPC-H Q3-style shipping priority: selective dimension filter
     * (broadcast), fact-fact join on the order key, revenue aggregate,
     * top-10 on the ROUNDED revenue with pk tie-break (rank stability
@@ -1636,7 +1704,8 @@ object Queries {
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
-    x6Split, x6Sample, x6Pack, p10Table, q3Ship)
+    x6Split, x6Sample, x6Pack, p10Table, q3Ship,
+    resampleLocf, funnelStages)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
