@@ -61,8 +61,12 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     val pass2 = onePass().toMap
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // Locale.ROOT: the f-interpolator uses the default locale, which
+    // renders a comma decimal separator on e.g. de_DE JVMs → broken JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val full = fmt(results)
@@ -73,7 +77,7 @@ object Bench {
       java.nio.file.Files.write(p,
         s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"stat":"min_of_2","queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"stat":"min_of_2","queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

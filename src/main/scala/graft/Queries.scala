@@ -408,7 +408,7 @@ object Queries {
     },
     Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
       FROM (SELECT *, row_number() OVER (PARTITION BY event_id
-              ORDER BY epoch_ns(ts), user_id, event_type) AS rk
+              ORDER BY epoch_ns(ts), user_id, event_type, value) AS rk
             FROM (SELECT * FROM events
                   UNION ALL SELECT * FROM events WHERE event_id % 7 = 0))
       WHERE rk = 1 ORDER BY event_id"""))
@@ -1550,17 +1550,20 @@ object Queries {
   /** Ordered funnel (view → click → purchase): each stage's timestamp
     * must follow the previous stage's; counts per stage in one row.
     * Sequential min-after-min via two re-aggregations — no window over
-    * the full log, each stage is a groupBy + broadcast-join. */
+    * the full log. Stage joins are keyed on user_id with NO broadcast
+    * hint: the per-user stage table is corpus-cardinality (one row per
+    * surviving user), so the join strategy is left to Spark/AQE — a
+    * forced broadcast would OOM the driver at real user counts. */
   private val funnelStages = Q("funnel_stages",
     (s, dir) => {
       val ev = Tables.events(s, dir).withColumn("us", expr("ts div 1000"))
       val v = ev.where(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("us_v"))
       val c = ev.where(col("event_type") === "click")
-        .join(broadcast(v), "user_id").where(col("us") > col("us_v"))
+        .join(v, "user_id").where(col("us") > col("us_v"))
         .groupBy(col("user_id")).agg(min(col("us")).as("us_c"))
       val p = ev.where(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id").where(col("us") > col("us_c"))
+        .join(c, "user_id").where(col("us") > col("us_c"))
         .groupBy(col("user_id")).agg(min(col("us")).as("us_p"))
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_view_click")))

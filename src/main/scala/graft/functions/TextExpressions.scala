@@ -33,9 +33,11 @@ object TextKernels {
   /** Lowercased alpha-run tokenization — equals
     * `filter(split(lower(text), "[^a-z]+"), t => t =!= "")`. */
   def tokenize(text: UTF8String): Array[String] = {
-    // java.toLowerCase matches Spark's `lower` (full Unicode case map;
-    // any char lowering outside a-z stays a delimiter either way)
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // default-locale toLowerCase, NOT Locale.ROOT: Spark's `lower()`
+    // delegates to String.toLowerCase() with the JVM default locale, and
+    // the kernel's contract is bit-equality with the declarative form —
+    // under e.g. tr_TR the two diverge on 'I' if the locales differ
+    val s = text.toString.toLowerCase
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = s.length

@@ -41,13 +41,19 @@ object AggOps {
                          valueCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keys = keyCols.map(col)
-    val hist = df.groupBy(keys :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    // drop nulls first: lowerMedian's rank uses count(c), which ignores
+    // nulls — counting them here would shift the rank and could even
+    // select the null histogram row as the median
+    val c = "__graft_median_c" // prefixed: must not collide with caller columns
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(keys :+ col(valueCol): _*).agg(count(lit(1)).as(c))
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(valueCol))
     val wAll = Window.partitionBy(keys: _*)
-    val rank = floor((sum(col("__c")).over(wAll) + lit(1)) / lit(2))
-    hist.withColumn("__cum", sum(col("__c")).over(wOrd))
-      .withColumn("__rank", rank)
-      .where(col("__cum") >= col("__rank") && col("__cum") - col("__c") < col("__rank"))
+    val rank = floor((sum(col(c)).over(wAll) + lit(1)) / lit(2))
+    hist.withColumn("__graft_median_cum", sum(col(c)).over(wOrd))
+      .withColumn("__graft_median_rank", rank)
+      .where(col("__graft_median_cum") >= col("__graft_median_rank") &&
+        col("__graft_median_cum") - col(c) < col("__graft_median_rank"))
       .select(keys :+ col(valueCol).as(outCol): _*)
   }
 

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   *  - near-dup candidate generation never does an all-pairs join: either
   *    rare-token prefix filtering (doc-frequency cap) or MinHash banding
   *    bounds candidates; exact Jaccard runs only on candidates.
+  *  - cache lifecycle: the signature/shingle `.cache()` calls below are
+  *    per-materialization working sets (each plan is referenced several
+  *    times within one query). Spark's CacheManager dedupes identical
+  *    plans, but DIFFERENT inputs accumulate distinct cached plans for
+  *    the session's lifetime — a long-lived service calling the dedup
+  *    family on many corpora should `spark.catalog.clearCache()` (or
+  *    unpersist the returned frames) between campaigns.
   *  - features (shingles/tokens) are HASHED, never dictionary-encoded:
   *    the 60-bit md5-based [[featureHash]] needs no vocabulary
   *    materialization, so there is no corpus-growing global sort or

@@ -144,18 +144,20 @@ object TextOps {
     * idf = ln(N/df) with df = documents containing the term. The document
     * frequency table is vocabulary-sized and broadcast; the rank is over
     * the ROUNDED score with a term tie-break, so the top-k selection is
-    * engine-independent. N arrives as a count() — at scale that is a
-    * metadata-cheap action, not a data pass. */
+    * engine-independent. N is a one-row aggregate cross-joined into the
+    * plan — the whole op stays lazy (no eager count() job at
+    * construction time, and the input is scanned once, not twice). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    val n = docs.agg(count(lit(1)).cast("double").as("__graft_n"))
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "tok")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__graft_n") / col("df")), 4))
+      .drop("__graft_n")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("tok").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)

@@ -126,8 +126,11 @@ object StreamingOps {
         withEventTime(events).withWatermark("ts_t", d)
           .dropDuplicatesWithinWatermark("event_id").drop("ts_t")
       case None =>
+        // tie-break covers the payload too: if the same event_id arrives
+        // with different values (an upsert, not a byte-identical replay),
+        // the surviving row must not depend on partition order
         val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("ts"), col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("user_id"), col("event_type"), col("value"))
         events.withColumn("__rk", row_number().over(w))
           .where(col("__rk") === 1).drop("__rk")
     }
@@ -180,14 +183,20 @@ object StreamingOps {
         val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
         val firstPerFp = withFp.withColumn("__rk", row_number().over(w))
           .where(col("__rk") === 1).drop("__rk")
+        // ONLY a missing ledger means "first batch". Any other read error
+        // (corrupt footer, FS fault) must fail the batch — an empty
+        // `seen` here would silently disable cross-batch dedup and append
+        // duplicates while reporting success.
+        val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerExists =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
         val seen =
-          try spark.read.parquet(ledgerPath)
-          catch { case _: Throwable =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("fp",
-                  org.apache.spark.sql.types.StringType))))
-          }
+          if (ledgerExists) spark.read.parquet(ledgerPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType))))
         val fresh = firstPerFp.join(seen, Seq("fp"), "left_anti").cache()
         fresh.drop("fp").write.mode("append").parquet(corpusPath)
         fresh.select(col("fp")).write.mode("append").parquet(ledgerPath)
