@@ -154,6 +154,18 @@ object Graft {
   def dedupStream(events: DataFrame, watermark: Option[String] = None): DataFrame =
     StreamingOps.dedupEvents(events, watermark)
 
+  /** Incremental exact corpus dedup (foreachBatch + fingerprint ledger). */
+  def dedupCorpusIncremental(docs: DataFrame, corpusPath: String, ledgerPath: String,
+                             checkpoint: String, idCol: String = "doc_id",
+                             textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingOps.incrementalExactDedup(docs, idCol, textCol, corpusPath, ledgerPath, checkpoint)
+
+  /** Incremental near-dedup (foreachBatch + MinHash signature ledger). */
+  def nearDedupIncremental(docs: DataFrame, corpusPath: String, ledgerPath: String,
+                           checkpoint: String, idCol: String = "doc_id",
+                           textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingOps.incrementalNearDedup(docs, idCol, textCol, corpusPath, ledgerPath, checkpoint)
+
   /** Stream-stream interval join: clicks to same-user views in a lookback. */
   def attribution(views: DataFrame, clicks: DataFrame, lookback: String = "1 hour",
                   watermark: Option[String] = None): DataFrame =

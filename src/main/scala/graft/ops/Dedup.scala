@@ -344,19 +344,30 @@ object Dedup {
     * the pair row. At 100 TB this is the step that keeps the verify join
     * proportional to true near-dups rather than to candidate noise.
     * Output like [[jaccardNearDup]]. */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, r: Int = 4, estMin: Double = 0.75,
-                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+  /** LSH banding of a signature table: one row per (doc, band) with the
+    * band's bucket key (concatenated minhash components). */
+  def lshBands(sig: DataFrame, k: Int, r: Int): DataFrame = {
     require(k % r == 0, "k must be divisible by band width r")
-    val shingleSets = docShingleSets(docs, idCol, textCol, shingleN).cache()
-    val sig = minhashSignaturesFromSets(shingleSets, k)
-    val bands = (0 until k / r).map { b =>
+    (0 until k / r).map { b =>
       sig.select((col("doc_id") +: (0 until k).map(i => col(s"mh$i"))) :+
         lit(b).as("band") :+
         concat_ws("_", (0 until r).map(i => col(s"mh${b * r + i}")): _*).as("bucket"): _*)
     }.reduce(_ unionAll _)
-    val est = (0 until k).map(i =>
+  }
+
+  /** Signature-estimated Jaccard between the `l`/`r` sides of a banded
+    * self- or two-table join: fraction of agreeing minhash components. */
+  def signatureEstJaccard(k: Int): Column =
+    (0 until k).map(i =>
       when(col(s"l.mh$i") === col(s"r.mh$i"), 1.0).otherwise(0.0)).reduce(_ + _) / lit(k.toDouble)
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val shingleSets = docShingleSets(docs, idCol, textCol, shingleN).cache()
+    val sig = minhashSignaturesFromSets(shingleSets, k)
+    val bands = lshBands(sig, k, r)
+    val est = signatureEstJaccard(k)
     val cand = bands.as("l").join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .where(col("l.doc_id") < col("r.doc_id"))

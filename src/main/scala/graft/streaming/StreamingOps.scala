@@ -204,6 +204,60 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental NEAR-dedup — the streaming counterpart of the batch
+    * MinHash-LSH pipeline: each micro-batch computes signatures for the
+    * new documents, drops (a) the higher-id member of every within-batch
+    * near-pair (exact-verified, same as the batch pipeline) and (b) any
+    * new document whose signature lands in a ledger bucket with
+    * signature-estimated Jaccard ≥ estMin, then appends survivors to the
+    * corpus and their SIGNATURES to the ledger.
+    *
+    * The ledger holds k longs per surviving document — signatures only,
+    * never shingle sets, so cross-batch checks are candidate-bounded
+    * bucket joins against a compact table. That makes the cross-batch
+    * decision signature-estimated (not exact-verified) — the documented
+    * trade for an O(k·survivors) durable state; the batch pipeline
+    * remains the exact-verify form. */
+  def incrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
+                           corpusPath: String, ledgerPath: String, checkpoint: String,
+                           k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                           threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.Dedup
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        val sig = Dedup.minhashSignatures(b, idCol, textCol, k).cache()
+        // (a) within-batch: exact-verified LSH pairs, higher id loses
+        val withinLosers = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin, threshold)
+          .select(col("doc_b").as("__loser")).distinct()
+        // (b) cross-batch: bucket join against the signature ledger
+        val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerExists =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val crossLosers = if (ledgerExists) {
+          val seen = spark.read.parquet(ledgerPath)
+          Dedup.lshBands(sig, k, r).as("l")
+            .join(Dedup.lshBands(seen, k, r).as("r"),
+              col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+            .where(Dedup.signatureEstJaccard(k) >= lit(estMin))
+            .select(col("l.doc_id").as("__loser")).distinct()
+        } else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__loser",
+              org.apache.spark.sql.types.LongType))))
+        val losers = withinLosers.unionAll(crossLosers).distinct()
+        val survivors = b.join(losers,
+          b(idCol) === losers("__loser"), "left_anti").cache()
+        survivors.write.mode("append").parquet(corpusPath)
+        sig.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(ledgerPath)
+        survivors.unpersist(); sig.unpersist(); b.unpersist(): Unit
+      }
+      .start()
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

@@ -237,6 +237,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental near-dedup: signature ledger drops cross-batch near-copies") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft_nd_corpus").toString
+    val ledger = Files.createTempDirectory("graft_nd_ledger").toString + "/sig"
+    val ckpt = Files.createTempDirectory("graft_nd_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.incrementalNearDedup(docs, "doc_id", "text",
+      corpus, ledger, ckpt)
+    // batch 1: two identical texts (within-batch near-pair) + one distinct
+    mem.addData((1L, base), (2L, base),
+      (3L, "entirely different prose about carrots and physics " * 8))
+    q.processAllAvailable()
+    // batch 2: a replay of the base text (cross-batch, caught via ledger
+    // signatures) + one genuinely new doc
+    mem.addData((4L, base), (5L, "novel content regarding ships and stars " * 8))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+    // ledger holds one signature row per surviving doc
+    assert(spark.read.parquet(ledger).count() == 3)
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
