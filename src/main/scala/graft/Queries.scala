@@ -228,7 +228,7 @@ object Queries {
         max(col("l_quantity")).as("max_q"),
         round(AggOps.stddevPop(col("l_quantity")), 4).as("std_q"),
         round(sum(col("l_quantity")), 2).as("sum_q"))
-        .join(med, Seq("l_returnflag"))
+        .join(med, Seq("l_returnflag"), "left") // left: an all-null group keeps its row (null median), matching quantile_disc
         .select(col("l_returnflag"), col("cnt"), col("min_q"), col("max_q"),
           col("median_q"), col("std_q"), col("sum_q"))
         .orderBy(col("l_returnflag"))

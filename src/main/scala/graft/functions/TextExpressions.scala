@@ -33,11 +33,13 @@ object TextKernels {
   /** Lowercased alpha-run tokenization — equals
     * `filter(split(lower(text), "[^a-z]+"), t => t =!= "")`. */
   def tokenize(text: UTF8String): Array[String] = {
-    // default-locale toLowerCase, NOT Locale.ROOT: Spark's `lower()`
-    // delegates to String.toLowerCase() with the JVM default locale, and
-    // the kernel's contract is bit-equality with the declarative form —
-    // under e.g. tr_TR the two diverge on 'I' if the locales differ
-    val s = text.toString.toLowerCase
+    // UTF8String.toLowerCase IS Spark's lower(): a locale-independent
+    // ASCII fast path, default-locale String.toLowerCase only for
+    // non-ASCII input. Delegating to it makes kernel == declarative form
+    // by construction on every platform (a hand-rolled toLowerCase with
+    // either Locale.ROOT or the default locale diverges on tr_TR JVMs —
+    // for non-ASCII or ASCII input respectively).
+    val s = text.toLowerCase.toString
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     val n = s.length

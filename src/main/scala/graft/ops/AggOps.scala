@@ -36,7 +36,10 @@ object AggOps {
     * window sort runs over the per-group DISTINCT VALUES, not the rows.
     * The method of choice whenever the value domain is bounded (metrics,
     * quantities, quantized scores); for unbounded domains use
-    * [[approxMedian]]. Returns one row per group: (keyCols*, outCol). */
+    * [[approxMedian]]. Returns one row per group with at least one
+    * non-null value: (keyCols*, outCol) — a group whose values are ALL
+    * null gets NO row (SQL's quantile over all-nulls yields NULL; join
+    * this output with a LEFT join to preserve such groups as null). */
   def exactMedianByValue(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
                          valueCol: String, outCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

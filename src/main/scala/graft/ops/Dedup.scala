@@ -169,6 +169,7 @@ object Dedup {
       .distinct().cache()
     if (edges.count() <= localEdgeThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -207,6 +208,14 @@ object Dedup {
         labels = next
         it += 1
       }
+      edges.unpersist()
+      // silent non-convergence would hand callers WRONG cluster labels;
+      // pointer jumping makes rounds ~ log2(diameter), so 20 covers any
+      // realistic graph — hitting the cap means something pathological
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            s"($changed labels still changing) — raise maxIter")
       labels
     }
   }

@@ -169,8 +169,10 @@ object StreamingOps {
     * bucketable state table this job shares across restarts (checkpoint
     * restores the stream position; the ledger makes the dedup decision
     * durable). A failed batch can replay after the corpus append —
-    * at-least-once on the corpus sink; ledger-first ordering or a
-    * transactional table format upgrades it to exactly-once.
+    * at-least-once on the corpus sink. Exactly-once needs an ATOMIC
+    * commit of corpus + ledger (a transactional table format); merely
+    * reordering the writes ledger-first would turn crash-replays into
+    * silent data LOSS (fp durably "seen", document never appended).
     * Returns the started query. */
   def incrementalExactDedup(docs: DataFrame, idCol: String, textCol: String,
                             corpusPath: String, ledgerPath: String,
@@ -228,7 +230,13 @@ object StreamingOps {
         import graft.ops.Dedup
         val spark = batch.sparkSession
         val b = batch.cache()
-        val sig = Dedup.minhashSignatures(b, idCol, textCol, k).cache()
+        // build the shingle/signature working set EXPLICITLY so it can be
+        // unpersisted at batch end — each micro-batch has a fresh plan, so
+        // caches left behind would accumulate for the stream's lifetime.
+        // minhashLshPairs below re-derives plan-identical frames, which
+        // CacheManager dedupes onto these entries.
+        val sets = Dedup.docShingleSets(b, idCol, textCol).cache()
+        val sig = Dedup.minhashSignaturesFromSets(sets, k)
         // (a) within-batch: exact-verified LSH pairs, higher id loses
         val withinLosers = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin, threshold)
           .select(col("doc_b").as("__loser")).distinct()
@@ -254,7 +262,7 @@ object StreamingOps {
         survivors.write.mode("append").parquet(corpusPath)
         sig.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(ledgerPath)
-        survivors.unpersist(); sig.unpersist(); b.unpersist(): Unit
+        survivors.unpersist(); sig.unpersist(); sets.unpersist(); b.unpersist(): Unit
       }
       .start()
 
