@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.sources.Tables
+
+/** Dev-only 10× scale probe: replicate the sf0.1 tables with remapped
+  * keys (≈ sf1: 6M lineitem rows, 50k docs, 50k embeddings), run the
+  * scale-critical operator families, and report per-op time at 1× vs
+  * 10×. A family whose 10× time grows ≫10× has a quadratic term that
+  * 1000 executors cannot save at 100 TB; results are recorded in
+  * SCALING.md. */
+object ScaleProbe {
+  def time[T](label: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] $label%-34s $s%8.2f s")
+    (r, s)
+  }
+
+  def replicate(df: DataFrame, idCols: Seq[String], n: Int, idSpan: Long): DataFrame =
+    (0 until n).map { k =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * idSpan)))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+
+    // cache BOTH sides so 1x vs Nx compares compute, not IO
+    val docs1 = Tables.documents(spark, dir).cache()
+    val docsN = replicate(docs1, Seq("doc_id"), scale, 1000000L).cache()
+    val emb1 = Tables.embeddings(spark, dir).cache()
+    val embN = replicate(emb1, Seq("vec_id"), scale, 1000000L).cache()
+    val li1 = Tables.lineitem(spark, dir).cache()
+    val liN = (0 until scale).map(_ => li1).reduce(_ unionAll _).cache()
+    val ev1 = Tables.events(spark, dir).cache()
+    val evN = replicate(ev1, Seq("event_id", "user_id"), scale, 10000000L).cache()
+    println(s"[probe] docs ${docs1.count()}/${docsN.count()}, emb ${emb1.count()}/${embN.count()}, " +
+      s"lineitem ${li1.count()}/${liN.count()}, events ${ev1.count()}/${evN.count()}")
+
+    // min of 2 runs: the first pays one-off plan/codegen/cache-fill costs
+    def probe(label: String, f1: => Long, fN: => Long): Unit = {
+      val t1 = Seq(time(s"$label 1x warm")(f1)._2, time(s"$label 1x")(f1)._2).min
+      val tN = Seq(time(s"$label ${scale}x warm")(fN)._2,
+        time(s"$label ${scale}x")(fN)._2).min
+      println(f"[probe] $label%-34s ratio ${tN / t1}%6.1f (linear = $scale)")
+    }
+    // noop sink: counts let Catalyst prune the computed columns entirely
+    def cnt(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
+    }
+
+    probe("exact dedup",
+      cnt(Dedup.exactDedup(docs1, "doc_id", "text")),
+      cnt(Dedup.exactDedup(docsN, "doc_id", "text")))
+    probe("minhash lsh pairs",
+      cnt(Dedup.minhashLshPairs(docs1, "doc_id", "text")),
+      cnt(Dedup.minhashLshPairs(docsN, "doc_id", "text")))
+    probe("simhash pairs",
+      cnt(Dedup.simhashPairs(docs1, "doc_id", "text")),
+      cnt(Dedup.simhashPairs(docsN, "doc_id", "text")))
+    probe("text analysis (fused kernel)",
+      cnt(docs1.select(TextOps.textStats(col("text")).as("st"))
+        .where(col("st.n_tokens") >= 0)),
+      cnt(docsN.select(TextOps.textStats(col("text")).as("st"))
+        .where(col("st.n_tokens") >= 0)))
+    probe("ann lsh topk",
+      cnt(Similarity.lshTopK(emb1, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(100)) === 0, 5)),
+      cnt(Similarity.lshTopK(embN, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(1000)) === 0, 5)))
+    probe("window recurrence (W1)",
+      cnt(SeqOps.discountedReturn(ev1, "user_id",
+        Seq(col("ts"), col("event_id")), col("value"), 0.99, "r")),
+      cnt(SeqOps.discountedReturn(evN, "user_id",
+        Seq(col("ts"), col("event_id")), col("value"), 0.99, "r")))
+    probe("groupBy agg (a_stats shape)",
+      cnt(li1.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))),
+      cnt(liN.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))))
+    spark.stop()
+  }
+}
