@@ -14,6 +14,11 @@ Test / fork := true
 // run them sequentially inside the forked JVM
 Test / parallelExecution := false
 run / fork := true
+// Pass forked-run output straight through (no "[info] " line prefixes):
+// the driver parses Bench's single JSON stdout line, and sbt's default
+// LoggedOutput prefix broke that parse in rounds 1-2 (BENCH_r*.json
+// "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,10 +47,14 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        // A crashing query must not vanish into a fast-looking timing:
+        // record it in `failed`, surfaced in the output JSON.
+        try force(fn(spark, sfDir))
+        catch { case _: Throwable => failed += name }
         name -> (System.nanoTime() - t0) / 1e9
       }
     // two passes, per-query MIN: isolates JIT/GC/machine-load noise
@@ -71,13 +75,14 @@ object Bench {
     val total = results.map(_._2).sum
     val full = fmt(results)
     val head = fmt(results.filter { case (k, _) => headline.contains(k) })
+    val fail = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""".getBytes)
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail,"queries":$full,"sf":"$sfDir"}""".getBytes)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"stat":"min_of_2","queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_2","queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

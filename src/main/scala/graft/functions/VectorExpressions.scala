@@ -197,6 +197,20 @@ object NormRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
   * `expr(...)` once registered; idempotent per session. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // All six functions register together, so one existence probe suffices.
+    // Skipping the re-register keeps repeated calls (one per operator
+    // invocation) from spamming "replaced a previously registered function"
+    // warnings on every query.
+    val already = spark.sessionState.functionRegistry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sign_lsh"))
+    if (!already) registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NormRewrite
+    }
+  }
+
+  private def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -211,10 +225,6 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_lsh", exprs => SignLshBucket(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NormRewrite
-    }
   }
 }
 
