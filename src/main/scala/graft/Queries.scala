@@ -408,7 +408,7 @@ object Queries {
     },
     Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
       FROM (SELECT *, row_number() OVER (PARTITION BY event_id
-              ORDER BY epoch_ns(ts), user_id, event_type, value) AS rk
+              ORDER BY epoch_ns(ts), user_id, event_type, value, props) AS rk
             FROM (SELECT * FROM events
                   UNION ALL SELECT * FROM events WHERE event_id % 7 = 0))
       WHERE rk = 1 ORDER BY event_id"""))

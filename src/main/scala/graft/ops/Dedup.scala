@@ -17,15 +17,48 @@ import org.apache.spark.sql.functions._
   *    per-materialization working sets (each plan is referenced several
   *    times within one query). Spark's CacheManager dedupes identical
   *    plans, but DIFFERENT inputs accumulate distinct cached plans for
-  *    the session's lifetime — a long-lived service calling the dedup
-  *    family on many corpora should `spark.catalog.clearCache()` (or
-  *    unpersist the returned frames) between campaigns.
+  *    the session's lifetime. A long-lived service calling the dedup
+  *    family on many corpora should pass its own [[DedupCaches]] and
+  *    `unpersistAll()` after materializing each campaign's result (the
+  *    default [[DedupCaches.unmanaged]] keeps session-lifetime caching,
+  *    released only by `spark.catalog.clearCache()`).
   *  - features (shingles/tokens) are HASHED, never dictionary-encoded:
   *    the 60-bit md5-based [[featureHash]] needs no vocabulary
   *    materialization, so there is no corpus-growing global sort or
   *    broadcast anywhere in the family. ([[featureDictionary]] remains
   *    for explicit dense-feature-id use on bounded vocabularies.)
   */
+/** Cache-lifecycle handle for the dedup family. Every intermediate a dedup
+  * call `.cache()`s is registered on the handle, so a long-lived session can
+  * release one campaign's working set once its result is materialized:
+  * {{{
+  *   val caches = new DedupCaches
+  *   val pairs  = Dedup.minhashLshPairs(docs, "id", "text", caches = caches)
+  *   pairs.write.parquet(out)   // materialize first — the frames are lazy
+  *   caches.unpersistAll()
+  * }}}
+  * The default [[DedupCaches.unmanaged]] preserves the one-shot-job
+  * behavior: plain `.cache()`, nothing tracked, intermediates live until
+  * `spark.catalog.clearCache()`. */
+class DedupCaches {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private[graft] def track(df: DataFrame): DataFrame =
+    synchronized { frames += df; df.cache() }
+  /** Unpersist every tracked intermediate. Call AFTER an action on the
+    * returned frame — the results are lazy plans over these caches. */
+  def unpersistAll(): Unit =
+    synchronized { frames.foreach(_.unpersist()); frames.clear() }
+}
+
+object DedupCaches {
+  /** Session-lifetime caching: `track` is a plain `cache()`, no references
+    * retained (a tracking default would itself leak — the handle would pin
+    * every frame forever with no one to call unpersistAll). */
+  val unmanaged: DedupCaches = new DedupCaches {
+    override private[graft] def track(df: DataFrame): DataFrame = df.cache()
+  }
+}
+
 object Dedup {
 
   /** 60-bit feature hash: the first 15 hex chars of md5, parsed as an
@@ -36,7 +69,15 @@ object Dedup {
     * dense_rank dictionary id: a dictionary needs a DISTINCT + global
     * window sort over the feature vocabulary, which at 100 TB is itself a
     * corpus-scale shuffle; hashing is embarrassingly parallel and keeps
-    * every dedup operator a pure map + one aggregation. */
+    * every dedup operator a pure map + one aggregation.
+    *
+    * Collision regime: 60 uniform bits put the birthday bound near 2^30
+    * distinct features — a realistic shingle vocabulary at 100 TB crosses
+    * that, and collisions slightly INFLATE minhash/simhash similarity
+    * estimates. That is fine where this hash is used (LSH candidate
+    * generation, always followed by exact verification on the real token
+    * sets); do not use it as an exact-identity fingerprint — that is what
+    * the 128-bit [[TextOps.fingerprint]] is for. */
   def featureHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
@@ -67,8 +108,9 @@ object Dedup {
     * the threshold, doc_a < doc_b.
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
-                     maxDf: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val sets = docTokenSets(docs, idCol, textCol).cache() // reused 3× below
+                     maxDf: Int = 8, threshold: Double = 0.5,
+                     caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val sets = caches.track(docTokenSets(docs, idCol, textCol)) // reused 3× below
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
     val rare = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2)
@@ -133,11 +175,13 @@ object Dedup {
     * near-duplicate pair (MinHash-LSH verified). Returns the surviving
     * doc ids — the shape of a production corpus-dedup job. */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
-                    threshold: Double = 0.8): DataFrame = {
+                    threshold: Double = 0.8,
+                    caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
     val survivors = docs.select(col(idCol).as("doc_id"))
       .join(exactKept, Seq("doc_id"), "left_semi")
-    val nearDupLosers = minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+    val nearDupLosers =
+      minhashLshPairs(docs, idCol, textCol, threshold = threshold, caches = caches)
       .select(col("doc_b").as("doc_id")).distinct()
     survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
@@ -162,14 +206,18 @@ object Dedup {
     * component = min doc id reachable (deterministic, both paths). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20,
-                          localEdgeThreshold: Long = 1000000L): DataFrame = {
+                          localEdgeThreshold: Long = 1000000L,
+                          caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // edges lives only inside this call (the returned labels frame is a
+    // materialized aggregate, not a plan over edges) — always release it,
+    // including on the non-convergence throw below
+    try {
     if (edges.count() <= localEdgeThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -190,6 +238,7 @@ object Dedup {
         .withColumn("component", col("id")).cache()
       var changed = 1L
       var it = 0
+      try {
       while (changed > 0 && it < maxIter) {
         val viaNeighbors = edges
           .join(labels.select(col("id").as("src"), col("component")), "src")
@@ -208,7 +257,6 @@ object Dedup {
         labels = next
         it += 1
       }
-      edges.unpersist()
       // silent non-convergence would hand callers WRONG cluster labels;
       // pointer jumping makes rounds ~ log2(diameter), so 20 covers any
       // realistic graph — hitting the cap means something pathological
@@ -216,8 +264,16 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds " +
             s"($changed labels still changing) — raise maxIter")
-      labels
+      } catch {
+        // the last round's labels frame would otherwise stay cached with
+        // no reachable handle
+        case t: Throwable => labels.unpersist(); throw t
+      }
+      // already cached (it IS the loop's last `next`); register with the
+      // caller's handle so unpersistAll() can release it
+      caches.track(labels)
     }
+    } finally edges.unpersist()
   }
 
   /** Feature dictionary: distinct tokens/shingles → dense 0-based ids in
@@ -248,7 +304,8 @@ object Dedup {
     * x = [[featureHash]] mod P. One explode + hash projection +
     * groupBy(doc) with k min-aggregates — no dictionary, and the shuffle
     * carries k longs per doc. */
-  def minhashSignaturesFromSets(sets: DataFrame, k: Int = 8): DataFrame = {
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int = 8,
+                                caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("tok_id", pmod(featureHash(col("tok")), lit(MinhashP)))
     val sigCols = (0 until k).map { j =>
@@ -261,18 +318,19 @@ object Dedup {
     // explode+hash+groupBy chain each time. Spark's CacheManager
     // also matches the plan across queries in a session, so the signature,
     // pairs, and pipeline queries share one materialization.
-    tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).cache()
+    caches.track(tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*))
   }
 
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, shingleN: Int = 3): DataFrame =
+                        k: Int = 8, shingleN: Int = 3,
+                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
     // cache: the shingle table feeds both the dictionary build and the
     // signature aggregation — without it the (interpreted, HOF-heavy)
     // tokenize+shingle pass re-runs per consumer. At 100 TB the same move
     // is a one-off materialization of the shingle table before the dedup
     // campaign (the reference's `.detach()` barrier, SURVEY.md §4).
     minhashSignaturesFromSets(
-      docShingleSets(docs, idCol, textCol, shingleN).cache(), k)
+      caches.track(docShingleSets(docs, idCol, textCol, shingleN)), k, caches)
 
   /** X1 SimHash — per-document b-bit fingerprint: token hash
     * h = [[featureHash]](tok), bit j of the fingerprint is the sign of
@@ -283,8 +341,9 @@ object Dedup {
     * hash here once zeroed bits ≥ 31, which put ALL docs in one LSH
     * bucket for the top band — 12.5M junk candidate pairs at sf0.1). */
   def simhashFingerprint(docs: DataFrame, idCol: String, textCol: String,
-                         bits: Int = 16): DataFrame =
-    simhashFromSets(docTokenSets(docs, idCol, textCol).cache(), bits)
+                         bits: Int = 16,
+                         caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
+    simhashFromSets(caches.track(docTokenSets(docs, idCol, textCol)), bits)
 
   /** SimHash over an already-materialized feature-set table (caller picks
     * unigram tokens vs shingles — on a small-vocabulary corpus unigram
@@ -317,7 +376,8 @@ object Dedup {
     * proportional to true near-dups. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 48, nBands: Int = 4,
-                   maxHamming: Int = 3, shingleN: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, shingleN: Int = 3,
+                   caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     require(bits % nBands == 0, "bits must be divisible by nBands")
     require(bits <= 60, "fingerprint width exceeds the 60-bit feature hash")
     val bandBits = bits / nBands
@@ -328,8 +388,8 @@ object Dedup {
     // times (each band of the union, on both sides of the self-join) —
     // uncached, the whole explode+hash+bit-sum chain re-runs
     // per reference (measured 8× ≈ 5 s of a 6.6 s query at sf0.1).
-    val sig = simhashFromSets(
-      docShingleSets(docs, idCol, textCol, shingleN).cache(), bits).cache()
+    val sig = caches.track(simhashFromSets(
+      caches.track(docShingleSets(docs, idCol, textCol, shingleN)), bits))
     val bands = (0 until nBands).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
@@ -372,9 +432,10 @@ object Dedup {
 
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, r: Int = 4, estMin: Double = 0.75,
-                      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
-    val shingleSets = docShingleSets(docs, idCol, textCol, shingleN).cache()
-    val sig = minhashSignaturesFromSets(shingleSets, k)
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val shingleSets = caches.track(docShingleSets(docs, idCol, textCol, shingleN))
+    val sig = minhashSignaturesFromSets(shingleSets, k, caches)
     val bands = lshBands(sig, k, r)
     val est = signatureEstJaccard(k)
     val cand = bands.as("l").join(bands.as("r"),

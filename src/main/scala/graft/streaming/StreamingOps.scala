@@ -126,11 +126,13 @@ object StreamingOps {
         withEventTime(events).withWatermark("ts_t", d)
           .dropDuplicatesWithinWatermark("event_id").drop("ts_t")
       case None =>
-        // tie-break covers the payload too: if the same event_id arrives
+        // tie-break covers the FULL payload: if the same event_id arrives
         // with different values (an upsert, not a byte-identical replay),
-        // the surviving row must not depend on partition order
+        // the surviving row must not depend on partition order — props
+        // included, or two rows differing only there race nondeterministically
         val w = Window.partitionBy(col("event_id"))
-          .orderBy(col("ts"), col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("ts"), col("user_id"), col("event_type"), col("value"),
+            col("props"))
         events.withColumn("__rk", row_number().over(w))
           .where(col("__rk") === 1).drop("__rk")
     }
@@ -227,18 +229,19 @@ object StreamingOps {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import graft.ops.Dedup
+        import graft.ops.{Dedup, DedupCaches}
         val spark = batch.sparkSession
         val b = batch.cache()
-        // build the shingle/signature working set EXPLICITLY so it can be
-        // unpersisted at batch end — each micro-batch has a fresh plan, so
-        // caches left behind would accumulate for the stream's lifetime.
-        // minhashLshPairs below re-derives plan-identical frames, which
-        // CacheManager dedupes onto these entries.
-        val sets = Dedup.docShingleSets(b, idCol, textCol).cache()
-        val sig = Dedup.minhashSignaturesFromSets(sets, k)
+        // every intermediate the dedup calls cache goes on a per-batch
+        // handle, released at batch end — each micro-batch has a fresh
+        // plan, so caches left behind would accumulate for the stream's
+        // lifetime.
+        val batchCaches = new DedupCaches
+        val sets = batchCaches.track(Dedup.docShingleSets(b, idCol, textCol))
+        val sig = Dedup.minhashSignaturesFromSets(sets, k, batchCaches)
         // (a) within-batch: exact-verified LSH pairs, higher id loses
-        val withinLosers = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin, threshold)
+        val withinLosers = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin,
+            threshold, caches = batchCaches)
           .select(col("doc_b").as("__loser")).distinct()
         // (b) cross-batch: bucket join against the signature ledger
         val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
@@ -262,7 +265,7 @@ object StreamingOps {
         survivors.write.mode("append").parquet(corpusPath)
         sig.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(ledgerPath)
-        survivors.unpersist(); sig.unpersist(); sets.unpersist(); b.unpersist(): Unit
+        survivors.unpersist(); batchCaches.unpersistAll(); b.unpersist(): Unit
       }
       .start()
 

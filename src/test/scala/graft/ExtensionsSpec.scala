@@ -96,6 +96,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("DedupCaches releases the dedup working set after materialization") {
+    spark.sharedState.cacheManager.clearCache()
+    val caches = new DedupCaches
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 8, r = 2,
+      threshold = 0.9, caches = caches)
+    pairs.collect()
+    assert(!spark.sharedState.cacheManager.isEmpty) // working set is cached
+    caches.unpersistAll()
+    assert(spark.sharedState.cacheManager.isEmpty)  // and fully released
+  }
+
+  test("connectedComponents releases caches on the non-convergence throw") {
+    spark.sharedState.cacheManager.clearCache()
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      // distributed path (threshold 0) with zero allowed rounds
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        maxIter = 0, localEdgeThreshold = 0L)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty) // edges + labels released
+  }
+
+  test("connectedComponents distributed labels release via DedupCaches") {
+    spark.sharedState.cacheManager.clearCache()
+    val caches = new DedupCaches
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      localEdgeThreshold = 0L, caches = caches)
+    labels.collect()
+    caches.unpersistAll()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("X1 dedup pipeline keeps one doc per duplicate cluster") {
     val kept = graft.Graft.dedupCorpus(docs, threshold = 0.9)
       .select("doc_id").as[Long].collect().toSet
