@@ -439,6 +439,41 @@ object Queries {
         AND v_us <= c_us AND v_us >= c_us - 3600000000
       GROUP BY click_id ORDER BY click_id"""))
 
+  /** SCD Type-2 dimension history from the CDC purchase log
+    * (StreamingOps.scd2History): versioned `[valid_from, valid_to)` rows
+    * per user, open row = current state. */
+  private val cdcScd2 = Q("cdc_scd2_history",
+    (s, dir) => StreamingOps.scd2History(
+        Tables.events(s, dir).where(col("event_type") === "purchase"))
+      .select(col("user_id"), col("event_id"),
+        expr("valid_from div 1000").as("valid_from_us"),
+        expr("valid_to div 1000").as("valid_to_us"),
+        col("state_value"), col("version"), col("is_current"))
+      .orderBy(col("user_id"), col("version")),
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+      lead(epoch_us(ts)) OVER w AS valid_to_us, value AS state_value,
+      CAST(row_number() OVER w AS BIGINT) AS version,
+      (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      ORDER BY user_id, version"""))
+
+  /** CDC changelog op classification (StreamingOps.changelogOps): each
+    * event vs the key's previous state → I/U/N op codes, Debezium-style
+    * before/after columns derived with one lag pass. */
+  private val cdcChangelog = Q("cdc_changelog_ops",
+    (s, dir) => StreamingOps.changelogOps(Tables.events(s, dir))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("op"), col("old_value"), col("value").as("new_value"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      CASE WHEN lag(value) OVER w IS NULL THEN 'I'
+           WHEN lag(value) OVER w <> value THEN 'U' ELSE 'N' END AS op,
+      lag(value) OVER w AS old_value, value AS new_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      ORDER BY user_id, event_id"""))
+
   private val sessWindow = Q("session_windows",
     (s, dir) => StreamingOps.sessionSums(Tables.events(s, dir), "30 minutes")
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
@@ -927,6 +962,68 @@ object Queries {
       round(sum(o_totalprice), 2) AS total
       FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Runtime-filter join as an explicit operator (BloomJoin): the probe
+    * side is pruned by a distributed-built bloom sketch BEFORE its
+    * shuffle, then exact-verified by the semi join — result is identical
+    * to the plain semi join, which is what the oracle states. */
+  private val bloomSemi = Q("bloom_semi_join",
+    (s, dir) => {
+      val bigOrders = Tables.orders(s, dir).where(col("o_totalprice") > 480000.0)
+      BloomJoin.bloomSemiJoin(Tables.lineitem(s, dir), "l_orderkey",
+          bigOrders, "o_orderkey", expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Correlated EXISTS — Catalyst decorrelates to a semi join (verified in
+    * PlanSpec); suppliers that ever shipped a near-capacity line. */
+  private val existsSubquery = Q("exists_subquery",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT s_suppkey, s_name FROM g_supplier s
+        WHERE EXISTS (SELECT 1 FROM g_lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.0)
+        ORDER BY s_suppkey""")
+    },
+    Some("""SELECT s_suppkey, s_name FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.0)
+      ORDER BY s_suppkey"""))
+
+  /** Uncorrelated scalar subquery threshold — exact (min/max are
+    * order-independent), so the float comparison is bit-identical in both
+    * engines: customers richer than every supplier. */
+  private val scalarSubquery = Q("scalar_subquery",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+      Tables.supplier(s, dir).createOrReplaceTempView("g_supplier")
+      s.sql("""SELECT c_custkey, c_acctbal FROM g_customer
+        WHERE c_acctbal > (SELECT max(s_acctbal) FROM g_supplier)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier)
+      ORDER BY c_custkey"""))
+
+  /** Equi-width histogram via width_bucket (DuckDB side emulated with the
+    * same closed-form floor arithmetic — both engines bucket identical
+    * doubles identically). */
+  private val histogramBuckets = Q("histogram_buckets",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupBy(width_bucket(col("l_quantity"), lit(0.0), lit(50.0), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("total_q"))
+      .orderBy(col("bucket")),
+    Some("""SELECT CAST(floor(l_quantity / 5.0) + 1 AS BIGINT) AS bucket,
+      CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS total_q
+      FROM lineitem GROUP BY bucket ORDER BY bucket"""))
 
   /** Stateful EMA as a *streaming* operator (flatMapGroupsWithState,
     * reference soft-update/smoothing J3/W2) run in batch mode — the same
@@ -1497,16 +1594,22 @@ object Queries {
         override_v IS NOT NULL AS overridden
       FROM d FULL JOIN o ON d.key = o.key ORDER BY key"""))
 
-  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
-    * exact count. No DuckDB oracle (HLL implementations differ) → the
-    * driver records the weaker rows-only check; the exact-count column is
-    * additionally asserted in unit tests. */
+  /** HLL++ sketch validated against the exact count: the raw estimate is
+    * engine-specific (Spark HLL++ vs DuckDB HLL differ by design), so the
+    * oracle-checked output is the exact count plus the sketch's
+    * within-tolerance verdict — deterministic for fixed input, and a
+    * mismatch would surface as `sketch_ok = false` hash-failing against
+    * the oracle's TRUE. Tolerance 2× the default rsd (0.05). */
   private val x5ApproxDistinct = Q("x5_approx_distinct",
     (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(0.1) * col("exact_parts")).as("sketch_ok"))
       .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      TRUE AS sketch_ok FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Time-series resample + gap fill: per user, a continuous daily grid
     * from first to last purchase day, value = last observation carried
@@ -1707,6 +1810,8 @@ object Queries {
     unpivotMetrics, x1SimhashPairs, x3Tfidf, x2Quantize, s7Partitioned,
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
+    cdcScd2, cdcChangelog, bloomSemi, existsSubquery, scalarSubquery,
+    histogramBuckets,
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages)
 

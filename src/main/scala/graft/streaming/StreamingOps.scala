@@ -137,6 +137,40 @@ object StreamingOps {
           .where(col("__rk") === 1).drop("__rk")
     }
 
+  /** SCD Type-2 history build from a CDC change log: one versioned row per
+    * change, `[valid_from, valid_to)` half-open intervals per key, the open
+    * (`valid_to` null) row is current. Pure per-key windowing — one shuffle
+    * on the key, `lead` for the closing edge, no self-join; at 100 TB this
+    * is a single repartition-and-sort per key, the same shape the streaming
+    * form reaches with `flatMapGroupsWithState` closing the previous
+    * version as each change arrives. Ties on ts break by event_id so the
+    * version chain is deterministic under replays. */
+  def scd2History(changes: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col("event_id"))
+    changes.select(col(keyCol), col("event_id"), col("ts").as("valid_from"),
+        col("value").as("state_value"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** CDC changelog classification: compare each event to the key's
+    * previous state and emit an op code — 'I' (first sighting of the key),
+    * 'U' (value changed), 'N' (idempotent replay / no-op). The downstream
+    * shape of a Debezium-style before/after stream, derived here from a
+    * bare event log with one `lag` pass per key (no join against a state
+    * table — at scale the state IS the previous row in the same sorted
+    * partition). */
+  def changelogOps(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ts"), col("event_id"))
+    events.select(col(keyCol), col("event_id"), col("ts"), col("value"))
+      .withColumn("old_value", lag(col("value"), 1).over(w))
+      .withColumn("op",
+        when(col("old_value").isNull, lit("I"))
+          .when(col("old_value") =!= col("value"), lit("U"))
+          .otherwise(lit("N")))
+  }
+
   /** Stream-stream interval join (view→click attribution): pair each
     * click with the same user's views in the preceding `lookback`. With
     * watermarks on BOTH sides plus the time-range join condition,

@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ArrayAggregate"), "no interpreted per-plane HOF fold")
   }
 
+  test("correlated EXISTS decorrelates to a semi join, not a per-row subquery") {
+    val p = plan("exists_subquery")
+    assert(p.contains("SemiJoin") || p.contains("LeftSemi"),
+      "Catalyst must rewrite EXISTS into a semi join")
+  }
+
+  test("bloom semi join probes the sketch before the join's shuffle") {
+    val p = plan("bloom_semi_join")
+    assert(p.contains("might_contain"), "probe-side bloom filter in the plan")
+    // the bloom probe is a scan-stage Filter, upstream of the semi join's
+    // exchange — it must appear below (after, in toString order) the join
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      "bloom probe must sit under the join in the physical plan")
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
