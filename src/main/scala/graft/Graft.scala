@@ -186,4 +186,21 @@ object Graft {
                      slide: String = "12 hours",
                      watermark: Option[String] = None): DataFrame =
     StreamingOps.slidingAgg(events, width, slide, watermark)
+
+  /** SCD Type-2 history from a change log: versioned half-open
+    * `[valid_from, valid_to)` rows per key, open row = current. */
+  def scd2(changes: DataFrame, keyCol: String = "user_id"): DataFrame =
+    StreamingOps.scd2History(changes, keyCol)
+
+  /** CDC changelog op classification: I (new key) / U (value changed) /
+    * N (idempotent replay), per event, against the key's previous state. */
+  def changelog(events: DataFrame, keyCol: String = "user_id"): DataFrame =
+    StreamingOps.changelogOps(events, keyCol)
+
+  /** Semi join with the probe side pruned by a distributed-built bloom
+    * sketch before its shuffle; result is exactly the plain semi join. */
+  def bloomSemiJoin(probe: DataFrame, probeKey: String,
+                    build: DataFrame, buildKey: String,
+                    expectedItems: Long = 1000000L): DataFrame =
+    ops.BloomJoin.bloomSemiJoin(probe, probeKey, build, buildKey, expectedItems)
 }

@@ -97,6 +97,43 @@ object StreamingOps {
       }
   }
 
+  case class ChangeEvent(key: Long, eventId: Long, ts: Long, value: Double)
+  case class ChangeOp(key: Long, eventId: Long, ts: Long, op: String,
+                      oldValue: Option[Double], newValue: Double)
+  case class LastValue(value: Double)
+
+  /** Streaming form of [[changelogOps]]: per-key last-value state carried
+    * across micro-batches by `flatMapGroupsWithState`, each arriving change
+    * emitted as I (first sighting), U (value changed), or N (idempotent
+    * replay). State is ONE double per key — O(live keys) memory, the same
+    * bound as `cdcLatestState`'s streaming form; at 100 TB of history the
+    * state is still only the key cardinality, because classification needs
+    * the previous value, never the previous rows. Within a batch, rows of
+    * a key fold in (ts, eventId) order so replayed batches classify
+    * identically. */
+  def changelogStream(ds: Dataset[ChangeEvent]): Dataset[ChangeOp] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LastValue, ChangeOp](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[ChangeEvent], state: GroupState[LastValue]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.eventId))
+          var prev = state.getOption.map(_.value)
+          val out = sorted.map { r =>
+            val op = prev match {
+              case None                    => "I"
+              case Some(p) if p != r.value => "U"
+              case _                       => "N"
+            }
+            val o = ChangeOp(key, r.eventId, r.ts, op, prev, r.value)
+            prev = Some(r.value)
+            o
+          }
+          prev.foreach(p => state.update(LastValue(p)))
+          out.iterator
+      }
+  }
+
   /** CDC latest-state materialization: treat events as an upsert/delete
     * log keyed by user_id — the canonical change-data-capture compaction.
     * `deleteTypes` rows tombstone the key. Batch form = window rank on

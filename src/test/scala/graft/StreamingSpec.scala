@@ -42,6 +42,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(10.0, 15.0))
   }
 
+  test("changelog stream classifies I/U/N with state carried across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.ChangeEvent]
+    val q = StreamingOps.changelogStream(mem.toDS())
+      .writeStream.format("memory").queryName("chg_out").outputMode("append").start()
+    mem.addData(
+      StreamingOps.ChangeEvent(1L, 10L, 100L, 5.0),
+      StreamingOps.ChangeEvent(1L, 11L, 200L, 5.0))
+    q.processAllAvailable()
+    // second micro-batch: key 1's last value (5.0) must persist in state
+    mem.addData(
+      StreamingOps.ChangeEvent(1L, 12L, 300L, 6.0),
+      StreamingOps.ChangeEvent(2L, 20L, 100L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("chg_out").as[StreamingOps.ChangeOp].collect()
+      .sortBy(r => (r.key, r.eventId)).map(r => (r.key, r.op, r.oldValue)).toSeq
+    q.stop()
+    assert(got == Seq(
+      (1L, "I", None), (1L, "N", Some(5.0)), (1L, "U", Some(5.0)),
+      (2L, "I", None)))
+  }
+
   test("session windows split on gap and close at last+gap") {
     // two bursts 1h apart, 30min gap → two sessions
     val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
