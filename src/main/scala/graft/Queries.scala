@@ -1611,6 +1611,42 @@ object Queries {
     Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
       TRUE AS sketch_ok FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** GK sketch (approx_percentile) validated against the exact discrete
+    * quantile, same oracle pattern as x5_approx_distinct: the exact p50/p90
+    * are actual data values (bit-exact across engines, no rounding), the
+    * sketch contributes a within-tolerance verdict. percentile_disc =
+    * smallest value with cume_dist ≥ p in BOTH engines (ceil(p·n) index —
+    * verified against DuckDB's quantile_disc). */
+  private val x5ApproxQuantile = Q("x5_approx_quantile",
+    (s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+      s.sql("""SELECT l_returnflag,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+        (abs(approx_percentile(l_extendedprice, 0.5, 2000)
+           - percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice))
+          <= 0.02 * percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)) AS sketch_ok
+        FROM g_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50,
+      quantile_disc(l_extendedprice, 0.9) AS p90, TRUE AS sketch_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Distributed uniform k-sample without replacement: rank every row by a
+    * salted 60-bit hash of its key and take the global top-k — the batch
+    * equivalent of reservoir sampling (each key's rank is an iid uniform
+    * draw), executed as TakeOrderedAndProject: per-partition top-k then a
+    * driver merge of k·partitions candidates, never a global sort.
+    * Deterministic given the salt, so both engines select the same rows. */
+  private val x6Reservoir = Q("x6_reservoir_sample",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Dedup.featureHash(concat(lit("rsv1:"), col("doc_id").cast("string"))).as("rk"))
+      .orderBy(col("rk"), col("doc_id")).limit(100),
+    Some("""SELECT doc_id,
+      CAST(('0x' || substr(md5('rsv1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+      FROM documents ORDER BY rk, doc_id LIMIT 100"""))
+
   /** Time-series resample + gap fill: per user, a continuous daily grid
     * from first to last purchase day, value = last observation carried
     * forward (LOCF). The grid is generated per key (sequence + explode —
@@ -1811,7 +1847,7 @@ object Queries {
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
     cdcScd2, cdcChangelog, bloomSemi, existsSubquery, scalarSubquery,
-    histogramBuckets,
+    histogramBuckets, x5ApproxQuantile, x6Reservoir,
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages)
 

@@ -110,6 +110,13 @@ class PlanSpec extends SparkSpec {
       "bloom probe must sit under the join in the physical plan")
   }
 
+  test("reservoir sample is TakeOrderedAndProject, not a global sort") {
+    val p = plan("x6_reservoir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must use per-partition top-k + driver merge")
+    assert(!p.contains("rangepartitioning"), "no full-sort exchange for a k-row sample")
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
