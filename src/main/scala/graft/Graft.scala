@@ -197,6 +197,12 @@ object Graft {
   def changelog(events: DataFrame, keyCol: String = "user_id"): DataFrame =
     StreamingOps.changelogOps(events, keyCol)
 
+  /** Incremental SCD2 applier: append-only closed history + compact
+    * open-row snapshot maintained per micro-batch. */
+  def scd2Incremental(changes: DataFrame, currentPath: String, historyPath: String,
+                      checkpoint: String, keyCol: String = "user_id") =
+    StreamingOps.incrementalScd2(changes, keyCol, currentPath, historyPath, checkpoint)
+
   /** Semi join with the probe side pruned by a distributed-built bloom
     * sketch before its shuffle; result is exactly the plain semi join. */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,

@@ -1748,6 +1748,43 @@ object Queries {
       GROUP BY l_orderkey, o_orderpriority
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""))
 
+  /** TPC-H Q5 shape: two fact-side joins (orders⋈customer, lineitem⋈
+    * supplier) with the local-supplier condition c_nationkey = s_nationkey,
+    * dimension chain nation→region broadcast. The extra equi-condition
+    * rides on the supplier join (no separate shuffle); only lineitem and
+    * orders move. */
+  private val q5Local = Q("q5_local_supplier_volume",
+    (s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .join(c, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+        round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""))
+
   /** P10 at parameter-table scale — the distributed join-aggregate
     * matmul (ModelOps.denseLayerFromTable): a 64→8 ReLU layer whose
     * weights live in a table built from the same closed form as
@@ -1847,7 +1884,7 @@ object Queries {
     s4Jsonl, configOverlay, x5ApproxDistinct,
     cdcDedupReplay, cdcIntervalJoin, x1Components,
     cdcScd2, cdcChangelog, bloomSemi, existsSubquery, scalarSubquery,
-    histogramBuckets, x5ApproxQuantile, x6Reservoir,
+    histogramBuckets, x5ApproxQuantile, x6Reservoir, q5Local,
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages)
 

@@ -208,6 +208,73 @@ object StreamingOps {
           .otherwise(lit("N")))
   }
 
+  /** Incremental SCD Type-2 maintenance over micro-batches — the applier
+    * form of [[scd2History]]: closed version rows are APPEND-ONLY at
+    * `historyPath` (at 100 TB this is the big immutable table), while the
+    * one open row per key lives in a compact snapshot at `currentPath`,
+    * atomically swapped per batch (write-tmp + rename). Per batch the work
+    * is O(batch + live keys) — the history table is never re-read, because
+    * closing an interval needs only the key's open row, and the version
+    * counter rides on the snapshot.
+    *
+    * Ordering/idempotency policy: batch rows at or before the key's open
+    * `valid_from` (ties broken by event_id) are DROPPED — this makes
+    * checkpoint replays self-suppressing (an already-applied event can't
+    * re-close an interval) and rejects out-of-order changes, the standard
+    * SCD2-applier contract (late rows would need a history rewrite). */
+  def incrementalScd2(changes: DataFrame, keyCol: String,
+                      currentPath: String, historyPath: String,
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hadoop = spark.sparkContext.hadoopConfiguration
+        val curP = new org.apache.hadoop.fs.Path(currentPath)
+        val fs = curP.getFileSystem(hadoop)
+        val newRows = batch.select(col(keyCol), col("event_id"),
+          col("ts").as("valid_from"), col("value").as("state_value"))
+        // missing snapshot = first batch; any other read error must fail
+        // the batch (same contract as the dedup ledgers above)
+        val cur =
+          if (fs.exists(curP)) spark.read.parquet(currentPath)
+          else newRows.limit(0).withColumn("version", lit(0L))
+        val keys = newRows.select(col(keyCol)).distinct()
+        val curAffected = cur.join(keys, Seq(keyCol), "left_semi")
+          .withColumnRenamed("version", "__v0").withColumn("__open", lit(true))
+        val unaffected = cur.join(keys, Seq(keyCol), "left_anti")
+        // drop already-applied / out-of-order rows (policy above)
+        val openEdge = curAffected.select(col(keyCol),
+          col("valid_from").as("__f0"), col("event_id").as("__e0"))
+        val fresh = newRows.join(openEdge, Seq(keyCol), "left")
+          .where(col("__f0").isNull || col("valid_from") > col("__f0") ||
+            (col("valid_from") === col("__f0") && col("event_id") > col("__e0")))
+          .drop("__f0", "__e0")
+          .withColumn("__v0", lit(null).cast("long")).withColumn("__open", lit(false))
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"), col("event_id"))
+        val versioned = curAffected.unionByName(fresh)
+          .withColumn("__base", max(col("__v0")).over(Window.partitionBy(col(keyCol))))
+          .withColumn("version",
+            row_number().over(w).cast("long") + coalesce(col("__base"), lit(0L))
+              - when(col("__base").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .drop("__v0", "__base", "__open").cache()
+        versioned.where(col("valid_to").isNotNull)
+          .write.mode("append").parquet(historyPath)
+        val snapshot = versioned.where(col("valid_to").isNull).drop("valid_to")
+          .unionByName(unaffected)
+        // the snapshot is both input and output of this batch → write to a
+        // tmp dir and atomically swap (overwriting a read path is illegal)
+        val tmpP = new org.apache.hadoop.fs.Path(currentPath + "__tmp")
+        snapshot.write.mode("overwrite").parquet(tmpP.toString)
+        versioned.unpersist()
+        fs.delete(curP, true)
+        if (!fs.rename(tmpP, curP))
+          throw new java.io.IOException(s"snapshot swap failed: $tmpP -> $curP")
+        (): Unit
+      }
+      .start()
+
   /** Stream-stream interval join (view→click attribution): pair each
     * click with the same user's views in the preceding `lookback`. With
     * watermarks on BOTH sides plus the time-range join condition,

@@ -64,6 +64,41 @@ class StreamingSpec extends SparkSpec {
       (2L, "I", None)))
   }
 
+  test("incremental SCD2: closed history + snapshot equal the batch rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scd2_").toString
+    val (cur, hist, ckpt) = (s"$dir/current", s"$dir/history", s"$dir/ckpt")
+    val mem = MemoryStream[StreamingOps.ChangeEvent]
+    val q = StreamingOps.incrementalScd2(
+      mem.toDS().toDF("user_id", "event_id", "ts", "value"),
+      "user_id", cur, hist, ckpt)
+    mem.addData(
+      StreamingOps.ChangeEvent(1L, 10L, 100L, 5.0),
+      StreamingOps.ChangeEvent(1L, 11L, 200L, 6.0),
+      StreamingOps.ChangeEvent(2L, 20L, 100L, 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      StreamingOps.ChangeEvent(1L, 12L, 300L, 7.0), // closes key 1's open row
+      StreamingOps.ChangeEvent(3L, 30L, 50L, 9.0),  // new key
+      StreamingOps.ChangeEvent(1L, 11L, 200L, 6.0)) // replay: must be dropped
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val snapshot = spark.read.parquet(cur)
+    val history = spark.read.parquet(hist)
+    assert(snapshot.count() == 3, "one open row per live key")
+    assert(history.count() == 2, "two closed versions (key 1 v1, v2)")
+    // maintained state must equal the one-shot batch rebuild on the full log
+    val allEvents = Seq((1L, 10L, 100L, 5.0), (1L, 11L, 200L, 6.0), (2L, 20L, 100L, 1.0),
+      (1L, 12L, 300L, 7.0), (3L, 30L, 50L, 9.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val rebuilt = StreamingOps.scd2History(allEvents)
+      .select("user_id", "event_id", "valid_from", "valid_to", "state_value", "version")
+    val maintained = history.unionByName(snapshot.withColumn("valid_to", lit(null).cast("long")))
+      .select("user_id", "event_id", "valid_from", "valid_to", "state_value", "version")
+    assert(maintained.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(maintained).isEmpty)
+  }
+
   test("session windows split on gap and close at last+gap") {
     // two bursts 1h apart, 30min gap → two sessions
     val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC in µs
