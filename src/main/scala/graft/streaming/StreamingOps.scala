@@ -221,7 +221,14 @@ object StreamingOps {
     * `valid_from` (ties broken by event_id) are DROPPED — this makes
     * checkpoint replays self-suppressing (an already-applied event can't
     * re-close an interval) and rejects out-of-order changes, the standard
-    * SCD2-applier contract (late rows would need a history rewrite). */
+    * SCD2-applier contract (late rows would need a history rewrite).
+    *
+    * Failure window: the history append and the snapshot swap are two
+    * writes. A crash BETWEEN them (history written, snapshot still old)
+    * makes the retry re-append that batch's closed rows — at-least-once on
+    * `historyPath`, exact on `currentPath`. Closed rows are unique by
+    * (key, version), so readers needing exactly-once semantics without a
+    * transactional table format dedup on that pair. */
   def incrementalScd2(changes: DataFrame, keyCol: String,
                       currentPath: String, historyPath: String,
                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
