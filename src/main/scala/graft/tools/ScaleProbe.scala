@@ -88,6 +88,16 @@ object ScaleProbe {
     probe("groupBy agg (a_stats shape)",
       cnt(li1.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))),
       cnt(liN.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))))
+    probe("scd2 history (window chain)",
+      cnt(graft.streaming.StreamingOps.scd2History(
+        ev1.where(col("event_type") === "purchase"))),
+      cnt(graft.streaming.StreamingOps.scd2History(
+        evN.where(col("event_type") === "purchase"))))
+    val ord1 = Tables.orders(spark, dir).where(col("o_totalprice") > 480000.0).cache()
+    ord1.count()
+    probe("bloom semi join (probe side Nx)",
+      cnt(BloomJoin.bloomSemiJoin(li1, "l_orderkey", ord1, "o_orderkey")),
+      cnt(BloomJoin.bloomSemiJoin(liN, "l_orderkey", ord1, "o_orderkey")))
     spark.stop()
   }
 }
