@@ -43,7 +43,7 @@ object SeqOps {
     * reference and to DuckDB's `list_reduce`, which is what makes it
     * oracle-hashable. Group series must fit in memory (episodes/sessions
     * do); the unbounded-stream scale path is the stateful streaming
-    * variant in [[graft.streaming.StatefulOps]].
+    * variant [[graft.streaming.StreamingOps.statefulEma]].
     * Returns one row per key: (key, out).
     */
   def emaFinal(df: DataFrame, keyCol: String, orderCols: Seq[String],
@@ -84,13 +84,17 @@ object SeqOps {
   }
 
   /** W4 variant — feasible-best: best reward among rows under the cost
-    * limit (reference train_fawac_iql.py:157-162). */
+    * limit (reference train_fawac_iql.py:157-162).
+    *
+    * Planned as `where → orderBy → limit(1)` so Spark picks
+    * `TakeOrderedAndProject`: each partition keeps its local top-1 and the
+    * driver merges — no shuffle, no single-partition sort. The previous
+    * form (`row_number` over an UNPARTITIONED window) funneled every
+    * feasible row through ONE partition, which at 100 TB is corpus-sized;
+    * PlanSpec now asserts no query plans an unpartitioned WindowExec. */
   def feasibleBest(df: DataFrame, costCol: Column, costLimit: Double,
-                   ordering: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(ordering: _*)
-    df.where(costCol < lit(costLimit))
-      .withColumn("__rk", row_number().over(w)).where(col("__rk") === 1).drop("__rk")
-  }
+                   ordering: Seq[Column]): DataFrame =
+    df.where(costCol < lit(costLimit)).orderBy(ordering: _*).limit(1)
 
   /** W5 — periodic cadence filter (reference train_fawac_iql.py:143:
     * `step % eval_every == 0`). */

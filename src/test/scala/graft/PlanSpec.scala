@@ -117,6 +117,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), "no full-sort exchange for a k-row sample")
   }
 
+  test("feasible-best plans TakeOrderedAndProject, not a single-partition window") {
+    val p = plan("w4_feasible_best")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-1 selection must be per-partition top-k + driver merge")
+    assert(!p.contains("Window"), "no window operator for a LIMIT-1 selection")
+  }
+
+  test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
+    // An empty partitionSpec moves EVERY row through one partition — a
+    // correctness-preserving scale-killer. This closes the class: any new
+    // query that reintroduces one fails here, with its name in the message.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = Queries.all.flatMap { q =>
+      val exec = q.run(spark, sf001).queryExecution.executedPlan
+      exec.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => q.name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec in: ${offenders.mkString(", ")}")
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
