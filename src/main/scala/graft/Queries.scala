@@ -789,19 +789,29 @@ object Queries {
       FROM v WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8
       ORDER BY doc_a, doc_b"""))
 
-  /** X1 end-to-end: the corpus after exact dedup + near-dup removal. */
+  /** X1 end-to-end: the corpus after exact dedup + near-dup CLUSTER
+    * removal — near-dup pairs become connected components and only the
+    * min-id representative of each cluster survives (the oracle composes
+    * the same recursive-CTE reachability as `x1_dedup_components`). */
   private val x1Pipeline = Q("x1_dedup_pipeline",
     (s, dir) => Dedup.dedupPipeline(Tables.documents(s, dir), "doc_id", "text",
       threshold = 0.8)
       .orderBy(col("doc_id")),
-    Some(s"""WITH $lshPairCtes,
-      losers AS (SELECT DISTINCT doc_b AS doc_id FROM v
-                 WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+    Some(s"""WITH RECURSIVE $lshPairCtes,
+      p AS (SELECT doc_a, doc_b FROM v
+            WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+      reach AS (SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      nonreps AS (SELECT src AS doc_id FROM reach
+                  GROUP BY src HAVING least(src, min(dst)) <> src),
       exact AS (SELECT min(doc_id) AS keep_id FROM documents
                 GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
       SELECT doc_id FROM documents
       WHERE doc_id IN (SELECT keep_id FROM exact)
-        AND doc_id NOT IN (SELECT doc_id FROM losers)
+        AND doc_id NOT IN (SELECT doc_id FROM nonreps)
       ORDER BY doc_id"""))
 
   private val x1Simhash = Q("x1_simhash",

@@ -171,19 +171,37 @@ object Dedup {
       .withColumn("n_toks", size(col("toks")))
 
   /** X1 end-to-end dedup: drop exact duplicates (keep lowest doc_id per
-    * normalized-text fingerprint), then drop the higher id of every
-    * near-duplicate pair (MinHash-LSH verified). Returns the surviving
-    * doc ids — the shape of a production corpus-dedup job. */
+    * normalized-text fingerprint), then cluster the MinHash-LSH-verified
+    * near-dup pairs into connected components and keep ONE representative
+    * (the min doc id) per cluster. Returns the surviving doc ids — the
+    * shape of a production corpus-dedup job.
+    *
+    * Cluster-then-keep-one (not drop-`doc_b`-of-every-pair) is the
+    * production semantics: pair-loser deletion keeps every node that only
+    * ever appears on the `doc_a` side — with pairs (a,c),(b,c) it keeps
+    * BOTH a and b even though they sit in one near-dup cluster — and on
+    * chains a–b, b–c its survivor set depends on how ids happen to order
+    * within pairs rather than on the clusters themselves. Components give
+    * exactly one deterministic representative per cluster
+    * ([[connectedComponents]]).
+    *
+    * The cluster representative always survives exact dedup too: identical
+    * texts produce identical signatures, so an exact-dup group is always
+    * fully connected in the pair graph, and the component min is therefore
+    * also the min of its fingerprint group. */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.8,
+                    k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                    shingleN: Int = 3,
                     caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
     val survivors = docs.select(col(idCol).as("doc_id"))
       .join(exactKept, Seq("doc_id"), "left_semi")
-    val nearDupLosers =
-      minhashLshPairs(docs, idCol, textCol, threshold = threshold, caches = caches)
-      .select(col("doc_b").as("doc_id")).distinct()
-    survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val pairs = minhashLshPairs(docs, idCol, textCol, k = k, r = r,
+      estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
+    val nonRepresentatives = connectedComponents(pairs, "doc_a", "doc_b", caches = caches)
+      .where(col("id") =!= col("component")).select(col("id").as("doc_id"))
+    survivors.join(nonRepresentatives, Seq("doc_id"), "left_anti")
   }
 
   /** Connected components over a near-dup pair graph — the step that turns

@@ -129,6 +129,46 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("X1 dedup pipeline keeps exactly one representative per near-dup cluster") {
+    // Two fixture shapes where per-PAIR loser deletion gets clusters wrong:
+    //  - star (1,3),(2,3) with the hub as the HIGHEST id: dropping doc_b of
+    //    each pair keeps BOTH spokes {1,2} even though 1,2,3 are one
+    //    cluster; components keep only the min, 1.
+    //  - chain (11,12),(12,13) with 11 ≁ 13: exactly one survivor (11) —
+    //    the cluster is neither fully deleted nor split by pair ordering.
+    // Docs: 20 words each; changing 2 edge words leaves 16 of 20 distinct
+    // 3-gram shingles shared (J = 0.8); changing both ends gives 14/22 ≈ 0.64.
+    val b1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango".split(" ")
+    val b2 = "uniform victor whiskey xray yankee zebra apple banana cherry date elder fig grape honey iris jasmine kiwi lemon mango nectar".split(" ")
+    def swapFront(w: Array[String], r: String) = (r.split(" ") ++ w.drop(2)).mkString(" ")
+    def swapBack(w: Array[String], r: String) = (w.dropRight(2) ++ r.split(" ")).mkString(" ")
+    val corpus = Seq(
+      1L -> swapFront(b1, "gryphon basilisk"),
+      2L -> swapBack(b1, "chimera wyvern"),
+      3L -> b1.mkString(" "),
+      4L -> "totally separate content about cooking pasta with garlic and fresh basil leaves tonight",
+      5L -> ("  " + b1.mkString("  ").toUpperCase), // exact dup of 3 after normalization
+      11L -> swapFront(b2, "kraken hydra"),
+      12L -> b2.mkString(" "),
+      13L -> swapBack(b2, "sphinx roc"))
+      .toDF("doc_id", "text")
+    // fixture sanity: LSH surfaces exactly the star + chain edges (doc 5
+    // rides along as an exact copy of 3)
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", k = 8, r = 2,
+      estMin = 0.5, threshold = 0.75)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), s"star edges missing: $pairs")
+    assert(pairs.contains((11L, 12L)) && pairs.contains((12L, 13L)), s"chain edges missing: $pairs")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((11L, 13L)),
+      s"edge-swapped docs must stay below threshold: $pairs")
+    val kept = Dedup.dedupPipeline(corpus, "doc_id", "text", threshold = 0.75,
+      r = 2, estMin = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // pair-loser deletion would keep {1, 2, 4, 11}; components keep the min
+    // of {1,2,3,5} and of {11,12,13}, plus the untouched doc 4
+    assert(kept == Set(1L, 4L, 11L), s"got $kept")
+  }
+
   test("X1 dedup pipeline keeps one doc per duplicate cluster") {
     val kept = graft.Graft.dedupCorpus(docs, threshold = 0.9)
       .select("doc_id").as[Long].collect().toSet
