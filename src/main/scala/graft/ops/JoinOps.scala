@@ -56,13 +56,20 @@ object JoinOps {
   }
 
   /** As-of join via the custom whole-operator stack ([[graft.plans.AsOfJoinPlan]]
-    * → Strategy → Exec): for each left row, the latest right row with
-    * rightTime ≤ leftTime in the same key. One shuffle + sort per side and a
-    * streaming merge — the plan shape a native engine would pick. Key/time
-    * columns must be LongType (v1). Right-side column names must not clash. */
+    * → Strategy → Exec): for each left row, the time-adjacent right row in
+    * the same key — `direction` picks latest-at-or-before ("backward", the
+    * default), earliest-at-or-after ("forward") or closest-either-way
+    * ("nearest", ties backward); `tolerance` (same units as the time
+    * columns) drops matches further than the bound. One shuffle + sort per
+    * side and a streaming merge — the plan shape a native engine would
+    * pick. Keys may be any orderable type (same type both sides); times any
+    * integral-backed type — long/int, date, timestamp (µs precision).
+    * Right-side column names must not clash. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -76,7 +83,8 @@ object JoinOps {
     org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
         attr(lp, leftKey), attr(rp, rightKey),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime),
+        graft.plans.AsOfDirection.parse(direction), tolerance))
   }
 
   /** Range (band) join: each row matched to the band [lo, hi) containing
