@@ -1201,6 +1201,68 @@ object Queries {
         FROM events)
       WHERE event_type = 'purchase' ORDER BY user_id, event_id"""))
 
+  /** Forward as-of through the custom operator: each purchase enriched
+    * with the user's EARLIEST click at-or-after it. Times are µs on BOTH
+    * sides (Spark `ts div 1000` of the nanos long, DuckDB `epoch_us`), so
+    * the comparison basis is engine-identical; the payload is the matched
+    * time itself, so equal-µs ties collapse to one value and first-vs-last
+    * tie choice cannot affect the hash. */
+  private val asofForward = Q("asof_join_forward",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("t_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+      JoinOps.asOfJoin(purchases, clicks, "user_id", "c_user", "t_us", "c_us",
+        direction = "forward")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("c_us").as("next_click_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT p.user_id, p.event_id, p.value,
+        (SELECT min(epoch_us(c.ts)) FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND epoch_us(c.ts) >= epoch_us(p.ts)) AS next_click_us
+      FROM events p WHERE p.event_type = 'purchase'
+      ORDER BY p.user_id, p.event_id"""))
+
+  /** Nearest as-of with a tolerance bound: each purchase matched to the
+    * temporally closest click within ±1 day (µs both sides), equal-distance
+    * ties to the earlier (backward) click. ~1 day sits between the median
+    * (~18 h) and 90th-pct (~62 h) nearest-click gap in the synthetic
+    * events, so the oracle exercises match, tie and out-of-tolerance NULL
+    * rows at every scale factor. */
+  private val asofNearest = Q("asof_join_nearest",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("t_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+      JoinOps.asOfJoin(purchases, clicks, "user_id", "c_user", "t_us", "c_us",
+        direction = "nearest", tolerance = Some(86400000000L))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("c_us").as("near_click_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, value, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS cu, epoch_us(ts) AS cus
+          FROM events WHERE event_type = 'click'),
+        j AS (SELECT user_id, event_id, cus, row_number() OVER (
+              PARTITION BY user_id, event_id
+              ORDER BY abs(cus - t) ASC,
+                       CASE WHEN cus <= t THEN 0 ELSE 1 END ASC) AS rk
+            FROM p JOIN c ON p.user_id = c.cu
+            WHERE abs(cus - t) <= 86400000000)
+      SELECT p.user_id, p.event_id, p.value, j.cus AS near_click_us
+      FROM p LEFT JOIN j ON p.user_id = j.user_id AND p.event_id = j.event_id
+        AND j.rk = 1
+      ORDER BY p.user_id, p.event_id"""))
+
   /** RANGE-frame window (vs ROWS frames elsewhere): per user, the rolling
     * 1-hour event-time sum — frame bounds in value space, not row counts. */
   private val rangeFrame = Q("range_frame_window",
@@ -1896,7 +1958,8 @@ object Queries {
     cdcScd2, cdcChangelog, bloomSemi, existsSubquery, scalarSubquery,
     histogramBuckets, x5ApproxQuantile, x6Reservoir, q5Local,
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
-    resampleLocf, funnelStages)
+    resampleLocf, funnelStages,
+    asofForward, asofNearest)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -19,7 +19,7 @@ object AsOfDirection {
   /** Right row minimizing |rightTime − leftTime|; ties break backward. */
   case object Nearest extends AsOfDirection
 
-  def parse(s: String): AsOfDirection = s.toLowerCase match {
+  def parse(s: String): AsOfDirection = s.toLowerCase(java.util.Locale.ROOT) match {
     case "backward" => Backward
     case "forward"  => Forward
     case "nearest"  => Nearest
@@ -51,6 +51,12 @@ object AsOfDirection {
   * — long/int/short/byte, date (days) or timestamp (µs) — compared and
   * differenced on the internal integral value, so timestamps keep full
   * microsecond precision (a `CAST(ts AS LONG)` would truncate to seconds).
+  *
+  * Duplicate right timestamps (pandas `merge_asof` parity): backward keeps
+  * the LAST right row with rt ≤ lt; forward keeps the FIRST right row with
+  * rt ≥ lt. Nearest at distance 0 behaves like backward (last equal-time
+  * row); at a strict distance tie (|back| == |fwd| > 0) it takes the
+  * earlier (backward) row.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
@@ -139,6 +145,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey: Any = null    // key of the retained backward candidate
       var matchTime: Long = 0L
       var matchRow: InternalRow = null // .copy()'d — sort output rows are reused
+      // FIRST right row of the most recent consumed (key, time) run — the
+      // forward candidate when rt == lt. pandas merge_asof forward parity:
+      // among equal-time right rows, forward matches the FIRST, while
+      // backward (and the backward candidate above) keeps the LAST.
+      var eqKey: Any = null
+      var eqTime: Long = 0L
+      var eqRow: InternalRow = null
 
       lIter.map { lRow =>
         val keyV = boundLk.eval(lRow)
@@ -171,7 +184,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               val hTime = toLong(hTimeV)
               if (cmp < 0 || (cmp == 0 && hTime <= time)) {
                 val r = rBuffered.next()
-                if (cmp == 0) { matchKey = hKeyV; matchTime = hTime; matchRow = r.copy() }
+                if (cmp == 0) {
+                  matchKey = hKeyV; matchTime = hTime; matchRow = r.copy()
+                  // first row of a new (key, time) run → forward-tie candidate
+                  if (eqRow == null || eqTime != hTime ||
+                      keyOrd.compare(eqKey, hKeyV) != 0) {
+                    eqKey = hKeyV; eqTime = hTime; eqRow = matchRow
+                  }
+                }
                 continue = rBuffered.hasNext
               } else {
                 continue = false
@@ -196,8 +216,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             case AsOfDirection.Backward => if (backOk) matchRow else nullRight
             case AsOfDirection.Forward  =>
               // rt == lt rows were consumed into the backward candidate by
-              // the advance loop, but forward is INCLUSIVE of rt ≥ lt
-              if (backOk && matchTime == time) matchRow
+              // the advance loop, but forward is INCLUSIVE of rt ≥ lt — and
+              // among equal-time ties it matches the FIRST right row
+              // (pandas merge_asof parity), which eqRow retains
+              if (eqRow != null && eqTime == time &&
+                  keyOrd.compare(eqKey, keyV) == 0) eqRow
               else if (fwdRow != null) fwdRow
               else nullRight
             case AsOfDirection.Nearest  =>

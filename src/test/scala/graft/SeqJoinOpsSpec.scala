@@ -104,6 +104,134 @@ class SeqJoinOpsSpec extends SparkSpec {
     assert(got == 7L)
   }
 
+  test("as-of forward: earliest at-or-after, null when no later row") {
+    val left = Seq((1L, 10L, "early"), (1L, 25L, "late"), (2L, 5L, "lone"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 50L), (1L, 12L, 120L), (1L, 20L, 200L))
+      .toDF("rk", "rt", "rv")
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("tag"), col("rv")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got("early") == 120L) // 12 is the first rt >= 10 (5 skipped)
+    assert(got("late") == -1L)   // nothing at-or-after 25
+    assert(got("lone") == -1L)   // key 2 has no right rows at all
+  }
+
+  test("as-of forward: equal-time duplicates match the FIRST right row (pandas parity)") {
+    // The sort emits the two rt==t rows in SOME fixed order; backward must
+    // return the one emitted last, forward the one emitted first — so with
+    // two distinct payloads the directions must disagree, whichever order
+    // the sort picked.
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("rk", "rt", "rv")
+    val back = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("rv")).as[Long].head()
+    val fwd = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("rv")).as[Long].head()
+    assert(Set(back, fwd) == Set(1L, 2L), s"back=$back fwd=$fwd")
+    assert(back != fwd, "forward must take the first equal-time row, backward the last")
+  }
+
+  test("as-of nearest: closer side wins, equidistant tie breaks backward") {
+    val left = Seq((1L, 10L, "fwd_closer"), (2L, 10L, "tie"),
+      (3L, 10L, "only_fwd"), (4L, 10L, "only_back")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 7L, 70L), (1L, 12L, 120L),   // |3| vs |2| → forward
+      (2L, 8L, 80L), (2L, 12L, 121L),   // |2| vs |2| → backward
+      (3L, 15L, 150L),                  // forward only
+      (4L, 2L, 20L)                     // backward only
+    ).toDF("rk", "rt", "rv")
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt", direction = "nearest")
+      .select(col("tag"), col("rv")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("fwd_closer" -> 120L, "tie" -> 80L,
+      "only_fwd" -> 150L, "only_back" -> 20L))
+  }
+
+  test("as-of tolerance: inclusive at the bound, null beyond it, per direction") {
+    val left = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 7L, 70L),   // delta 3 == tol → inclusive match
+      (2L, 5L, 50L),   // delta 5 > tol → null
+      (3L, 14L, 140L)  // forward delta 4 > tol → null forward
+    ).toDF("rk", "rt", "rv")
+    def run(dir: String) = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt",
+      direction = dir, tolerance = Some(3L))
+      .select(col("k"), col("rv")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val back = run("backward")
+    assert(back == Map(1L -> 70L, 2L -> -1L, 3L -> -1L))
+    val fwd = run("forward")
+    assert(fwd == Map(1L -> -1L, 2L -> -1L, 3L -> -1L)) // 14 is 4 past 10
+    val near = run("nearest")
+    assert(near == Map(1L -> 70L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("as-of nearest: only within-tolerance candidates compete") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 4L, 40L), (1L, 15L, 150L)).toDF("rk", "rt", "rv")
+    // |10-4|=6 out of tol 5, |15-10|=5 in → nearest returns the forward row
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt",
+      direction = "nearest", tolerance = Some(5L))
+      .select(col("rv")).as[Long].head()
+    assert(got == 150L)
+  }
+
+  test("as-of join on string keys") {
+    val left = Seq(("a", 10L), ("b", 5L), ("é", 7L)).toDF("k", "t")
+    val right = Seq(("a", 9L, 1L), ("b", 7L, 2L), ("é", 6L, 3L)).toDF("rk", "rt", "rv")
+    val got = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("k"), col("rv")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map("a" -> 1L, "b" -> -1L, "é" -> 3L))
+  }
+
+  test("as-of join on timestamp time columns keeps microsecond precision") {
+    // two right rows 1 µs apart around the left time — a seconds-truncating
+    // CAST would see all three as equal and pick the wrong row
+    val left = Seq((1L, 10_000_001L)).toDF("k", "us")
+      .select(col("k"), expr("timestamp_micros(us)").as("t"))
+    val right = Seq((1L, 10_000_000L, 100L), (1L, 10_000_002L, 200L))
+      .toDF("rk", "rus", "rv")
+      .select(col("rk"), expr("timestamp_micros(rus)").as("rt"), col("rv"))
+    val back = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("rv")).as[Long].head()
+    assert(back == 100L)
+    val fwd = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt", direction = "forward")
+      .select(col("rv")).as[Long].head()
+    assert(fwd == 200L)
+    // tolerance is in the time column's native unit (µs here): 1 µs reaches
+    // the neighbours, 0 µs reaches nothing
+    val tight = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt",
+      direction = "nearest", tolerance = Some(0L))
+    assert(tight.select(col("rv")).collect().head.isNullAt(0))
+  }
+
+  test("as-of join on date time columns (day granularity)") {
+    val left = Seq((1L, "2024-03-10")).toDF("k", "d")
+      .select(col("k"), to_date(col("d")).as("t"))
+    val right = Seq((1L, "2024-03-08", 8L), (1L, "2024-03-11", 11L))
+      .toDF("rk", "rd", "rv")
+      .select(col("rk"), to_date(col("rd")).as("rt"), col("rv"))
+    val back = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt")
+      .select(col("rv")).as[Long].head()
+    assert(back == 8L)
+    // tolerance in DAYS (DateType's native unit): 1 day excludes the
+    // 2-day-old backward row but admits the 1-day-ahead forward row
+    val near = JoinOps.asOfJoin(left, right, "k", "rk", "t", "rt",
+      direction = "nearest", tolerance = Some(1L))
+      .select(col("rv")).as[Long].head()
+    assert(near == 11L)
+  }
+
+  test("as-of direction parse rejects junk, accepts any-case names") {
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfDirection.parse("sideways")
+    }
+    assert(graft.plans.AsOfDirection.parse("FORWARD") == graft.plans.AsOfDirection.Forward)
+    assert(graft.plans.AsOfDirection.parse("Nearest") == graft.plans.AsOfDirection.Nearest)
+  }
+
   test("J3 soft update: target==source is a fixpoint (fawac.py:15-17)") {
     val t = Seq((1L, Seq(1.0, 2.0))).toDF("k", "vec")
     val got = JoinOps.softUpdate(t, t.withColumnRenamed("vec", "vec"), "k", "vec", 0.005, "u")
