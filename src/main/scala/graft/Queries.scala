@@ -28,9 +28,15 @@ import graft.streaming.StreamingOps
   */
 object Queries {
 
+  /** `eagerPlan`: constructing the DataFrame itself runs Spark jobs (the
+    * adaptive local-vs-distributed decision in Dedup.connectedComponents
+    * counts the edge graph before choosing a plan). Plan-only test sweeps
+    * skip these so "inspect the plan" never executes a query and never
+    * mutates cache state other tests observe. */
   final case class Q(name: String,
                      run: (SparkSession, String) => DataFrame,
-                     oracle: Option[String])
+                     oracle: Option[String],
+                     eagerPlan: Boolean = false)
 
   /** Shortest round-trip decimal of a double — both Scala's parser and
     * DuckDB's strtod map it back to the identical bit pattern. */
@@ -524,8 +530,13 @@ object Queries {
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir)
+      // customer is NOT hinted: it scales linearly with the fact tables
+      // (largest "dimension" in the schema), so the join strategy is left
+      // to size-based selection/AQE — at small SF it still broadcasts, at
+      // 100 TB it becomes a shuffle join instead of a forced driver OOM.
+      // nation/region are genuinely bounded (≤ 25 rows at any scale).
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name")).agg(
@@ -777,7 +788,8 @@ object Queries {
                 UNION
                 SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
       SELECT src AS doc_id, least(src, min(dst)) AS component_id
-      FROM reach GROUP BY src ORDER BY doc_id"""))
+      FROM reach GROUP BY src ORDER BY doc_id"""),
+    eagerPlan = true)
 
   private val x1Lsh = Q("x1_minhash_lsh_pairs",
     (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -812,7 +824,8 @@ object Queries {
       SELECT doc_id FROM documents
       WHERE doc_id IN (SELECT keep_id FROM exact)
         AND doc_id NOT IN (SELECT doc_id FROM nonreps)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    eagerPlan = true)
 
   private val x1Simhash = Q("x1_simhash",
     (s, dir) => Dedup.simhashFingerprint(Tables.documents(s, dir), "doc_id", "text", bits = 16)
@@ -1102,7 +1115,8 @@ object Queries {
     // independent of /tmp state across scale factors.
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
       FROM events WHERE event_id % 4 = 0
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id"""),
+    eagerPlan = true) // constructing runs the CSV sink write
 
   /** As-of join: every purchase event enriched with the user's most recent
     * at-or-before click (µs) — composed as one conditional window, no join. */
@@ -1620,7 +1634,8 @@ object Queries {
     },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
       FROM events WHERE event_type = 'purchase'
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id"""),
+    eagerPlan = true) // constructing runs the partitioned parquet sink write
 
   /** S4 JSON-lines source/sink round-trip (same proof as the CSV one:
     * doubles survive the text format via shortest-round-trip rendering). */
@@ -1639,7 +1654,8 @@ object Queries {
     },
     Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
       FROM events WHERE event_id % 7 = 0
-      GROUP BY user_id ORDER BY user_id"""))
+      GROUP BY user_id ORDER BY user_id"""),
+    eagerPlan = true) // constructing runs the JSONL sink write
 
   /** J4 — config cascade overlay (reference train_fawac_iql.py:28-32):
     * per-task overrides overlaid on defaults, full-outer so new keys
@@ -1790,11 +1806,13 @@ object Queries {
              (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
              (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel"""))
 
-  /** TPC-H Q3-style shipping priority: selective dimension filter
-    * (broadcast), fact-fact join on the order key, revenue aggregate,
-    * top-10 on the ROUNDED revenue with pk tie-break (rank stability
-    * across engines). Revenue terms price·(1−discount) live on a 4-decimal
-    * lattice → round(4) is exact. */
+  /** TPC-H Q3-style shipping priority: selective dimension filter,
+    * fact-fact join on the order key, revenue aggregate, top-10 on the
+    * ROUNDED revenue with pk tie-break (rank stability across engines).
+    * Revenue terms price·(1−discount) live on a 4-decimal lattice →
+    * round(4) is exact. The filtered customer side is NOT broadcast-hinted:
+    * the segment filter keeps ~1/5 of customers — still linear in the
+    * corpus — so strategy choice belongs to size-based selection/AQE. */
   private val q3Ship = Q("q3_shipping_priority",
     (s, dir) => {
       val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
@@ -1803,7 +1821,7 @@ object Queries {
       val l = Tables.lineitem(s, dir)
         .where(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"))

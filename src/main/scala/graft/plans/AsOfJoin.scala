@@ -52,11 +52,16 @@ object AsOfDirection {
   * differenced on the internal integral value, so timestamps keep full
   * microsecond precision (a `CAST(ts AS LONG)` would truncate to seconds).
   *
-  * Duplicate right timestamps (pandas `merge_asof` parity): backward keeps
-  * the LAST right row with rt ≤ lt; forward keeps the FIRST right row with
-  * rt ≥ lt. Nearest at distance 0 behaves like backward (last equal-time
-  * row); at a strict distance tie (|back| == |fwd| > 0) it takes the
-  * earlier (backward) row.
+  * Duplicate right timestamps: backward keeps the LAST right row with
+  * rt ≤ lt and forward the FIRST with rt ≥ lt — first/last in the
+  * operator's (key, time)-sort OUTPUT order, which is not stable w.r.t.
+  * right-side input order. That matches pandas `merge_asof` only when the
+  * selected payload is tie-invariant (equal-time right rows carry equal
+  * payloads, e.g. the matched time itself — as in the shipped queries);
+  * with distinct payloads on equal timestamps the choice is deterministic
+  * within a plan but may vary across partitionings. Nearest at distance 0
+  * behaves like backward (last equal-time row); at a strict distance tie
+  * (|back| == |fwd| > 0) it takes the earlier (backward) row.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,

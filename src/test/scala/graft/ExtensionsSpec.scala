@@ -96,6 +96,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("spark.graft.dedup.localEdgeThreshold conf forces the distributed path") {
+    // same graph as above, but the conf (not the parameter) selects the
+    // path — the operational lever a 100 TB deployment uses. Conf 0 must
+    // run min-label propagation even though the parameter default is 1M.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    spark.conf.set("spark.graft.dedup.localEdgeThreshold", "0")
+    try {
+      // maxIter 0 throws ONLY on the distributed path → proves conf routing
+      intercept[IllegalStateException] {
+        Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 0)
+      }
+      val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(dist == want)
+    } finally spark.conf.unset("spark.graft.dedup.localEdgeThreshold")
+    // conf unset → parameter default (1M) routes this 10-edge graph locally:
+    // maxIter 0 must NOT throw there
+    val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want)
+  }
+
   test("DedupCaches releases the dedup working set after materialization") {
     spark.sharedState.cacheManager.clearCache()
     val caches = new DedupCaches
