@@ -28,7 +28,8 @@ object Bench {
     "x1_minhash_lsh_pairs",      // MinHash+LSH banding
     "x2_similarity_topk",        // brute-force cosine top-k
     "x2_ann_lsh_topk",           // LSH-bucketed ANN
-    "x3_text_analysis")          // text quality/lang-id kernels
+    "x3_text_analysis",          // text quality/lang-id kernels
+    "e2e_train_step")            // full train_one_step composition
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

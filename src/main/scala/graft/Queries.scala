@@ -61,6 +61,15 @@ object Queries {
   private val IqlTau = 0.7
   private val Beta = 2.0
 
+  // e2e_train_step hyperparameters (reference fawac_configs.py shapes:
+  // reward_scale, rew_beta, exp_adv_max_reward, lag_max, cost_limit·γ^steps)
+  private val RewScale = 0.001
+  private val Beta2 = 0.5
+  private val ExpCap = 100.0
+  private val MaxLag = 10.0
+  private val SafeTheta = 0.8
+  private val CostThresh = CoreOps.costThreshold(1.0, Gamma, 5.0)
+
   // ------------------------------------------------------------------
   // §2.1 scans / ingest
   // ------------------------------------------------------------------
@@ -1953,6 +1962,241 @@ object Queries {
       FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
 
   // ------------------------------------------------------------------
+  // round 7: end-to-end composition + fidelity nuance
+  // ------------------------------------------------------------------
+
+  /** The reference's FULL `train_one_step` (fawac.py:521-551) as one
+    * declarative DAG over the transitions table — the integration query
+    * SURVEY.md §3.2 sketches ("one declarative DAG per update"). Stage by
+    * stage, matching the torch control flow:
+    *  - frozen nets = literal-weight forward passes (P10): V is a genuine
+    *    2-unit MLP (`ModelOps.mlp`), critics are affine heads; the "data
+    *    action" is the bounded cost channel (a ∈ [0,1]);
+    *  - no-grad next-state values = `lead` over episode order (J2,
+    *    fawac.py:530-532), bootstrapping 0 past the terminal row;
+    *  - V-loss = expectile/asymmetric-L2 of adv = Q_target − V (A7,
+    *    fawac.py:343-355); twin Q MSE vs TD targets (A6, fawac.py:357-373);
+    *    cost critics mirror with the clamp-at-0 contract (fawac.py:375-425);
+    *  - policy loss = exp(β·net_adv)-weighted BC residual with the penalty
+    *    gate λ = 1(costV > limit·γ^steps)·λmax (P5/P6/P8/A5,
+    *    fawac.py:427-446), plus the safety-mask diagnostic (fawac.py:390);
+    *  - soft update (J3, fawac.py:15-17): the online Q-head scale is
+    *    re-fit in closed form (least-squares of TD targets on state,
+    *    θ̂ = Σ(target·s)/Σ(s²)) and EMA'd into the frozen θ=0.2.
+    * Rewards are ingest-scaled ×0.001 (wrap_env reward_scale) so squared
+    * losses stay O(100)/row. One window pass + one global aggregate: at
+    * 100 TB this shuffles on episode_id once, then tree-aggregates — the
+    * same wall shape as s1_cost_returns. Loss outputs are SUMS + n (means
+    * derive as sum/n; a plain avg of finite-decimal data is the documented
+    * half-boundary rounding trap). */
+  private val e2eTrain = Q("e2e_train_step",
+    (s, dir) => {
+      val tr = Tables.transitions(s, dir)
+      // (episode_id, t) non-unique → total order over the value columns
+      val ord = Seq(col("t"), col("state0"), col("reward"), col("cost"), col("done"))
+      val sC = col("state0")
+      val aC = col("cost")
+      val rC = col("reward") * lit(RewScale)
+      val vNet = element_at(ModelOps.mlp(array(sC), Seq(
+        (Seq(Seq(0.3), Seq(-0.15)), Seq(-2.0, 4.0), ModelOps.relu),
+        (Seq(Seq(0.5, -0.4)), Seq(0.05), ModelOps.identityAct))), 1)
+      val qTargetNet = sC * lit(0.2) + aC * lit(0.3) - lit(0.1)
+      val q1 = sC * lit(0.25) + aC * lit(0.28)
+      val q2 = sC * lit(0.15) + aC * lit(0.32) + lit(0.2)
+      val costQt = CoreOps.clampMin(sC * lit(0.12) + aC * lit(0.05) - lit(1.2))
+      val cq1 = sC * lit(0.1) + aC * lit(0.06)
+      val cq2 = sC * lit(0.14) + aC * lit(0.04) - lit(0.3)
+      val withV = tr
+        .withColumn("v", vNet)
+        .withColumn("cost_v", CoreOps.clampMin(sC * lit(0.1) - lit(1.0)))
+      val withTgt = JoinOps.tdTarget(
+        JoinOps.tdTarget(withV, "episode_id", ord, rC, col("done"), col("v"),
+          Gamma, "q_tgt"),
+        "episode_id", ord, aC, col("done"), col("cost_v"), Gamma, "cq_tgt")
+      val adv = qTargetNet - col("v")
+      val costAdv = -(costQt - col("cost_v"))
+      val lag = CoreOps.penaltyGate(col("cost_v"), CostThresh, MaxLag)
+      val expAdv = CoreOps.expAdvantage(CoreOps.netAdvantage(adv, costAdv, lag),
+        Beta2, ExpCap)
+      val mask = CoreOps.safetyMask(col("cost_v"), costQt, SafeTheta)
+      val pi = CoreOps.clamp(sC * lit(0.04) - lit(1.0), -1.0, 1.0)
+      val aNorm = aC * lit(2.0) - lit(1.0)
+      val bc = (pi - aNorm) * (pi - aNorm)
+      def expectile(u: Column): Column =
+        abs(lit(IqlTau) - CoreOps.indicator(u < lit(0.0))) * u * u
+      withTgt.agg(
+        count(lit(1)).as("n"),
+        round(sum(expectile(adv)), 4).as("value_loss_sum"),
+        round((sum((q1 - col("q_tgt")) * (q1 - col("q_tgt")))
+          + sum((q2 - col("q_tgt")) * (q2 - col("q_tgt")))) / lit(2.0), 4)
+          .as("q_loss_halfsum"),
+        round(sum(expectile(costAdv)), 4).as("cost_v_loss_sum"),
+        round((sum((cq1 - col("cq_tgt")) * (cq1 - col("cq_tgt")))
+          + sum((cq2 - col("cq_tgt")) * (cq2 - col("cq_tgt")))) / lit(2.0), 4)
+          .as("cost_q_loss_halfsum"),
+        sum(mask).cast("long").as("n_safe"),
+        round(sum(expAdv), 4).as("exp_adv_sum"),
+        round(sum(expAdv * bc), 4).as("policy_loss_sum"),
+        sum(col("q_tgt") * sC).as("__ts"),
+        sum(sC * sC).as("__ss"))
+        .select(col("n"), col("value_loss_sum"), col("q_loss_halfsum"),
+          col("cost_v_loss_sum"), col("cost_q_loss_halfsum"), col("n_safe"),
+          col("exp_adv_sum"), col("policy_loss_sum"),
+          pround(lit(1.0 - Tau) * lit(0.2) + lit(Tau) * (col("__ts") / col("__ss")), 6)
+            .as("q_coef_soft_updated"))
+    },
+    Some("""WITH tr AS (SELECT l_orderkey AS episode_id, CAST(l_linenumber AS BIGINT) AS t,
+        l_quantity AS s, l_extendedprice*0.1 AS reward, l_discount*10.0 AS a,
+        CASE WHEN l_returnflag='R' OR l_linestatus='F' THEN 1.0 ELSE 0.0 END AS d
+      FROM lineitem),
+      f AS (SELECT *, reward*0.001 AS r,
+        0.05 + greatest(-2.0 + s*0.3, 0.0)*0.5 + greatest(4.0 + s*(-0.15), 0.0)*(-0.4) AS v,
+        greatest(s*0.1 - 1.0, 0.0) AS cost_v,
+        greatest(s*0.12 + a*0.05 - 1.2, 0.0) AS cost_qt
+      FROM tr),
+      g AS (SELECT *,
+        r + (1.0 - d) * """ + d(Gamma) + """ * coalesce(lead(v) OVER w, 0.0) AS q_tgt,
+        a + (1.0 - d) * """ + d(Gamma) + """ * coalesce(lead(cost_v) OVER w, 0.0) AS cq_tgt
+      FROM f WINDOW w AS (PARTITION BY episode_id ORDER BY t, s, reward, a, d)),
+      h AS (SELECT *,
+        (s*0.2 + a*0.3 - 0.1) - v AS adv,
+        -(cost_qt - cost_v) AS cost_adv,
+        (CASE WHEN cost_v - """ + d(CostThresh) + """ > 0.0 THEN 1.0 ELSE 0.0 END) * """ + d(MaxLag) + """ AS lag,
+        (CASE WHEN cost_v < """ + d(SafeTheta) + """ THEN 1.0 ELSE 0.0 END)
+          * (CASE WHEN cost_qt < """ + d(SafeTheta) + """ THEN 1.0 ELSE 0.0 END) AS mask,
+        least(greatest(s*0.04 - 1.0, -1.0), 1.0) AS pi
+      FROM g),
+      i AS (SELECT *,
+        least(exp(""" + d(Beta2) + """ * (adv + lag * cost_adv)), """ + d(ExpCap) + """) AS exp_adv,
+        (pi - (a*2.0 - 1.0)) * (pi - (a*2.0 - 1.0)) AS bc
+      FROM h)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(sum(abs(""" + d(IqlTau) + """ - (CASE WHEN adv < 0.0 THEN 1.0 ELSE 0.0 END)) * adv * adv), 4) AS value_loss_sum,
+        round((sum(((s*0.25 + a*0.28) - q_tgt)*((s*0.25 + a*0.28) - q_tgt))
+          + sum(((s*0.15 + a*0.32 + 0.2) - q_tgt)*((s*0.15 + a*0.32 + 0.2) - q_tgt))) / 2.0, 4) AS q_loss_halfsum,
+        round(sum(abs(""" + d(IqlTau) + """ - (CASE WHEN cost_adv < 0.0 THEN 1.0 ELSE 0.0 END)) * cost_adv * cost_adv), 4) AS cost_v_loss_sum,
+        round((sum(((s*0.1 + a*0.06) - cq_tgt)*((s*0.1 + a*0.06) - cq_tgt))
+          + sum(((s*0.14 + a*0.04 - 0.3) - cq_tgt)*((s*0.14 + a*0.04 - 0.3) - cq_tgt))) / 2.0, 4) AS cost_q_loss_halfsum,
+        CAST(sum(mask) AS BIGINT) AS n_safe,
+        round(sum(exp_adv), 4) AS exp_adv_sum,
+        round(sum(exp_adv * bc), 4) AS policy_loss_sum,
+        """ + proundSql(d(1.0 - Tau) + "*0.2 + " + d(Tau) + "*(sum(q_tgt * s) / sum(s * s))", 6) + """ AS q_coef_soft_updated
+      FROM i"""))
+
+  /** S3 trajectory-granular outlier filter (reference
+    * train_fawac_iql.py:66-75 `outliers_percent` → dsrl pre_process_data):
+    * per-episode total cost, drop every transition of the top-2.5%
+    * costliest episodes. Threshold = exact discrete 0.975-quantile
+    * (one aggregate + broadcast scalar — no global ranking window);
+    * episode costs are lattice-rounded (cost = l_discount·10 has 1
+    * decimal) so both engines compare identical doubles. */
+  private val s3Outliers = Q("s3_outlier_trajectories",
+    (s, dir) => SeqOps.dropOutlierTrajectories(Tables.transitions(s, dir),
+      "episode_id", col("cost"), pct = 0.025, roundDigits = 1)
+      .groupBy(col("episode_id"))
+      .agg(min(col("episode_cost")).as("episode_cost"),
+        count(lit(1)).as("n_t"))
+      .orderBy(col("episode_id")),
+    Some("""WITH tr AS (SELECT l_orderkey AS episode_id, l_discount*10.0 AS cost FROM lineitem),
+      ep AS (SELECT episode_id, round(sum(cost), 1) AS ep_cost,
+               CAST(count(*) AS BIGINT) AS n_t
+             FROM tr GROUP BY episode_id),
+      thr AS (SELECT quantile_disc(ep_cost, 0.975) AS t FROM ep)
+      SELECT episode_id, ep_cost AS episode_cost, n_t
+      FROM ep, thr WHERE ep_cost < t ORDER BY episode_id"""))
+
+  /** W3 with the reference's episode-length cap exercised end-to-end
+    * (fawac.py:601: rollouts stop at ≤300 steps; the synthetic sessions
+    * are shorter, so the query caps at 20 to make the path bite at every
+    * scale factor): per-user accumulation over only the first N events. */
+  private val w3Capped = Q("w3_capped_accumulation",
+    (s, dir) => SeqOps.sessionAgg(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("value"), lengthCap = Some(20))
+      .select(col("user_id"), round(col("session_sum"), 4).as("session_sum"),
+        col("session_len"), col("session_min"), col("session_max"))
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, round(sum(value), 4) AS session_sum,
+      CAST(count(*) AS BIGINT) AS session_len,
+      min(value) AS session_min, max(value) AS session_max
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts), event_id) AS rn FROM events)
+      WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""))
+
+  /** Backward as-of through the custom operator, verified against
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — engine-native as-of on both sides
+    * (the other as-of oracles emulate with windows/subqueries). Payload is
+    * the matched time itself, so equal-time tie choice cannot affect the
+    * hash (see AsOfJoin scaladoc). */
+  private val asofNativeOracle = Q("asof_join_native_oracle",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("t_us"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+      JoinOps.asOfJoin(purchases, clicks, "user_id", "c_user", "t_us", "c_us")
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("c_us").as("last_click_us"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH p AS (SELECT user_id, event_id, value, epoch_us(ts) AS t_us
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+          FROM events WHERE event_type = 'click')
+      SELECT p.user_id, p.event_id, p.value, c.c_us AS last_click_us
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.c_user AND p.t_us >= c.c_us
+      ORDER BY p.user_id, p.event_id"""))
+
+  /** P10 at depth: TWO chained table-driven layers (64→8→4 ReLU), the
+    * reference's multi-hidden-layer production inference shape
+    * (fawac.py:112-144 nets are 2×256) — layer 1's activation table
+    * re-joins layer 2's broadcast weight table (ModelOps.mlpFromTables).
+    * Activations round per layer on BOTH sides so partial-sum order
+    * differences cannot compound across layers. Layer 1 rounds at 6
+    * (embedding sums are off-lattice; same accepted regime as
+    * p10_table_inference); layer 2 rounds at 7 — its true values lie
+    * EXACTLY on the 1e-7 lattice (6-decimal activations × 1-decimal
+    * weights + 1-decimal bias), so 7 digits is the lattice-safe scale,
+    * while rounding at 6 puts every value on a .5 boundary where engine
+    * ulps decide (observed live at sf0.001). */
+  private val p10Deep = Q("p10_deep_table_inference",
+    (s, dir) => {
+      val i1 = col("id") % 64
+      val j1 = expr("id div 64")
+      val w1 = s.range(8L * 64L).select(i1.as("i"), j1.as("j"),
+        ((((lit(3) * j1 + lit(5) * i1) % 13) - lit(6)).cast("double") / lit(10.0)).as("w"))
+      val i2 = col("id") % 8
+      val j2 = expr("id div 8")
+      val w2 = s.range(4L * 8L).select(i2.as("i"), j2.as("j"),
+        ((((lit(7) * i2 + lit(11) * j2) % 9) - lit(4)).cast("double") / lit(10.0)).as("w"))
+      val bias2: Column => Column = j =>
+        (((lit(3) * j) % 5) - lit(2)).cast("double") / lit(10.0)
+      ModelOps.mlpFromTables(Tables.embeddings(s, dir), "vec_id", "embedding", Seq(
+        (w1, ModelOps.pseudoBias, ModelOps.relu, 6),
+        (w2, bias2, ModelOps.relu, 7)))
+        .orderBy(col("vec_id"), col("j"))
+    },
+    Some("""WITH i64 AS (SELECT unnest(range(64)) AS i),
+      o8 AS (SELECT unnest(range(8)) AS j),
+      i8 AS (SELECT unnest(range(8)) AS i),
+      o4 AS (SELECT unnest(range(4)) AS j),
+      x AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings CROSS JOIN i64),
+      w1 AS (SELECT i, j, CAST(((3*j + 5*i) % 13) - 6 AS DOUBLE) / 10.0 AS w
+            FROM i64 CROSS JOIN o8),
+      h1 AS (SELECT vec_id, CAST(j AS BIGINT) AS j,
+               round(greatest(sum(x * w) + CAST((5*j) % 7 - 3 AS DOUBLE) / 10.0, 0.0), 6) AS h
+            FROM x JOIN w1 USING (i) GROUP BY vec_id, j),
+      x2 AS (SELECT vec_id, j AS i, h AS x FROM h1),
+      w2 AS (SELECT i, j, CAST(((7*i + 11*j) % 9) - 4 AS DOUBLE) / 10.0 AS w
+            FROM i8 CROSS JOIN o4),
+      h2 AS (SELECT vec_id, CAST(j AS BIGINT) AS j,
+               round(greatest(sum(x * w) + CAST((3*j) % 5 - 2 AS DOUBLE) / 10.0, 0.0), 7) AS h
+            FROM x2 JOIN w2 USING (i) GROUP BY vec_id, j)
+      SELECT vec_id, j, h FROM h2 ORDER BY vec_id, j"""))
+
+  // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
     s1Ingest, s3Preprocess,
@@ -1977,7 +2221,8 @@ object Queries {
     histogramBuckets, x5ApproxQuantile, x6Reservoir, q5Local,
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages,
-    asofForward, asofNearest)
+    asofForward, asofNearest,
+    e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

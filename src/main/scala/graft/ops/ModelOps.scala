@@ -67,10 +67,43 @@ object ModelOps {
                           activation: Column => Column): org.apache.spark.sql.DataFrame = {
     val x = xs.select(col(idCol), posexplode(col(vecCol).cast("array<double>")))
       .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-    x.join(broadcast(weights), "i")
+    denseLayerFromKV(x, idCol, weights, bias, activation)
+  }
+
+  /** One table-driven layer over input ALREADY in the (id, i, x) activation
+    * -table shape — the chaining form: layer k's (id, j, h) output renames
+    * to (id, i, x) and feeds layer k+1. Weight tables stay broadcast
+    * (params ≪ data); each layer is one shuffle of the activation table on
+    * (id, j), carrying one double per (row, unit). */
+  def denseLayerFromKV(xs: org.apache.spark.sql.DataFrame, idCol: String,
+                       weights: org.apache.spark.sql.DataFrame,
+                       bias: Column => Column,
+                       activation: Column => Column): org.apache.spark.sql.DataFrame =
+    xs.join(broadcast(weights), "i")
       .groupBy(col(idCol), col("j"))
       .agg(sum(col("x") * col("w")).as("__s"))
       .select(col(idCol), col("j"),
         activation(col("__s") + bias(col("j"))).as("h"))
+
+  /** P10 multi-layer table-driven inference: the production shape of the
+    * reference's 2-hidden-layer nets (fawac.py:112-144 builds
+    * Linear→ReLU→Linear→ReLU→Linear; weights live in state_dict tables,
+    * not literals). Layers = (weightTable(i, j, w), bias, activation,
+    * roundDigits): each layer's activations are rounded before feeding the
+    * next so partial-sum ordering differences cannot compound across
+    * layers — the engine-parity analogue of per-layer quantization.
+    * Input: (idCol, vecCol array); output: (idCol, j, h) of the last layer. */
+  def mlpFromTables(xs: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+                    layers: Seq[(org.apache.spark.sql.DataFrame, Column => Column,
+                                 Column => Column, Int)]): org.apache.spark.sql.DataFrame = {
+    require(layers.nonEmpty, "mlpFromTables needs at least one layer")
+    val (w0, b0, act0, d0) = layers.head
+    val first = denseLayerFromTable(xs, idCol, vecCol, w0, b0, act0)
+      .select(col(idCol), col("j"), round(col("h"), d0).as("h"))
+    layers.tail.foldLeft(first) { case (prev, (wk, bk, actk, dk)) =>
+      val asInput = prev.select(col(idCol), col("j").as("i"), col("h").as("x"))
+      denseLayerFromKV(asInput, idCol, wk, bk, actk)
+        .select(col(idCol), col("j"), round(col("h"), dk).as("h"))
+    }
   }
 }

@@ -76,6 +76,34 @@ object SeqOps {
       max(valueCol).as("session_max"))
   }
 
+  /** S3 — trajectory-level outlier removal (reference
+    * train_fawac_iql.py:66-75 passes `outliers_percent` to dsrl's
+    * `pre_process_data`, which drops the ENTIRE top-% of trajectories by
+    * total cost — an episode-granular filter, not the row-level range
+    * filter of [[graft.Queries]] s3_preprocess_density).
+    *
+    * Shape chosen for scale: the cutoff is the exact discrete (1−pct)
+    * quantile of the per-episode cost (`percentile_disc`, SQL-standard
+    * inverse ECDF — one aggregate), broadcast back as a one-row frame.
+    * NOT a `row_number` over an unpartitioned window: ranking every
+    * episode through one partition is the single-partition funnel
+    * PlanSpec bans. Episodes with cost ≥ the cutoff drop (ties at the
+    * cutoff all drop — deterministic because the cost is rounded onto the
+    * data's lattice first, so both engines compare identical doubles).
+    * Returns the surviving transitions with `episode_cost` attached. */
+  def dropOutlierTrajectories(df: DataFrame, episodeCol: String, costCol: Column,
+                              pct: Double, roundDigits: Int): DataFrame = {
+    val q = java.lang.Double.toString(1.0 - pct)
+    val ep = df.groupBy(col(episodeCol))
+      .agg(round(sum(costCol), roundDigits).as("__ep_cost"))
+    val thr = ep.agg(
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY __ep_cost)").as("__thr"))
+    val keep = ep.crossJoin(broadcast(thr))
+      .where(col("__ep_cost") < col("__thr"))
+      .select(col(episodeCol), col("__ep_cost").as("episode_cost"))
+    df.join(keep, Seq(episodeCol))
+  }
+
   /** W4 — best-so-far / top-1 selection with tie-break (reference
     * train_fawac_iql.py:153-155: lowest cost, then highest reward). */
   def bestPerKey(df: DataFrame, keyCols: Seq[String], ordering: Seq[Column]): DataFrame = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 operators: chained table-driven MLP inference and
+  * trajectory-level outlier removal. */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mlpFromTables: two chained layers equal the literal-weight mlp") {
+    // 3-dim input, 2→2 layers with hand-picked weights; the table-driven
+    // chain must agree with ModelOps.mlp's literal fold (same math, two
+    // execution strategies)
+    val xs = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(-1.0, 0.5, 0.0)))
+      .toDF("id", "vec")
+    val w1lit = Seq(Seq(0.1, 0.2, -0.3), Seq(0.4, -0.5, 0.6))
+    val b1 = Seq(0.1, -0.2)
+    val w2lit = Seq(Seq(1.0, -1.0), Seq(0.5, 0.5))
+    val b2 = Seq(0.0, 0.3)
+    val w1 = w1lit.zipWithIndex.flatMap { case (row, j) =>
+      row.zipWithIndex.map { case (w, i) => (i.toLong, j.toLong, w) }
+    }.toDF("i", "j", "w")
+    val w2 = w2lit.zipWithIndex.flatMap { case (row, j) =>
+      row.zipWithIndex.map { case (w, i) => (i.toLong, j.toLong, w) }
+    }.toDF("i", "j", "w")
+    def biasOf(bs: Seq[Double]): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      j => element_at(array(bs.map(lit): _*), (j + 1).cast("int"))
+    val got = ModelOps.mlpFromTables(xs, "id", "vec", Seq(
+      (w1, biasOf(b1), ModelOps.relu, 9),
+      (w2, biasOf(b2), ModelOps.relu, 9)))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, j, h) => (id, j) -> h }.toMap
+    val want = xs.select(col("id"),
+      posexplode(ModelOps.mlp(col("vec"), Seq(
+        (w1lit, b1, ModelOps.relu), (w2lit, b2, ModelOps.relu)))))
+      .select(col("id"), col("pos").cast("long"), round(col("col"), 9))
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, j, h) => (id, j) -> h }.toMap
+    assert(got.keySet == want.keySet)
+    // per-layer rounding at 9 digits makes the two strategies' partial-sum
+    // orders agree exactly on this tiny fixture
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-8, s"$k: $v vs ${want(k)}") }
+  }
+
+  test("dropOutlierTrajectories drops whole top-pct episodes, keeps the rest intact") {
+    // episodes with total costs 1, 2, 3, 100; pct=0.25 → cutoff is the
+    // 0.75-quantile (inverse ECDF → 3.0); episodes at/above it drop WHOLE
+    val tr = Seq(
+      (1L, 1, 0.5), (1L, 2, 0.5),          // cost 1.0
+      (2L, 1, 2.0),                         // cost 2.0
+      (3L, 1, 1.0), (3L, 2, 1.0), (3L, 3, 1.0), // cost 3.0 — at cutoff, drops
+      (4L, 1, 100.0))                       // outlier, drops
+      .toDF("episode_id", "t", "cost")
+    val kept = SeqOps.dropOutlierTrajectories(tr, "episode_id", col("cost"),
+      pct = 0.25, roundDigits = 1)
+    val eps = kept.select("episode_id").distinct().as[Long].collect().toSet
+    assert(eps == Set(1L, 2L), s"survivors: $eps")
+    // every transition of a surviving episode survives, cost attached
+    assert(kept.count() == 3)
+    val costs = kept.select("episode_id", "episode_cost")
+      .distinct().as[(Long, Double)].collect().toMap
+    assert(costs == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("sessionAgg lengthCap keeps only the first N rows per key") {
+    val df = (1 to 10).map(i => (1L, i, i.toDouble)).toDF("k", "t", "v")
+    val capped = SeqOps.sessionAgg(df, "k", Seq(col("t")), col("v"),
+      lengthCap = Some(3)).as[(Long, Double, Long, Double, Double)].head()
+    assert(capped == ((1L, 6.0, 3L, 1.0, 3.0))) // sum 1+2+3, len 3, min 1, max 3
+  }
+}
