@@ -293,6 +293,26 @@ object Queries {
     Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
       FROM events WHERE event_id % 10 = 0 ORDER BY event_id"""))
 
+  /** J1 exact with-replacement semantics (fawac.py:77-85): 2048 seeded
+    * positional draws (the reference's batch_size) gathered from the
+    * events table by dense event_id — duplicate draws replicate rows, so
+    * the output keys on draw_id, not event_id. Pure per-row projection
+    * after the gather join: bit-exact across engines, no rounding. */
+  private val j1Gather = Q("j1_gather_sample",
+    (s, dir) => JoinOps.gatherSample(Tables.events(s, dir), "event_id",
+      nDraws = 2048, seed = 7L)
+      .select(col("draw_id"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("draw_id")),
+    Some("""WITH draws AS (
+        SELECT d AS draw_id,
+          (7 + d) * 48271 % 2147483647 * 48271 % 2147483647
+            % (SELECT count(*) FROM events) AS idx
+        FROM (SELECT unnest(range(2048)) AS d))
+      SELECT draw_id, e.event_id, e.user_id, e.event_type, e.value
+      FROM draws JOIN events e ON e.event_id = idx
+      ORDER BY draw_id"""))
+
   private val j2Td = Q("j2_td_target",
     (s, dir) => JoinOps.tdTarget(Tables.events(s, dir), "user_id",
       Seq(col("ts"), col("event_id")), col("value"), lit(0.0), col("value"),
@@ -2222,7 +2242,7 @@ object Queries {
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages,
     asofForward, asofNearest,
-    e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep)
+    e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

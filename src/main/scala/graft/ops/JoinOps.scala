@@ -40,6 +40,32 @@ object JoinOps {
                    withReplacement: Boolean = true): DataFrame =
     df.sample(withReplacement, fraction, seed)
 
+  /** J1 (exact semantics) — the reference's with-replacement positional
+    * gather (fawac.py:77-85: `torch.randint(0, size, (batch,))` then
+    * index into the buffer) as an index-table join: draw k maps to
+    * position `lcg2(seed + k) mod N` and an inner join on the dense
+    * position column replicates a row once per draw that lands on it —
+    * true replacement semantics (duplicate indices → duplicate rows),
+    * unlike Bernoulli [[seededSample]].
+    *
+    * The RNG is two rounds of the minstd LCG (x·48271 mod 2³¹−1) written
+    * in plain int64 arithmetic so any SQL engine reproduces the draw
+    * stream bit-for-bit (torch's RNG is not portable); intermediates stay
+    * < 2⁴⁷, safe under ANSI overflow checking. N is a broadcast one-row
+    * count, so the plan is: tiny draw table (batch-sized) built →
+    * broadcast-hash-join against the corpus scan. No shuffle of the
+    * corpus, no global row-numbering — the gather requires `posCol` to be
+    * dense 0..N−1 (a replay buffer's position is, by construction). */
+  def gatherSample(df: DataFrame, posCol: String, nDraws: Long, seed: Long): DataFrame = {
+    val n = df.agg(count(lit(1)).cast("long").as("__n"))
+    val s1 = (lit(seed) + col("id")) * lit(48271L) % lit(2147483647L)
+    val draws = df.sparkSession.range(nDraws)
+      .crossJoin(broadcast(n))
+      .select(col("id").as("draw_id"),
+        (s1 * lit(48271L) % lit(2147483647L) % col("__n")).as("__idx"))
+    broadcast(draws).join(df, col("__idx") === col(posCol)).drop("__idx")
+  }
+
   /** As-of lookup composed from a single conditional window — for each row,
     * the most recent at-or-before row of a marker type within the same key
     * (the events-enrichment as-of join, SURVEY.md §2.3 taxonomy). One hash

@@ -13,6 +13,8 @@ import graft.sources.Tables
   *   simhash    — stage timings of simhash fingerprints + banded pairs
   *   components — per-round timings of distributed connected components
   *   entry      — the driver's t1 smoke (SparkEntry.entry rows>0)
+  *   explain    — formatted physical plan of one declared query
+  *                (runMain graft.tools.Profile explain <query> [sfDir])
   */
 object Profile {
   def time[T](label: String)(f: => T): T = {
@@ -38,7 +40,13 @@ object Profile {
       case "simhash"    => simhash(spark, dir)
       case "components" => components(spark, dir)
       case "entry"      => entry(spark)
-      case other => sys.error(s"unknown mode '$other' (minhash|simhash|components|entry)")
+      case "explain" =>
+        val name = args.lift(1).getOrElse(sys.error("explain needs a query name"))
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+        val q = graft.Queries.all.find(_.name == name)
+          .getOrElse(sys.error(s"no query named '$name'"))
+        q.run(spark, sfDir).explain("formatted")
+      case other => sys.error(s"unknown mode '$other' (minhash|simhash|components|entry|explain)")
     }
     spark.stop()
   }

@@ -63,6 +63,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(costs == Map(1L -> 1.0, 2L -> 2.0))
   }
 
+  test("gatherSample replicates rows for duplicate draws (with replacement)") {
+    // 4-row table, 16 draws: pigeonhole forces duplicate indices; every
+    // draw must land exactly one row and duplicates must materialize
+    val df = (0L to 3L).map(i => (i, s"p$i")).toDF("pos", "payload")
+    val got = JoinOps.gatherSample(df, "pos", nDraws = 16, seed = 7L)
+      .select(col("draw_id"), col("pos")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 16, "one row per draw")
+    assert(got.map(_._1).toSeq == (0L to 15L), "every draw id present exactly once")
+    // reproduce the draw stream independently (minstd LCG, two rounds)
+    val want = (0L to 15L).map(k => (7L + k) * 48271L % 2147483647L * 48271L % 2147483647L % 4L)
+    assert(got.map(_._2).toSeq == want)
+    assert(want.distinct.length < want.length, "fixture exercises replacement")
+  }
+
   test("sessionAgg lengthCap keeps only the first N rows per key") {
     val df = (1 to 10).map(i => (1L, i, i.toDouble)).toDF("k", "t", "v")
     val capped = SeqOps.sessionAgg(df, "k", Seq(col("t")), col("v"),
