@@ -1631,6 +1631,25 @@ object Queries {
       SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
       FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** X3 — benchmark decontamination: docs with doc_id ≡ 7 (mod 10) play
+    * the eval set; the report lists every training doc sharing a word
+    * 8-gram with it. Spark joins on xxhash64 of the gram (the scale
+    * shape — broadcast longs, corpus never shuffled); the oracle joins on
+    * the gram STRINGS, so any hash collision would fail the gate here. */
+  private val x3Decon = Q("x3_decontaminate",
+    (s, dir) => TextOps.contaminationReport(Tables.documents(s, dir),
+      "doc_id", "text", isBench = col("doc_id") % 10 === 7, n = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      i AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) AS i FROM toks),
+      grams AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+8], ' ') AS g FROM i),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 7)
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM grams g JOIN bench USING (g) WHERE g.doc_id % 10 <> 7
+      GROUP BY g.doc_id ORDER BY doc_id"""))
+
   /** X2 int8 scalar quantization of the embedding column (4× ANN memory
     * cut) with per-element reconstruction error — portable floor(x+0.5)
     * rounding, identical FP ops in both engines. */
@@ -2242,7 +2261,8 @@ object Queries {
     x6Split, x6Sample, x6Pack, p10Table, q3Ship,
     resampleLocf, funnelStages,
     asofForward, asofNearest,
-    e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather)
+    e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
+    x3Decon)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

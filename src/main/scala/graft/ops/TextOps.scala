@@ -140,6 +140,60 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Word n-grams of a token-array column: positions 0..L−n joined with
+    * single spaces; empty array when the doc is shorter than n. Takes the
+    * tokens as an ALREADY-PROJECTED column (not an expression) so the
+    * `transform` lambda references an attribute — re-deriving the token
+    * array per n-gram inside the lambda is the HOF re-evaluation trap. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** X3 — benchmark decontamination report (the standard training-data
+    * hygiene pass: a training document that shares any word n-gram with an
+    * evaluation/benchmark document leaks eval answers into training and
+    * must be dropped — the n-gram-overlap rule used by public LLM data
+    * pipelines; n=8 is the conventional window).
+    *
+    * Returns (doc_id, n_hits) for every NON-bench doc sharing ≥1 distinct
+    * n-gram with the bench slice; anti-join the corpus on it to clean
+    * ([[decontaminated]]).
+    *
+    * Scale shape: both sides reduce n-grams to 64-bit `xxhash64` before
+    * any join — the bench gram set (eval suites are corpus-tiny) becomes
+    * a broadcast of longs and the corpus side probes it in place, so the
+    * 100 TB scan is never shuffled and never materializes gram STRINGS
+    * past its own projection. A hash collision could over-drop one doc
+    * with probability ~|bench|·|corpus-grams|/2⁶⁴ — the standard accepted
+    * trade (the DuckDB oracle joins on the strings themselves, so the
+    * correctness gate would surface a collision as a mismatch). */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          isBench: Column, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), isBench.as("__bench"),
+        tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__bench"),
+        explode(wordNgrams(col("__t"), n)).as("g"))
+      .select(col("doc_id"), col("__bench"), xxhash64(col("g")).as("gh"))
+    val benchGrams = grams.where(col("__bench")).select("gh").distinct()
+    grams.where(!col("__bench"))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gh")).as("n_hits"))
+  }
+
+  /** The cleaned corpus: every non-bench doc with zero benchmark n-gram
+    * overlap (bench docs themselves pass through — they ARE the eval set,
+    * callers split on `isBench` downstream). */
+  def decontaminated(docs: DataFrame, idCol: String, textCol: String,
+                     isBench: Column, n: Int = 8): DataFrame =
+    docs.join(
+      contaminationReport(docs, idCol, textCol, isBench, n)
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** X3 — TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df) with df = documents containing the term. The document
     * frequency table is vocabulary-sized and broadcast; the rank is over

@@ -77,6 +77,25 @@ class Round7OpsSpec extends SparkSpec {
     assert(want.distinct.length < want.length, "fixture exercises replacement")
   }
 
+  test("decontaminate drops exactly the docs sharing a bench n-gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),   // bench (3-grams incl "quick brown fox")
+      (2L, "a quick brown fox ran away fast"),     // shares "quick brown fox" → drops
+      (3L, "totally unrelated words in this doc"), // clean
+      (4L, "tiny"),                                 // shorter than n → no grams, clean
+      (5L, "the quick brown dog sleeps all day"))  // "the quick brown" matches → drops
+      .toDF("doc_id", "text")
+    val isBench = col("doc_id") === 1L
+    val report = TextOps.contaminationReport(docs, "doc_id", "text", isBench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(report.keySet == Set(2L, 5L), s"report: $report")
+    assert(report(2L) >= 1 && report(5L) >= 1)
+    val clean = TextOps.decontaminated(docs, "doc_id", "text", isBench, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // bench doc passes through; contaminated 2 and 5 drop
+    assert(clean == Set(1L, 3L, 4L), s"clean: $clean")
+  }
+
   test("sessionAgg lengthCap keeps only the first N rows per key") {
     val df = (1 to 10).map(i => (1L, i, i.toDouble)).toDF("k", "t", "v")
     val capped = SeqOps.sessionAgg(df, "k", Seq(col("t")), col("v"),
