@@ -1650,6 +1650,43 @@ object Queries {
       FROM grams g JOIN bench USING (g) WHERE g.doc_id % 10 <> 7
       GROUP BY g.doc_id ORDER BY doc_id"""))
 
+  /** X3 — Gopher-style repetition quality gates: duplicate-bigram ratio
+    * and top-token frequency ratio per doc. Counts are exact integers;
+    * the two ratios use portable rounding (ratios of small ints land
+    * near decimal boundaries often enough to hit the round-half trap). */
+  private val x3Repetition = Q("x3_repetition_quality",
+    (s, dir) => {
+      val r = TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+      r.select(col("doc_id"), col("n_toks"), col("n_grams"), col("n_dup_grams"),
+        col("top_tok_cnt"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(pround(col("n_dup_grams").cast("double") / col("n_grams"), 4))
+          .as("dup_gram_ratio"),
+        pround(col("top_tok_cnt").cast("double") / col("n_toks"), 4).as("top_tok_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_toks FROM toks WHERE len(t) > 0),
+      gi AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i FROM base),
+      g AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g FROM gi),
+      gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(DISTINCT g) AS BIGINT) AS n_uniq FROM g GROUP BY doc_id),
+      tok AS (SELECT doc_id, unnest(t) AS tok FROM base),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+      top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_tok_cnt FROM tc GROUP BY doc_id)
+      SELECT b.doc_id, b.n_toks,
+        coalesce(gs.n_grams, 0) AS n_grams,
+        coalesce(gs.n_grams - gs.n_uniq, 0) AS n_dup_grams,
+        top.top_tok_cnt,
+        CASE WHEN coalesce(gs.n_grams, 0) = 0 THEN 0.0
+             ELSE """ + proundSql("(gs.n_grams - gs.n_uniq) / CAST(gs.n_grams AS DOUBLE)", 4) + """ END AS dup_gram_ratio,
+        """ + proundSql("top.top_tok_cnt / CAST(b.n_toks AS DOUBLE)", 4) + """ AS top_tok_ratio
+      FROM (SELECT doc_id, n_toks FROM base) b
+      JOIN top USING (doc_id) LEFT JOIN gs USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** X2 int8 scalar quantization of the embedding column (4× ANN memory
     * cut) with per-element reconstruction error — portable floor(x+0.5)
     * rounding, identical FP ops in both engines. */
@@ -2262,7 +2299,7 @@ object Queries {
     resampleLocf, funnelStages,
     asofForward, asofNearest,
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
-    x3Decon)
+    x3Decon, x3Repetition)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -194,6 +194,41 @@ object TextOps {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** X3 — intra-document repetition signals (the Gopher/MassiveText
+    * quality rules: a doc whose n-grams or single tokens repeat heavily is
+    * boilerplate/spam and gets filtered before training). Returns per doc:
+    * token count, n-gram count, duplicate-n-gram count (total − distinct)
+    * and the multiplicity of the most frequent token; callers derive the
+    * ratio thresholds.
+    *
+    * Scale shape: the n-gram duplication stats are pure per-row HOFs over
+    * the projected token array (`array_distinct` is O(L log L) in the doc
+    * length — no shuffle, no explode). The top-token multiplicity needs a
+    * corpus-wide word-count, done as the canonical two-phase aggregate:
+    * explode → partial-combine on (doc, token) → max per doc. Doc-level
+    * stats ride through both phases as `min()` (constant per doc), so the
+    * corpus is scanned once and shuffled once, already token-granular. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), col("__t"), wordNgrams(col("__t"), n).as("__g"))
+      .select(col("doc_id"), col("__t"),
+        size(col("__t")).cast("long").as("n_toks"),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_uniq"))
+    base.select(col("doc_id"), col("n_toks"), col("n_grams"), col("n_uniq"),
+        explode(col("__t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__c"), min("n_toks").as("n_toks"),
+        min("n_grams").as("n_grams"), min("n_uniq").as("n_uniq"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("__c")).as("top_tok_cnt"), min("n_toks").as("n_toks"),
+        min("n_grams").as("n_grams"), min("n_uniq").as("n_uniq"))
+      .select(col("doc_id"), col("n_toks"), col("n_grams"),
+        (col("n_grams") - col("n_uniq")).as("n_dup_grams"), col("top_tok_cnt"))
+  }
+
   /** X3 — TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df) with df = documents containing the term. The document
     * frequency table is vocabulary-sized and broadcast; the rank is over

@@ -96,6 +96,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(clean == Set(1L, 3L, 4L), s"clean: $clean")
   }
 
+  test("repetitionStats counts duplicate bigrams and top-token multiplicity") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // toks 5; bigrams: ab,ba,ab,ba → 4 grams, 2 uniq, 2 dup; top tok 'a' ×3
+      (2L, "x y z"),       // 3 toks, 2 grams, 0 dup, top 1
+      (3L, "solo"))        // 1 tok, 0 grams, top 1
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 5L, 4L, 2L, 3L),
+      (2L, 3L, 2L, 0L, 1L),
+      (3L, 1L, 0L, 0L, 1L)))
+  }
+
   test("sessionAgg lengthCap keeps only the first N rows per key") {
     val df = (1 to 10).map(i => (1L, i, i.toDouble)).toDF("k", "t", "v")
     val capped = SeqOps.sessionAgg(df, "k", Seq(col("t")), col("v"),
