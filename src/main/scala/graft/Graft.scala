@@ -116,6 +116,23 @@ object Graft {
                textCol: String = "text"): DataFrame =
     TextOps.tfidfTopTerms(docs, idCol, textCol, k)
 
+  /** X3: benchmark decontamination — drop every training doc sharing a
+    * word n-gram with the eval slice (bench docs pass through). */
+  def decontaminate(docs: DataFrame, isBench: Column, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextOps.decontaminated(docs, idCol, textCol, isBench, n)
+
+  /** X3: Gopher-style repetition signals (duplicate-n-gram count,
+    * top-token multiplicity) for quality filtering. */
+  def repetitionStats(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    TextOps.repetitionStats(docs, idCol, textCol, n)
+
+  /** J1 exact semantics: seeded with-replacement positional gather
+    * (duplicate draws replicate rows), broadcast index join. */
+  def gatherSample(df: DataFrame, posCol: String, nDraws: Long, seed: Long): DataFrame =
+    JoinOps.gatherSample(df, posCol, nDraws, seed)
+
   /** X1: SimHash near-dup pairs (wide-band blocking + Hamming verify). */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame =
