@@ -178,6 +178,12 @@ object Graft {
     StreamingOps.incrementalExactDedup(docs, idCol, textCol, corpusPath, ledgerPath, checkpoint)
 
   /** Incremental near-dedup (foreachBatch + MinHash signature ledger). */
+  def decontaminateIncremental(docs: DataFrame, benchLedgerPath: String,
+                               corpusPath: String, checkpoint: String,
+                               n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingOps.incrementalDecontaminate(docs, "doc_id", "text",
+      benchLedgerPath, corpusPath, checkpoint, n)
+
   def nearDedupIncremental(docs: DataFrame, corpusPath: String, ledgerPath: String,
                            checkpoint: String, idCol: String = "doc_id",
                            textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =

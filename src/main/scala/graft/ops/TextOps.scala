@@ -184,6 +184,23 @@ object TextOps {
       .agg(count_distinct(col("gh")).as("n_hits"))
   }
 
+  /** (doc_id, gh) — xxhash64 of each word n-gram, one row per gram
+    * occurrence. The shared probe-side shape for decontamination
+    * (batch self-corpus form above; streaming applier in
+    * [[graft.streaming.StreamingOps.incrementalDecontaminate]]). */
+  def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(wordNgrams(col("__t"), n)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+
+  /** The durable decontamination ledger: distinct n-gram hashes of a
+    * benchmark/eval table — eval suites are corpus-tiny, so this is a
+    * broadcast-sized set of longs, built once and read by every batch. */
+  def benchGramLedger(bench: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame =
+    gramHashes(bench, idCol, textCol, n).select("gh").distinct()
+
   /** The cleaned corpus: every non-bench doc with zero benchmark n-gram
     * overlap (bench docs themselves pass through — they ARE the eval set,
     * callers split on `isBench` downstream). */

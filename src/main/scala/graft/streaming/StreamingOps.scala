@@ -414,6 +414,34 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental decontamination — streaming hygiene against a STATIC
+    * benchmark n-gram ledger (built once via
+    * [[graft.ops.TextOps.benchGramLedger]], a broadcast-sized table of
+    * gram hashes): each micro-batch drops any new doc sharing a gram with
+    * the eval set and appends the clean remainder to the corpus.
+    *
+    * Unlike the dedup appliers the durable state here is READ-ONLY — no
+    * ledger write, so there is no corpus/ledger commit-ordering hazard;
+    * a crash-replayed batch can only re-append CLEAN docs (plain
+    * at-least-once on the corpus sink, dedupe downstream by doc id). */
+  def incrementalDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                               benchLedgerPath: String, corpusPath: String,
+                               checkpoint: String, n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // the ledger is a precondition, not optional state: a missing path
+        // must fail the batch, not silently pass everything as clean
+        val bench = spark.read.parquet(benchLedgerPath)
+        val contaminated = graft.ops.TextOps.gramHashes(batch, idCol, textCol, n)
+          .join(broadcast(bench), "gh")
+          .select(col("doc_id").as("__dirty")).distinct()
+        batch.join(contaminated, batch(idCol) === col("__dirty"), "left_anti")
+          .write.mode("append").parquet(corpusPath): Unit
+      }
+      .start()
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

@@ -320,6 +320,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental decontamination: bench gram ledger drops leaked docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft_dc_corpus").toString
+    val ledger = Files.createTempDirectory("graft_dc_ledger").toString + "/grams"
+    val ckpt = Files.createTempDirectory("graft_dc_ckpt").toString
+    // static eval set → its 3-gram hashes become the read-only ledger
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    ops.TextOps.benchGramLedger(bench, "doc_id", "text", n = 3)
+      .write.parquet(ledger)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalDecontaminate(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", ledger, corpus, ckpt, n = 3)
+    mem.addData(
+      (1L, "a quick brown fox ran off"),          // shares "quick brown fox" → drops
+      (2L, "totally unrelated words right here")) // clean
+    q.processAllAvailable()
+    mem.addData(
+      (3L, "the quick brown fox jumps high"),     // full leak in a later batch → drops
+      (4L, "more clean content again"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(2L, 4L))
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
