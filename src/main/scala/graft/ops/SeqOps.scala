@@ -94,7 +94,11 @@ object SeqOps {
   def dropOutlierTrajectories(df: DataFrame, episodeCol: String, costCol: Column,
                               pct: Double, roundDigits: Int): DataFrame = {
     val q = java.lang.Double.toString(1.0 - pct)
-    val ep = df.groupBy(col(episodeCol))
+    // explicit null filter BEFORE the aggregate: the final equi-join infers
+    // isnotnull on its keep side only, which would make the two uses of
+    // `ep` (threshold branch, keep branch) canonically different plans and
+    // defeat ReuseExchange — leaving the corpus aggregated twice
+    val ep = df.where(col(episodeCol).isNotNull).groupBy(col(episodeCol))
       .agg(round(sum(costCol), roundDigits).as("__ep_cost"))
     val thr = ep.agg(
       expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY __ep_cost)").as("__thr"))

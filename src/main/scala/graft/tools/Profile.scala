@@ -40,12 +40,20 @@ object Profile {
       case "simhash"    => simhash(spark, dir)
       case "components" => components(spark, dir)
       case "entry"      => entry(spark)
-      case "explain" =>
+      case "explain" | "explainExec" =>
         val name = args.lift(1).getOrElse(sys.error("explain needs a query name"))
         val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.01")
         val q = graft.Queries.all.find(_.name == name)
           .getOrElse(sys.error(s"no query named '$name'"))
-        q.run(spark, sfDir).explain("formatted")
+        val df = q.run(spark, sfDir)
+        df.explain("formatted")
+        if (mode == "explainExec") {
+          // execute THIS queryExecution (a noop write would plan its own),
+          // then print the final adaptive plan — AQE-time effects
+          // (ReusedExchange, runtime join strategy switches) only show here
+          df.collect()
+          println(df.queryExecution.executedPlan.toString)
+        }
       case other => sys.error(s"unknown mode '$other' (minhash|simhash|components|entry|explain)")
     }
     spark.stop()
