@@ -146,6 +146,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no window operator for a LIMIT-1 selection")
   }
 
+  test("gather sample broadcasts the draw table, never shuffles the corpus") {
+    val p = plan("j1_gather_sample")
+    assert(p.contains("BroadcastHashJoin"), "index gather must be a broadcast join")
+    assert(!p.contains("SortMergeJoin"),
+      "a batch-sized draw table must never trigger a corpus shuffle join")
+  }
+
+  test("decontamination probes broadcast gram hashes; corpus side stays unshuffled") {
+    val p = plan("x3_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench gram set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus side must probe in place, not shuffle on gram hash")
+    assert(p.contains("xxhash64"), "grams must reduce to hashes before the join")
+  }
+
+  test("trajectory outlier filter has no ranking window over episodes") {
+    // the top-% cutoff must come from a quantile AGGREGATE (+ broadcast
+    // scalar), not from ranking all episodes through one window partition
+    val p = plan("s3_outlier_trajectories")
+    assert(p.contains("percentile_disc"), "discrete-quantile cutoff expected")
+    assert(!p.contains("Window"), "no ranking window for the episode cutoff")
+  }
+
   test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
     // An empty partitionSpec moves EVERY row through one partition — a
     // correctness-preserving scale-killer. This closes the class: any new
