@@ -161,6 +161,11 @@ object Graft {
     Curation.stratifiedSample(df, idCol, stratumCol, rates, defaultPct)
 
   /** X6: greedy contiguous packing into token-budget bins per stratum. */
+  /** X6: stride-overlap chunking into fixed token windows (pre-packing). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Curation.chunkDocuments(docs, idCol, textCol, chunkTokens, stride)
+
   def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
                     stratumCol: String = "lang", textCol: String = "text"): DataFrame =
     Curation.packSequences(docs, idCol, stratumCol,

@@ -1687,6 +1687,23 @@ object Queries {
       JOIN top USING (doc_id) LEFT JOIN gs USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** X6 — stride-overlap document chunking (32-token windows every 24
+    * tokens): map-only explode, no shuffle; text joins are string-exact
+    * so no rounding anywhere. */
+  private val x6Chunk = Q("x6_chunk_documents",
+    (s, dir) => Curation.chunkDocuments(Tables.documents(s, dir),
+      "doc_id", "text", chunkTokens = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      base AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+      st AS (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM base)
+      SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+        array_to_string(t[s+1:s+32], ' ') AS chunk_text,
+        CAST(least(len(t) - s, 32) AS BIGINT) AS n_chunk_tokens
+      FROM st ORDER BY doc_id, chunk_idx"""))
+
   /** X2 int8 scalar quantization of the embedding column (4× ANN memory
     * cut) with per-element reconstruction error — portable floor(x+0.5)
     * rounding, identical FP ops in both engines. */
@@ -2299,7 +2316,7 @@ object Queries {
     resampleLocf, funnelStages,
     asofForward, asofNearest,
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
-    x3Decon, x3Repetition)
+    x3Decon, x3Repetition, x6Chunk)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

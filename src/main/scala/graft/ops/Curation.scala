@@ -26,6 +26,33 @@ object Curation {
     pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** X6 — fixed-window document chunking with stride overlap (the
+    * training-prep transform BEFORE packing: long documents become
+    * `chunkTokens`-token windows every `stride` tokens, so sequence
+    * boundaries don't lose cross-boundary context; stride < chunkTokens
+    * gives the conventional overlap). Pure per-row explode over the
+    * projected token array — no shuffle, no state; at 100 TB this is a
+    * map-only pass whose output row count is L/stride per doc.
+    *
+    * Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens). The last
+    * chunk per doc may be shorter than `chunkTokens`; windows starting at
+    * or past the doc end are never generated. Docs with zero tokens
+    * produce zero chunks. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - lit(1), lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__t"), col("col") + lit(1), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("__t")) - col("col"), lit(chunkTokens)).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Train/val/test assignment by bucket ranges over 100 buckets
     * (default 90/5/5). Stable under corpus growth — a new document never
     * moves an old one between splits (the property random splits lack). */

@@ -110,6 +110,17 @@ class Round7OpsSpec extends SparkSpec {
       (3L, 1L, 0L, 0L, 1L)))
   }
 
+  test("chunkDocuments windows with stride overlap; short tail kept") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c d", 4L),   // window [0,4)
+      (1L, 1L, "d e f g", 4L),   // stride 3 → overlap of 1 token
+      (1L, 2L, "g", 1L),         // short tail at start 6
+      (2L, 0L, "x y", 2L)))      // doc shorter than a chunk; empty doc 3 absent
+  }
+
   test("sessionAgg lengthCap keeps only the first N rows per key") {
     val df = (1 to 10).map(i => (1L, i, i.toDouble)).toDF("k", "t", "v")
     val capped = SeqOps.sessionAgg(df, "k", Seq(col("t")), col("v"),
