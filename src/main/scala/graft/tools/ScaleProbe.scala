@@ -98,6 +98,27 @@ object ScaleProbe {
     probe("bloom semi join (probe side Nx)",
       cnt(BloomJoin.bloomSemiJoin(li1, "l_orderkey", ord1, "o_orderkey")),
       cnt(BloomJoin.bloomSemiJoin(liN, "l_orderkey", ord1, "o_orderkey")))
+    probe("decontamination (8-gram probe)",
+      cnt(TextOps.contaminationReport(docs1, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 7)),
+      cnt(TextOps.contaminationReport(docsN, "doc_id", "text", pmod(col("doc_id"), lit(10)) === 7)))
+    probe("repetition stats",
+      cnt(TextOps.repetitionStats(docs1, "doc_id", "text")),
+      cnt(TextOps.repetitionStats(docsN, "doc_id", "text")))
+    probe("document chunking (32/24)",
+      cnt(Curation.chunkDocuments(docs1, "doc_id", "text", 32, 24)),
+      cnt(Curation.chunkDocuments(docsN, "doc_id", "text", 32, 24)))
+    // gather needs a DENSE position domain: replicate with span = row count
+    val evDense = replicate(ev1, Seq("event_id"), scale, ev1.count()).cache()
+    evDense.count()
+    probe("gather sample (2048 draws)",
+      cnt(JoinOps.gatherSample(ev1, "event_id", 2048, 7)),
+      cnt(JoinOps.gatherSample(evDense, "event_id", 2048, 7)))
+    val tr1 = Tables.transitions(spark, dir).cache()
+    val trN = replicate(tr1, Seq("episode_id"), scale, 10000000L).cache()
+    println(s"[probe] transitions ${tr1.count()}/${trN.count()}")
+    probe("trajectory outlier filter",
+      cnt(SeqOps.dropOutlierTrajectories(tr1, "episode_id", col("cost"), 0.025, 1)),
+      cnt(SeqOps.dropOutlierTrajectories(trN, "episode_id", col("cost"), 0.025, 1)))
     spark.stop()
   }
 }
