@@ -160,16 +160,46 @@ object Graft {
                 idCol: String = "doc_id", stratumCol: String = "lang"): DataFrame =
     Curation.stratifiedSample(df, idCol, stratumCol, rates, defaultPct)
 
-  /** X6: greedy contiguous packing into token-budget bins per stratum. */
   /** X6: stride-overlap chunking into fixed token windows (pre-packing). */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     Curation.chunkDocuments(docs, idCol, textCol, chunkTokens, stride)
 
+  /** X6: greedy contiguous packing into token-budget bins per stratum. */
   def packSequences(docs: DataFrame, budget: Int, idCol: String = "doc_id",
                     stratumCol: String = "lang", textCol: String = "text"): DataFrame =
     Curation.packSequences(docs, idCol, stratumCol,
       TextOps.textStats(col(textCol)).getField("n_tokens").cast("long"), budget)
+
+  /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, TextOps.redactPii(col(textCol)))
+
+  /** X3: per-domain cap + host blocklist over a URL column. */
+  def capDomains(docs: DataFrame, maxPerDomain: Int, blocklist: DataFrame,
+                 urlCol: String = "url", orderBy: Seq[Column] = Nil): DataFrame =
+    TextOps.domainCap(docs, urlCol,
+      if (orderBy.nonEmpty) orderBy else Seq(col("doc_id").asc),
+      maxPerDomain, blocklist)
+
+  /** X3: logistic quality-classifier score in [0,1] (literal weights). */
+  def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))
+
+  /** X6: downsample each stratum so the kept corpus hits the target mix. */
+  def mixToTargets(df: DataFrame, targets: Map[String, Int],
+                   idCol: String = "doc_id", stratumCol: String = "source"): DataFrame =
+    Curation.mixtureSample(df, idCol, stratumCol, targets)
+
+  /** X6: quality-ordered selection under a global token budget. */
+  def selectByTokenBudget(docs: DataFrame, budget: Long,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val st = TextOps.textStats(col(textCol))
+    val scored = docs.select(col(idCol),
+      TextOps.qualityScoreFromStats(st, col(textCol)).as("q"),
+      st.getField("n_tokens").cast("long").as("n"))
+    Curation.tokenBudgetSelect(scored, idCol, col("q"), col("n"), budget)
+  }
 
   // ---- streaming / CDC (§2.7) ----
   /** At-least-once replay dedup (bounded state under a watermark). */

@@ -2289,6 +2289,168 @@ object Queries {
             FROM x2 JOIN w2 USING (i) GROUP BY vec_id, j)
       SELECT vec_id, j, h FROM h2 ORDER BY vec_id, j"""))
 
+  /** DuckDB base CTE for the documents table with the tokenizer projected
+    * (shared by the round-7 curation oracles; mirrors TextOps.tokens). */
+  private val docsTokSql =
+    """SELECT doc_id, text, source,
+       list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+       FROM documents"""
+
+  /** TextOps.qualityScore over columns (text, toks) — the same fragment
+    * the x3_text_analysis oracle inlines, kept verbatim so they stay in
+    * lockstep. */
+  private val enHitsSql = {
+    val words = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> list_contains([$words], t)))"
+  }
+  private val qualitySql =
+    s"""round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
+        + greatest(1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1)) * 4.0, 0.0)
+        + least((CAST($enHitsSql AS DOUBLE) / greatest(len(toks), 1)) * 4.0, 1.0)) / 3.0, 6)"""
+
+  /** X3 — PII scrub over deterministically injected addresses (the raw
+    * documents carry no PII, so the query plants an email / IPv4 / phone
+    * per modular doc_id class, then counts and redacts them — both
+    * engines build the identical injected text, so the redacted md5 is
+    * the full-fidelity check). */
+  private val x3Pii = Q("x3_pii_redaction",
+    (s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".0."),
+          (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" call 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      val (ne, ni, np) = TextOps.piiCounts(injected)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"),
+          md5(TextOps.redactPii(injected)).as("red_fp"),
+          length(TextOps.redactPii(injected)).cast("long").as("red_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val redSql = s"""regexp_replace(regexp_replace(regexp_replace(t,
+          '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+          '${TextOps.Ipv4Re}', '<IP>', 'g'),
+          '${TextOps.PhoneRe}', '<PHONE>', 'g')"""
+      s"""WITH inj AS (SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+        md5($redSql) AS red_fp,
+        CAST(length($redSql) AS BIGINT) AS red_len
+      FROM inj ORDER BY doc_id"""
+    })
+
+  /** X3 — per-domain cap + blocklist over synthesized URLs (source ×
+    * doc_id mod 7 → ~140 hosts). Keeps each domain's 10 best documents
+    * by quality. */
+  private val x3Domain = Q("x3_domain_cap",
+    (s, dir) => {
+      import s.implicits._
+      val blocked = Seq("src12.example.com", "src45.example.com").toDF("domain")
+      val st = TextOps.textStats(col("text"))
+      val scored = Tables.documents(s, dir)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string")))
+        .withColumn("quality", TextOps.qualityScoreFromStats(st, col("text")))
+      TextOps.domainCap(scored, "url", Seq(col("quality").desc, col("doc_id").asc),
+        maxPerDomain = 10, blocklist = blocked)
+        .select(col("doc_id"), col("domain"), col("quality"), col("rk"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      q AS (SELECT doc_id, source, $qualitySql AS quality FROM base),
+      d AS (SELECT doc_id, quality,
+          regexp_extract('https://' || source || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR),
+            '^[a-z]+://([^/]+)/', 1) AS domain
+        FROM q),
+      f AS (SELECT * FROM d WHERE domain NOT IN ('src12.example.com', 'src45.example.com')),
+      r AS (SELECT doc_id, domain, quality,
+          row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rk FROM f)
+      SELECT doc_id, domain, quality, CAST(rk AS BIGINT) AS rk
+      FROM r WHERE rk <= 10 ORDER BY doc_id"""))
+
+  /** X3 — logistic quality classifier (TextOps.classifierScore) with the
+    * keep decision taken on the ROUNDED score, so the 0.55 threshold
+    * compares identical doubles on both engines. */
+  private val x3Clf = Q("x3_quality_classifier",
+    (s, dir) => {
+      val score = TextOps.classifierScore(col("text"))
+      Tables.documents(s, dir).select(col("doc_id"), score.as("clf_score"),
+        (score >= lit(0.55)).cast("long").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      f AS (SELECT doc_id,
+          least(CAST(length(text) AS DOUBLE)/300.0, 1.0) AS f_len,
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS f_punct,
+          CAST($enHitsSql AS DOUBLE) / greatest(len(toks), 1) AS f_stop,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS f_digit
+        FROM base),
+      z AS (SELECT doc_id,
+          round(1.0/(1.0 + exp(-(1.8*f_len - 2.5*f_punct + 3.0*f_stop - 1.2*f_digit - 0.7))), 6) AS clf_score
+        FROM f)
+      SELECT doc_id, clf_score,
+        CAST(CASE WHEN clf_score >= 0.55 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM z ORDER BY doc_id"""))
+
+  /** X6 — self-calibrating source-mixture resample: 5 target shares, the
+    * binding source keeps 100%, the rest downsample to hit the mix. */
+  private val MixTargets = Seq("src0" -> 25, "src1" -> 25, "src2" -> 20,
+    "src3" -> 15, "src4" -> 15)
+  private val x6Mixture = Q("x6_source_mixture",
+    (s, dir) => Curation.mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+        MixTargets.toMap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
+      .orderBy(col("source")),
+    Some {
+      val caseSql = MixTargets.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH c AS (SELECT source, count(*) AS n_docs,
+          CAST(CASE source $caseSql ELSE 0 END AS DOUBLE) / 100.0 AS share
+        FROM documents GROUP BY source),
+      c2 AS (SELECT * FROM c WHERE share > 0),
+      t AS (SELECT min(CAST(n_docs AS DOUBLE) / share) AS tv FROM c2),
+      r AS (SELECT source, CAST(floor(100.0 * share * tv / CAST(n_docs AS DOUBLE)) AS BIGINT) AS rate
+        FROM c2, t),
+      k AS (SELECT d.source, r.rate FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < r.rate)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(rate) AS rate
+      FROM k GROUP BY source ORDER BY source"""
+    })
+
+  /** X6 — token-budget selection: quality-ordered prefix of the corpus
+    * under a 6000-token budget. The oracle is the naive global running
+    * sum; the Spark plan is the bucket-prefix decomposition (no global
+    * window — see Curation.tokenBudgetSelect). */
+  private val x6Budget = Q("x6_token_budget",
+    (s, dir) => {
+      val st = TextOps.textStats(col("text"))
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.qualityScoreFromStats(st, col("text")).as("q"),
+        st.getField("n_tokens").cast("long").as("n"))
+      Curation.tokenBudgetSelect(scored, "doc_id", col("q"), col("n"), budget = 6000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      sc AS (SELECT doc_id, $qualitySql AS q, CAST(len(toks) AS BIGINT) AS n FROM base),
+      c AS (SELECT doc_id, q, n, sum(n) OVER (ORDER BY q DESC, doc_id) AS cum FROM sc)
+      SELECT doc_id, q, n AS n_tokens, CAST(cum - n AS BIGINT) AS start
+      FROM c WHERE cum - n < 6000 ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2316,7 +2478,8 @@ object Queries {
     resampleLocf, funnelStages,
     asofForward, asofNearest,
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
-    x3Decon, x3Repetition, x6Chunk)
+    x3Decon, x3Repetition, x6Chunk,
+    x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -79,6 +79,91 @@ object Curation {
     df.where(b < rate)
   }
 
+  /** X6 — self-calibrating mixture rates: given target percent shares per
+    * stratum (e.g. the data-mixture weights of a training recipe), derive
+    * per-stratum keep-rates from the OBSERVED counts so the kept corpus
+    * hits the target mix exactly at the largest size reachable by
+    * downsampling alone (no stratum is ever upsampled): the binding
+    * stratum is the one with the smallest count/share ratio; it keeps
+    * 100% and every other stratum downsamples proportionally.
+    *
+    * rate_s = floor(100 · share_s · T / count_s) where
+    * T = min_s(count_s / share_s) — all IEEE doubles from identical
+    * inputs, so the DuckDB oracle reproduces the rates bit-exactly.
+    * Output: (stratum, n_docs, rate). Aggregate-tiny (one row per
+    * stratum). */
+  def mixtureRates(df: DataFrame, stratumCol: String,
+                   targets: Map[String, Int]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__share", targets.foldLeft(lit(0)) { case (acc, (k, v)) =>
+        when(col("stratum") === k, lit(v)).otherwise(acc)
+      }.cast("double") / lit(100.0))
+      .where(col("__share") > 0.0)
+    val t = counts.agg(min(col("n_docs").cast("double") / col("__share")).as("__t"))
+    counts.crossJoin(broadcast(t))
+      .withColumn("rate",
+        floor(lit(100.0) * col("__share") * col("__t") / col("n_docs").cast("double"))
+          .cast("long"))
+      .select(col("stratum"), col("n_docs"), col("rate"))
+  }
+
+  /** X6 — apply [[mixtureRates]]: id-bucket-keyed keep of `rate`% per
+    * stratum. The rate table is stratum-cardinality → broadcast; the
+    * corpus is filtered in place with no shuffle (strata absent from the
+    * targets drop — their rate table row is absent and the join is
+    * inner). */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    targets: Map[String, Int]): DataFrame = {
+    val rates = mixtureRates(df, stratumCol, targets)
+      .withColumnRenamed("stratum", stratumCol).drop("n_docs")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(idBucket(col(idCol), 100) < col("rate"))
+  }
+
+  /** X6 — global quality-ordered selection under a token budget ("keep
+    * the best documents until the budget is spent" — the final cut of a
+    * training-data recipe). Semantics: order the corpus by
+    * (score DESC, id ASC); a document is kept iff the running token total
+    * BEFORE it is < `budget` (so the budget can overflow by at most one
+    * document — same rule as [[packSequences]] bins).
+    *
+    * Scale shape — the naive form is a single-partition running-sum
+    * window over the whole corpus, a scale-killer this repo's PlanSpec
+    * bans outright. Instead, the exact same selection in three
+    * corpus-safe steps:
+    *  1. per-score bucket token totals (one partial-agg shuffle of
+    *     (score, n) pairs — aggregate-tiny output, one row per distinct
+    *     score);
+    *  2. bucket prefix sums via a broadcast non-equi self-join on that
+    *     tiny frame (θ(B²) on B buckets — B is score-granularity-bounded,
+    *     ~10⁶ at most, and it never touches the corpus); buckets whose
+    *     prefix already exceeds the budget are dropped HERE, so
+    *  3. the per-bucket `sum` window (PARTITIONED BY score — never
+    *     global) and the final filter only shuffle the documents that can
+    *     still win: at 100 TB with a 1% budget, 99% of the corpus never
+    *     reaches the window exchange.
+    *
+    * Output: (doc_id, q, n_tokens, start) for kept docs, `start` = tokens
+    * consumed before this document in the global order. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                        tokenCol: Column, budget: Long): DataFrame = {
+    val scored = df.select(col(idCol).as("doc_id"), scoreCol.as("q"),
+      tokenCol.cast("long").as("n_tokens"))
+    val byQ = scored.groupBy(col("q")).agg(sum(col("n_tokens")).as("__bt"))
+    val pre = byQ.as("a").join(broadcast(byQ.as("b")), col("b.q") > col("a.q"), "left")
+      .groupBy(col("a.q").as("q"))
+      .agg(coalesce(sum(col("b.__bt")), lit(0L)).as("__prefix"))
+      .where(col("__prefix") < budget)
+    val w = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(pre), Seq("q"))
+      .withColumn("start",
+        col("__prefix") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("start") < budget)
+      .select(col("doc_id"), col("q"), col("n_tokens"), col("start"))
+  }
+
   /** Greedy contiguous sequence packing: within each stratum, documents
     * (in deterministic id order) fill fixed token-budget bins; a document
     * belongs to the bin where its span starts, so bins can overflow by at

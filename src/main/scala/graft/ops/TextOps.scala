@@ -269,4 +269,79 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
   }
+
+  /** PII patterns, ASCII-only so Java regex (Spark) and RE2 (DuckDB)
+    * parse and match them identically — no lookaround, no backreferences,
+    * `\b` is the ASCII word boundary in both. Redaction order matters:
+    * emails first (their domain part would otherwise feed the host
+    * pattern), then dotted quads, then dashed phone groups. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+
+  /** X3 — PII scrub (the pre-training privacy pass every public LLM
+    * pipeline runs: mask emails / IPs / phone-shaped digit groups before
+    * the corpus is retained). Pure per-row regex projection — codegen'd
+    * `regexp_replace`, no shuffle, the 100 TB scan streams through. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-row PII match counts (audit signal: rank sources by leakage
+    * before deciding to scrub vs drop). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+
+  /** Host part of a URL (`scheme://host/...`); empty when the value
+    * doesn't parse. Shared by the domain-cap and blocklist passes. */
+  def domainOf(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
+
+  /** X3 — per-domain document cap with a domain blocklist (the web-corpus
+    * curation rule: a handful of template-heavy hosts would otherwise
+    * dominate the corpus; cap each domain at its `maxPerDomain` best
+    * documents and drop blocked hosts entirely).
+    *
+    * Scale shape: the blocklist is host-cardinality (tiny) → broadcast
+    * anti-join; the cap is one `row_number` window PARTITIONED BY domain —
+    * domains are the natural high-cardinality key of a web corpus, so no
+    * single partition concentrates rows (a pathological single-host crawl
+    * is the one skew case, and AQE's skew handling covers the join side of
+    * it). Output keeps (doc columns) + domain + rk ≤ cap. */
+  def domainCap(docs: DataFrame, urlCol: String, orderBy: Seq[Column],
+                maxPerDomain: Int, blocklist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDomain = docs.withColumn("domain", domainOf(col(urlCol)))
+      .join(broadcast(blocklist.toDF("domain")), Seq("domain"), "left_anti")
+    val w = Window.partitionBy(col("domain")).orderBy(orderBy: _*)
+    withDomain.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= maxPerDomain)
+  }
+
+  /** X3 — logistic quality classifier over cheap closed-form features
+    * (the fastText-classifier stand-in: no external model ships in this
+    * container, so the weights are literals; swapping in trained weights
+    * is a constant change). Features: length saturation, punctuation
+    * ratio, English stopword ratio, digit ratio. Returns
+    * sigmoid(w·x + b) rounded to 6 digits — per-row IEEE arithmetic plus
+    * one glibc `exp`, identical on both engines for lattice-safe inputs
+    * (same contract as P5's capped exponential advantage). Pure
+    * projection: no shuffle, stays in whole-stage codegen. */
+  def classifierScore(text: Column): Column = {
+    val st = textStats(text)
+    val nToks = greatest(st.getField("n_tokens"), lit(1)).cast("double")
+    val len = greatest(length(text), lit(1)).cast("double")
+    val fLen = least(length(text).cast("double") / lit(300.0), lit(1.0))
+    val fPunct = punctCount(text).cast("double") / len
+    val fStop = st.getField("hits_en").cast("double") / nToks
+    val fDigit = digitCount(text).cast("double") / len
+    val z = lit(1.8) * fLen - lit(2.5) * fPunct + lit(3.0) * fStop -
+      lit(1.2) * fDigit - lit(0.7)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
 }

@@ -76,5 +76,10 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.discountedReturns(t).columns.contains("return"))
     assert(Graft.similaritySearch(Graft.embeddings(spark, sf001),
       col("vec_id") === 0L, k = 3).count() == 3)
+    assert(Graft.redactPii(docs).count() == 500)
+    assert(Graft.classifyQuality(docs).columns.contains("clf_score"))
+    val kept = Graft.selectByTokenBudget(docs, budget = 2000L)
+    assert(kept.count() > 0 && kept.count() < 500)
+    assert(Graft.mixToTargets(docs, Map("src0" -> 50, "src1" -> 50)).count() > 0)
   }
 }

@@ -11,6 +11,22 @@ class PlanSpec extends SparkSpec {
     Queries.all.find(_.name == name).get.run(spark, sf001)
       .queryExecution.executedPlan.toString
 
+  /** Every node of a physical plan, descending into AQE wrappers.
+    * `AdaptiveSparkPlanExec` is a LEAF node (its inner plan is a field,
+    * not a child), so a plain `plan.collect` over an adaptive plan
+    * inspects nothing — a node-type assertion written that way passes
+    * vacuously. toString-based checks were never affected (the wrapper
+    * renders its inner tree), only `collect`-based ones. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case o => o.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
   test("s1 ingest prunes unused lineitem columns at the scan") {
     val p = plan("s1_ingest_transitions")
     assert(p.contains("ReadSchema"))
@@ -169,6 +185,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no ranking window for the episode cutoff")
   }
 
+  test("pii redaction and classifier scoring are projection-only pipelines") {
+    // per-row regex/feature math must stay inside the scan's codegen
+    // stage: any join/aggregate/window here means the op picked up
+    // corpus-shuffling structure it doesn't need
+    for (name <- Seq("x3_pii_redaction", "x3_quality_classifier")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      assert(!p.contains("HashAggregate"), s"$name must not aggregate")
+      assert(!p.contains("Window"), s"$name must not window")
+    }
+  }
+
+  test("domain cap: broadcast blocklist anti-join, one domain-keyed window") {
+    val p = plan("x3_domain_cap")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "blocklist must be a broadcast anti-join")
+    assert(!p.contains("SortMergeJoin"))
+    // one hash exchange (the domain window); the other exchange is the
+    // final ORDER BY's range partitioning
+    assert("hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("source mixture: rate table broadcasts, corpus never windows") {
+    val p = plan("x6_source_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      "stratum rates must broadcast-join onto the corpus")
+    assert(!p.contains("Window"), "mixture is rate-filter + agg, no window")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("token budget: bucket prefix broadcasts; no global corpus window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Queries.all.find(_.name == "x6_token_budget").get.run(spark, sf001)
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the aggregate-tiny prefix table must broadcast onto the corpus")
+    assert(!p.contains("SortMergeJoin"))
+    // the only window is per-score-bucket — never empty partitionSpec
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("no query plans an unpartitioned WindowExec (single-partition funnel)") {
     // An empty partitionSpec moves EVERY row through one partition — a
     // correctness-preserving scale-killer. This closes the class: any new
@@ -185,7 +244,7 @@ class PlanSpec extends SparkSpec {
       "eagerPlan exclusions changed — re-justify each one here")
     val offenders = sweepable.flatMap { q =>
       val exec = q.run(spark, sf001).queryExecution.executedPlan
-      exec.collect {
+      allNodes(exec).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => q.name
       }
     }.distinct

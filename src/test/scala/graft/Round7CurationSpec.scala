@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-7 curation operators: PII redaction, domain capping, the
+  * logistic quality classifier, mixture resampling and token-budget
+  * selection. */
+class Round7CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii masks emails, IPs and phone groups; counts agree") {
+    val df = Seq(
+      (1L, "write to alice.b+spam@corp.example.org today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call 555-867-5309 or 555-0100-9999"),
+      (4L, "nothing sensitive here")).toDF("id", "text")
+    val (ne, ni, np) = TextOps.piiCounts(col("text"))
+    val got = df.select(col("id"), TextOps.redactPii(col("text")).as("red"),
+      ne.as("ne"), ni.as("ni"), np.as("np"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0)._2 == "write to <EMAIL> today" && got(0)._3 == 1)
+    assert(got(1)._2 == "server <IP> and <IP> responded" && got(1)._4 == 2)
+    assert(got(2)._2 == "call <PHONE> or <PHONE>" && got(2)._5 == 2)
+    assert(got(3)._2 == "nothing sensitive here" &&
+      got(3)._3 == 0 && got(3)._4 == 0 && got(3)._5 == 0)
+  }
+
+  test("domainCap drops blocked hosts and keeps the N best per domain") {
+    val docs = Seq(
+      (1L, "http://a.example.com/x", 0.9),
+      (2L, "http://a.example.com/y", 0.8),
+      (3L, "http://a.example.com/z", 0.7),
+      (4L, "http://bad.example.com/x", 0.99),
+      (5L, "http://b.example.com/x", 0.5)).toDF("doc_id", "url", "score")
+    val blocked = Seq("bad.example.com").toDF("domain")
+    val got = TextOps.domainCap(docs, "url",
+      Seq(col("score").desc, col("doc_id").asc), maxPerDomain = 2, blocked)
+      .select(col("doc_id"), col("domain"), col("rk"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 5L), "cap=2 keeps a's best two, b's one; bad.* dropped")
+    assert(got.map(_._2).toSet == Set("a.example.com", "b.example.com"))
+    assert(got.map(r => r._1 -> r._3).toMap == Map(1L -> 1L, 2L -> 2L, 5L -> 1L))
+  }
+
+  test("classifierScore rewards stopword-rich prose, penalizes punct/digit noise") {
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog are of the same mind in the sun"),
+      (2L, "@@@@ ???? !!!! #### 12345 67890 $$$$ %%%% ^^^^ &&&& 00000")).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.classifierScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(got.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(1L) > 0.55, s"prose should pass the keep threshold, got ${got(1L)}")
+    assert(got(2L) < 0.45, s"noise should fail the keep threshold, got ${got(2L)}")
+  }
+
+  test("mixtureRates: binding stratum keeps 100%, others downsample to the mix") {
+    val df = (1 to 150).map(i => (i.toLong, "a")) ++ (1 to 50).map(i => (i.toLong + 1000, "b"))
+    val got = Curation.mixtureRates(df.toDF("id", "src"), "src",
+      Map("a" -> 50, "b" -> 50))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // T = min(150/0.5, 50/0.5) = 100 → a keeps floor(100·0.5·100/150)=33%,
+    // b (binding) keeps 100%
+    assert(got("a") == (150L, 33L))
+    assert(got("b") == (50L, 100L))
+  }
+
+  test("mixtureSample drops strata absent from the targets") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "zzz")).toDF("id", "src")
+    val kept = Curation.mixtureSample(df, "id", "src", Map("a" -> 50, "b" -> 50))
+      .select("src").as[String].collect()
+    assert(!kept.contains("zzz"))
+  }
+
+  test("tokenBudgetSelect equals the naive global running-sum form") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic mixed fixture: coarse score buckets with ties, varied
+    // token counts, budget landing mid-bucket
+    val rows = (1L to 200L).map { i =>
+      (i, (i * 7 % 5).toDouble / 10.0, 10 + (i * 13 % 37))
+    }
+    val df = rows.toDF("doc_id", "q", "n")
+    val budget = 2000L
+    val got = Curation.tokenBudgetSelect(df, "doc_id", col("q"), col("n"), budget)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    val w = Window.orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("start",
+        sum(col("n").cast("long")).over(w) - col("n"))
+      .where(col("start") < budget)
+      .select(col("doc_id"), col("q"), col("n").cast("long"), col("start"))
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the budget can overflow by at most one document
+    val total = got.map(_._3).sum
+    assert(total >= budget && total - got.map(_._3).max <= budget)
+  }
+
+  test("tokenBudgetSelect keeps everything when the budget covers the corpus") {
+    val df = Seq((1L, 0.5, 10L), (2L, 0.4, 10L), (3L, 0.6, 10L)).toDF("doc_id", "q", "n")
+    val got = Curation.tokenBudgetSelect(df, "doc_id", col("q"), col("n"), 1000L)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // starts follow (q desc, id) order: 3 first, then 1, then 2
+    assert(got.map(r => r._1 -> r._4).toMap == Map(3L -> 0L, 1L -> 10L, 2L -> 20L))
+  }
+}
