@@ -182,6 +182,11 @@ object Graft {
       if (orderBy.nonEmpty) orderBy else Seq(col("doc_id").asc),
       maxPerDomain, blocklist)
 
+  /** X3: cut text units recurring across ≥ minDf documents (C4-style). */
+  def stripBoilerplate(docs: DataFrame, unitTokens: Int = 8, minDf: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    TextOps.boilerplateStrip(docs, idCol, textCol, unitTokens, minDf)
+
   /** X3: logistic quality-classifier score in [0,1] (literal weights). */
   def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))

@@ -2451,6 +2451,27 @@ object Queries {
       SELECT doc_id, q, n AS n_tokens, CAST(cum - n AS BIGINT) AS start
       FROM c WHERE cum - n < 6000 ORDER BY doc_id"""))
 
+  /** X3 — cross-document boilerplate strip: 8-token units recurring in
+    * ≥3 distinct docs are cut everywhere; output fingerprints the
+    * surviving text. The synthetic corpus genuinely repeats a handful of
+    * position-aligned 8-grams across documents, so the ledger is
+    * non-empty without any injection. */
+  private val x3Boiler = Q("x3_boilerplate_strip",
+    (s, dir) => TextOps.boilerplateStrip(Tables.documents(s, dir), "doc_id", "text",
+        unitTokens = 8, minDf = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH base AS ($docsTokSql),
+      ch AS (SELECT doc_id, i AS idx,
+          array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS unit
+        FROM (SELECT doc_id, toks,
+                unnest(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS i
+              FROM base)),
+      df AS (SELECT unit, count(DISTINCT doc_id) AS df FROM ch GROUP BY unit)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+        CAST(sum(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN df < 3 THEN unit END, ' ' ORDER BY idx), '')) AS kept_fp
+      FROM ch JOIN df USING (unit) GROUP BY doc_id ORDER BY doc_id"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2479,7 +2500,7 @@ object Queries {
     asofForward, asofNearest,
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
-    x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget)
+    x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -270,6 +270,47 @@ object TextOps {
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
   }
 
+  /** X3 — cross-document boilerplate stripping (the C4/RefinedWeb rule,
+    * re-expressed for unstructured text: a unit of text that recurs
+    * across ≥ `minDf` distinct documents is template boilerplate —
+    * navigation, disclaimers, footers — and is cut from EVERY document).
+    * Units here are non-overlapping `unitTokens`-token windows
+    * ([[graft.ops.Curation.chunkDocuments]] with stride = width); a
+    * corpus with line structure would pass lines instead.
+    *
+    * Scale shape: three key-granular stages, no global structure —
+    * (1) unit document-frequency via groupBy(unit) (partial+final agg;
+    * the shuffle carries unit hashes, and only df ≥ minDf survivors are
+    * kept — the heavy-hitter ledger, ≤ |unit occurrences|/minDf rows);
+    * (2) units ⋈ ledger on unit — deliberately NOT hint-broadcast: the
+    * ledger is usually small but is corpus-derived, so the choice is
+    * left to size-based selection/AQE (same policy as the star joins);
+    * (3) per-doc re-assembly: one groupBy(doc_id) collecting (idx, keep,
+    * unit) structs, sorted and re-joined in doc order. Documents with
+    * zero tokens produce zero units and are absent from the output.
+    *
+    * Output: (doc_id, n_units, n_kept, kept_fp = md5 of the re-joined
+    * surviving text — fingerprint, not the text, so the result stays
+    * hash-comparable without materializing 100 TB of strings). */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+                       unitTokens: Int = 8, minDf: Int = 3): DataFrame = {
+    val units = Curation.chunkDocuments(docs, idCol, textCol, unitTokens, unitTokens)
+    val ledger = units.groupBy(col("chunk_text"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("chunk_text"), lit(1).as("__bp"))
+    units.join(ledger, Seq("chunk_text"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("chunk_idx").as("i"),
+              col("__bp").isNull.as("keep"), col("chunk_text").as("u")))),
+              s => s.getField("keep")),
+            s => s.getField("u")), " ")).as("kept_fp"))
+  }
+
   /** PII patterns, ASCII-only so Java regex (Spark) and RE2 (DuckDB)
     * parse and match them identically — no lookaround, no backreferences,
     * `\b` is the ASCII word boundary in both. Redaction order matters:

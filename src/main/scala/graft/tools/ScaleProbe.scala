@@ -119,6 +119,33 @@ object ScaleProbe {
     probe("trajectory outlier filter",
       cnt(SeqOps.dropOutlierTrajectories(tr1, "episode_id", col("cost"), 0.025, 1)),
       cnt(SeqOps.dropOutlierTrajectories(trN, "episode_id", col("cost"), 0.025, 1)))
+    probe("pii redaction",
+      cnt(docs1.select(TextOps.redactPii(col("text")).as("r"))),
+      cnt(docsN.select(TextOps.redactPii(col("text")).as("r"))))
+    probe("quality classifier",
+      cnt(docs1.select(TextOps.classifierScore(col("text")).as("s"))),
+      cnt(docsN.select(TextOps.classifierScore(col("text")).as("s"))))
+    import spark.implicits._
+    val block = Seq("src12.example.com").toDF("domain")
+    def withUrl(d: DataFrame): DataFrame = d.withColumn("url",
+      concat(lit("https://"), col("source"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")))
+    probe("domain cap (10 best per host)",
+      cnt(TextOps.domainCap(withUrl(docs1), "url",
+        Seq(col("n_chars").desc, col("doc_id").asc), 10, block)),
+      cnt(TextOps.domainCap(withUrl(docsN), "url",
+        Seq(col("n_chars").desc, col("doc_id").asc), 10, block)))
+    val targets = Map("src0" -> 25, "src1" -> 25, "src2" -> 20, "src3" -> 15, "src4" -> 15)
+    probe("source mixture resample",
+      cnt(Curation.mixtureSample(docs1, "doc_id", "source", targets)),
+      cnt(Curation.mixtureSample(docsN, "doc_id", "source", targets)))
+    // budget FIXED across scales (a training recipe's token budget doesn't
+    // grow with the crawl): 10× must prune the extra corpus before the window
+    probe("token budget select (fixed budget)",
+      cnt(Curation.tokenBudgetSelect(docs1, "doc_id", col("n_chars").cast("double"),
+        col("n_chars"), 150000L)),
+      cnt(Curation.tokenBudgetSelect(docsN, "doc_id", col("n_chars").cast("double"),
+        col("n_chars"), 150000L)))
     spark.stop()
   }
 }

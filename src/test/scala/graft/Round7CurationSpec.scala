@@ -96,6 +96,28 @@ class Round7CurationSpec extends SparkSpec {
     assert(total >= budget && total - got.map(_._3).max <= budget)
   }
 
+  test("boilerplateStrip cuts cross-doc repeated units, keeps unique text") {
+    // unit = 4 tokens; "subscribe to our newsletter" recurs in 3 docs →
+    // boilerplate; each doc's remaining unique unit survives
+    val docs = Seq(
+      (1L, "subscribe to our newsletter alpha beta gamma delta"),
+      (2L, "subscribe to our newsletter epsilon zeta eta theta"),
+      (3L, "subscribe to our newsletter iota kappa lambda mu"),
+      (4L, "totally original content here nothing repeats at all")).toDF("doc_id", "text")
+    val got = TextOps.boilerplateStrip(docs, "doc_id", "text", unitTokens = 4, minDf = 3)
+      .select(col("doc_id"), col("n_units"), col("n_kept"), col("kept_fp"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 1L), (4L, 2L, 2L)))
+    // doc 4 keeps everything: fingerprint equals md5 of its full token join
+    val full4 = docs.where(col("doc_id") === 4)
+      .select(md5(concat_ws(" ", TextOps.tokens(col("text")))))
+      .as[String].head()
+    assert(got.find(_._1 == 4L).get._4 == full4)
+    // docs 1-3 keep only their distinct tail, so fingerprints all differ
+    assert(got.take(3).map(_._4).distinct.length == 3)
+  }
+
   test("tokenBudgetSelect keeps everything when the budget covers the corpus") {
     val df = Seq((1L, 0.5, 10L), (2L, 0.4, 10L), (3L, 0.6, 10L)).toDF("doc_id", "q", "n")
     val got = Curation.tokenBudgetSelect(df, "doc_id", col("q"), col("n"), 1000L)
