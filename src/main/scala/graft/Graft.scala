@@ -96,6 +96,22 @@ object Graft {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.lshTopK(emb, idCol, vecCol, queryPred, k, bits)
 
+  /** X5: heavy hitters per group — Misra–Gries mergeable sketch aggregate
+    * (exact when distinct keys ≤ capacity; ≤ N/(capacity+1) undercount
+    * otherwise). Returns (group…, entries array sorted count-desc). */
+  def heavyHitters(df: DataFrame, keyCol: Column, groupCols: Seq[Column],
+                   capacity: Int = 1024): DataFrame = {
+    val mg = org.apache.spark.sql.functions.udaf(new MisraGriesAggregator(capacity))
+    df.groupBy(groupCols: _*).agg(mg(keyCol).as("heavy_hitters"))
+  }
+
+  /** X2 index training: fixed-iteration Lloyd's k-means over the
+    * embedding column (broadcast-fold assignment, (cell, pos) partial-sum
+    * update) — produces the centroid table an IVF index searches. */
+  def trainCentroids(emb: DataFrame, seedPred: Column, iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.kmeansFit(emb, idCol, vecCol, seedPred, iters)
+
   /** X3: per-document text analysis (tokens, quality, language,
     * fingerprint) — one tokenization pass via the graft_text_stats
     * kernel; each output equals its declarative TextOps form. */

@@ -2472,6 +2472,68 @@ object Queries {
         md5(coalesce(string_agg(CASE WHEN df < 3 THEN unit END, ' ' ORDER BY idx), '')) AS kept_fp
       FROM ch JOIN df USING (unit) GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X2 — distributed Lloyd's k-means fit (2 iterations) over the
+    * embedding table: the training step behind x2_ivf_topk's centroid
+    * table. Assignment is a broadcast fold (no corpus shuffle, no
+    * window); the update shuffles only (cell, pos) partial sums. The
+    * oracle unrolls both iterations as CTEs with the identical distance
+    * association and portable per-iteration mean rounding, so iteration
+    * 2's assignment compares bit-identical doubles. */
+  private val x2Kmeans = Q("x2_kmeans_fit",
+    (s, dir) => Similarity.kmeansFit(Tables.embeddings(s, dir), "vec_id", "embedding",
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2, roundDigits = 6)
+      .orderBy(col("cell"), col("pos")),
+    Some {
+      val dpc = dotSql("pv", "cv"); val dcc = dotSql("cv", "cv")
+      def distRk(cents: String) =
+        s"""SELECT pid, pv, cell FROM (
+          SELECT e.pid, e.pv, c.cell,
+            row_number() OVER (PARTITION BY e.pid ORDER BY
+              ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+          FROM e CROSS JOIN $cents c) WHERE rk = 1"""
+      s"""WITH e AS (SELECT pid, pv, ${dotSql("pv", "pv")} AS pn FROM
+          (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings)),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 97 = 3),
+      a0 AS (${distRk("c0")}),
+      m0 AS (SELECT cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a0, range(64) t(i) GROUP BY cell, i),
+      c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m0 GROUP BY cell),
+      a1 AS (${distRk("c1")})
+      SELECT cell, CAST(i AS BIGINT) AS pos,
+        floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS coord,
+        CAST(count(*) AS BIGINT) AS n
+      FROM a1, range(64) t(i) GROUP BY cell, i ORDER BY cell, pos"""
+    })
+
+  /** X5 — Misra–Gries heavy hitters per source (mergeable sketch
+    * aggregate; see [[graft.ops.MisraGriesAggregator]]). Capacity 64 vs a
+    * 31-token vocabulary puts the sketch in its exact regime, so the
+    * oracle is the exact per-group top-5 — while the PLAN is the sketch's:
+    * partial per-partition summaries merged at the final agg, never a
+    * token-level shuffle. */
+  private val x5Heavy = Q("x5_heavy_hitters",
+    (s, dir) => {
+      val mg = udaf(new MisraGriesAggregator(64))
+      Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source")).agg(mg(col("tok")).as("hh"))
+        .select(col("source"), posexplode(col("hh")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("token"), col("col._2").as("n"))
+        .where(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      t AS (SELECT source, unnest(toks) AS token FROM base),
+      c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY source, token),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY n DESC, token) AS rk FROM c)
+      SELECT source, CAST(rk AS BIGINT) AS rk, token, n
+      FROM r WHERE rk <= 5 ORDER BY source, rk"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2500,7 +2562,8 @@ object Queries {
     asofForward, asofNearest,
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
-    x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler)
+    x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
+    x2Kmeans, x5Heavy)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

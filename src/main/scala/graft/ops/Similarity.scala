@@ -165,4 +165,82 @@ object Similarity {
         col("qd").cast("long").as("q"),
         (col("qd") / lit(127.0)).as("recon"),
         abs(col("qd") / lit(127.0) - col("cl")).as("err"))
+
+  /** X2 index training — Lloyd's k-means over the embedding column with a
+    * deterministic seed set and a fixed iteration count: the step that
+    * produces [[ivfTopK]]'s centroid table (reference users train the
+    * coarse quantizer before building an IVF index; here that training is
+    * itself a Spark dataflow).
+    *
+    * Per-iteration shape (the 100 TB design):
+    *  1. *assign* — the centroid table collapses to ONE row
+    *     (`collect_list(struct(cell, cv))`, k·d doubles — tiny) and
+    *     broadcast-joins the corpus, so the big side never shuffles. The
+    *     nearest cell is an `aggregate` HOF fold in ascending-cell order
+    *     with strict `<`, making the tie-break (lowest cell id at equal
+    *     distance) explicit in the fold rather than an artifact of a sort.
+    *     No window, no corpus-wide shuffle, no row expansion: each point
+    *     scans the k·d broadcast once.
+    *  2. *update* — `posexplode` + groupBy (cell, pos) mean. Partial
+    *     aggregation combines map-side, so the shuffle carries only
+    *     numPartitions·k·d partial sums, never the corpus. Means are
+    *     portable-rounded (floor(x·10^d + 0.5)/10^d — identical FP ops in
+    *     any engine, negative-safe because both engines floor toward −∞)
+    *     so iteration t+1's distances are bit-identical across engines
+    *     and partition orders.
+    *
+    * Unlike driver-looped k-means (MLlib collects centroids every round),
+    * the fit stays ONE lazy declarative plan: centroids are a small
+    * DataFrame re-broadcast per round, so the whole fit is explainable and
+    * AQE-planned end-to-end. Cells that lose every member drop out
+    * (plain Lloyd's on a fixed seed set; the seed count bounds k).
+    *
+    * Output: the final centroids exploded as (cell, pos, coord, n), where
+    * n is the member count of the assignment that produced the centroid.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                seedPred: Column, iters: Int = 2, roundDigits: Int = 6): DataFrame = {
+    require(iters >= 1, "kmeansFit needs at least one Lloyd iteration")
+    GraftFunctions.register(emb.sparkSession)
+    val scale = math.pow(10.0, roundDigits)
+    def pround(c: Column): Column = floor(c * lit(scale) + lit(0.5)) / lit(scale)
+
+    val pts = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .withColumn("pn", expr("graft_dot(pv, pv)"))
+
+    // Nearest centroid by squared L2 ((pn − 2·p·c) + c·c, identical
+    // association order in the oracle), ties to the lowest cell id.
+    def assign(cents: DataFrame): DataFrame = {
+      val one = cents.agg(
+        sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+      pts.join(broadcast(one))
+        .withColumn("best", expr(
+          """aggregate(
+               transform(cents, c -> named_struct(
+                 'cell', c.cell,
+                 'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
+               named_struct('cell', CAST(-1 AS BIGINT),
+                            'dist', CAST('Infinity' AS DOUBLE)),
+               (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
+        .select(col("pid"), col("pv"), col("best.cell").as("cell"))
+    }
+
+    var centroids: DataFrame = emb.where(seedPred)
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv"))
+    for (_ <- 1 until iters) {
+      centroids = assign(centroids)
+        .select(col("cell"), posexplode(col("pv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(pround(avg(col("x"))).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    assign(centroids)
+      .select(col("cell"), posexplode(col("pv")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(pround(avg(col("x"))).as("coord"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        col("coord"), col("n"))
+  }
 }

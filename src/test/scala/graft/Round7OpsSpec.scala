@@ -127,4 +127,60 @@ class Round7OpsSpec extends SparkSpec {
       lengthCap = Some(3)).as[(Long, Double, Long, Double, Double)].head()
     assert(capped == ((1L, 6.0, 3L, 1.0, 3.0))) // sum 1+2+3, len 3, min 1, max 3
   }
+
+  test("kmeansFit: two Lloyd iterations converge to the per-cluster means") {
+    // two well-separated 2-D clusters; seeds are one member of each, so
+    // iteration 1 already finds the right membership and iteration 2 is a
+    // fixed point — the final centroids are exactly the cluster means
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (10L, Seq(10.0, 10.0)), (11L, Seq(11.0, 10.0)), (12L, Seq(10.0, 11.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(pts, "vec_id", "embedding",
+      seedPred = col("vec_id").isin(1L, 11L), iters = 2)
+      .orderBy("cell", "pos")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // pround(1/3, 6) = floor(333333.8…)/1e6 = 0.333333
+    assert(got == Seq(
+      (1L, 0L, 0.333333, 3L), (1L, 1L, 0.333333, 3L),
+      (11L, 0L, 10.333333, 3L), (11L, 1L, 10.333333, 3L)))
+  }
+
+  test("MisraGries: undercount bounded by N/(k+1); the heavy key survives") {
+    val agg = new MisraGriesAggregator(2)
+    // N = 10, k = 2 → max undercount N/(k+1) = 3.33; "a" (true count 6)
+    // must survive with count in [6 − 3.33, 6]
+    val xs = Seq.fill(6)("a") ++ Seq("b", "c", "d", "e")
+    val sketch = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(sketch.contains("a"), s"heavy key lost: $sketch")
+    assert(sketch("a") >= 3 && sketch("a") <= 6, s"count out of MG bound: $sketch")
+    assert(sketch.size <= 2)
+  }
+
+  test("MisraGries merge applies the mergeable-summaries cut rule") {
+    val agg = new MisraGriesAggregator(2)
+    // pointwise sum = x:5 y:4 z:4 (3 keys > capacity 2) → subtract the
+    // 3rd-largest count (4), drop non-positives → {x: 1}
+    val m = agg.merge(Map("x" -> 5L, "y" -> 3L), Map("z" -> 4L, "y" -> 1L))
+    assert(m == Map("x" -> 1L))
+    // exact regime: merge is a plain pointwise sum, order-independent
+    val e1 = agg.merge(Map("x" -> 2L), Map("y" -> 1L))
+    val e2 = agg.merge(Map("y" -> 1L), Map("x" -> 2L))
+    assert(e1 == e2 && e1 == Map("x" -> 2L, "y" -> 1L))
+  }
+
+  test("kmeansFit assigns an exactly-equidistant point to the lowest cell id") {
+    // point 5 sits exactly between the two seeds (all distances are small
+    // integers — exact in FP), so the strict-< fold keeps the first cell
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0)), (3L, Seq(2.0, 0.0)), (5L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFit(pts, "vec_id", "embedding",
+      seedPred = col("vec_id").isin(1L, 3L), iters = 1)
+      .orderBy("cell", "pos")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0.5, 2L), (1L, 1L, 0.0, 2L),
+      (3L, 0L, 2.0, 1L), (3L, 1L, 0.0, 1L)))
+  }
 }
