@@ -2534,6 +2534,67 @@ object Queries {
       SELECT source, CAST(rk AS BIGINT) AS rk, token, n
       FROM r WHERE rk <= 5 ORDER BY source, rk"""))
 
+  /** X3 — URL canonicalization + URL-level dedup (the fetch-identity
+    * pass web curation runs BEFORE content dedup). Messy URLs are
+    * synthesized deterministically (mixed-case scheme/host, default
+    * port, trailing slash, tracking params, fragments, shuffled param
+    * order) so each normalization fires; canonical collisions group to
+    * (canon_url, keeper = min doc_id, n_dups). Both engines build and
+    * canonicalize the identical string with the identical regexps —
+    * extraction-only, never group-ref replacement (see
+    * TextOps.canonicalUrl). */
+  private val x3Url = Q("x3_url_canonical",
+    (s, dir) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), lit(".Example.COM"),
+        when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (id % 50).cast("string"),
+        when(id % 5 === 0, lit("/")).otherwise(lit("")),
+        when(id % 6 === 0, lit("?utm_source=x&b=2&a=1"))
+          .when(id % 6 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+        when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("canon_url", TextOps.canonicalUrl(messy))
+        .groupBy(col("canon_url"))
+        .agg(min(id).as("keeper"), count(lit(1)).as("n_dups"))
+        .orderBy(col("canon_url"))
+    },
+    Some("""WITH m AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+        source || '.Example.COM' ||
+        (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x&b=2&a=1'
+              WHEN doc_id % 6 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+        (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS u
+      FROM documents),
+      p AS (SELECT doc_id,
+        lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+        regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)', 1) AS port,
+        rtrim(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
+        array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(u, '[?]([^#]*)', 1), '&'),
+          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+          '&') AS params
+      FROM m),
+      c AS (SELECT doc_id,
+        scheme || '://' || host ||
+        (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                   AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END) ||
+        path ||
+        (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canon_url
+      FROM p)
+      SELECT canon_url, min(doc_id) AS keeper,
+        CAST(count(*) AS BIGINT) AS n_dups
+      FROM c GROUP BY canon_url ORDER BY canon_url"""))
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2563,7 +2624,7 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy)
+    x2Kmeans, x5Heavy, x3Url)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

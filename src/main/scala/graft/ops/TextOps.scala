@@ -343,6 +343,38 @@ object TextOps {
   def domainOf(url: Column): Column =
     regexp_extract(url, "^[a-z]+://([^/]+)/", 1)
 
+  /** X3 — URL canonicalization (the dedup key web-crawl curation applies
+    * BEFORE content dedup: the same page crawled as `HTTP://Host:80/p/`,
+    * `http://host/p#frag`, and `http://host/p?utm_source=x` must collapse
+    * to one fetch identity). Normalizations: scheme/host case-fold,
+    * default-port strip (http:80, https:443), trailing-slash strip,
+    * fragment strip, tracking-param removal (utm_*, fbclid, gclid, ref),
+    * and remaining query params SORTED so param order is identity-free.
+    *
+    * Built exclusively from `regexp_extract` + HOF filter/sort — never a
+    * regexp replacement with group references, whose syntax (`$1` vs
+    * `\\1`) differs across engines; extraction + rebuild is portable.
+    * Pure projection: codegen, no shuffle. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+    val port = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]+:([0-9]+)", 1)
+    val path = rtrim(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/")
+    val query = regexp_extract(url, "[?]([^#]*)", 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))), "&")
+    val keepPort = port =!= lit("") &&
+      !(scheme === lit("http") && port === lit("80")) &&
+      !(scheme === lit("https") && port === lit("443"))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(params =!= lit(""), concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   /** X3 — per-domain document cap with a domain blocklist (the web-corpus
     * curation rule: a handful of template-heavy hosts would otherwise
     * dominate the corpus; cap each domain at its `maxPerDomain` best

@@ -126,4 +126,23 @@ class Round7CurationSpec extends SparkSpec {
     // starts follow (q desc, id) order: 3 first, then 1, then 2
     assert(got.map(r => r._1 -> r._4).toMap == Map(3L -> 0L, 1L -> 10L, 2L -> 20L))
   }
+
+  test("canonicalUrl folds case/port/slash/fragment/tracking, sorts params") {
+    val urls = Seq(
+      // every normalization at once: case, userinfo skip, default port,
+      // trailing slash, tracking param, param order, fragment
+      "HTTP://User@WWW.Ex.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "http://www.ex.com/a/b?a=1&b=2",   // already canonical → same key
+      "https://ex.com:443/x",            // https default port strips
+      "https://ex.com:8443/x",           // non-default port KEPT
+      "http://ex.com"                    // no path, no query
+    ).toDF("u")
+    val got = urls.select(TextOps.canonicalUrl(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "http://www.ex.com/a/b?a=1&b=2",
+      "http://www.ex.com/a/b?a=1&b=2",
+      "https://ex.com/x",
+      "https://ex.com:8443/x",
+      "http://ex.com"))
+  }
 }
