@@ -2595,6 +2595,72 @@ object Queries {
         CAST(count(*) AS BIGINT) AS n_dups
       FROM c GROUP BY canon_url ORDER BY canon_url"""))
 
+  /** S8 — ORC round-trip: the third columnar container after parquet and
+    * the text formats (Spark ships the ORC reader/writer natively; ORC is
+    * the interchange format for Hive-era warehouses a 100 TB ingest
+    * frequently starts from). Partitioned write (8 files), schema-carrying
+    * re-read, aggregate. The oracle computes from the SOURCE table — if
+    * the ORC round-trip corrupted values or types, the Spark side
+    * diverges. */
+  private val s8Orc = Q("s8_orc_roundtrip",
+    (s, dir) => {
+      val path = "/tmp/graft_s8_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+        .where(pmod(col("l_orderkey"), lit(3)) === 0)
+        .repartition(8)
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      round(sum(l_quantity), 4) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem WHERE l_orderkey % 3 = 0
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    eagerPlan = true) // constructing runs the ORC sink write
+
+  /** Dataset profiler — one aggregation pass over lineitem yields every
+    * (column, metric) health stat, unpivoted to rows (see
+    * [[graft.ops.DataProfile]]). The oracle mirrors each metric with a
+    * UNION ALL over one flat aggregate CTE. */
+  private val profileQ = Q("profile_table",
+    (s, dir) => DataProfile.profile(Tables.lineitem(s, dir),
+      numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+      keyCols = Seq("l_returnflag"))
+      .orderBy(col("col_name"), col("metric")),
+    Some {
+      val numeric = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "s")
+      val aggSql = (numeric.map { case (c, k) =>
+        s"""count($c) AS n_$k, sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS z_$k,
+           count(DISTINCT $c) AS d_$k, min($c) AS mn_$k, max($c) AS mx_$k,
+           floor(avg($c) * 10000.0 + 0.5) / 10000.0 AS me_$k"""
+      } :+ """count(l_returnflag) AS n_r,
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS z_r,
+           count(DISTINCT l_returnflag) AS d_r""").mkString(",\n        ")
+      val branches = (numeric.flatMap { case (c, k) =>
+        Seq("n" -> s"n_$k", "nulls" -> s"z_$k", "n_distinct" -> s"d_$k",
+          "min" -> s"mn_$k", "max" -> s"mx_$k", "mean" -> s"me_$k")
+          .map { case (m, f) =>
+            s"SELECT '$c' AS col_name, '$m' AS metric, CAST($f AS DOUBLE) AS value FROM a"
+          }
+      } ++ Seq("n" -> "n_r", "nulls" -> "z_r", "n_distinct" -> "d_r").map {
+        case (m, f) =>
+          s"SELECT 'l_returnflag' AS col_name, '$m' AS metric, CAST($f AS DOUBLE) AS value FROM a"
+      }).mkString("\n        UNION ALL ")
+      s"""WITH a AS (SELECT
+        $aggSql
+      FROM lineitem)
+      SELECT col_name, metric, value FROM (
+        $branches
+      ) ORDER BY col_name, metric"""
+    })
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2624,7 +2690,7 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy, x3Url)
+    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
