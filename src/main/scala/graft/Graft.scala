@@ -96,6 +96,13 @@ object Graft {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.lshTopK(emb, idCol, vecCol, queryPred, k, bits)
 
+  /** X6: weighted sampling without replacement (Efraimidis–Spirakis,
+    * deterministic hash uniforms; probability ∝ weight). TakeOrdered
+    * plan — per-partition heaps, no global sort. */
+  def sampleByWeight(df: DataFrame, weightCol: Column, k: Int, seed: String = "",
+                     idCol: String = "doc_id"): DataFrame =
+    Curation.prioritySample(df, idCol, weightCol, k, seed)
+
   /** X5: heavy hitters per group — Misra–Gries mergeable sketch aggregate
     * (exact when distinct keys ≤ capacity; ≤ N/(capacity+1) undercount
     * otherwise). Returns (group…, entries array sorted count-desc). */

@@ -2624,6 +2624,33 @@ object Queries {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     eagerPlan = true) // constructing runs the ORC sink write
 
+  /** X6 — weighted priority sampling (Efraimidis–Spirakis, deterministic
+    * hash uniforms): 100 docs drawn without replacement, probability ∝
+    * token count. TakeOrderedAndProject plan (PlanSpec-asserted family);
+    * the oracle replays the identical key formula and ranking. */
+  private val x6Priority = Q("x6_priority_sample",
+    (s, dir) => {
+      val st = TextOps.textStats(col("text"))
+      val weighted = Tables.documents(s, dir).select(col("doc_id"),
+        greatest(st.getField("n_tokens").cast("long"), lit(1L)).as("n_tokens"))
+      Curation.prioritySample(weighted, "doc_id", col("n_tokens"), k = 100,
+          seed = "s7")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      w AS (SELECT doc_id, greatest(len(toks), 1) AS w FROM base),
+      u AS (SELECT doc_id, w,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's7'), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0 AS u
+        FROM w),
+      k AS (SELECT doc_id, w,
+          floor(ln(u) / CAST(w AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS sample_key
+        FROM u),
+      r AS (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk
+        FROM k)
+      SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, sample_key
+      FROM r WHERE rk <= 100 ORDER BY doc_id"""))
+
   /** Dataset profiler — one aggregation pass over lineitem yields every
     * (column, metric) health stat, unpivoted to rows (see
     * [[graft.ops.DataProfile]]). The oracle mirrors each metric with a
@@ -2690,7 +2717,7 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc)
+    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -121,6 +121,32 @@ object Curation {
       .where(idBucket(col(idCol), 100) < col("rate"))
   }
 
+  /** X6 — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis priority sampling): each row draws a
+    * reproducible uniform u ∈ [0,1) from md5(id ‖ seed) (60 bits → a
+    * dyadic rational, exact in any engine's doubles) and ranks by
+    * ln(u)/w — the order-equivalent monotone transform of the classic
+    * u^(1/w) key (higher weight → key closer to 0 → likelier kept), using
+    * `log` instead of `pow` because one transcendental call is the whole
+    * cross-engine FP exposure. The key is portable-rounded at 6 BEFORE
+    * ranking, so both the emitted values and the kept set survive a
+    * last-ulp `log` divergence (rounding ties break by id).
+    *
+    * Scale shape: top-k by (key DESC, id ASC) via orderBy + limit, which
+    * Spark plans as TakeOrderedAndProject — per-partition heaps merged on
+    * the driver at k rows, never a global sort (same shape as
+    * reservoirSample, but weight-aware). Weights must be ≥ 1
+    * (token-count-like); pass `greatest(w, 1)`. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: Column, k: Int,
+                     seed: String = ""): DataFrame = {
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))), 1, 15),
+      16, 10).cast("double") / lit(math.pow(2.0, 60))
+    val key = floor(log(u) / weightCol.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)
+    df.withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** X6 — global quality-ordered selection under a token budget ("keep
     * the best documents until the budget is spent" — the final cut of a
     * training-data recipe). Semantics: order the corpus by

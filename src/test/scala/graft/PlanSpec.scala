@@ -252,6 +252,35 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned WindowExec in: ${offenders.mkString(", ")}")
   }
 
+  test("kmeans fit plans broadcast assignment — no window, no sort-merge join") {
+    val p = plan("x2_kmeans_fit")
+    // the corpus side must never shuffle for assignment: the centroid
+    // table collapses to one row and broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid relation must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-wide join shuffle")
+    assert(!p.contains("Window"), "assignment is a fold, not a ranking window")
+  }
+
+  test("heavy hitters plans partial sketch aggregation, no token-level shuffle") {
+    val p = plan("x5_heavy_hitters")
+    // the MG udaf buffers are objects → ObjectHashAggregate, planned as
+    // partial (per-partition sketch) + merge — the exchange carries one
+    // sketch per (partition, source), never the exploded token stream
+    assert(p.contains("ObjectHashAggregate"), "typed Aggregator must plan object agg")
+    assert(p.contains("partial_misragriesaggregator") ||
+      p.toLowerCase.contains("partial"), "map-side sketch before the exchange")
+  }
+
+  test("profiler reads the table once for all columns") {
+    val p = plan("profile_table")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profiler must profile every column in one scan, saw $scans")
+    // exact countDistinct plans through Expand (the documented 100 TB
+    // swap to approx_count_distinct removes it — see DataProfile scaladoc)
+    assert(p.contains("Expand"))
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._

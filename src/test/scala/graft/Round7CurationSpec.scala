@@ -127,6 +127,23 @@ class Round7CurationSpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._4).toMap == Map(3L -> 0L, 1L -> 10L, 2L -> 20L))
   }
 
+  test("prioritySample: deterministic, weight-monotone, TakeOrdered-planned") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 1L))
+      .toDF("doc_id", "w")
+    val got = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "t")
+    // scale gate: per-partition heap top-k, never a global sort
+    assert(got.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    // the million-weight row's key is ~0⁻ — it must be drawn
+    assert(ids.contains(7L))
+    val again = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == again, "same seed must reproduce the identical sample")
+    val other = Curation.prioritySample(df, "doc_id", col("w"), k = 20, seed = "u")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids != other, "a different seed draws a different sample")
+  }
+
   test("canonicalUrl folds case/port/slash/fragment/tracking, sorts params") {
     val urls = Seq(
       // every normalization at once: case, userinfo skip, default port,

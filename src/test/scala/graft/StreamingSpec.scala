@@ -365,4 +365,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows.contains((3.0, 2L))) // first burst emitted as a closed session
   }
+
+  test("Misra-Gries heavy hitters aggregate live-updates over a stream") {
+    // the mergeable sketch drops into streaming aggregation unchanged:
+    // complete-mode per-group sketches update across micro-batches (the
+    // "top domains right now" dashboard query at ingest time)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val mg = udaf(new graft.ops.MisraGriesAggregator(8))
+    val q = mem.toDS().toDF("grp", "tok")
+      .groupBy($"grp").agg(mg($"tok").as("hh"))
+      .writeStream.format("memory").queryName("hh_out").outputMode("complete").start()
+    mem.addData(("a", "x"), ("a", "x"), ("a", "y"))
+    q.processAllAvailable()
+    mem.addData(("a", "x"), ("b", "z")) // sketch state must merge, not reset
+    q.processAllAvailable()
+    val got = spark.table("hh_out").as[(String, Seq[(String, Long)])].collect().toMap
+    q.stop()
+    assert(got("a") == Seq(("x", 3L), ("y", 1L))) // exact regime, count-desc order
+    assert(got("b") == Seq(("z", 1L)))
+  }
 }
