@@ -96,6 +96,12 @@ object Graft {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.lshTopK(emb, idCol, vecCol, queryPred, k, bits)
 
+  /** X3: corpus-fit bigram LM quality scoring — mean add-α bigram
+    * log-probability per doc (low = scrambled/templated/off-language). */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    TextOps.lmPerplexityScore(docs, idCol, textCol)
+
   /** X6: weighted sampling without replacement (Efraimidis–Spirakis,
     * deterministic hash uniforms; probability ∝ weight). TakeOrdered
     * plan — per-partition heaps, no global sort. */

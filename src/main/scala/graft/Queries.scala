@@ -2651,6 +2651,30 @@ object Queries {
       SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, sample_key
       FROM r WHERE rk <= 100 ORDER BY doc_id"""))
 
+  /** X3 — corpus-fit bigram LM perplexity scoring (CCNet-style quality
+    * filter; see TextOps.lmPerplexityScore). Count tables broadcast;
+    * one corpus shuffle. */
+  private val x3Lm = Q("x3_lm_perplexity",
+    (s, dir) => TextOps.lmPerplexityScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+      v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      bi AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+        FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+              FROM toks)),
+      bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+      j AS (SELECT doc_id, ln((c2 + 0.5) / (c1 + 0.5 * v)) AS lp
+        FROM bi JOIN bc USING (bg)
+        JOIN uni ON string_split(bg, ' ')[1] = uni.w1
+        CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        floor(avg(lp) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Dataset profiler — one aggregation pass over lineitem yields every
     * (column, metric) health stat, unpivoted to rows (see
     * [[graft.ops.DataProfile]]). The oracle mirrors each metric with a
@@ -2717,7 +2741,7 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority)
+    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -151,6 +151,42 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** X3 — n-gram LM quality scoring (the CCNet-style perplexity filter):
+    * an add-α bigram language model is fit ON THE CORPUS ITSELF (count
+    * tables) and every document is scored by its mean bigram
+    * log-probability — anomalously low scores flag scrambled, templated,
+    * or wrong-language text relative to the corpus distribution.
+    *
+    * Scale shape: the unigram/bigram count tables are vocabulary-sized
+    * (≪ corpus) → broadcast joins; the corpus explodes ONCE to bigram
+    * occurrences, joins the broadcast tables, and aggregates per doc —
+    * one corpus shuffle on doc_id total. `log((c2+α)/(c1+α·V))` takes an
+    * exactly-representable rational (integer counts, dyadic α) into one
+    * glibc `log`, the same single-transcendental parity contract as P5's
+    * capped exp; the per-doc mean rounds at 4 (transcendental sums carry
+    * no protective lattice).
+    *
+    * Output: (doc_id, n_bigrams, avg_logprob) for docs with ≥ 1 bigram. */
+  def lmPerplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val docBi = toks.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
+    val biCounts = docBi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    docBi.join(broadcast(biCounts), Seq("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp",
+        log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(col("lp")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_logprob"))
+  }
+
   /** X3 — benchmark decontamination report (the standard training-data
     * hygiene pass: a training document that shares any word n-gram with an
     * evaluation/benchmark document leaks eval answers into training and

@@ -146,6 +146,17 @@ class Round7OpsSpec extends SparkSpec {
       (11L, 0L, 10.333333, 3L), (11L, 1L, 10.333333, 3L)))
   }
 
+  test("lmPerplexityScore ranks corpus-typical word order above scrambled") {
+    // 9 identical fluent docs + 1 scrambled doc with the SAME unigrams but
+    // none of the corpus's frequent bigrams — the LM must rank it lower
+    val docs = ((1L to 9L).map(i => (i, "the cat sat on the mat")) :+
+      (10L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val got = TextOps.lmPerplexityScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(10L) < got(1L), s"scrambled doc must score lower: $got")
+    assert((1L to 9L).map(got).distinct.size == 1, "identical docs score identically")
+  }
+
   test("MisraGries: undercount bounded by N/(k+1); the heavy key survives") {
     val agg = new MisraGriesAggregator(2)
     // N = 10, k = 2 → max undercount N/(k+1) = 3.33; "a" (true count 6)
