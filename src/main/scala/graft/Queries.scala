@@ -2675,6 +2675,20 @@ object Queries {
         floor(avg(lp) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
       FROM j GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X2 — embedding covariance matrix (upper triangle), the whitening /
+    * PCA-prep statistic for the ANN stack. Map-side-combined (i, j)
+    * partial sums; portable rounding at 6. */
+  private val x2Cov = Q("x2_covariance_matrix",
+    (s, dir) => Similarity.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
+      .orderBy(col("i"), col("j")),
+    Some("""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+        FROM e, range(64) a(i), range(64) b(j) WHERE i <= j)
+      SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+          / 1000000.0 AS cov
+      FROM p GROUP BY i, j ORDER BY i, j"""))
+
   /** Dataset profiler — one aggregation pass over lineitem yields every
     * (column, metric) health stat, unpivoted to rows (see
     * [[graft.ops.DataProfile]]). The oracle mirrors each metric with a
@@ -2741,7 +2755,7 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm)
+    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -166,6 +166,34 @@ object Similarity {
         (col("qd") / lit(127.0)).as("recon"),
         abs(col("qd") / lit(127.0) - col("cl")).as("err"))
 
+  /** X2 — population covariance matrix of the embedding column (the
+    * whitening / PCA-prep statistic: ANN recall improves measurably on
+    * decorrelated vectors, and the d×d spectrum is the standard input to
+    * OPQ-style rotations). cov(i,j) = (Σxy − ΣxΣy/n)/n over the upper
+    * triangle.
+    *
+    * Scale shape: the double `posexplode` expands each vector to d²/2
+    * pairs, but hash aggregation combines them MAP-SIDE to one (i, j)
+    * partial per partition — the shuffle carries numPartitions·d²/2 sum
+    * triples, never the corpus (same partial-agg argument as the k-means
+    * update; the d² blow-up is transient CPU, which is inherent to
+    * computing a covariance anyway). Output rounds portable at
+    * `roundDigits` (cross-engine partial-sum order). */
+  def covarianceMatrix(emb: DataFrame, vecCol: String,
+                       roundDigits: Int = 6): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    val pts = emb.select(asDouble(col(vecCol)).as("v"))
+    pts.select(posexplode(col("v")).as(Seq("i", "x")), col("v"))
+      .select(col("i"), col("x"), posexplode(col("v")).as(Seq("j", "y")))
+      .where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg((floor(((sum(col("x") * col("y"))
+          - sum(col("x")) * sum(col("y")) / count(lit(1)))
+          / count(lit(1))) * lit(s) + lit(0.5)) / lit(s)).as("cov"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("cov"))
+  }
+
   /** X2 index training — Lloyd's k-means over the embedding column with a
     * deterministic seed set and a fixed iteration count: the step that
     * produces [[ivfTopK]]'s centroid table (reference users train the

@@ -157,6 +157,15 @@ class Round7OpsSpec extends SparkSpec {
     assert((1L to 9L).map(got).distinct.size == 1, "identical docs score identically")
   }
 
+  test("covarianceMatrix matches the closed form on a 2-D fixture") {
+    // unit square corners: var = 1 on both axes, covariance 0
+    val pts = Seq(Seq(0.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 2.0), Seq(2.0, 2.0))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.covarianceMatrix(pts, "embedding").orderBy("i", "j")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1.0), (0L, 1L, 0.0), (1L, 1L, 1.0)))
+  }
+
   test("MisraGries: undercount bounded by N/(k+1); the heavy key survives") {
     val agg = new MisraGriesAggregator(2)
     // N = 10, k = 2 → max undercount N/(k+1) = 3.33; "a" (true count 6)
