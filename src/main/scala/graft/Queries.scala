@@ -2689,6 +2689,36 @@ object Queries {
           / 1000000.0 AS cov
       FROM p GROUP BY i, j ORDER BY i, j"""))
 
+  /** X2 — top principal component via 3 unrolled power iterations over
+    * the covariance matrix (see Similarity.pcaPowerIteration); the oracle
+    * unrolls the same matvec → round → normalize → round chain. */
+  private val x2Pca = Q("x2_pca_power",
+    (s, dir) => Similarity.pcaPowerIteration(Tables.embeddings(s, dir),
+        "embedding", dim = 64, iters = 3)
+      .orderBy(col("i")),
+    Some {
+      val iterCtes = (1 to 3).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT cv.i, floor(sum(cov * vj) * 1000000.0 + 0.5) / 1000000.0 AS wi
+          FROM cv JOIN $prev ON cv.j = $prev.j GROUP BY cv.i),
+        n$t AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w$t),
+        v$t AS (SELECT i AS j, floor(wi / nrm * 1000000.0 + 0.5) / 1000000.0 AS vj
+          FROM w$t, n$t)"""
+      }.mkString(",\n        ")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+          FROM e, range(64) a(i), range(64) b(j) WHERE i <= j),
+        up AS (SELECT i, j,
+            floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+              / 1000000.0 AS cov
+          FROM p GROUP BY i, j),
+        cv AS (SELECT i, j, cov FROM up
+               UNION ALL SELECT j AS i, i AS j, cov FROM up WHERE i <> j),
+        v0 AS (SELECT i AS j, 1.0 AS vj FROM range(64) t(i)),
+        $iterCtes
+        SELECT CAST(j AS BIGINT) AS i, vj AS loading FROM v3 ORDER BY i"""
+    })
+
   /** Dataset profiler — one aggregation pass over lineitem yields every
     * (column, metric) health stat, unpivoted to rows (see
     * [[graft.ops.DataProfile]]). The oracle mirrors each metric with a
@@ -2755,7 +2785,8 @@ object Queries {
     e2eTrain, s3Outliers, w3Capped, asofNativeOracle, p10Deep, j1Gather,
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
-    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov)
+    x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
+    x2Pca)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

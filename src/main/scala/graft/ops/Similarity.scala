@@ -194,6 +194,37 @@ object Similarity {
         col("cov"))
   }
 
+  /** X2 — top principal component by fixed-iteration power iteration over
+    * [[covarianceMatrix]], the PCA step behind whitening/OPQ rotations.
+    * After the covariance reduction (the only corpus-sized stage — its
+    * scale argument lives there), everything is d-sized: the symmetric
+    * matrix is rebuilt from the upper triangle, v₀ = 1⃗, and each
+    * iteration is one broadcast matvec join + a norm — tiny frames, one
+    * lazy plan, no driver loop. Matvec sums and normalized loadings are
+    * portable-rounded per iteration so engine partial-sum order cannot
+    * compound across iterations (the p10_deep chaining rule). Sign
+    * follows v₀ deterministically. Output: (i, loading), d rows. */
+  def pcaPowerIteration(emb: DataFrame, vecCol: String, dim: Int,
+                        iters: Int = 3, roundDigits: Int = 6): DataFrame = {
+    require(iters >= 1, "pcaPowerIteration needs at least one iteration")
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val upper = covarianceMatrix(emb, vecCol, roundDigits)
+    val full = upper.union(upper.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    var v: DataFrame = emb.sparkSession.range(dim.toLong)
+      .select(col("id").as("j"), lit(1.0).as("vj"))
+    for (_ <- 1 to iters) {
+      val w = full.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg(pr(sum(col("cov") * col("vj"))).as("wi"))
+      val nrm = w.agg(sqrt(sum(col("wi") * col("wi"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), pr(col("wi") / col("nrm")).as("vj"))
+    }
+    v.select(col("j").cast("long").as("i"), col("vj").as("loading"))
+  }
+
   /** X2 index training — Lloyd's k-means over the embedding column with a
     * deterministic seed set and a fixed iteration count: the step that
     * produces [[ivfTopK]]'s centroid table (reference users train the

@@ -146,6 +146,40 @@ object ScaleProbe {
         col("n_chars"), 150000L)),
       cnt(Curation.tokenBudgetSelect(docsN, "doc_id", col("n_chars").cast("double"),
         col("n_chars"), 150000L)))
+
+    // round-7 second batch: sketchy/statistical families. Seed predicate
+    // fixed → k identical at 1x and Nx, so the probe isolates the corpus
+    // scan term (the k·d term is constant by construction).
+    probe("kmeans fit (2 iters, fixed k)",
+      cnt(Similarity.kmeansFit(emb1, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(997)) === 3, iters = 2)),
+      cnt(Similarity.kmeansFit(embN, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(997)) === 3, iters = 2)))
+    probe("heavy hitters (MG 64 per source)",
+      cnt(graft.Graft.heavyHitters(docs1.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("t")), col("t"), Seq(col("source")), 64)),
+      cnt(graft.Graft.heavyHitters(docsN.select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("t")), col("t"), Seq(col("source")), 64)))
+    probe("bigram LM perplexity",
+      cnt(TextOps.lmPerplexityScore(docs1, "doc_id", "text")),
+      cnt(TextOps.lmPerplexityScore(docsN, "doc_id", "text")))
+    probe("covariance matrix (64-dim)",
+      cnt(Similarity.covarianceMatrix(emb1, "embedding")),
+      cnt(Similarity.covarianceMatrix(embN, "embedding")))
+    probe("priority sample (k=1000)",
+      cnt(Curation.prioritySample(docs1, "doc_id",
+        col("n_chars").cast("double"), 1000, "p")),
+      cnt(Curation.prioritySample(docsN, "doc_id",
+        col("n_chars").cast("double"), 1000, "p")))
+    probe("url canonical dedup",
+      cnt(docs1.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
+        (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
+        col("doc_id").cast("string"), lit("?utm_source=x&a=1"))).as("u"))
+        .agg(count(lit(1)))),
+      cnt(docsN.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
+        (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
+        col("doc_id").cast("string"), lit("?utm_source=x&a=1"))).as("u"))
+        .agg(count(lit(1)))))
     spark.stop()
   }
 }

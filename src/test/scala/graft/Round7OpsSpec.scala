@@ -166,6 +166,17 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 1.0), (0L, 1L, 0.0), (1L, 1L, 1.0)))
   }
 
+  test("pcaPowerIteration recovers the dominant direction of rank-1 data") {
+    // points on the line t·(1,2): covariance is exactly rank-1, so power
+    // iteration converges in one step to ±(1,2)/√5
+    val pts = Seq(Seq(1.0, 2.0), Seq(-1.0, -2.0), Seq(2.0, 4.0), Seq(-2.0, -4.0))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.pcaPowerIteration(pts, "embedding", dim = 2, iters = 3)
+      .orderBy("i").as[(Long, Double)].collect().map(_._2)
+    assert(math.abs(got(0) - 1.0 / math.sqrt(5)) < 1e-5, got.toSeq.toString)
+    assert(math.abs(got(1) - 2.0 / math.sqrt(5)) < 1e-5, got.toSeq.toString)
+  }
+
   test("MisraGries: undercount bounded by N/(k+1); the heavy key survives") {
     val agg = new MisraGriesAggregator(2)
     // N = 10, k = 2 → max undercount N/(k+1) = 3.33; "a" (true count 6)
