@@ -125,6 +125,13 @@ object Graft {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.kmeansFit(emb, idCol, vecCol, seedPred, iters)
 
+  /** X2 SemDeDup: nearest-centroid cells, then within-cell cosine dedup —
+    * every member flagged is_dup when a lower-id cell-mate reaches the
+    * threshold; the lowest id per semantic group survives. */
+  def semanticDedup(emb: DataFrame, centroidPred: Column, threshold: Double = 0.95,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.semanticDedup(emb, idCol, vecCol, centroidPred, threshold)
+
   /** X3: per-document text analysis (tokens, quality, language,
     * fingerprint) — one tokenization pass via the graft_text_stats
     * kernel; each output equals its declarative TextOps form. */

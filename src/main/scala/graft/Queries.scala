@@ -2756,6 +2756,62 @@ object Queries {
       ) ORDER BY col_name, metric"""
     })
 
+  /** X2 — SemDeDup-style semantic dedup (see
+    * [[graft.ops.Similarity.semanticDedup]]): nearest-centroid cells
+    * (deterministic centroid subset, reproducible in the oracle exactly
+    * like x2_ivf_topk's), then within-cell cosine vs every lower-id
+    * member. The oracle unrolls the identical argmin (same distance
+    * association, centroid-id tie-break) and the identical cosine form,
+    * then LEFT-joins the distinct losers back — is_dup must agree
+    * row-for-row, proving cell assignment AND pair scoring both match. */
+  private val x2SemDedup = Q("x2_semantic_dedup",
+    (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        centroidPred = pmod(col("vec_id"), lit(89)) === 7, threshold = 0.3)
+      .orderBy(col("pid")),
+    Some {
+      val dPC = dotSql("e.pv", "c.cv"); val dCC = dotSql("c.cv", "c.cv")
+      val dPP = dotSql("e.pv", "e.pv")
+      val dLR = dotSql("l.pv", "r.pv")
+      val dLL = dotSql("l.pv", "l.pv"); val dRR = dotSql("r.pv", "r.pv")
+      s"""WITH e AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings),
+        c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id % 89 = 7),
+        a AS (SELECT pid, pv, cell FROM (
+          SELECT e.pid, e.pv, c.centroid_id AS cell,
+            row_number() OVER (PARTITION BY e.pid ORDER BY
+              (($dPP - 2*$dPC) + $dCC) ASC, c.centroid_id ASC) AS rk
+          FROM e CROSS JOIN c) WHERE rk = 1),
+        d AS (SELECT DISTINCT r.pid AS pid
+          FROM a l JOIN a r ON l.cell = r.cell AND l.pid < r.pid
+          WHERE round($dLR / (sqrt($dLL) * sqrt($dRR)), 6) >= 0.3)
+        SELECT a.pid, a.cell, (d.pid IS NOT NULL) AS is_dup
+        FROM a LEFT JOIN d ON a.pid = d.pid ORDER BY a.pid"""
+    })
+
+  /** S9 — bucketed co-located join (SURVEY.md §2.3 scale note): orders and
+    * customer are materialized as 8-bucket tables on the customer key,
+    * then joined table-to-table. Matching bucket counts let Spark plan the
+    * join with NO shuffle exchange on either side (PlanSpec asserts it
+    * with broadcast disabled) — at 100 TB this is the pre-partitioning
+    * that turns every repeated fact⋈dim join on the same key into a
+    * scan-local merge, amortizing ONE write-time shuffle across every
+    * downstream join. The oracle computes the same join from the source
+    * tables: bucketing must change the plan, never the result. */
+  private val s9Bucketed = Q("s9_bucketed_join",
+    (s, dir) => {
+      val (o, c) = Tables.bucketedOrdersCustomer(s, dir)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        round(sum(o_totalprice), 4) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    eagerPlan = true) // constructing writes the bucketed tables
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -2786,7 +2842,7 @@ object Queries {
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
-    x2Pca)
+    x2Pca, x2SemDedup, s9Bucketed)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

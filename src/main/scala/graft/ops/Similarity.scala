@@ -302,4 +302,53 @@ object Similarity {
       .select(col("cell"), col("pos").cast("long").as("pos"),
         col("coord"), col("n"))
   }
+
+  /** X2 — SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into cells by nearest
+    * centroid, then within each cell flag every vector whose cosine to a
+    * LOWER-id cell member reaches `threshold`. Each semantic-duplicate
+    * group keeps exactly its lowest-id representative, and cross-cell
+    * pairs are never scored — the clustering IS the candidate pruning.
+    *
+    * Scale shape: cell assignment is the same broadcast argmin fold as
+    * [[ivfTopK]] (centroids ~√N, corpus never shuffles for it); the
+    * pairwise stage shuffles both sides on `cell` only, so the quadratic
+    * term is bounded by the largest cell, not the corpus. Output is every
+    * member with its cell and an `is_dup` flag (rather than survivors
+    * only) so the dedup rate per cell is one aggregation away.
+    *
+    * Reference tie-in: the fetch-side identity passes (exact/MinHash
+    * dedup) miss paraphrases; this is the embedding-space pass a training
+    * corpus runs after them (SURVEY.md §2.8 X2 "cosine near-dup" scale
+    * variant). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroidPred: Column, threshold: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec_c"))
+    val scored = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        expr("graft_dot(pv, pv) - 2 * graft_dot(pv, cvec_c)")
+          + expr("graft_dot(cvec_c, cvec_c)"))
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+    val members = scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("pid"), col("pv"), col("centroid_id").as("cell"))
+    val l = members.select(col("pid").as("id_a"), col("pv").as("qvec"), col("cell"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val r = members.select(col("pid").as("id_b"), col("pv").as("cvec"), col("cell"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val dups = l.join(r, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(fastCosine, 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_b").as("pid")).distinct()
+      .withColumn("is_dup", lit(true))
+    members.select(col("pid"), col("cell"))
+      .join(dups, Seq("pid"), "left")
+      .select(col("pid"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -240,7 +240,7 @@ class PlanSpec extends SparkSpec {
     val (skipped, sweepable) = Queries.all.partition(_.eagerPlan)
     assert(skipped.map(_.name).toSet == Set("x1_dedup_components",
       "x1_dedup_pipeline", "s4_csv_roundtrip", "s4_jsonl_roundtrip",
-      "s7_partitioned_roundtrip", "s8_orc_roundtrip"),
+      "s7_partitioned_roundtrip", "s8_orc_roundtrip", "s9_bucketed_join"),
       "eagerPlan exclusions changed — re-justify each one here")
     val offenders = sweepable.flatMap { q =>
       val exec = q.run(spark, sf001).queryExecution.executedPlan
@@ -279,6 +279,33 @@ class PlanSpec extends SparkSpec {
     // exact countDistinct plans through Expand (the documented 100 TB
     // swap to approx_count_distinct removes it — see DataProfile scaladoc)
     assert(p.contains("Expand"))
+  }
+
+  test("semantic dedup plans broadcast assignment and a cell-keyed pair join") {
+    val p = plan("x2_semantic_dedup")
+    // centroid argmin: centroids broadcast, corpus never shuffles for it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid relation must broadcast")
+    // the quadratic stage must be keyed on cell — an unkeyed cartesian
+    // over members is the all-pairs scale-killer this op exists to avoid
+    assert(!p.contains("CartesianProduct"),
+      "pairwise stage must join on cell, never cartesian")
+  }
+
+  test("bucketed join is shuffle-free scan-to-scan (co-located buckets)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val (o, c) = graft.sources.Tables.bucketedOrdersCustomer(spark, sf001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      val nodes = allNodes(joined.queryExecution.executedPlan)
+      assert(nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+        "equal-bucket join should plan sort-merge")
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        "bucketed scans must satisfy the join distribution with NO exchange")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("graft_dot registered function evaluates the fused kernel") {

@@ -146,6 +146,43 @@ class Round7OpsSpec extends SparkSpec {
       (11L, 0L, 10.333333, 3L), (11L, 1L, 10.333333, 3L)))
   }
 
+  test("semanticDedup keeps the lowest id per duplicate group, within cells only") {
+    // two clusters; in the first, vectors 0/1/2 are near-identical
+    // directions (cosine ≈ 1) and 3 is orthogonal; the second cluster has
+    // a duplicate pair (10, 11). Vector 20 duplicates 0's DIRECTION but
+    // sits in the far cluster — cross-cell pairs must never be scored.
+    val pts = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.99, 0.01, 0.0)),
+      (2L, Seq(0.98, 0.02, 0.0)), (3L, Seq(0.0, 1.0, 0.0)),
+      (10L, Seq(100.0, 100.0, 100.0)), (11L, Seq(100.0, 100.0, 100.1)),
+      (20L, Seq(200.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // centroids: 0 (origin-ish cell) and 10 (far cell); 20 is nearer 10
+    val got = Similarity.semanticDedup(pts, "vec_id", "embedding",
+      centroidPred = col("vec_id").isin(0L, 10L), threshold = 0.95)
+      .orderBy("pid").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, false),  // representative of the 0/1/2 group
+      (1L, 0L, true), (2L, 0L, true),
+      (3L, 0L, false),  // same cell, below threshold
+      (10L, 10L, false), (11L, 10L, true),
+      (20L, 10L, false))) // duplicate direction of 0, but different cell
+  }
+
+  test("semanticDedup threshold monotonicity: raising it can only keep more") {
+    val pts = (0L until 30L).map(i =>
+      (i, Seq(math.cos(i.toDouble / 10), math.sin(i.toDouble / 10))))
+      .toDF("vec_id", "embedding")
+    def dupCount(t: Double): Long =
+      Similarity.semanticDedup(pts, "vec_id", "embedding",
+        centroidPred = col("vec_id") === 0L, threshold = t)
+        .where(col("is_dup")).count()
+    val loose = dupCount(0.9)
+    val strict = dupCount(0.999)
+    assert(strict <= loose, s"strict=$strict loose=$loose")
+    assert(loose > 0, "fixture must produce at least one duplicate at 0.9")
+  }
+
   test("lmPerplexityScore ranks corpus-typical word order above scrambled") {
     // 9 identical fluent docs + 1 scrambled doc with the SAME unigrams but
     // none of the corpus's frequent bigrams — the LM must rank it lower
