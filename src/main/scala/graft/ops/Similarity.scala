@@ -209,6 +209,14 @@ object Similarity {
     require(iters >= 1, "pcaPowerIteration needs at least one iteration")
     val s = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    // The symmetric matrix is referenced once per iteration on both sides
+    // of the matvec and the references multiply through the unrolled loop
+    // (the initial plan shows 2^iters subtree copies) — but do NOT cache
+    // it: AQE's runtime exchange reuse already collapses the identical
+    // covariance shuffles (measured 1.6 s), while a .cache() boundary
+    // blocks that reuse and forces per-reference InMemoryRelation fills
+    // (measured 5.9 s on the same data). Driver-collecting the d² matrix
+    // would also work but turns the op eager; reuse keeps it one lazy plan.
     val upper = covarianceMatrix(emb, vecCol, roundDigits)
     val full = upper.union(upper.where(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cov")))

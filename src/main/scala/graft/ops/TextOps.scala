@@ -170,8 +170,11 @@ object TextOps {
   def lmPerplexityScore(docs: DataFrame, idCol: String, textCol: String,
                         alpha: Double = 0.5): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // uni is vocabulary-bounded (≪ corpus at any scale) and referenced
+    // twice (the vocab-size scalar and the probe join) — caching it keeps
+    // the corpus-sized tokenize+explode from running an extra pass.
     val uni = toks.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1")).cache()
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
     val docBi = toks.where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
