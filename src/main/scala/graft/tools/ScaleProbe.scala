@@ -171,6 +171,17 @@ object ScaleProbe {
         col("n_chars").cast("double"), 1000, "p")),
       cnt(Curation.prioritySample(docsN, "doc_id",
         col("n_chars").cast("double"), 1000, "p")))
+    // semantic dedup: centroid count scales ~√N (the documented policy —
+    // cells ~√N keeps assignment broadcast AND per-cell pairwise both
+    // sublinear), so within-cell pair volume grows ~√scale·N, i.e. the
+    // expected ratio is ~scale·√scale (≈32 at 10×), NOT linear. The probe
+    // verifies it stays FAR below the ~100× an unclustered all-pairs pass
+    // would cost.
+    probe("semantic dedup (sqrt-N cells)",
+      cnt(Similarity.semanticDedup(emb1, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(89)) === 7, 0.3)),
+      cnt(Similarity.semanticDedup(embN, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(281)) === 7, 0.3)))
     probe("url canonical dedup",
       cnt(docs1.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
         (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
