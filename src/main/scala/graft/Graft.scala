@@ -207,6 +207,12 @@ object Graft {
     Curation.packSequences(docs, idCol, stratumCol,
       TextOps.textStats(col(textCol)).getField("n_tokens").cast("long"), budget)
 
+  /** X6: easiest-first curriculum manifest, sources interleaved
+    * round-robin by per-source difficulty rank. */
+  def curriculumOrder(docs: DataFrame, difficulty: Column,
+                      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame =
+    Curation.curriculumOrder(docs, idCol, sourceCol, difficulty)
+
   /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, TextOps.redactPii(col(textCol)))

@@ -2805,6 +2805,19 @@ object Queries {
         FROM a LEFT JOIN d ON a.pid = d.pid ORDER BY a.pid"""
     })
 
+  /** X6 — curriculum ordering (see [[graft.ops.Curation.curriculumOrder]]):
+    * easiest-first (length-as-difficulty proxy) with round-robin source
+    * interleave — rank r of every source precedes rank r+1 of any.
+    * The oracle replays the identical per-source rank + lexicographic
+    * (rk, source) manifest order. */
+  private val x6Curriculum = Q("x6_curriculum_order",
+    (s, dir) => Curation.curriculumOrder(Tables.documents(s, dir), "doc_id", "source",
+      col("n_chars").cast("double")),
+    Some("""SELECT CAST(row_number() OVER (PARTITION BY source
+          ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rk,
+        source, doc_id, CAST(n_chars AS DOUBLE) AS difficulty
+      FROM documents ORDER BY rk, source"""))
+
   /** S9 — bucketed co-located join (SURVEY.md §2.3 scale note): orders and
     * customer are materialized as 8-bucket tables on the customer key,
     * then joined table-to-table. Matching bucket counts let Spark plan the
@@ -2859,7 +2872,7 @@ object Queries {
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
-    x2Pca, x2SemDedup, s9Bucketed)
+    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -204,4 +204,42 @@ object Curation {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budget.toDouble))
           .cast("long"))
   }
+
+  /** X6 — curriculum ordering: easiest-first training order that still
+    * interleaves sources round-robin, so early training never sees a
+    * single-source (single-distribution) run. Each document ranks within
+    * its source by (difficulty ASC, id) and the curriculum is the
+    * (rank, source) lexicographic order — rank r of every source appears
+    * before rank r+1 of any source.
+    *
+    * Scale shape: sources are FEW, so a per-source row_number window
+    * would funnel the whole corpus through |sources| tasks. Instead the
+    * rank decomposes like [[tokenBudgetSelect]]'s prefix trick:
+    * per-(source, difficulty-level) counts (a sources×levels table,
+    * corpus-tiny) give each level its per-source prefix via a window
+    * over that tiny table; the corpus then windows only within
+    * (source, level) — cardinality sources×levels, skew-free — and
+    * rk = level prefix + within-level position. Pass a DISCRETIZED
+    * difficulty at scale (a raw continuous score makes levels unique and
+    * the counts table corpus-sized; bucket it first). The final sort is
+    * the op's output semantics — an ordered manifest is what a
+    * curriculum is — planned as a range-partitioned sort, the same
+    * class as the oracle-mandated final ORDER BYs. */
+  def curriculumOrder(df: DataFrame, idCol: String, sourceCol: String,
+                      difficulty: Column): DataFrame = {
+    val base = df.withColumn("difficulty", difficulty)
+    val counts = base.groupBy(col(sourceCol), col("difficulty"))
+      .agg(count(lit(1)).as("__n"))
+    val wPrefix = Window.partitionBy(col(sourceCol)).orderBy(col("difficulty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = counts
+      .withColumn("__prefix", sum(col("__n")).over(wPrefix) - col("__n"))
+      .drop("__n")
+    val wIn = Window.partitionBy(col(sourceCol), col("difficulty"))
+      .orderBy(col(idCol).asc)
+    base.join(broadcast(prefix), Seq(sourceCol, "difficulty"))
+      .withColumn("rk", col("__prefix") + row_number().over(wIn).cast("long"))
+      .select(col("rk"), col(sourceCol), col(idCol), col("difficulty"))
+      .orderBy(col("rk"), col(sourceCol))
+  }
 }

@@ -144,6 +144,23 @@ class Round7CurationSpec extends SparkSpec {
     assert(ids != other, "a different seed draws a different sample")
   }
 
+  test("curriculumOrder: per-source difficulty is nondecreasing, sources interleave") {
+    val docs = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 5L), (5L, "b", 50L),
+      (6L, "c", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Curation.curriculumOrder(docs, "doc_id", "source",
+      col("n_chars").cast("double"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // manifest order: all rank-1 docs (every source, easiest each), then
+    // rank-2, then rank-3 — and within a source difficulty never decreases
+    assert(got == Seq(
+      (1L, "a", 2L, 10.0), (1L, "b", 4L, 5.0), (1L, "c", 6L, 7.0),
+      (2L, "a", 3L, 20.0), (2L, "b", 5L, 50.0),
+      (3L, "a", 1L, 30.0)))
+  }
+
   test("canonicalUrl folds case/port/slash/fragment/tracking, sorts params") {
     val urls = Seq(
       // every normalization at once: case, userinfo skip, default port,
