@@ -2805,6 +2805,52 @@ object Queries {
         FROM a LEFT JOIN d ON a.pid = d.pid ORDER BY a.pid"""
     })
 
+  /** W7 family — sliding-window anomaly detection (metric-stream
+    * observability: flag a reading whose deviation from its own trailing
+    * context exceeds 3σ). The context is the previous 20 events per user
+    * (current row EXCLUDED — the candidate must not contaminate its own
+    * baseline), requiring ≥ 10 context rows. The 3σ test is squared —
+    * (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — so both engines compare
+    * polynomials of the same windowed sums, no sqrt/division in the
+    * predicate. The report emits the SUMS (Σx rounded at 2, n·Σx²−(Σx)²
+    * at 4), not μ/σ²: value is 2-decimal data, so the sums' true values
+    * are exact multiples of 0.01/0.0001 — never on a rounding half
+    * boundary — while the divisions land on dyadic halves (40.125,
+    * 454.34375) that a last-ulp window-sum association divergence
+    * between engines rounds apart (both observed at sf0.1). One
+    * user-keyed shuffle, frame work O(window) per row. */
+  private val w8Anomaly = Q("w8_anomaly_zscore",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val ev = Tables.events(s, dir)
+        .withColumn("n_ctx", count(col("value")).over(w))
+        .withColumn("s1", sum(col("value")).over(w))
+        .withColumn("s2", sum(col("value") * col("value")).over(w))
+      ev.where(col("n_ctx") >= 10)
+        .where((col("value") * col("n_ctx") - col("s1"))
+          * (col("value") * col("n_ctx") - col("s1"))
+          > lit(9.0) * (col("n_ctx") * col("s2") - col("s1") * col("s1")))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("n_ctx"),
+          round(col("s1"), 2).as("ctx_sum"),
+          round(col("n_ctx") * col("s2") - col("s1") * col("s1"), 4).as("ctx_m2"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value,
+        count(value) OVER w AS n_ctx, sum(value) OVER w AS s1,
+        sum(value*value) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      SELECT user_id, event_id, value, n_ctx,
+        round(s1, 2) AS ctx_sum,
+        round(n_ctx*s2 - s1*s1, 4) AS ctx_m2
+      FROM e
+      WHERE n_ctx >= 10
+        AND (value*n_ctx - s1)*(value*n_ctx - s1) > 9.0*(n_ctx*s2 - s1*s1)
+      ORDER BY user_id, event_id"""))
+
   /** X6 — curriculum ordering (see [[graft.ops.Curation.curriculumOrder]]):
     * easiest-first (length-as-difficulty proxy) with round-robin source
     * interleave — rank r of every source precedes rank r+1 of any.
@@ -2872,7 +2918,7 @@ object Queries {
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
-    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum)
+    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
