@@ -308,6 +308,15 @@ object Graft {
                       checkpoint: String, keyCol: String = "user_id") =
     StreamingOps.incrementalScd2(changes, keyCol, currentPath, historyPath, checkpoint)
 
+  /** Streaming ingest into a bucketed table: every micro-batch appends in
+    * the join key's bucket layout, so downstream equi-joins on the key
+    * stay shuffle-free as the table grows. */
+  def bucketedSink(rows: DataFrame, tableName: String, tablePath: String,
+                   checkpoint: String, bucketCol: String = "user_id",
+                   buckets: Int = 8) =
+    StreamingOps.incrementalBucketedSink(rows, tableName, tablePath,
+      bucketCol, buckets, checkpoint)
+
   /** Semi join with the probe side pruned by a distributed-built bloom
     * sketch before its shuffle; result is exactly the plain semi join. */
   def bloomSemiJoin(probe: DataFrame, probeKey: String,

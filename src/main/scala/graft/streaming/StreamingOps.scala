@@ -442,6 +442,36 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental bucketed materialization — each micro-batch appends into
+    * a table bucketed on the join key, so the CONTINUOUSLY-INGESTED fact
+    * table keeps the layout that makes every downstream equi-join on the
+    * key shuffle-free (see `Tables.bucketedOrdersCustomer` /
+    * `s9_bucketed_join` for the batch form and the PlanSpec no-exchange
+    * proof). The per-batch shuffle into buckets is the write-time cost
+    * bucketing always pays, amortized across every later join.
+    *
+    * Each batch adds ≤ one file per (bucket, task) — the standard
+    * small-file accretion of streaming bucketed sinks; compact on the
+    * same bucket spec when file counts matter. Crash semantics: plain
+    * at-least-once append (no ledger, no ordering hazard) — a replayed
+    * batch re-appends rows; dedupe downstream by primary key, or put
+    * [[dedupReplay]] in front. First batch creates the table (external
+    * at `tablePath`), later batches must match the bucket spec. */
+  def incrementalBucketedSink(rows: DataFrame, tableName: String, tablePath: String,
+                              bucketCol: String, buckets: Int,
+                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val mode = if (batch.sparkSession.catalog.tableExists(tableName)) "append"
+                   else "errorifexists"
+        batch.write.mode(mode)
+          .option("path", tablePath)
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(tableName): Unit
+      }
+      .start()
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpec {
       "bucketed self-join must not shuffle")
   }
 
+  test("incremental bucketed sink: batches accrete into one join-ready layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS ev_stream_bucketed")
+    val path = Files.createTempDirectory("graft_sbuck").toString
+    val ckpt = Files.createTempDirectory("graft_sbuck_ck").toString
+    val mem = MemoryStream[(Long, Long, Double)]
+    val df = mem.toDF().toDF("event_id", "user_id", "value")
+    val q = StreamingOps.incrementalBucketedSink(df, "ev_stream_bucketed",
+      path, "user_id", 4, ckpt)
+    mem.addData((1L, 10L, 1.0), (2L, 11L, 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, 10L, 3.0), (4L, 12L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val t = spark.table("ev_stream_bucketed")
+    assert(t.count() == 4)
+    // both batches landed in the SAME bucket spec: a self-join on the
+    // bucket key plans with no shuffle (merge hint pins sort-merge so
+    // broadcast can't trivially hide the exchange)
+    val joined = t.as("a").join(t.as("b").hint("merge"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "streamed bucketed table must join shuffle-free")
+  }
+
   test("ingest guards mirror the reference buffer checks (fawac.py:57-63)") {
     val df = (1 to 5).toDF("x")
     assertThrows[IllegalArgumentException] {
