@@ -85,4 +85,37 @@ object Tables {
       .saveAsTable(cT)
     (spark.table(oT), spark.table(cT))
   }
+
+  /** Small-file compaction for a bucketed table: streaming appends add up
+    * to one file per (bucket, task) per micro-batch
+    * ([[graft.streaming.StreamingOps.incrementalBucketedSink]]), and scan
+    * cost grows with file COUNT long before it grows with bytes. This
+    * rewrites the table into `dstName`/`dstPath` under the SAME bucket
+    * spec with ZERO shuffle: forcing the bucketed scan makes each read
+    * task exactly one bucket (all its fragment files), which the bucketed
+    * write then lands as one file. The obvious
+    * `repartition(buckets, key)` form does NOT work — the optimizer
+    * elides the repartition (the table already carries that
+    * partitioning), the planner then sees no operator needing the
+    * distribution and disables the bucketed scan, and the write inherits
+    * arbitrary file-packed partitions with buckets scattered across
+    * every task (observed: MORE files out than a plain rewrite). Hence
+    * the explicit autoBucketedScan pin, restored after the write. Writes
+    * to a NEW location because Spark (correctly) refuses to overwrite a
+    * path it is reading; the atomic name swap is the deployment's move. */
+  def compactBucketedTable(spark: SparkSession, srcName: String,
+                           dstName: String, dstPath: String,
+                           bucketCol: String, buckets: Int): DataFrame = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      spark.table(srcName)
+        .write.mode("overwrite")
+        .option("path", dstPath)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(dstName)
+    } finally spark.conf.set(key, prev)
+    spark.table(dstName)
+  }
 }

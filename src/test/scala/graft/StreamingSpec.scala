@@ -199,6 +199,36 @@ class StreamingSpec extends SparkSpec {
       "streamed bucketed table must join shuffle-free")
   }
 
+  test("bucketed compaction: fewer files, same rows, join stays shuffle-free") {
+    import java.nio.file.Files
+    spark.sql("DROP TABLE IF EXISTS ev_frag")
+    spark.sql("DROP TABLE IF EXISTS ev_compact")
+    val srcPath = Files.createTempDirectory("graft_frag").toString
+    val dstPath = Files.createTempDirectory("graft_compact").toString
+    val ev = (1L to 100L).map(i => (i, i % 7, i * 0.5)).toDF("event_id", "user_id", "value")
+    // three appends ≈ three micro-batches: file count accretes per batch
+    ev.where($"event_id" <= 30).write.mode("overwrite").option("path", srcPath)
+      .bucketBy(4, "user_id").sortBy("user_id").saveAsTable("ev_frag")
+    ev.where($"event_id" > 30 && $"event_id" <= 60).write.mode("append")
+      .bucketBy(4, "user_id").sortBy("user_id").saveAsTable("ev_frag")
+    ev.where($"event_id" > 60).write.mode("append")
+      .bucketBy(4, "user_id").sortBy("user_id").saveAsTable("ev_frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(srcPath)
+    val t = graft.sources.Tables.compactBucketedTable(spark, "ev_frag",
+      "ev_compact", dstPath, "user_id", 4)
+    assert(t.count() == 100)
+    // one file per NON-EMPTY bucket (7 keys murmur-hash into 3 of the 4)
+    assert(parquetFiles(dstPath) <= 4, "at most one file per bucket after compaction")
+    assert(before > 4, s"fixture must fragment (saw $before files)")
+    val joined = t.as("a").join(t.as("b").hint("merge"), "user_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "compacted bucketed table must join shuffle-free")
+  }
+
   test("ingest guards mirror the reference buffer checks (fawac.py:57-63)") {
     val df = (1 to 5).toDF("x")
     assertThrows[IllegalArgumentException] {
