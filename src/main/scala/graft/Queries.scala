@@ -2641,6 +2641,41 @@ object Queries {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     eagerPlan = true) // constructing runs the ORC sink write
 
+  /** S10 — schema-evolution roundtrip: a long-lived table accretes files
+    * from different pipeline generations; here generation 1 writes
+    * (user_id, value) and generation 2 adds an `event_type` column. A
+    * `mergeSchema` read unions the generations by NAME — old files
+    * null-fill the new column — which is exactly how a 100 TB parquet
+    * table evolves in place with zero rewrites (per-file footers carry
+    * their own schema; the merged scan stays fully vectorized and
+    * prunable). The oracle rebuilds the same union from the source table
+    * with an explicit NULL for generation 1's missing column. */
+  private val s10Schema = Q("s10_schema_evolution",
+    (s, dir) => {
+      val path = "/tmp/graft_s10_schema_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val ev = Tables.events(s, dir)
+      ev.where(pmod(col("event_id"), lit(5)) === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      ev.where(pmod(col("event_id"), lit(5)) === 1)
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/gen=1", s"$path/gen=2")
+        .groupBy(coalesce(col("event_type"), lit("__legacy")).as("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH merged AS (
+        SELECT event_id, user_id, value, NULL AS event_type
+        FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id, user_id, value, event_type
+        FROM events WHERE event_id % 5 = 1)
+      SELECT coalesce(event_type, '__legacy') AS event_type,
+        CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+      FROM merged GROUP BY 1 ORDER BY event_type"""),
+    eagerPlan = true) // constructing runs the two generation sink writes
+
   /** X6 — weighted priority sampling (Efraimidis–Spirakis, deterministic
     * hash uniforms): 100 docs drawn without replacement, probability ∝
     * token count. TakeOrderedAndProject plan (PlanSpec-asserted family);
@@ -2918,7 +2953,7 @@ object Queries {
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
-    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly)
+    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

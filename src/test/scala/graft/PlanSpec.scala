@@ -240,7 +240,8 @@ class PlanSpec extends SparkSpec {
     val (skipped, sweepable) = Queries.all.partition(_.eagerPlan)
     assert(skipped.map(_.name).toSet == Set("x1_dedup_components",
       "x1_dedup_pipeline", "s4_csv_roundtrip", "s4_jsonl_roundtrip",
-      "s7_partitioned_roundtrip", "s8_orc_roundtrip", "s9_bucketed_join"),
+      "s7_partitioned_roundtrip", "s8_orc_roundtrip", "s9_bucketed_join",
+      "s10_schema_evolution"),
       "eagerPlan exclusions changed — re-justify each one here")
     val offenders = sweepable.flatMap { q =>
       val exec = q.run(spark, sf001).queryExecution.executedPlan
