@@ -2641,6 +2641,71 @@ object Queries {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     eagerPlan = true) // constructing runs the ORC sink write
 
+  /** X7 — the FULL curation pipeline as one declarative DAG (the X-side
+    * mirror of `e2e_train_step`: proof the hygiene operators COMPOSE into
+    * the program a corpus team actually runs, not just pass alone):
+    *  1. exact dedup of the training corpus (bench slice held out — eval
+    *     data is never deduped away);
+    *  2. decontamination against the PRISTINE bench slice's 8-gram
+    *     ledger (hashed + broadcast; the corpus side never shuffles);
+    *  3. Gopher repetition gate in INTEGER form (5·dup_grams ≤ grams,
+    *     n_toks ≥ 5 — no rounding anywhere in the filter);
+    *  4. greedy 512-token packing per lang over the survivors.
+    * Output: per (lang, bin) doc count + token sum. The oracle chains the
+    * identical four stages as CTEs (string grams where Spark uses
+    * xxhash64 — the same accepted collision trade as x3_decontaminate,
+    * which the hash-match would surface). */
+  private val x7Curation = Q("x7_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(10)) === 7
+      val corpus = docs.where(!isBench)
+      val bench = docs.where(isBench)
+      val keep = Dedup.exactDedup(corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val d1 = corpus.join(keep, Seq("doc_id"), "left_semi")
+      val benchGrams = TextOps.benchGramLedger(bench, "doc_id", "text", 8)
+      val dirty = TextOps.gramHashes(d1, "doc_id", "text", 8)
+        .join(broadcast(benchGrams), "gh").select("doc_id").distinct()
+      val d2 = d1.join(dirty, Seq("doc_id"), "left_anti")
+      val rep = TextOps.repetitionStats(d2, "doc_id", "text", n = 2)
+        .where(col("n_dup_grams") * lit(5) <= col("n_grams")
+          && col("n_toks") >= 5)
+        .select(col("doc_id"), col("n_toks"))
+      val gated = d2.join(rep, Seq("doc_id"))
+      Curation.packSequences(gated, "doc_id", "lang", col("n_toks"), 512)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+      keep AS (SELECT min(doc_id) AS doc_id FROM corpus
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+      d1 AS (SELECT c.doc_id, c.lang, c.text FROM corpus c JOIN keep USING (doc_id)),
+      t1 AS (SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t FROM d1),
+      bt AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id % 10 = 7),
+      bg AS (SELECT DISTINCT array_to_string(t[i+1:i+8], ' ') AS g
+        FROM (SELECT t, unnest(range(greatest(len(t) - 7, 0))) AS i FROM bt)),
+      cg AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) AS i FROM t1)),
+      dirty AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+      d2 AS (SELECT * FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      gi AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
+        FROM d2 WHERE len(t) > 0),
+      g AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g FROM gi),
+      gs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(count(DISTINCT g) AS BIGINT) AS n_uniq FROM g GROUP BY doc_id),
+      rep AS (SELECT d2.doc_id, d2.lang, CAST(len(d2.t) AS BIGINT) AS n_tokens
+        FROM d2 JOIN gs USING (doc_id)
+        WHERE (gs.n_grams - gs.n_uniq) * 5 <= gs.n_grams AND len(d2.t) >= 5),
+      p AS (SELECT *, CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin FROM rep)
+      SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+      FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
+
   /** S10 — schema-evolution roundtrip: a long-lived table accretes files
     * from different pipeline generations; here generation 1 writes
     * (user_id, value) and generation 2 adds an `event_type` column. A
@@ -2953,7 +3018,8 @@ object Queries {
     x3Decon, x3Repetition, x6Chunk,
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
-    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema)
+    x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
+    x7Curation)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
