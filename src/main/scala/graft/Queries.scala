@@ -2641,6 +2641,32 @@ object Queries {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     eagerPlan = true) // constructing runs the ORC sink write
 
+  /** X6 — leakage-safe group-wise split: the split bucket hashes the
+    * site DOMAIN (the x3_domain_cap host synthesis), so every page of a
+    * host lands in one split and near-identical same-site pages can
+    * never straddle train/test. Output groups by (domain, split): the
+    * hash-match proves each domain maps to exactly one split with the
+    * identical bucket math in both engines. */
+  private val x6GroupSplit = Q("x6_group_split",
+    (s, dir) => {
+      val withDomain = Tables.documents(s, dir)
+        .withColumn("domain", concat(col("source"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com")))
+      Curation.splitAssignBy(withDomain, col("domain"))
+        .groupBy(col("domain"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("domain"), col("split"))
+    },
+    Some("""WITH d AS (SELECT *,
+        source || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+      FROM documents),
+      b AS (SELECT *,
+        CAST(('0x' || substr(md5(domain), 1, 15)) AS BIGINT) % 100 AS bk FROM d)
+      SELECT domain,
+        CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+        CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM b GROUP BY 1, 2 ORDER BY domain, split"""))
+
   /** X7 — the FULL curation pipeline as one declarative DAG (the X-side
     * mirror of `e2e_train_step`: proof the hygiene operators COMPOSE into
     * the program a corpus team actually runs, not just pass alone):
@@ -3019,7 +3045,7 @@ object Queries {
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
-    x7Curation)
+    x7Curation, x6GroupSplit)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

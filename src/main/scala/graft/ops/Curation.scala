@@ -57,8 +57,19 @@ object Curation {
     * (default 90/5/5). Stable under corpus growth — a new document never
     * moves an old one between splits (the property random splits lack). */
   def splitAssign(df: DataFrame, idCol: String,
-                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    val b = idBucket(col(idCol), 100)
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    splitAssignBy(df, col(idCol), trainPct, valPct)
+
+  /** Leakage-safe split assignment by an arbitrary GROUP key (site
+    * domain, dedup-cluster representative, author): every member of a
+    * group hashes to the SAME bucket, so near-duplicates and same-site
+    * pages can never straddle train/test — the contamination a per-doc
+    * split invites whenever the corpus still contains related documents.
+    * Same stable bucket math as [[splitAssign]] (which is the key=id
+    * special case); pure projection, no shuffle. */
+  def splitAssignBy(df: DataFrame, key: Column,
+                    trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = idBucket(key, 100)
     df.withColumn("split",
       when(b < trainPct, lit("train"))
         .when(b < trainPct + valPct, lit("val"))

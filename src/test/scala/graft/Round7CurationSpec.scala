@@ -144,6 +144,19 @@ class Round7CurationSpec extends SparkSpec {
     assert(ids != other, "a different seed draws a different sample")
   }
 
+  test("splitAssignBy: every group member shares one split; id form unchanged") {
+    val docs = (1L to 200L).map(i => (i, s"host${i % 13}")).toDF("doc_id", "host")
+    val byGroup = Curation.splitAssignBy(docs, col("host"))
+    // leakage safety: a group never straddles splits
+    assert(byGroup.groupBy("host")
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count() == 0)
+    // the id special case is exactly the original splitAssign
+    val a = Curation.splitAssign(docs, "doc_id").select("doc_id", "split")
+    val b = Curation.splitAssignBy(docs, col("doc_id")).select("doc_id", "split")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("curriculumOrder: per-source difficulty is nondecreasing, sources interleave") {
     val docs = Seq(
       (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
