@@ -2641,6 +2641,37 @@ object Queries {
       GROUP BY l_returnflag ORDER BY l_returnflag"""),
     eagerPlan = true) // constructing runs the ORC sink write
 
+  /** S3-family — winsorized preprocessing (see [[graft.ops.AggOps.winsorize]]):
+    * prices clamped at per-flag exact P05/P95 via the distributed rank
+    * quantile, then re-aggregated. Clamp counts are exact integers; the
+    * winsorized sum is 2-decimal money (boundary-free rounding). The
+    * oracle computes the same bounds with quantile_disc — the
+    * position-rule agreement x5_approx_quantile established. */
+  private val s3Winsorize = Q("s3_winsorize",
+    (s, dir) => {
+      val v = col("l_extendedprice"); val vw = col("l_extendedprice_w")
+      AggOps.winsorize(Tables.lineitem(s, dir), Seq("l_returnflag"),
+          "l_extendedprice", 0.05, 0.95)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(vw > v, 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when(vw < v, 1L).otherwise(0L)).as("n_clamped_hi"),
+          round(sum(vw), 2).as("sum_w"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH q AS (SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.05) AS lo,
+        quantile_disc(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        round(sum(CASE WHEN l_extendedprice < lo THEN lo
+                       WHEN l_extendedprice > hi THEN hi
+                       ELSE l_extendedprice END), 2) AS sum_w
+      FROM lineitem l JOIN q USING (l_returnflag)
+      GROUP BY 1 ORDER BY l_returnflag"""))
+
   /** X6 — leakage-safe group-wise split: the split bucket hashes the
     * site DOMAIN (the x3_domain_cap host synthesis), so every page of a
     * host lands in one split and near-identical same-site pages can
@@ -3045,7 +3076,7 @@ object Queries {
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
-    x7Curation, x6GroupSplit)
+    x7Curation, x6GroupSplit, s3Winsorize)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

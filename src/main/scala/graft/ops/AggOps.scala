@@ -97,4 +97,36 @@ object AggOps {
     * A single built-in expression — no UDAF needed, stays codegen'd. */
   def expectileLoss(u: Column, tau: Double): Column =
     avg(abs(lit(tau) - CoreOps.indicator(u < lit(0.0))) * u * u)
+
+  /** S3-family robust preprocessing — winsorization: clamp `valueCol` at
+    * its per-group exact discrete quantiles [lowQ, highQ] (the
+    * heavy-tail taming that outlier DROPPING is too blunt for: extreme
+    * rows keep their other columns, only the value saturates).
+    *
+    * Quantiles use the distributed rank form — value at 1-based position
+    * ceil(q·n) in (group, value) order — NOT percentile_disc, whose
+    * per-group value-map buffer is a single-task OOM at scale (see
+    * x5_approx_quantile). Cost: one window sort per group + a
+    * group-cardinality bounds table broadcast back. Appends
+    * `<valueCol>_w` (clamped); original column untouched. */
+  def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
+    require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+    val counts = df.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    val bounds = df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        min(when(col("__rn") === ceil(col("__n") * lit(lowQ)).cast("long"),
+          col(valueCol))).as("__lo"),
+        min(when(col("__rn") === ceil(col("__n") * lit(highQ)).cast("long"),
+          col(valueCol))).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -183,6 +183,16 @@ class Round7OpsSpec extends SparkSpec {
     assert(loose > 0, "fixture must produce at least one duplicate at 0.9")
   }
 
+  test("winsorize clamps at the ceil(q*n) positional quantiles per group") {
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val w = AggOps.winsorize(df, Seq("k"), "v", 0.1, 0.9)
+      .select(col("v"), col("v_w")).as[(Double, Double)].collect().toMap
+    // n=20: lo = value at ceil(2) = 2.0, hi = value at ceil(18) = 18.0
+    assert(w(1.0) == 2.0 && w(2.0) == 2.0)
+    assert(w(18.0) == 18.0 && w(19.0) == 18.0 && w(20.0) == 18.0)
+    assert(w(10.0) == 10.0)
+  }
+
   test("lmPerplexityScore ranks corpus-typical word order above scrambled") {
     // 9 identical fluent docs + 1 scrambled doc with the SAME unigrams but
     // none of the corpus's frequent bigrams — the LM must rank it lower
