@@ -182,6 +182,23 @@ object ScaleProbe {
         pmod(col("vec_id"), lit(89)) === 7, 0.3)),
       cnt(Similarity.semanticDedup(embN, "vec_id", "embedding",
         pmod(col("vec_id"), lit(281)) === 7, 0.3)))
+    probe("winsorize (rank-quantile clamp)",
+      cnt(AggOps.winsorize(li1, Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)),
+      cnt(AggOps.winsorize(liN, Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)))
+    probe("curriculum order (level prefix)",
+      cnt(Curation.curriculumOrder(docs1, "doc_id", "source",
+        (col("n_chars") / 100).cast("long").cast("double"))),
+      cnt(Curation.curriculumOrder(docsN, "doc_id", "source",
+        (col("n_chars") / 100).cast("long").cast("double"))))
+    probe("anomaly 3-sigma (20-row frame)",
+      cnt(ev1.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("s1", sum(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)))),
+      cnt(evN.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("s1", sum(col("value")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)))))
     probe("url canonical dedup",
       cnt(docs1.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
         (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
