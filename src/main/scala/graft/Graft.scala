@@ -320,6 +320,12 @@ object Graft {
                       checkpoint: String, keyCol: String = "user_id") =
     StreamingOps.incrementalScd2(changes, keyCol, currentPath, historyPath, checkpoint)
 
+  /** Streaming 3σ anomaly detection: per-key trailing window carried
+    * across micro-batches; flags exactly the batch form's rows. */
+  def anomalyStream(ds: org.apache.spark.sql.Dataset[StreamingOps.KeyedValue],
+                    window: Int = 20, minCtx: Int = 10, sigmas: Double = 3.0) =
+    StreamingOps.statefulAnomaly(ds, window, minCtx, sigmas)
+
   /** Streaming ingest into a bucketed table: every micro-batch appends in
     * the join key's bucket layout, so downstream equi-joins on the key
     * stay shuffle-free as the table grows. */

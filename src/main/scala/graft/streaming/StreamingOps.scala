@@ -97,6 +97,48 @@ object StreamingOps {
       }
   }
 
+  case class AnomalyOut(key: Long, order: Long, tie: Long, value: Double,
+                        nCtx: Long)
+  case class AnomalyState(window: Seq[Double])
+
+  /** Streaming form of `w8_anomaly_zscore`: per-key trailing-window 3σ
+    * detection with the window carried across micro-batches by
+    * `flatMapGroupsWithState`. The candidate row is judged against the
+    * PREVIOUS `window` values only (itself excluded, exactly the batch
+    * frame `rowsBetween(-window, -1)`), then pushed; the predicate is the
+    * same squared polynomial — (x·n − Σx)² > σ²·9·(n·Σx² − (Σx)²) — so
+    * batch and stream flag identical rows on identical input order.
+    *
+    * State is ≤ `window` doubles per key — O(live keys · window), the
+    * sliding-window analogue of statefulEma's single double; a watermark
+    * + timeout would bound idle keys in production (same note as the
+    * other stateful ops). */
+  def statefulAnomaly(ds: Dataset[KeyedValue], window: Int = 20,
+                      minCtx: Int = 10, sigmas: Double = 3.0): Dataset[AnomalyOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[KeyedValue], state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.order, r.tie))
+          var w = state.getOption.map(_.window.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[AnomalyOut]
+          sorted.foreach { r =>
+            val n = w.length.toLong
+            if (n >= minCtx) {
+              val s1 = w.sum
+              val s2 = w.map(x => x * x).sum
+              val dev = r.value * n - s1
+              if (dev * dev > sigmas * sigmas * (n * s2 - s1 * s1))
+                out += AnomalyOut(key, r.order, r.tie, r.value, n)
+            }
+            w = (w :+ r.value).takeRight(window)
+          }
+          state.update(AnomalyState(w))
+          out.result().iterator
+      }
+  }
+
   case class ChangeEvent(key: Long, eventId: Long, ts: Long, value: Double)
   case class ChangeOp(key: Long, eventId: Long, ts: Long, op: String,
                       oldValue: Option[Double], newValue: Double)

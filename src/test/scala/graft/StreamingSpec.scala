@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpec {
       "bucketed self-join must not shuffle")
   }
 
+  test("stateful anomaly flags exactly the batch 3-sigma rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    // 30 calm readings then a spike, split mid-window across two batches
+    // so the trailing context must survive the batch boundary
+    val vals = (1 to 30).map(i => 10.0 + (i % 5)) :+ 500.0 :+ 11.0
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      StreamingOps.KeyedValue(1L, i.toLong, i.toLong, v)
+    }
+    // batch oracle: same frame, same polynomial predicate
+    val w = Window.partitionBy(col("key")).orderBy(col("order"), col("tie"))
+      .rowsBetween(-20, -1)
+    val batch = rows.toDF()
+      .withColumn("n", count(col("value")).over(w))
+      .withColumn("s1", sum(col("value")).over(w))
+      .withColumn("s2", sum(col("value") * col("value")).over(w))
+      .where(col("n") >= 10)
+      .where((col("value") * col("n") - col("s1"))
+        * (col("value") * col("n") - col("s1"))
+        > lit(9.0) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("order")).as[Long].collect().toSet
+    val mem = MemoryStream[StreamingOps.KeyedValue]
+    val q = StreamingOps.statefulAnomaly(mem.toDS())
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    val (b1, b2) = rows.splitAt(25)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("anom_out").as[StreamingOps.AnomalyOut]
+      .collect().map(_.order).toSet
+    q.stop()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.contains(30L), "the spike must be flagged")
+  }
+
   test("incremental bucketed sink: batches accrete into one join-ready layout") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
