@@ -3021,6 +3021,57 @@ object Queries {
         source, doc_id, CAST(n_chars AS DOUBLE) AS difficulty
       FROM documents ORDER BY rk, source"""))
 
+  /** X2 — SemDeDup in its PRODUCTION form: cluster the corpus with the
+    * trained k-means centroids (x2_kmeans_fit's exact fit, 2 Lloyd
+    * iterations), then dedup within each trained cluster — the
+    * [[graft.ops.Similarity.semanticDedupWith]] composition. The oracle
+    * chains the full unrolled k-means CTEs into the assignment and
+    * pairwise stages, so the hash-match proves fit, assignment and pair
+    * scoring all agree end-to-end (portable-rounded centroid coords make
+    * iteration-2 distances bit-identical across engines). */
+  private val x2SemTrained = Q("x2_semantic_dedup_trained",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+          seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2, roundDigits = 6)
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          x => x.getField("coord")).as("cv"))
+      Similarity.semanticDedupWith(emb, "vec_id", "embedding", cents, threshold = 0.3)
+        .orderBy(col("pid"))
+    },
+    Some {
+      val dpc = dotSql("e.pv", "c.cv"); val dcc = dotSql("c.cv", "c.cv")
+      def distRk(cents: String) =
+        s"""SELECT pid, pv, cell FROM (
+          SELECT e.pid, e.pv, c.cell,
+            row_number() OVER (PARTITION BY e.pid ORDER BY
+              ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+          FROM e CROSS JOIN $cents c) WHERE rk = 1"""
+      val dLR = dotSql("l.pv", "r.pv")
+      val dLL = dotSql("l.pv", "l.pv"); val dRR = dotSql("r.pv", "r.pv")
+      s"""WITH e AS (SELECT pid, pv, ${dotSql("pv", "pv")} AS pn FROM
+          (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings)),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 97 = 3),
+      a0 AS (${distRk("c0")}),
+      m0 AS (SELECT cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a0, range(64) t(i) GROUP BY cell, i),
+      c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m0 GROUP BY cell),
+      a1 AS (${distRk("c1")}),
+      m1 AS (SELECT cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a1, range(64) t(i) GROUP BY cell, i),
+      c2 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell),
+      a2 AS (${distRk("c2")}),
+      d AS (SELECT DISTINCT r.pid AS pid
+        FROM a2 l JOIN a2 r ON l.cell = r.cell AND l.pid < r.pid
+        WHERE round($dLR / (sqrt($dLL) * sqrt($dRR)), 6) >= 0.3)
+      SELECT a2.pid, a2.cell, (d.pid IS NOT NULL) AS is_dup
+      FROM a2 LEFT JOIN d ON a2.pid = d.pid ORDER BY a2.pid"""
+    })
+
   /** S9 — bucketed co-located join (SURVEY.md §2.3 scale note): orders and
     * customer are materialized as 8-bucket tables on the customer key,
     * then joined table-to-table. Matching bucket counts let Spark plan the
@@ -3076,7 +3127,7 @@ object Queries {
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
-    x7Curation, x6GroupSplit, s3Winsorize)
+    x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

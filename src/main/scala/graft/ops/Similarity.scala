@@ -330,12 +330,25 @@ object Similarity {
     * corpus runs after them (SURVEY.md §2.8 X2 "cosine near-dup" scale
     * variant). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    centroidPred: Column, threshold: Double): DataFrame = {
+                    centroidPred: Column, threshold: Double): DataFrame =
+    semanticDedupWith(emb, idCol, vecCol,
+      emb.where(centroidPred)
+        .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv")),
+      threshold)
+
+  /** [[semanticDedup]] against an explicit centroid table (cell, cv) —
+    * the production form: centroids come from [[kmeansFit]] (SemDeDup
+    * clusters the corpus first, then dedups within trained clusters),
+    * while the predicate overload above is the oracle-friendly
+    * seed-vector special case. Same scale shape: centroids broadcast,
+    * pairwise stage keyed on cell. */
+  def semanticDedupWith(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, threshold: Double): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val centroids = emb.where(centroidPred)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec_c"))
+    val cents = centroids
+      .select(col("cell").as("centroid_id"), col("cv").as("cvec_c"))
     val scored = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(cents))
       .withColumn("dist",
         expr("graft_dot(pv, pv) - 2 * graft_dot(pv, cvec_c)")
           + expr("graft_dot(cvec_c, cvec_c)"))
