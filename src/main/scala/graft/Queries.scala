@@ -2763,6 +2763,37 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS tok_sum
       FROM p GROUP BY lang, bin ORDER BY lang, bin"""))
 
+  /** S11 — Z-order layout key (see [[graft.ops.CoreOps.mortonKey]]): the
+    * multi-dimensional clustering key a 100 TB table sorts by before its
+    * parquet write so range predicates on EITHER dimension prune
+    * files/row-groups at the scan. Pure exact-integer bit interleave —
+    * the oracle unrolls the identical 32 shift/mask terms; the locality
+    * summary (rows per 4096-key tile × per-tile dimension spans) shows
+    * each tile covering a tight x/y rectangle, which IS the skipping
+    * property. */
+  private val s11Zorder = Q("s11_zorder_key",
+    (s, dir) => {
+      val x = pmod(col("l_orderkey"), lit(4096L))
+      val y = pmod(col("l_partkey"), lit(4096L))
+      Tables.lineitem(s, dir)
+        .select(CoreOps.mortonKey(x, y, 12).as("zkey"), x.as("x"), y.as("y"))
+        .groupBy((col("zkey") / lit(4096L)).cast("long").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"))
+        .orderBy(col("tile"))
+    },
+    Some {
+      val terms = (0 until 12).map { i =>
+        s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT l_orderkey % 4096 AS x, l_partkey % 4096 AS y FROM lineitem),
+        z AS (SELECT x, y, $terms AS zkey FROM d)
+        SELECT CAST(zkey // 4096 AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+          max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+        FROM z GROUP BY 1 ORDER BY tile"""
+    })
+
   /** S10 — schema-evolution roundtrip: a long-lived table accretes files
     * from different pipeline generations; here generation 1 writes
     * (user_id, value) and generation 2 adds an `event_type` column. A
@@ -3127,7 +3158,7 @@ object Queries {
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
-    x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained)
+    x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -101,4 +101,22 @@ object CoreOps {
       (v, w) => v * w)
     clampMin(aggregate(weighted, lit(bias), (acc, v) => acc + v))
   }
+
+  /** Z-order (Morton) sort key: interleave the low `bits` bits of two
+    * non-negative dimension values, so sorting by the key clusters rows
+    * that are close in BOTH dimensions. Sorting a table by this key
+    * before a parquet write gives every file/row-group tight min/max
+    * ranges on x AND y simultaneously — range predicates on either
+    * dimension then prune files at the scan, which a single-column sort
+    * only provides for its leading column. This is the layout technique
+    * multi-dimensional data skipping (Delta/Iceberg Z-ordering) is built
+    * on; here it is a plain exact-integer expression (32 shift/mask
+    * terms for bits=16), reproducible bit-for-bit in any engine. */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
 }

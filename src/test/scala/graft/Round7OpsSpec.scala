@@ -183,6 +183,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(loose > 0, "fixture must produce at least one duplicate at 0.9")
   }
 
+  test("mortonKey interleaves bits; sorting by it clusters both dimensions") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 7L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      CoreOps.mortonKey(col("x"), col("y"), 4).as("z"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) => (x, y) -> z }.toMap
+    // hand-computed interleaves: z = x bits at even positions, y at odd
+    assert(got((0L, 0L)) == 0L && got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L)
+    assert(got((2L, 2L)) == 12L)          // x=10b, y=10b -> 1100b
+    assert(got((3L, 7L)) == 0x2FL)        // x=011b, y=111b -> 101111b
+  }
+
   test("winsorize clamps at the ceil(q*n) positional quantiles per group") {
     val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
     val w = AggOps.winsorize(df, Seq("k"), "v", 0.1, 0.9)
