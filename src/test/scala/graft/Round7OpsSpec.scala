@@ -196,6 +196,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(got((3L, 7L)) == 0x2FL)        // x=011b, y=111b -> 101111b
   }
 
+  test("mortonKey is invertible (deinterleave recovers both dimensions)") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"), CoreOps.mortonKey(col("x"), col("y"), 12).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      (0 until 12).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    got.foreach { case (x, y, z) => assert(deinterleave(z) == ((x, y))) }
+    // distinct inputs -> distinct keys (a corollary of invertibility,
+    // asserted directly so a partial-overlap bug can't hide)
+    assert(got.map(_._3).distinct.length == got.map(t => (t._1, t._2)).distinct.length)
+  }
+
   test("winsorize clamps at the ceil(q*n) positional quantiles per group") {
     val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
     val w = AggOps.winsorize(df, Seq("k"), "v", 0.1, 0.9)
