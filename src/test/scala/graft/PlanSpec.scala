@@ -309,6 +309,41 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // SCALING.md leans on AQE skew-join as the runtime answer to hot keys
+    // (salting is the manual fallback, salted_agg) — this pins that the
+    // mechanism actually fires: one key owns ~90% of the left side, the
+    // thresholds are lowered to fixture scale, and after execution the
+    // final adaptive plan must show the skew-split sort-merge join.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1L to 200000L)
+        .map(i => (if (i % 10 != 0) 0L else i % 97, i)).toDF("k", "v")
+      // NOTE: both shuffles must be ENSURE_REQUIREMENTS — a user
+      // repartition() is exempt from OptimizeSkewedJoin by design
+      val right = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS QueryExecution runs — count()
+      // wraps the plan in a new execution and the inspected one stays
+      // un-adapted
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE must mark the hot-key sort-merge join as skew-split")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
