@@ -28,6 +28,34 @@ object Similarity {
   private def fastCosine: Column =
     expr("graft_dot(qvec, cvec)") / (col("qnorm") * col("cnorm"))
 
+  /** Nearest-centroid assignment — the one scale-critical primitive the
+    * X2 family shares ([[kmeansFit]], [[ivfTopK]], [[semanticDedupWith]]).
+    * The centroid table (cell: long, cv) collapses to ONE row
+    * (`sort_array(collect_list(struct(cell, cv)))` — k·d doubles, tiny)
+    * that broadcast-joins the points; the nearest cell is an `aggregate`
+    * HOF fold in ascending-cell order with strict `<`, so the tie-break
+    * (lowest cell id at equal distance) is explicit in the fold rather
+    * than an artifact of a sort. No window, no corpus shuffle, no N·k row
+    * expansion: each point scans the k·d broadcast once. Distance is
+    * squared L2 in the fixed association (p·p − 2·p·c) + c·c so the fold
+    * is bit-identical to any engine evaluating the same closed form.
+    * Input pts: (pid, pv); output: (pid, pv, cell). */
+  private def assignNearestCell(pts: DataFrame, centroids: DataFrame): DataFrame = {
+    val one = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    pts.withColumn("pn", expr("graft_dot(pv, pv)"))
+      .join(broadcast(one))
+      .withColumn("best", expr(
+        """aggregate(
+             transform(cents, c -> named_struct(
+               'cell', c.cell,
+               'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
+             named_struct('cell', CAST(-1 AS BIGINT),
+                          'dist', CAST('Infinity' AS DOUBLE)),
+             (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
+      .select(col("pid"), col("pv"), col("best.cell").as("cell"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (selected by a
     * deterministic pk predicate), the k nearest corpus vectors by cosine.
     * Scores are rounded *before* ranking so rank order is identical in any
@@ -103,22 +131,20 @@ object Similarity {
     * centroid id); each query searches only its own cell. Centroid count
     * ~√N at scale; here a pk predicate picks them so the oracle can
     * reproduce the exact cell assignment. Same output schema as
-    * [[bruteForceTopK]]; recall < 1 by construction. */
+    * [[bruteForceTopK]]; recall < 1 by construction.
+    *
+    * Assignment is [[assignNearestCell]]'s one-row-broadcast fold — with
+    * k≈√N centroids, an expand-then-rank assignment would push N·√N rows
+    * through a window exchange; the fold keeps the corpus unshuffled. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               centroidPred: Column, queryPred: Column, k: Int = 5): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val centroids = emb.where(centroidPred)
-      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec_c"))
-    def assign(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val scored = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
-        .crossJoin(broadcast(centroids))
-        .withColumn("dist",
-          expr(s"graft_dot($vecAs, $vecAs) - 2 * graft_dot($vecAs, cvec_c)")
-            + expr("graft_dot(cvec_c, cvec_c)"))
-      val w = Window.partitionBy(col(idAs)).orderBy(col("dist").asc, col("centroid_id").asc)
-      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
-        .select(col(idAs), col(vecAs), col("centroid_id").as("cell"))
-    }
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv"))
+    def assign(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      assignNearestCell(
+        df.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv")), centroids)
+        .select(col("pid").as(idAs), col("pv").as(vecAs), col("cell"))
     val corpus = assign(emb, "cand_id", "cvec")
       .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
     val queries = assign(emb.where(queryPred), "query_id", "qvec")
@@ -273,24 +299,10 @@ object Similarity {
     def pround(c: Column): Column = floor(c * lit(scale) + lit(0.5)) / lit(scale)
 
     val pts = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
-      .withColumn("pn", expr("graft_dot(pv, pv)"))
 
-    // Nearest centroid by squared L2 ((pn − 2·p·c) + c·c, identical
-    // association order in the oracle), ties to the lowest cell id.
-    def assign(cents: DataFrame): DataFrame = {
-      val one = cents.agg(
-        sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
-      pts.join(broadcast(one))
-        .withColumn("best", expr(
-          """aggregate(
-               transform(cents, c -> named_struct(
-                 'cell', c.cell,
-                 'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
-               named_struct('cell', CAST(-1 AS BIGINT),
-                            'dist', CAST('Infinity' AS DOUBLE)),
-               (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
-        .select(col("pid"), col("pv"), col("best.cell").as("cell"))
-    }
+    // Nearest centroid via the shared broadcast argmin fold (identical
+    // distance association order in the oracle), ties to the lowest cell.
+    def assign(cents: DataFrame): DataFrame = assignNearestCell(pts, cents)
 
     var centroids: DataFrame = emb.where(seedPred)
       .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv"))
@@ -345,18 +357,9 @@ object Similarity {
   def semanticDedupWith(emb: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame, threshold: Double): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val cents = centroids
-      .select(col("cell").as("centroid_id"), col("cv").as("cvec_c"))
-    val scored = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist",
-        expr("graft_dot(pv, pv) - 2 * graft_dot(pv, cvec_c)")
-          + expr("graft_dot(cvec_c, cvec_c)"))
-    val w = Window.partitionBy(col("pid"))
-      .orderBy(col("dist").asc, col("centroid_id").asc)
-    val members = scored.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .select(col("pid"), col("pv"), col("centroid_id").as("cell"))
+    val members = assignNearestCell(
+      emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv")),
+      centroids.select(col("cell").cast("long").as("cell"), col("cv")))
     val l = members.select(col("pid").as("id_a"), col("pv").as("qvec"), col("cell"))
       .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
     val r = members.select(col("pid").as("id_b"), col("pv").as("cvec"), col("cell"))

@@ -291,6 +291,28 @@ class PlanSpec extends SparkSpec {
     // over members is the all-pairs scale-killer this op exists to avoid
     assert(!p.contains("CartesianProduct"),
       "pairwise stage must join on cell, never cartesian")
+    // assignment is the shared broadcast argmin fold — an expand-then-rank
+    // assignment would shuffle N·k scored rows through a window exchange
+    assert(!p.contains("Window"), "assignment is a fold, not a ranking window")
+  }
+
+  test("IVF assignment is the broadcast fold; only the top-k ranks per query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Queries.all.find(_.name == "x2_ivf_topk").get
+      .run(spark, sf001).queryExecution.executedPlan
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    // exactly ONE window survives: the final per-query top-k rank (a
+    // queries-sized frame). Cell assignment — the corpus-sized stage —
+    // must be the broadcast aggregate fold with no window at all; with
+    // IVF's k≈√N sizing an expand-then-rank assignment pushes N^1.5 rows
+    // through an exchange.
+    assert(windows.size == 1,
+      s"expected only the top-k window, saw ${windows.size}")
+    assert(windows.head.partitionSpec.map(_.toString).exists(_.contains("query_id")),
+      "the surviving window must be the per-query top-k rank")
+    assert(exec.toString.contains("BroadcastNestedLoopJoin") ||
+      exec.toString.contains("BroadcastExchange"),
+      "centroid relation must broadcast")
   }
 
   test("bucketed join is shuffle-free scan-to-scan (co-located buckets)") {
