@@ -2193,6 +2193,98 @@ object Queries {
         """ + proundSql(d(1.0 - Tau) + "*0.2 + " + d(Tau) + "*(sum(q_tgt * s) / sum(s * s))", 6) + """ AS q_coef_soft_updated
       FROM i"""))
 
+  /** The `obj_method="statewise_lagrangian"` training branch composed
+    * end-to-end (fawac_configs.py:50 selects it; the paper's FAWAC-M
+    * headline variant) — sibling of [[e2eTrain]], which composes the
+    * `"penalty"` branch. Stage by stage, matching the torch control flow:
+    *  - λ(s) = clamp(Softplus(MLP(s)), 0, λmax) — a genuine literal-weight
+    *    2-unit ReLU hidden layer + Softplus head (P10,
+    *    `lagrangian_fxn.forward`, fawac.py:166-175);
+    *  - policy update takes λ from the NET, not the penalty gate
+    *    (fawac.py:441-442 else-branch): net_adv = rew_adv + λ·cost_adv,
+    *    exp_adv = min(exp(β·net_adv), cap), weighted-BC loss with the
+    *    max/min weight diagnostics (fawac.py:447-456);
+    *  - `_update_lagrangian`'s loss = mean(−λ(s)·(costV(s) − d))
+    *    (fawac.py:486-492) plus its logging medley: max/min/median λ and
+    *    the costV stats (fawac.py:494-513) — medians are the torch
+    *    lower-median (A3 `AggOps.lowerMedian`; collect-based exact form,
+    *    scale path = approxMedian per its scaladoc).
+    * No TD windows here — rew_adv/cost_adv come from the frozen critic
+    * heads directly, so the whole branch is a pure projection + ONE tree
+    * aggregate: zero data shuffles at any scale. Sums + n are output
+    * (means derive); per-row-derived outputs (max/min/median) are
+    * portable-rounded — λ and exp_adv are transcendental, so sums round
+    * at 4 digits (no lattice; see file scaladoc). */
+  private val e2eTrainLag = Q("e2e_train_step_lagrangian",
+    (s, dir) => {
+      val tr = Tables.transitions(s, dir)
+      val sC = col("state0")
+      val aC = col("cost")
+      val vNet = element_at(ModelOps.mlp(array(sC), Seq(
+        (Seq(Seq(0.3), Seq(-0.15)), Seq(-2.0, 4.0), ModelOps.relu),
+        (Seq(Seq(0.5, -0.4)), Seq(0.05), ModelOps.identityAct))), 1)
+      val qTargetNet = sC * lit(0.2) + aC * lit(0.3) - lit(0.1)
+      val costQt = CoreOps.clampMin(sC * lit(0.12) + aC * lit(0.05) - lit(1.2))
+      val lagNet = element_at(ModelOps.mlp(array(sC), Seq(
+        (Seq(Seq(0.2), Seq(-0.1)), Seq(0.1, 0.5), ModelOps.relu),
+        (Seq(Seq(0.6, -0.8)), Seq(0.2), ModelOps.softplusAct))), 1)
+      val base = tr
+        .withColumn("v", vNet)
+        .withColumn("cost_v", CoreOps.clampMin(sC * lit(0.1) - lit(1.0)))
+        .withColumn("adv", qTargetNet - col("v"))
+        .withColumn("cost_adv", -(costQt - col("cost_v")))
+        .withColumn("lag", CoreOps.clamp(lagNet, 0.0, MaxLag))
+        .withColumn("pi", CoreOps.clamp(sC * lit(0.04) - lit(1.0), -1.0, 1.0))
+      val expAdv = CoreOps.expAdvantage(
+        CoreOps.netAdvantage(col("adv"), col("cost_adv"), col("lag")),
+        Beta2, ExpCap)
+      val aNorm = aC * lit(2.0) - lit(1.0)
+      val bc = (col("pi") - aNorm) * (col("pi") - aNorm)
+      base.withColumn("exp_adv", expAdv).withColumn("bc", bc).agg(
+        count(lit(1)).as("n"),
+        round(sum(-col("lag") * (col("cost_v") - lit(CostThresh))), 4)
+          .as("lag_loss_sum"),
+        round(sum(col("lag")), 4).as("lag_sum"),
+        pround(max(col("lag")), 6).as("max_lag_b"),
+        pround(min(col("lag")), 6).as("min_lag_b"),
+        pround(AggOps.lowerMedian(col("lag")), 6).as("median_lag_b"),
+        round(sum(col("cost_v")), 4).as("cost_v_sum"),
+        pround(AggOps.lowerMedian(col("cost_v")), 6).as("median_cost_v_b"),
+        round(sum(col("exp_adv")), 4).as("exp_adv_sum"),
+        pround(max(col("exp_adv")), 6).as("max_exp_adv"),
+        pround(min(col("exp_adv")), 6).as("min_exp_adv"),
+        round(sum(col("exp_adv") * col("bc")), 4).as("policy_loss_sum"))
+    },
+    Some("""WITH tr AS (SELECT l_quantity AS s, l_discount*10.0 AS a FROM lineitem),
+      f AS (SELECT *,
+        0.05 + greatest(-2.0 + s*0.3, 0.0)*0.5 + greatest(4.0 + s*(-0.15), 0.0)*(-0.4) AS v,
+        greatest(s*0.1 - 1.0, 0.0) AS cost_v,
+        greatest(s*0.12 + a*0.05 - 1.2, 0.0) AS cost_qt
+      FROM tr),
+      g AS (SELECT *,
+        (s*0.2 + a*0.3 - 0.1) - v AS adv,
+        -(cost_qt - cost_v) AS cost_adv,
+        least(greatest(ln(1.0 + exp(0.2 + greatest(0.1 + s*0.2, 0.0)*0.6 + greatest(0.5 + s*(-0.1), 0.0)*(-0.8))), 0.0), """ + d(MaxLag) + """) AS lag,
+        least(greatest(s*0.04 - 1.0, -1.0), 1.0) AS pi
+      FROM f),
+      i AS (SELECT *,
+        least(exp(""" + d(Beta2) + """ * (adv + lag * cost_adv)), """ + d(ExpCap) + """) AS exp_adv,
+        (pi - (a*2.0 - 1.0)) * (pi - (a*2.0 - 1.0)) AS bc
+      FROM g)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(sum(-lag * (cost_v - """ + d(CostThresh) + """)), 4) AS lag_loss_sum,
+        round(sum(lag), 4) AS lag_sum,
+        """ + proundSql("max(lag)", 6) + """ AS max_lag_b,
+        """ + proundSql("min(lag)", 6) + """ AS min_lag_b,
+        """ + proundSql("quantile_disc(lag, 0.5)", 6) + """ AS median_lag_b,
+        round(sum(cost_v), 4) AS cost_v_sum,
+        """ + proundSql("quantile_disc(cost_v, 0.5)", 6) + """ AS median_cost_v_b,
+        round(sum(exp_adv), 4) AS exp_adv_sum,
+        """ + proundSql("max(exp_adv)", 6) + """ AS max_exp_adv,
+        """ + proundSql("min(exp_adv)", 6) + """ AS min_exp_adv,
+        round(sum(exp_adv * bc), 4) AS policy_loss_sum
+      FROM i"""))
+
   /** S3 trajectory-granular outlier filter (reference
     * train_fawac_iql.py:66-75 `outliers_percent` → dsrl pre_process_data):
     * per-episode total cost, drop every transition of the top-2.5%
@@ -3158,7 +3250,8 @@ object Queries {
     x3Pii, x3Domain, x3Clf, x6Mixture, x6Budget, x3Boiler,
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
-    x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder)
+    x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
+    e2eTrainLag)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

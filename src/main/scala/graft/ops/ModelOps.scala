@@ -30,6 +30,9 @@ object ModelOps {
   val relu: Column => Column = c => greatest(c, lit(0.0))
   val tanhAct: Column => Column = tanh
   val identityAct: Column => Column = c => c
+  /** Softplus ln(1+eˣ) — the lagrangian head's output activation
+    * (fawac.py:166-175: `output_activation_fn=nn.Softplus`). */
+  val softplusAct: Column => Column = c => log(lit(1.0) + exp(c))
 
   /** Multi-layer forward pass; layers = (weights, biases, activation).
     * Mirrors reference MLP construction (fawac.py:112-144). */
