@@ -484,6 +484,72 @@ object StreamingOps {
       }
       .start()
 
+  /** The STREAMING curation program — the CDC mirror of the batch
+    * `x7_curation_pipeline` DAG, chaining the three incremental hygiene
+    * stages in ONE `foreachBatch` so a continuously-ingested corpus is
+    * maintained curated rather than re-curated from scratch:
+    *  1. exact dedup (the [[incrementalExactDedup]] stage inline): first
+    *     doc per fingerprint within the batch, anti-join the persisted
+    *     fp ledger;
+    *  2. decontamination against the static benchmark n-gram ledger (the
+    *     [[incrementalDecontaminate]] stage: read-only state, corpus side
+    *     never shuffles — grams broadcast);
+    *  3. the Gopher repetition gate in integer form (5·dup_grams ≤ grams,
+    *     n_toks ≥ 5 — stateless projection+filter, identical to x7's).
+    * Survivors append to the corpus, then stage 1's first-seen
+    * fingerprints append to the ledger (corpus-first crash ordering, see
+    * [[incrementalExactDedup]] — at-least-once on the corpus sink).
+    *
+    * Batch-parity: stages 2-3 are deterministic functions of the TEXT,
+    * and every member of a fingerprint group has fp-identical text (the
+    * fingerprint collapses exactly the case/whitespace the gram tokenizer
+    * also collapses), so maintain-incrementally and curate-once-batch
+    * produce the same corpus whenever ids arrive in ascending order (the
+    * batch keep-rule is min-id per fingerprint; streaming keeps
+    * first-seen) — proven against the x7 program in StreamingSpec. */
+  def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
+                                  benchLedgerPath: String, corpusPath: String,
+                                  fpLedgerPath: String, checkpoint: String,
+                                  n: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // stage 1 — exact dedup against the durable fingerprint ledger
+        val withFp = batch.withColumn("fp", graft.ops.TextOps.fingerprint(col(textCol)))
+        val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+        val firstPerFp = withFp.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") === 1).drop("__rk")
+        val hPath = new org.apache.hadoop.fs.Path(fpLedgerPath)
+        val ledgerExists =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val seen =
+          if (ledgerExists) spark.read.parquet(fpLedgerPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType))))
+        val d1 = firstPerFp.join(seen, Seq("fp"), "left_anti").cache()
+        // stage 2 — decontaminate vs the read-only bench ledger (a missing
+        // path must fail the batch, not silently pass everything as clean)
+        val bench = spark.read.parquet(benchLedgerPath)
+        val dirty = graft.ops.TextOps.gramHashes(d1, idCol, textCol, n)
+          .join(broadcast(bench), "gh")
+          .select(col("doc_id").as("__dirty")).distinct()
+        val d2 = d1.join(dirty, d1(idCol) === col("__dirty"), "left_anti")
+        // stage 3 — integer-form repetition gate (same predicate as x7)
+        val rep = graft.ops.TextOps.repetitionStats(d2, idCol, textCol, n = 2)
+          .where(col("n_dup_grams") * lit(5) <= col("n_grams")
+            && col("n_toks") >= 5)
+          .select(col("doc_id").as("__keep"))
+        val survivors = d2.join(rep, d2(idCol) === col("__keep"), "left_semi")
+        survivors.drop("fp").write.mode("append").parquet(corpusPath)
+        d1.select(col("fp")).write.mode("append").parquet(fpLedgerPath)
+        d1.unpersist(): Unit
+      }
+      .start()
+
   /** Incremental bucketed materialization — each micro-batch appends into
     * a table bucketed on the join key, so the CONTINUOUSLY-INGESTED fact
     * table keeps the layout that makes every downstream equi-join on the

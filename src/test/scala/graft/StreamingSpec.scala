@@ -437,6 +437,68 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(2L, 4L))
   }
 
+  test("streaming curation pipeline maintains the batch x7 corpus across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft_cur_corpus").toString
+    val fpLedger = Files.createTempDirectory("graft_cur_ledger").toString + "/fp"
+    val benchLedger = Files.createTempDirectory("graft_cur_bench").toString + "/grams"
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+    val bench = Seq((100L, "held out benchmark question about ancient roman aqueducts"))
+      .toDF("doc_id", "text")
+    ops.TextOps.benchGramLedger(bench, "doc_id", "text", n = 3).write.parquet(benchLedger)
+    // three micro-batches exercising every stage: in-batch + cross-batch
+    // exact dups, a bench leak, a repetitive doc, a too-short doc, a
+    // replayed row, and clean survivors in two languages
+    val b1 = Seq(
+      (1L, "en", "the solar panel array generates clean power daily"),
+      (2L, "en", "the solar panel array generates clean power daily"), // in-batch dup
+      (3L, "en", "short text"))                                        // < 5 toks → gated
+    val b2 = Seq(
+      (4L, "en", "benchmark question about ancient roman aqueducts leaked here"), // leak
+      (5L, "en", "spam spam spam spam spam spam spam spam"),                      // repetitive
+      (6L, "fr", "une phrase parfaitement normale avec assez de mots"))
+    val b3 = Seq(
+      (1L, "en", "the solar panel array generates clean power daily"),  // replayed row
+      (7L, "en", "the solar panel array generates clean power daily"),  // cross-batch dup
+      (8L, "fr", "encore une autre phrase utile pour le corpus final"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.incrementalCurationPipeline(
+      mem.toDF().toDF("doc_id", "lang", "text"), "doc_id", "text",
+      benchLedger, corpus, fpLedger, ckpt, n = 3)
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val maintained = spark.read.parquet(corpus)
+    // curate-once-batch reference: the x7 stages over the distinct union
+    val all = (b1 ++ b2 ++ b3).distinct.toDF("doc_id", "lang", "text")
+    val keep = ops.Dedup.exactDedup(all, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val d1 = all.join(keep, Seq("doc_id"), "left_semi")
+    val dirty = ops.TextOps.gramHashes(d1, "doc_id", "text", 3)
+      .join(broadcast(spark.read.parquet(benchLedger)), "gh")
+      .select("doc_id").distinct()
+    val d2 = d1.join(dirty, Seq("doc_id"), "left_anti")
+    val rep = ops.TextOps.repetitionStats(d2, "doc_id", "text", n = 2)
+      .where(col("n_dup_grams") * lit(5) <= col("n_grams") && col("n_toks") >= 5)
+      .select("doc_id")
+    val batchGated = d2.join(rep, Seq("doc_id"))
+    val gotIds = maintained.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gotIds == batchGated.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(gotIds == Seq(1L, 6L, 8L), s"got $gotIds")
+    // replayed row appended exactly once (ledger suppressed the replay)
+    assert(maintained.where(col("doc_id") === 1L).count() == 1)
+    // and x7's packing tail composes identically on the maintained corpus
+    def packed(df: org.apache.spark.sql.DataFrame) = {
+      val nToks = ops.TextOps.textStats(col("text")).getField("n_tokens").cast("long")
+      ops.Curation.packSequences(df, "doc_id", "lang", nToks, 16)
+        .select("doc_id", "lang", "n_tokens", "bin")
+        .as[(Long, String, Long, Long)].collect().toSet
+    }
+    assert(packed(maintained) == packed(batchGated))
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
