@@ -1470,6 +1470,59 @@ object Queries {
         CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len
       FROM ep"""))
 
+  /** §3.3 normalized evaluation scores — the reference maps raw eval
+    * means through `env.get_normalized_score` before logging
+    * (train_fawac_iql.py:147-149: normalized_ret, normalized_cost from
+    * the task's reference constants). Here the per-task constants
+    * (ret_min, ret_max, cost_limit) live in a BROADCAST parameter table
+    * — corpus-invariant metadata, exactly like the config overlay —
+    * and the normalization is the affine map
+    * norm_ret = (ret − ret_min)/(ret_max − ret_min)·100,
+    * norm_cost = cost/κ, applied to per-task episode means
+    * ("task" = event_type; episode = one user's events of that type,
+    * cost = episode length — the step-cost convention). Means are
+    * sums/n (the avg-of-lattice-decimals rounding trap); one shuffle on
+    * (task, user) then a task-cardinality aggregate. */
+  private val evalNorm = Q("eval_normalized",
+    (s, dir) => {
+      import s.implicits._
+      val consts = Seq(
+        ("click", 0.0, 5000.0, 25.0), ("error", 0.0, 5200.0, 25.0),
+        ("purchase", 0.0, 4800.0, 25.0), ("signup", 0.0, 5100.0, 25.0),
+        ("view", 0.0, 4900.0, 25.0))
+        .toDF("event_type", "ret_min", "ret_max", "cost_limit")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("ret"), count(lit(1)).cast("double").as("cost"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_episodes"),
+          sum(col("ret")).as("__rs"), sum(col("cost")).as("__cs"))
+        .join(broadcast(consts), Seq("event_type"))
+        .select(col("event_type").as("task"), col("n_episodes"),
+          round(col("__rs") / col("n_episodes"), 4).as("mean_return"),
+          round(col("__cs") / col("n_episodes"), 4).as("mean_cost"),
+          round((col("__rs") / col("n_episodes") - col("ret_min"))
+            / (col("ret_max") - col("ret_min")) * lit(100.0), 6)
+            .as("normalized_return"),
+          round(col("__cs") / col("n_episodes") / col("cost_limit"), 6)
+            .as("normalized_cost"))
+        .orderBy(col("task"))
+    },
+    Some("""WITH ep AS (SELECT event_type, user_id, sum(value) AS ret,
+        CAST(count(*) AS DOUBLE) AS cost FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, count(*) AS n, sum(ret) AS rs, sum(cost) AS cs
+        FROM ep GROUP BY 1),
+      c(event_type, ret_min, ret_max, cost_limit) AS (VALUES
+        ('click', 0.0, 5000.0, 25.0), ('error', 0.0, 5200.0, 25.0),
+        ('purchase', 0.0, 4800.0, 25.0), ('signup', 0.0, 5100.0, 25.0),
+        ('view', 0.0, 4900.0, 25.0))
+      SELECT t.event_type AS task, CAST(n AS BIGINT) AS n_episodes,
+        round(rs / n, 4) AS mean_return,
+        round(cs / n, 4) AS mean_cost,
+        round((rs / n - ret_min) / (ret_max - ret_min) * 100.0, 6) AS normalized_return,
+        round(cs / n / cost_limit, 6) AS normalized_cost
+      FROM t JOIN c USING (event_type) ORDER BY task"""))
+
   // ------------------------------------------------------------------
   // batch 3 (round 2): correlation stats, arg-extrema, grouping sets,
   // sliding windows, nth_value frames, unpivot, simhash pairs, TF-IDF,
@@ -3251,7 +3304,7 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag)
+    e2eTrainLag, evalNorm)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
