@@ -42,8 +42,17 @@ import org.apache.spark.sql.functions._
   * `spark.catalog.clearCache()`. */
 class DedupCaches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Idempotent: a plan already cached (by this handle, another handle, or
+    * a previous query over the same input) is returned untouched — no
+    * re-registration, so this handle never unpersists state it does not
+    * own, and no `CacheManager: Asked to cache already cached data` noise
+    * in long sessions that run several dedup queries over one corpus. */
   private[graft] def track(df: DataFrame): DataFrame =
-    synchronized { frames += df; df.cache() }
+    synchronized {
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        frames += df; df.cache()
+      } else df
+    }
   /** Unpersist every tracked intermediate. Call AFTER an action on the
     * returned frame — the results are lazy plans over these caches. */
   def unpersistAll(): Unit =
@@ -53,9 +62,12 @@ class DedupCaches {
 object DedupCaches {
   /** Session-lifetime caching: `track` is a plain `cache()`, no references
     * retained (a tracking default would itself leak — the handle would pin
-    * every frame forever with no one to call unpersistAll). */
+    * every frame forever with no one to call unpersistAll). Same
+    * idempotency contract as the class form. */
   val unmanaged: DedupCaches = new DedupCaches {
-    override private[graft] def track(df: DataFrame): DataFrame = df.cache()
+    override private[graft] def track(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+      else df
   }
 }
 

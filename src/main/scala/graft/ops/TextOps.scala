@@ -168,13 +168,17 @@ object TextOps {
     *
     * Output: (doc_id, n_bigrams, avg_logprob) for docs with ≥ 1 bigram. */
   def lmPerplexityScore(docs: DataFrame, idCol: String, textCol: String,
-                        alpha: Double = 0.5): DataFrame = {
+                        alpha: Double = 0.5,
+                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
     // uni is vocabulary-bounded (≪ corpus at any scale) and referenced
     // twice (the vocab-size scalar and the probe join) — caching it keeps
-    // the corpus-sized tokenize+explode from running an extra pass.
-    val uni = toks.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1")).cache()
+    // the corpus-sized tokenize+explode from running an extra pass. The
+    // cache goes through the DedupCaches scope so a long-lived session
+    // can release it (pass a handle, unpersistAll after materializing);
+    // the unmanaged default keeps one-shot-job behavior.
+    val uni = caches.track(toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
     val docBi = toks.where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
