@@ -29,7 +29,10 @@ object Bench {
     "x2_similarity_topk",        // brute-force cosine top-k
     "x2_ann_lsh_topk",           // LSH-bucketed ANN
     "x3_text_analysis",          // text quality/lang-id kernels
-    "e2e_train_step")            // full train_one_step composition
+    "e2e_train_step",            // full train_one_step composition
+    "x2_kmeans_fit",             // in-plan Lloyd's (broadcast-fold assign)
+    "x6_token_budget",           // bucket-prefix global selection
+    "x7_curation_pipeline")      // full curation program DAG
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

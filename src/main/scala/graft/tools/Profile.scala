@@ -54,7 +54,25 @@ object Profile {
           df.collect()
           println(df.queryExecution.executedPlan.toString)
         }
-      case other => sys.error(s"unknown mode '$other' (minhash|simhash|components|entry|explain)")
+      case "query" =>
+        // isolated repeat-timing of ONE declared query through the bench's
+        // noop sink, cache cleared between reps — separates a query's own
+        // cost from cross-query cache interplay inside the full bench run.
+        // Args: query <name> [threads] [reps]; data dir from
+        // SPARK_GRAFT_SF_DIR (positions 2+ are taken by the global
+        // dir/threads parsing above).
+        val name = args.lift(1).getOrElse(sys.error("query mode needs a query name"))
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(3).map(_.toInt).getOrElse(5)
+        val q = graft.Queries.all.find(_.name == name)
+          .getOrElse(sys.error(s"no query named '$name'"))
+        graft.SparkEntry.entry(spark).count() // warmup: JIT + file index
+        (1 to reps).foreach { i =>
+          spark.sharedState.cacheManager.clearCache()
+          time(s"$name rep $i")(
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+        }
+      case other => sys.error(s"unknown mode '$other' (minhash|simhash|components|entry|explain|query)")
     }
     spark.stop()
   }
