@@ -2939,6 +2939,42 @@ object Queries {
         FROM z GROUP BY 1 ORDER BY tile"""
     })
 
+  /** S11 (3-D) — the N-dimensional form of the Z-order layout key
+    * ([[graft.ops.CoreOps.mortonKeyN]]): real lakehouse Z-ordering is
+    * 3–4 dims (e.g. date × customer × product). Same locality summary
+    * as `s11_zorder_key` over three 10-bit dimensions — every 4096-key
+    * tile covers a tight x/y/w box, so a range predicate on ANY of the
+    * three columns prunes files at the scan. */
+  private val s11Zorder3d = Q("s11_zorder_key_3d",
+    (s, dir) => {
+      val x = pmod(col("l_orderkey"), lit(1024L))
+      val y = pmod(col("l_partkey"), lit(1024L))
+      val w = pmod(col("l_suppkey"), lit(1024L))
+      Tables.lineitem(s, dir)
+        .select(CoreOps.mortonKeyN(Seq(x, y, w), 10).as("zkey"),
+          x.as("x"), y.as("y"), w.as("w"))
+        .groupBy((col("zkey") / lit(262144L)).cast("long").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"),
+          (max(col("w")) - min(col("w"))).as("w_span"))
+        .orderBy(col("tile"))
+    },
+    Some {
+      val terms = (0 until 10).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) << ${3 * i})",
+          s"(((y >> $i) & 1) << ${3 * i + 1})",
+          s"(((w >> $i) & 1) << ${3 * i + 2})")
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y,
+          l_suppkey % 1024 AS w FROM lineitem),
+        z AS (SELECT x, y, w, $terms AS zkey FROM d)
+        SELECT CAST(zkey // 262144 AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+          max(x) - min(x) AS x_span, max(y) - min(y) AS y_span,
+          max(w) - min(w) AS w_span
+        FROM z GROUP BY 1 ORDER BY tile"""
+    })
+
   /** S10 — schema-evolution roundtrip: a long-lived table accretes files
     * from different pipeline generations; here generation 1 writes
     * (user_id, value) and generation 2 adds an `event_type` column. A
@@ -3304,7 +3340,7 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag, evalNorm)
+    e2eTrainLag, evalNorm, s11Zorder3d)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

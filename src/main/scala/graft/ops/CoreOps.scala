@@ -102,21 +102,41 @@ object CoreOps {
     clampMin(aggregate(weighted, lit(bias), (acc, v) => acc + v))
   }
 
-  /** Z-order (Morton) sort key: interleave the low `bits` bits of two
-    * non-negative dimension values, so sorting by the key clusters rows
-    * that are close in BOTH dimensions. Sorting a table by this key
+  /** Z-order (Morton) sort key over N dimensions: interleave the low
+    * `bits` bits of each dimension value (dimension j contributes bit i
+    * at key position `i*N + j`), so sorting by the key clusters rows
+    * that are close in ALL dimensions. Sorting a table by this key
     * before a parquet write gives every file/row-group tight min/max
-    * ranges on x AND y simultaneously — range predicates on either
+    * ranges on every dimension simultaneously — range predicates on any
     * dimension then prune files at the scan, which a single-column sort
     * only provides for its leading column. This is the layout technique
     * multi-dimensional data skipping (Delta/Iceberg Z-ordering) is built
-    * on; here it is a plain exact-integer expression (32 shift/mask
-    * terms for bits=16), reproducible bit-for-bit in any engine. */
-  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    * on — real lakehouse Z-ordering is typically 2–4 dims; here it is a
+    * plain exact-integer expression (N·bits shift/mask terms),
+    * reproducible bit-for-bit in any engine.
+    *
+    * Each dimension is masked to its low `bits` bits first, so the
+    * truncation behavior is explicit: values ≥ 2^bits wrap (only the
+    * low bits place the row — callers should bucket, e.g. `pmod`,
+    * before keying), and negative values key by their two's-complement
+    * low bits. Within the masked domain [0, 2^bits) per dimension the
+    * key is invertible (distinct tuples → distinct keys). */
+  def mortonKeyN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.length
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and dims*bits <= 63, got $n*$bits")
+    val mask = lit((1L << bits) - 1)
+    val masked = dims.map(_.cast("long").bitwiseAND(mask))
+    (0 until bits).flatMap { i =>
+      masked.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_ + _)
   }
+
+  /** 2-D convenience form of [[mortonKeyN]] (x at even key bits, y at
+    * odd), kept for the common latitude/longitude-style case. */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column =
+    mortonKeyN(Seq(x, y), bits)
 }

@@ -216,6 +216,46 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == got.map(t => (t._1, t._2)).distinct.length)
   }
 
+  test("mortonKeyN is invertible for 3 and 4 dimensions") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(3, 4)) {
+      val bits = if (n == 3) 10 else 8
+      val lim = 1 << bits
+      val tuples = Seq.fill(300)(Seq.fill(n)(rnd.nextInt(lim).toLong))
+      val cols = (0 until n).map(j => col(s"d$j"))
+      val got = tuples.map(t => Tuple1(t)).toDF("dims")
+        .select((0 until n).map(j => col("dims")(j).as(s"d$j")): _*)
+        .select(array(cols: _*).as("dims"), CoreOps.mortonKeyN(cols, bits).as("z"))
+        .as[(Seq[Long], Long)].collect()
+      def deinterleave(z: Long): Seq[Long] = {
+        val out = Array.fill(n)(0L)
+        (0 until bits).foreach { i =>
+          (0 until n).foreach { j => out(j) |= ((z >> (i * n + j)) & 1L) << i }
+        }
+        out.toSeq
+      }
+      got.foreach { case (dims, z) =>
+        assert(deinterleave(z) == dims, s"n=$n dims=$dims z=$z") }
+      assert(got.map(_._2).distinct.length == got.map(_._1).distinct.length)
+    }
+  }
+
+  test("mortonKeyN masks inputs to the low bits (wrap, not corrupt)") {
+    // out-of-range and negative inputs must key identically to their
+    // two's-complement low-bits counterparts — the documented contract
+    val bits = 8
+    val rows = Seq(
+      (300L, 5L),          // 300 = 256 + 44 -> masks to 44
+      (44L, 5L),
+      (-1L, 0L),           // -1 masks to 255
+      (255L, 0L))
+    val got = rows.toDF("x", "y")
+      .select(col("x"), CoreOps.mortonKeyN(Seq(col("x"), col("y")), bits).as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(300L) == got(44L))
+    assert(got(-1L) == got(255L))
+  }
+
   test("winsorize clamps at the ceil(q*n) positional quantiles per group") {
     val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
     val w = AggOps.winsorize(df, Seq("k"), "v", 0.1, 0.9)
