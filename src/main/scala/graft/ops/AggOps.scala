@@ -106,27 +106,36 @@ object AggOps {
     * Quantiles use the distributed rank form — value at 1-based position
     * ceil(q·n) in (group, value) order — NOT percentile_disc, whose
     * per-group value-map buffer is a single-task OOM at scale (see
-    * x5_approx_quantile). Cost: one window sort per group + a
+    * x5_approx_quantile). Cost: one window sort per group (the group
+    * count rides the same exchange as an unordered frame) + a
     * group-cardinality bounds table broadcast back. Appends
-    * `<valueCol>_w` (clamped); original column untouched. */
+    * `<valueCol>_w` (clamped); original column untouched. Row-preserving
+    * for ALL rows: null group keys form their own group (the bounds
+    * join-back is null-safe, so they are winsorized within it rather
+    * than silently dropped), and a group whose bounds come back null
+    * (all-null values) passes through unclamped via the left join. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                 valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
     val w = Window.partitionBy(gs: _*).orderBy(col(valueCol))
-    val counts = df.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
-    val bounds = df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), groupCols)
+    val wn = Window.partitionBy(gs: _*)
+    val bounds = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
       .groupBy(gs: _*)
       .agg(
         min(when(col("__rn") === ceil(col("__n") * lit(lowQ)).cast("long"),
           col(valueCol))).as("__lo"),
         min(when(col("__rn") === ceil(col("__n") * lit(highQ)).cast("long"),
           col(valueCol))).as("__hi"))
-    df.join(broadcast(bounds), groupCols)
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__lo"), col("__hi")): _*)
+    val cond = groupCols.map(c => df(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(bounds), cond, "left")
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 }

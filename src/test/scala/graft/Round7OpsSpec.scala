@@ -266,6 +266,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(w(10.0) == 10.0)
   }
 
+  test("winsorize preserves and clamps null-keyed groups (row-preserving)") {
+    val rows = (1 to 20).map(i => (Option("g"), i.toDouble)) ++
+      (1 to 20).map(i => (Option.empty[String], i.toDouble + 100.0))
+    val df = rows.toDF("k", "v")
+    val out = AggOps.winsorize(df, Seq("k"), "v", 0.1, 0.9)
+    assert(out.count() == 40L, "null-keyed rows must survive")
+    val nullGroup = out.where(col("k").isNull)
+      .select(col("v"), col("v_w")).as[(Double, Double)].collect().toMap
+    // the null group winsorizes within ITSELF (bounds 102/118), proving
+    // it got real bounds rather than a missed join
+    assert(nullGroup(101.0) == 102.0 && nullGroup(120.0) == 118.0)
+    assert(nullGroup(110.0) == 110.0)
+  }
+
   test("lmPerplexityScore ranks corpus-typical word order above scrambled") {
     // 9 identical fluent docs + 1 scrambled doc with the SAME unigrams but
     // none of the corpus's frequent bigrams — the LM must rank it lower
