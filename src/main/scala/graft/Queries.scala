@@ -1126,7 +1126,7 @@ object Queries {
     * same CSV file — proving the format boundary, not just the transform. */
   private val s4Csv = Q("s4_csv_roundtrip",
     (s, dir) => {
-      val path = "/tmp/graft_s4_csv_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = "/tmp/graft_s4_csv_" + Tables.scratchTag(s, dir)
       Tables.events(s, dir)
         .select(col("event_id").as("step"), col("user_id"), col("value"))
         .where(pmod(col("event_id"), lit(4)) === 0)
@@ -1777,7 +1777,7 @@ object Queries {
     * the partition column prunes directories, not rows). */
   private val s7Partitioned = Q("s7_partitioned_roundtrip",
     (s, dir) => {
-      val path = "/tmp/graft_s7_part_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = "/tmp/graft_s7_part_" + Tables.scratchTag(s, dir)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
         .write.mode("overwrite").partitionBy("event_type").parquet(path)
@@ -1796,7 +1796,7 @@ object Queries {
     * doubles survive the text format via shortest-round-trip rendering). */
   private val s4Jsonl = Q("s4_jsonl_roundtrip",
     (s, dir) => {
-      val path = "/tmp/graft_s4_jsonl_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = "/tmp/graft_s4_jsonl_" + Tables.scratchTag(s, dir)
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("value"))
         .where(pmod(col("event_id"), lit(7)) === 0)
@@ -2766,7 +2766,7 @@ object Queries {
     * diverges. */
   private val s8Orc = Q("s8_orc_roundtrip",
     (s, dir) => {
-      val path = "/tmp/graft_s8_orc_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = "/tmp/graft_s8_orc_" + Tables.scratchTag(s, dir)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
           col("l_returnflag"))
@@ -2986,7 +2986,7 @@ object Queries {
     * with an explicit NULL for generation 1's missing column. */
   private val s10Schema = Q("s10_schema_evolution",
     (s, dir) => {
-      val path = "/tmp/graft_s10_schema_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = "/tmp/graft_s10_schema_" + Tables.scratchTag(s, dir)
       val ev = Tables.events(s, dir)
       ev.where(pmod(col("event_id"), lit(5)) === 0)
         .select(col("event_id"), col("user_id"), col("value"))

@@ -15,6 +15,24 @@ object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch tag for the roundtrip queries' external writes: data-dir ×
+    * session. The session UUID isolates the /tmp paths and catalog table
+    * names per SparkSession, so two concurrent sessions on the same
+    * machine/dataset cannot overwrite files the other is mid-read on
+    * (each also re-registering catalog entries the other resolves). The
+    * cost is one fresh write per session rather than cross-session reuse
+    * — these are correctness fixtures, not shared caches. */
+  def scratchTag(spark: SparkSession, dir: String): String = {
+    // applicationId isolates JVMs (each concurrent process is its own
+    // SparkContext); the identity hash distinguishes sibling sessions
+    // within one JVM (sessionUUID would be ideal but is private[sql]).
+    val token = spark.sparkContext.applicationId + "_" +
+      java.lang.Integer.toHexString(java.lang.System.identityHashCode(spark))
+    // no dots: the tag feeds saveAsTable names, where '.' splits
+    // schema.table
+    (dir + "_" + token).replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
@@ -71,7 +89,7 @@ object Tables {
     * the count is sized so one bucket ≈ one task's memory budget. */
   def bucketedOrdersCustomer(spark: SparkSession, dir: String,
                              buckets: Int = 8): (DataFrame, DataFrame) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tag = scratchTag(spark, dir)
     val base = s"/tmp/graft_s9_buck_$tag"
     val oT = s"graft_s9_orders_$tag"
     val cT = s"graft_s9_customer_$tag"
