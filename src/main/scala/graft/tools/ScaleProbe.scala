@@ -36,6 +36,10 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     val scale = args.headOption.map(_.toInt).getOrElse(10)
+    // optional comma-list of label prefixes: run only matching families
+    // (e.g. "30 covariance,semantic,token" probes the quadratic-risk
+    // families at 30x without paying for the full linear sweep)
+    val only: Option[Seq[String]] = args.lift(1).map(_.split(",").toSeq)
 
     // cache BOTH sides so 1x vs Nx compares compute, not IO
     val docs1 = Tables.documents(spark, dir).cache()
@@ -51,10 +55,12 @@ object ScaleProbe {
 
     // min of 2 runs: the first pays one-off plan/codegen/cache-fill costs
     def probe(label: String, f1: => Long, fN: => Long): Unit = {
-      val t1 = Seq(time(s"$label 1x warm")(f1)._2, time(s"$label 1x")(f1)._2).min
-      val tN = Seq(time(s"$label ${scale}x warm")(fN)._2,
-        time(s"$label ${scale}x")(fN)._2).min
-      println(f"[probe] $label%-34s ratio ${tN / t1}%6.1f (linear = $scale)")
+      if (only.forall(_.exists(label.startsWith))) {
+        val t1 = Seq(time(s"$label 1x warm")(f1)._2, time(s"$label 1x")(f1)._2).min
+        val tN = Seq(time(s"$label ${scale}x warm")(fN)._2,
+          time(s"$label ${scale}x")(fN)._2).min
+        println(f"[probe] $label%-34s ratio ${tN / t1}%6.1f (linear = $scale)")
+      }
     }
     // noop sink: counts let Catalyst prune the computed columns entirely
     def cnt(df: DataFrame): Long = {
@@ -177,11 +183,14 @@ object ScaleProbe {
     // expected ratio is ~scale·√scale (≈32 at 10×), NOT linear. The probe
     // verifies it stays FAR below the ~100× an unclustered all-pairs pass
     // would cost.
+    // seed modulus ≈ 89·√scale keeps cells ∝ √(corpus): 281 at 10x,
+    // 487 at 30x — the documented sizing policy applied per scale point
+    val semMod = math.max(89L, math.round(89.0 * math.sqrt(scale.toDouble)))
     probe("semantic dedup (sqrt-N cells)",
       cnt(Similarity.semanticDedup(emb1, "vec_id", "embedding",
         pmod(col("vec_id"), lit(89)) === 7, 0.3)),
       cnt(Similarity.semanticDedup(embN, "vec_id", "embedding",
-        pmod(col("vec_id"), lit(281)) === 7, 0.3)))
+        pmod(col("vec_id"), lit(semMod)) === 7, 0.3)))
     probe("winsorize (rank-quantile clamp)",
       cnt(AggOps.winsorize(li1, Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)),
       cnt(AggOps.winsorize(liN, Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)))
