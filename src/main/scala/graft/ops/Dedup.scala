@@ -53,6 +53,15 @@ class DedupCaches {
         frames += df; df.cache()
       } else df
     }
+  /** Register a frame this CALLER already cached (e.g. the surviving
+    * frame of an iterate-and-unpersist loop) so `unpersistAll` releases
+    * it. The complement of `track`'s idempotency: `track` refuses
+    * ownership of pre-existing caches precisely because it cannot tell
+    * who owns them; `adopt` is the call site asserting "this one is
+    * mine". */
+  private[graft] def adopt(df: DataFrame): DataFrame =
+    synchronized { frames += df; df }
+
   /** Unpersist every tracked intermediate. Call AFTER an action on the
     * returned frame — the results are lazy plans over these caches. */
   def unpersistAll(): Unit =
@@ -68,6 +77,9 @@ object DedupCaches {
     override private[graft] def track(df: DataFrame): DataFrame =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
       else df
+    // session-lifetime scope: retaining adopted frames would pin them
+    // forever with no unpersistAll caller
+    override private[graft] def adopt(df: DataFrame): DataFrame = df
   }
 }
 
@@ -307,9 +319,9 @@ object Dedup {
         // no reachable handle
         case t: Throwable => labels.unpersist(); throw t
       }
-      // already cached (it IS the loop's last `next`); register with the
-      // caller's handle so unpersistAll() can release it
-      caches.track(labels)
+      // already cached (it IS the loop's last `next`) — track() would
+      // refuse ownership of a pre-existing cache, so adopt explicitly
+      caches.adopt(labels)
     }
     } finally edges.unpersist()
   }
