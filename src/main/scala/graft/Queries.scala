@@ -895,6 +895,55 @@ object Queries {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** X2 — ANN quality evaluation: recall@k of the sign-LSH index against
+    * the exact brute-force neighbors, per query. The evaluation op a
+    * real ANN deployment ships with — index parameters (bits, cells) are
+    * tuned against MEASURED recall, not guessed. Exact and LSH top-k run
+    * side-by-side over one corpus scan; hits are the (query, cand)
+    * intersection via a semi-join. n_hits/k divides two exact small
+    * integers in IEEE double — bit-identical in both engines. */
+  private val x2AnnRecall = Q("x2_ann_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val ann = Similarity.lshTopK(emb, "vec_id", "embedding", qp, k = 5, bits = 4)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(ann, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val cosine = """round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*qv[i+1])))
+             * sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 100 = 0),
+      bscored AS (SELECT query_id, e.vec_id AS cand_id, $cosine AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+      brk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM bscored) WHERE rk <= 5),
+      ascored AS (SELECT query_id, e.vec_id AS cand_id, $cosine AS cosine
+        FROM e JOIN q USING (bucket) WHERE e.vec_id <> query_id),
+      ark AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM ascored) WHERE rk <= 5),
+      hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM brk JOIN ark USING (query_id, cand_id) GROUP BY query_id),
+      qs AS (SELECT DISTINCT query_id FROM q)
+      SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
+    })
+
   private val distinctAgg = Q("distinct_agg",
     (s, dir) => Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
       countDistinct(col("l_suppkey")).as("n_supp"),
@@ -3340,7 +3389,7 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag, evalNorm, s11Zorder3d)
+    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
