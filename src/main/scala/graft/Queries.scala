@@ -1404,6 +1404,65 @@ object Queries {
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
     })
 
+  /** X2 — IVF index recall@k vs exact neighbors (sibling of
+    * [[x2AnnRecall]] for the second ANN path): with cells ~√N a query
+    * scans only its own cell, and this measures exactly what that
+    * sacrifice costs. The cells-vs-recall trade is THE production tuning
+    * knob for IVF (probe more cells ↔ higher recall); tuning it needs
+    * this measurement. */
+  private val x2IvfRecall = Q("x2_ivf_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        centroidPred = pmod(col("vec_id"), lit(97)) === 3, queryPred = qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val dvv = dotSql("v", "v"); val dvc = dotSql("v", "cv"); val dcc = dotSql("cv", "cv")
+      val cosine = s"""round(${dotSql("qv", "cvv")}
+            / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cvv", "cvv")})), 6)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
+      assign AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (($dvv - 2*$dvc) + $dcc) ASC, c.centroid_id ASC) AS rk
+          FROM e CROSS JOIN c) WHERE rk = 1),
+      corpus AS (SELECT e.vec_id AS cand_id, v AS cvv, cell
+        FROM e JOIN assign ON e.vec_id = assign.vec_id),
+      q AS (SELECT e.vec_id AS query_id, v AS qv, cell
+        FROM e JOIN assign ON e.vec_id = assign.vec_id WHERE e.vec_id % 100 = 0),
+      iscored AS (SELECT query_id, cand_id, $cosine AS cosine
+        FROM corpus JOIN q USING (cell) WHERE cand_id <> query_id),
+      irk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM iscored) WHERE rk <= 5),
+      bscored AS (SELECT query_id, e.vec_id AS cand_id,
+          round(${dotSql("qv", "v")}
+            / (sqrt(${dotSql("qv", "qv")}) * sqrt($dvv)), 6) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+      brk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM bscored) WHERE rk <= 5),
+      hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM brk JOIN irk USING (query_id, cand_id) GROUP BY query_id),
+      qs AS (SELECT DISTINCT query_id FROM q)
+      SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
+    })
+
   /** Skew-resistant salted two-stage aggregation — identical results to the
     * direct groupBy (the oracle is the direct form), different shuffle
     * profile: the hot key spreads over 16 salt buckets before merging. */
@@ -3389,7 +3448,7 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall)
+    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
