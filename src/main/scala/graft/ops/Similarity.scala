@@ -56,6 +56,21 @@ object Similarity {
       .select(col("pid"), col("pv"), col("best.cell").as("cell"))
   }
 
+  /** Public form of the shared nearest-cell assignment, against an
+    * explicit centroid table (cell: long, cv: array<double>) — the
+    * building block [[ivfTopK]]/[[semanticDedupWith]]/[[kmeansFit]] use
+    * internally, exposed for callers that maintain an index OUTSIDE a
+    * single query (e.g. the streaming incremental index applier). Same
+    * scale shape: one-row broadcast, per-row argmin fold, no window, the
+    * input never shuffles. Output: (pid, pv, cell). */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    assignNearestCell(
+      emb.select(col(idCol).cast("long").as("pid"), asDouble(col(vecCol)).as("pv")),
+      centroids)
+  }
+
   /** Brute-force cosine top-k: for each query vector (selected by a
     * deterministic pk predicate), the k nearest corpus vectors by cosine.
     * Scores are rounded *before* ranking so rank order is identical in any

@@ -538,4 +538,37 @@ class StreamingSpec extends SparkSpec {
     assert(got("a") == Seq(("x", 3L), ("y", 1L))) // exact regime, count-desc order
     assert(got("b") == Seq(("z", 1L)))
   }
+
+  test("incremental ANN index: batch-parity assignment, replays suppressed, cell layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val index = Files.createTempDirectory("graft_ann_idx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_ann_ckpt").toString
+    // two well-separated frozen centroids (the deployed kmeansFit output)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val emb = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.incrementalAnnIndex(emb, "vec_id", "embedding",
+      cents, index, ckpt)
+    mem.addData((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.8)))
+    q.processAllAvailable()
+    // batch 2 replays id 1 (identical payload) + two new vectors
+    mem.addData((1L, Seq(0.9, 0.1)), (3L, Seq(0.7, 0.3)), (4L, Seq(0.2, 0.9)))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(index)
+    assert(idx.count() == 4) // replayed id inserted exactly once
+    val got = idx.select(col("pid"), col("cell")).as[(Long, Long)].collect().toMap
+    // parity with the batch assignment path over the same unique vectors
+    val batchAll = Seq((1L, Seq(0.9, 0.1)), (2L, Seq(0.1, 0.8)),
+      (3L, Seq(0.7, 0.3)), (4L, Seq(0.2, 0.9))).toDF("vec_id", "embedding")
+    val want = graft.ops.Similarity.assignCells(batchAll, "vec_id", "embedding", cents)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toMap
+    assert(got == want && got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // partitioned by cell on disk: a one-cell search prunes whole
+    // directories at the scan
+    val cellDirs = new java.io.File(index).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted.toSeq
+    assert(cellDirs == Seq("cell=0", "cell=1"))
+  }
 }
