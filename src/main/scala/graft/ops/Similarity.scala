@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,42 @@ object Similarity {
     assignNearestCell(
       emb.select(col(idCol).cast("long").as("pid"), asDouble(col(vecCol)).as("pv")),
       centroids)
+  }
+
+  /** Search a MAINTAINED cell-partitioned ANN index (the parquet layout
+    * [[graft.streaming.StreamingOps.incrementalAnnIndex]] appends to):
+    * assign queries to cells with the broadcast argmin fold, then score
+    * only index rows in the queries' cells. Because `cell` is the
+    * table's PARTITION column and the query side is small and broadcast,
+    * Catalyst plans dynamic partition pruning — the scan reads only the
+    * queried cells' directories, which at ~√N cells means touching
+    * ~(queries/√N) of the index files rather than the corpus. Same
+    * output schema as [[bruteForceTopK]]/[[ivfTopK]]. */
+  def annIndexSearch(spark: SparkSession, indexPath: String, queries: DataFrame,
+                     idCol: String, vecCol: String, centroids: DataFrame,
+                     k: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val idxRaw = spark.read.parquet(indexPath)
+    // partition-type alignment: directory inference may type `cell` int
+    // while assignment emits long — cast the SMALL side so the scan's
+    // join key stays a bare partition attribute (a cast there would
+    // defeat dynamic partition pruning)
+    val cellType = idxRaw.schema("cell").dataType
+    val q = assignCells(queries, idCol, vecCol, centroids)
+      .select(col("pid").as("query_id"), col("pv").as("qvec"),
+        col("cell").cast(cellType).as("cell"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val idx = idxRaw
+      .select(col("pid").as("cand_id"), col("pv").as("cvec"), col("cell"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
   }
 
   /** Brute-force cosine top-k: for each query vector (selected by a

@@ -14,6 +14,38 @@ class ExtensionsSpec extends SparkSpec {
     (4L, "completely unrelated quantum flibbertigibbet discourse zyzzyva"))
     .toDF("doc_id", "text")
 
+  test("annIndexSearch reads only the queried cells (dynamic partition pruning)") {
+    import java.nio.file.Files
+    val index = Files.createTempDirectory("graft_annsearch").toString + "/index"
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv")
+    val corpus = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0, 0.01 * i) else Seq(0.01 * i, 1.0)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    Similarity.assignCells(corpus, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(index)
+    // one query near centroid 0 → only the cell=0 directory is relevant.
+    // Queries come FROM A TABLE WITH A SELECTIVE PREDICATE (the
+    // production shape) — DPP requires a likely-selective filter on the
+    // build side, and a literal local relation folds its filter away.
+    val qPath = Files.createTempDirectory("graft_annsearch_q").toString + "/q"
+    (corpus.select(col("vec_id") + 2000L as "vec_id", col("embedding"))
+      unionAll Seq((1000L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(qPath)
+    val queries = spark.read.parquet(qPath).where(col("vec_id") === 1000L)
+    val res = Similarity.annIndexSearch(spark, index, queries,
+      "vec_id", "embedding", cents, k = 3)
+    val rows = res.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getAs[Long]("cand_id") % 2 == 0), // cell-0 members only
+      rows.mkString(", "))
+    // the scan must carry a dynamic pruning predicate on the partition
+    // column, not read all cells and filter post-scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
   test("X1 exact dedup collapses whitespace/case variants, keeps min id") {
     val got = Dedup.exactDedup(docs, "doc_id", "text")
     val dups = got.where(col("dup_count") > 1).select("keep_id", "dup_count")
