@@ -2702,6 +2702,30 @@ object Queries {
       FROM k GROUP BY source ORDER BY source"""
     })
 
+  /** X6 — temperature mixture (mT5/XLM-R resampling: keep stratum l with
+    * probability ∝ n_l^α): α = 0.5 flattens the source distribution so
+    * small sources keep a larger share than proportional sampling gives
+    * them. Float-parity plumbing lives in [[Curation.temperatureRates]]
+    * (portable-rounded pow, ascending-fold weight sum); the oracle
+    * replays the identical closed forms. */
+  private val x6Temperature = Q("x6_temperature_mixture",
+    (s, dir) => Curation.temperatureSample(Tables.documents(s, dir), "doc_id",
+        "source", alpha = 0.5, totalTarget = 2000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs,
+          floor(pow(CAST(n_docs AS DOUBLE), 0.5) * 1e4 + 0.5) / 1e4 AS wv FROM c),
+      t AS (SELECT list_sum(list_sort(list(wv))) AS sw FROM w),
+      r AS (SELECT source, least(CAST(1000 AS BIGINT),
+          CAST(floor(1000.0 * 2000.0 * wv / (sw * CAST(n_docs AS DOUBLE))) AS BIGINT)) AS rate
+        FROM w, t),
+      k AS (SELECT d.source, r.rate FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < r.rate)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(rate) AS rate
+      FROM k GROUP BY source ORDER BY source"""))
+
   /** X6 — token-budget selection: quality-ordered prefix of the corpus
     * under a 6000-token budget. The oracle is the naive global running
     * sum; the Spark plan is the bucket-prefix decomposition (no global
@@ -3448,7 +3472,7 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall)
+    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -132,6 +132,54 @@ object Curation {
       .where(idBucket(col(idCol), 100) < col("rate"))
   }
 
+  /** X6 — temperature-based mixture rates (the multilingual/multi-source
+    * resampling rule of mT5/XLM-R: sample stratum l with probability
+    * ∝ n_l^alpha, alpha ∈ (0,1] — alpha < 1 up-weights small strata so
+    * low-resource sources aren't drowned by the head). Given the observed
+    * counts, the keep-rate per stratum is
+    * `min(1, totalTarget·w_l / (W·n_l))` in per-mille, with w_l = n_l^alpha.
+    *
+    * Cross-engine float parity (this feeds the oracle-gated filter):
+    * `pow` is a transcendental (JVM vs libm may differ in the last ulp) →
+    * each w_l is portable-rounded at 4 decimals; the weight SUM would be
+    * engine-order-dependent → it folds over `sort_array(collect_list(w))`
+    * so both engines add the identical ascending sequence; the remaining
+    * rate arithmetic is per-row IEEE on identical operands. Stratum
+    * cardinality is tiny (sources/languages), so the collect_list is a
+    * few doubles.
+    *
+    * Scale shape: one stratum-count aggregate (shuffle carries counts
+    * only), a one-row broadcast of the weight table, then a map-side
+    * id-bucket filter — the corpus never shuffles. */
+  def temperatureRates(df: DataFrame, stratumCol: String, alpha: Double,
+                       totalTarget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = counts.withColumn("__w",
+      floor(pow(col("n_docs").cast("double"), lit(alpha)) * lit(1e4) + lit(0.5)) / lit(1e4))
+    val tot = w.agg(
+      aggregate(sort_array(collect_list(col("__w"))), lit(0.0),
+        (acc, x) => acc + x).as("__sw"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1000L),
+        floor(lit(1000.0) * lit(totalTarget.toDouble) * col("__w")
+          / (col("__sw") * col("n_docs").cast("double"))).cast("long")))
+      .select(col("stratum"), col("n_docs"), col("rate"))
+  }
+
+  /** X6 — apply [[temperatureRates]]: id-bucket-keyed keep of rate‰ per
+    * stratum (same mechanics as [[mixtureSample]], per-mille resolution
+    * because temperature targets are usually a small fraction of the
+    * head stratum). */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        alpha: Double, totalTarget: Long): DataFrame = {
+    val rates = temperatureRates(df, stratumCol, alpha, totalTarget)
+      .withColumnRenamed("stratum", stratumCol).drop("n_docs")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(idBucket(col(idCol), 1000) < col("rate"))
+  }
+
   /** X6 — deterministic weighted sampling WITHOUT replacement
     * (Efraimidis–Spirakis priority sampling): each row draws a
     * reproducible uniform u ∈ [0,1) from md5(id ‖ seed) (60 bits → a

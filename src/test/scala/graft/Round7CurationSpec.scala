@@ -65,6 +65,24 @@ class Round7CurationSpec extends SparkSpec {
     assert(got("b") == (50L, 100L))
   }
 
+  test("temperatureRates flattens: alpha<1 up-weights the small stratum") {
+    val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 10000, "small"))).toDF("id", "src")
+    def rates(alpha: Double): Map[String, Long] =
+      Curation.temperatureRates(df, "src", alpha, totalTarget = 400L)
+        .select("stratum", "rate").as[(String, Long)].collect().toMap
+    // alpha = 1: proportional — both strata keep the same per-mille rate
+    // (400/1700 of each): w=n so rate = 1000·400/1700 for both
+    val r1 = rates(1.0)
+    assert(r1("big") == r1("small"), s"alpha=1 must be proportional: $r1")
+    // alpha = 0.5: w_big/w_small = sqrt(16) = 4 instead of 16 — the small
+    // stratum's keep-RATE must now exceed the big one's
+    val r05 = rates(0.5)
+    assert(r05("small") > r05("big"), s"alpha=0.5 must favor small: $r05")
+    // and the rate never exceeds 1000 per-mille
+    assert(rates(0.1).values.forall(_ <= 1000L))
+  }
+
   test("mixtureSample drops strata absent from the targets") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "zzz")).toDF("id", "src")
     val kept = Curation.mixtureSample(df, "id", "src", Map("a" -> 50, "b" -> 50))
