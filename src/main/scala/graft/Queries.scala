@@ -856,6 +856,40 @@ object Queries {
       ORDER BY doc_id"""),
     eagerPlan = true)
 
+  /** X1 — quality-aware dedup survivor selection: each near-dup cluster
+    * keeps its highest-quality member (here `n_chars`; ties → lowest id)
+    * over the exact-stage survivors — see
+    * [[graft.ops.Dedup.dedupPipelineKeepBest]]. The oracle replays the
+    * recursive reachability with a rank-1 window where Spark plans a
+    * component-cardinality `max_by` aggregate. */
+  private val x1KeepBest = Q("x1_dedup_keep_best",
+    (s, dir) => Dedup.dedupPipelineKeepBest(Tables.documents(s, dir), "doc_id", "text",
+      quality = col("n_chars"), threshold = 0.8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $lshPairCtes,
+      p AS (SELECT doc_a, doc_b FROM v
+            WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+      reach AS (SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+      comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
+      exact AS (SELECT min(doc_id) AS keep_id FROM documents
+                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+      base AS (SELECT d.doc_id, d.n_chars AS q FROM documents d
+               WHERE d.doc_id IN (SELECT keep_id FROM exact)),
+      m AS (SELECT b.doc_id, b.q, c.component FROM base b
+            LEFT JOIN comp c ON b.doc_id = c.id),
+      best AS (SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY component
+            ORDER BY q DESC, doc_id ASC) AS rk
+          FROM m WHERE component IS NOT NULL) WHERE rk = 1)
+      SELECT doc_id FROM m WHERE component IS NULL
+      UNION ALL SELECT doc_id FROM best
+      ORDER BY doc_id"""),
+    eagerPlan = true)
+
   private val x1Simhash = Q("x1_simhash",
     (s, dir) => Dedup.simhashFingerprint(Tables.documents(s, dir), "doc_id", "text", bits = 16)
       .orderBy(col("doc_id")),
@@ -3472,7 +3506,8 @@ object Queries {
     x2Kmeans, x5Heavy, x3Url, profileQ, s8Orc, x6Priority, x3Lm, x2Cov,
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
-    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature)
+    e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
+    x1KeepBest)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

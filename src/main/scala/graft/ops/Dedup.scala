@@ -228,6 +228,43 @@ object Dedup {
     survivors.join(nonRepresentatives, Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupPipeline]] with QUALITY-AWARE survivor selection: each
+    * near-dup cluster keeps its highest-`quality` member (ties → lowest
+    * id) instead of the lowest id — the production refinement (e.g.
+    * RefinedWeb-style pipelines) where a cluster's best-written copy
+    * should win, not its oldest. The exact stage stays min-id-per-
+    * fingerprint (identical normalized text ⇒ identical quality, so the
+    * id is already just a tie-break there); cluster selection then runs
+    * over the EXACT-STAGE SURVIVORS, so a cluster whose best copy lost
+    * the exact stage falls back to its best surviving copy rather than
+    * keeping nobody.
+    *
+    * Scale shape: identical to [[dedupPipeline]] (LSH-bounded pair graph,
+    * components over pairs only) plus one `max_by` aggregate on the
+    * cluster-member table — component-cardinality, never the corpus, and
+    * no window. Output: (doc_id) survivors. */
+  def dedupPipelineKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                            quality: Column,
+                            threshold: Double = 0.8,
+                            k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                            shingleN: Int = 3,
+                            caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
+    val base = docs.select(col(idCol).as("doc_id"), quality.as("__q"))
+      .join(exactKept, Seq("doc_id"), "left_semi")
+    val pairs = minhashLshPairs(docs, idCol, textCol, k = k, r = r,
+      estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b", caches = caches)
+      .select(col("id").as("doc_id"), col("component"))
+    val m = base.join(comp, Seq("doc_id"), "left")
+    val winners = m.where(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(max_by(col("doc_id"), struct(col("__q"), (-col("doc_id")).as("__nid")))
+        .as("doc_id"))
+      .select(col("doc_id"))
+    m.where(col("component").isNull).select(col("doc_id")).unionAll(winners)
+  }
+
   /** Connected components over a near-dup pair graph — the step that turns
     * pairwise matches into dedup CLUSTERS (a production dedup keeps one
     * representative per component, not per pair; dropping `doc_b` of each

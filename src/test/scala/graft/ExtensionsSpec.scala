@@ -233,6 +233,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept.contains(4L))                        // unrelated doc survives
   }
 
+  test("X1 keep-best dedup keeps the highest-quality member per cluster") {
+    val b1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango".split(" ")
+    def swapFront(w: Array[String], r: String) = (r.split(" ") ++ w.drop(2)).mkString(" ")
+    def swapBack(w: Array[String], r: String) = (w.dropRight(2) ++ r.split(" ")).mkString(" ")
+    val corpus = Seq(
+      1L -> swapFront(b1, "gryphon basilisk"),   // star spoke
+      2L -> swapBack(b1, "chimera wyvern"),      // star spoke — best quality below
+      3L -> b1.mkString(" "),                    // star hub
+      4L -> "totally separate content about cooking pasta with garlic and fresh basil leaves tonight",
+      5L -> ("  " + b1.mkString("  ").toUpperCase)) // exact dup of 3 (normalized)
+      .toDF("doc_id", "text")
+    val quality = when(col("doc_id") === 2L, lit(999L)).otherwise(col("doc_id"))
+    val kept = Dedup.dedupPipelineKeepBest(corpus, "doc_id", "text",
+      quality, threshold = 0.75, k = 8, r = 2, estMin = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3,(5 lost to exact stage)} keeps 2 (quality 999), NOT
+    // min-id 1; the unrelated doc survives untouched
+    assert(kept == Set(2L, 4L), s"got $kept")
+  }
+
   test("X3 language-ID heuristic on clear samples") {
     val t = Seq(
       "the cat is in the house and it is warm",
