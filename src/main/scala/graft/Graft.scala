@@ -125,6 +125,29 @@ object Graft {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.kmeansFit(emb, idCol, vecCol, seedPred, iters)
 
+  /** X1: [[dedupCorpus]] with quality-aware survivor selection — each
+    * near-dup cluster keeps its highest-`quality` member (ties → lowest
+    * id) rather than its lowest id. */
+  def dedupCorpusKeepBest(docs: DataFrame, quality: Column,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          threshold: Double = 0.8): DataFrame =
+    Dedup.dedupPipelineKeepBest(docs, idCol, textCol, quality, threshold)
+
+  /** X6: temperature mixture (keep stratum l ∝ n_l^alpha — mT5/XLM-R
+    * multilingual resampling; alpha < 1 up-weights small strata). */
+  def temperatureSample(df: DataFrame, alpha: Double, totalTarget: Long,
+                        idCol: String = "doc_id",
+                        stratumCol: String = "source"): DataFrame =
+    Curation.temperatureSample(df, idCol, stratumCol, alpha, totalTarget)
+
+  /** X2: search a maintained cell-partitioned ANN index (built by
+    * [[graft.streaming.StreamingOps.incrementalAnnIndex]]) — the scan
+    * reads only the queried cells' partitions via dynamic pruning. */
+  def searchAnnIndex(spark: SparkSession, indexPath: String, queries: DataFrame,
+                     centroids: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.annIndexSearch(spark, indexPath, queries, idCol, vecCol, centroids, k)
+
   /** X2 SemDeDup: nearest-centroid cells, then within-cell cosine dedup —
     * every member flagged is_dup when a lower-id cell-mate reaches the
     * threshold; the lowest id per semantic group survives. */
