@@ -226,6 +226,13 @@ object Graft {
                 lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
 
+  /** X3: per-group adaptive quality gate — keep each group's top
+    * `keepTopFrac` of rows by score against the group's OWN quantile
+    * (CCNet-style per-language thresholds). */
+  def qualityGate(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                  keepTopFrac: Double = 0.4): DataFrame =
+    AggOps.qualityGate(df, groupCols, scoreCol, keepTopFrac)
+
   /** X6: per-stratum deterministic mix sampling (keep-rates in percent). */
   def mixSample(df: DataFrame, rates: Map[String, Int], defaultPct: Int,
                 idCol: String = "doc_id", stratumCol: String = "lang"): DataFrame =

@@ -2736,6 +2736,41 @@ object Queries {
       FROM k GROUP BY source ORDER BY source"""
     })
 
+  /** X3 — per-language adaptive quality gate (CCNet-style): keep the top
+    * 40% of documents BY QUALITY WITHIN EACH LANGUAGE, so a low-resource
+    * language is gated against its own distribution rather than starved
+    * by a global threshold. Bound = positional quantile per group
+    * ([[graft.ops.AggOps.qualityGate]]); quality is the shared 6-rounded
+    * x3 formula, so the ≥-bound comparison sees identical doubles in
+    * both engines. */
+  private val x3QualityGate = Q("x3_quality_gate",
+    (s, dir) => {
+      val st = TextOps.textStats(col("text"))
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.qualityScoreFromStats(st, col("text")).as("q"))
+      AggOps.qualityGate(scored, Seq("lang"), "q", keepTopFrac = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), round(min(col("q")), 6).as("min_q"))
+        .orderBy(col("lang"))
+    },
+    Some {
+      val enWords = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, text,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+        FROM documents),
+      base AS (SELECT doc_id, lang,
+          round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
+            + greatest(1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1)) * 4.0, 0.0)
+            + least((CAST(len(list_filter(toks, t -> list_contains([$enWords], t))) AS DOUBLE)
+                / greatest(len(toks), 1)) * 4.0, 1.0)) / 3.0, 6) AS q
+        FROM t),
+      b AS (SELECT lang, quantile_disc(q, 0.6) AS lo FROM base GROUP BY lang)
+      SELECT base.lang, CAST(count(*) AS BIGINT) AS n_kept, round(min(q), 6) AS min_q
+      FROM base JOIN b USING (lang) WHERE q >= lo
+      GROUP BY base.lang ORDER BY lang"""
+    })
+
   /** X6 — temperature mixture (mT5/XLM-R resampling: keep stratum l with
     * probability ∝ n_l^α): α = 0.5 flattens the source distribution so
     * small sources keep a larger share than proportional sampling gives
@@ -3507,7 +3542,7 @@ object Queries {
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
-    x1KeepBest)
+    x1KeepBest, x3QualityGate)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -114,6 +114,41 @@ object AggOps {
     * join-back is null-safe, so they are winsorized within it rather
     * than silently dropped), and a group whose bounds come back null
     * (all-null values) passes through unclamped via the left join. */
+  /** Per-group ADAPTIVE quality gate (CCNet-style per-language
+    * thresholds): keep rows whose score reaches their OWN group's
+    * (1 − keepTopFrac) positional quantile — "top 40% per language", not
+    * one global cutoff that starves low-resource groups. Same
+    * distributed-rank machinery as [[winsorize]] (value at 1-based
+    * position ceil(q·n) in (group, score) order; never percentile_disc's
+    * one-task value map), one bound per group broadcast back. The bound
+    * row itself is kept (threshold semantics, like DuckDB's
+    * `quantile_disc` which the oracle uses): kept count =
+    * n − ceil((1−f)·n) + 1 per group plus any tie mates at the bound —
+    * ≥ the exact top-f count by at most one row + the tie run, the
+    * standard slack of a value-threshold gate. Null scores drop (they
+    * cannot pass a ≥ bound). */
+  def qualityGate(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                  scoreCol: String, keepTopFrac: Double): org.apache.spark.sql.DataFrame = {
+    require(keepTopFrac > 0 && keepTopFrac < 1,
+      s"need 0 < keepTopFrac < 1, got $keepTopFrac")
+    import org.apache.spark.sql.expressions.Window
+    val q = 1.0 - keepTopFrac
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col(scoreCol))
+    val wn = Window.partitionBy(gs: _*)
+    val bounds = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .groupBy(gs: _*)
+      .agg(min(when(col("__rn") === ceil(col("__n") * lit(q)).cast("long"),
+        col(scoreCol))).as("__lo"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__lo"): _*)
+    val cond = groupCols.map(c => df(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(bounds), cond, "left")
+      .where(col(scoreCol) >= col("__lo"))
+      .drop(groupCols.map(c => s"__g_$c") :+ "__lo": _*)
+  }
+
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                 valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")

@@ -266,6 +266,19 @@ class Round7OpsSpec extends SparkSpec {
     assert(w(10.0) == 10.0)
   }
 
+  test("qualityGate keeps each group's top scores at its OWN bound") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 5).map(i => ("b", 100.0 + i))).toDF("g", "s")
+    val kept = AggOps.qualityGate(df, Seq("g"), "s", keepTopFrac = 0.4)
+      .select("g", "s").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // a: n=10 → bound at ceil(6)=6.0, kept {6..10} (n − ceil(0.6n) + 1 = 5)
+    assert(kept("a") == Seq(6.0, 7.0, 8.0, 9.0, 10.0))
+    // b: n=5 → bound at ceil(3)=103.0, kept {103, 104, 105} — its OWN
+    // quantile, far below group a's values
+    assert(kept("b") == Seq(103.0, 104.0, 105.0))
+  }
+
   test("winsorize preserves and clamps null-keyed groups (row-preserving)") {
     val rows = (1 to 20).map(i => (Option("g"), i.toDouble)) ++
       (1 to 20).map(i => (Option.empty[String], i.toDouble + 100.0))
