@@ -255,6 +255,26 @@ object Graft {
                       idCol: String = "doc_id", sourceCol: String = "source"): DataFrame =
     Curation.curriculumOrder(docs, idCol, sourceCol, difficulty)
 
+  /** X2: multi-probe IVF search — each query scans its `nprobe` nearest
+    * cells (the IVF recall lever); corpus assignment stays the
+    * broadcast fold. */
+  def searchIvf(emb: DataFrame, centroidPred: Column, queryPred: Column,
+                k: Int = 5, nprobe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfTopKProbe(emb, idCol, vecCol, centroidPred, queryPred, k, nprobe)
+
+  /** X6: size-balanced output shards — round-robin over (size DESC, id)
+    * order; doc counts differ ≤ 1, token totals ≤ one largest doc. */
+  def shardManifest(docs: DataFrame, sizeCol: Column, shards: Int,
+                    idCol: String = "doc_id"): DataFrame =
+    Curation.shardManifest(docs, idCol, sizeCol, shards)
+
+  /** X6: deterministic per-epoch reshuffle manifest — md5-keyed order,
+    * re-derivable as a pure projection (elastic-restart safe). */
+  def epochShuffle(docs: DataFrame, epochs: Int, seed: String = "",
+                   idCol: String = "doc_id"): DataFrame =
+    Curation.epochShuffle(docs, idCol, epochs, seed)
+
   /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, TextOps.redactPii(col(textCol)))

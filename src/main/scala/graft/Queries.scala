@@ -1497,6 +1497,43 @@ object Queries {
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
     })
 
+  /** X2 multi-probe IVF: each query searches its 2 nearest cells — the
+    * production recall lever [[x2IvfRecall]] measures the need for. The
+    * corpus keeps the single-cell broadcast-fold assignment; only the
+    * (tiny) query side expands, to nprobe rows per query. */
+  private val x2IvfNprobe = Q("x2_ivf_nprobe_topk",
+    (s, dir) => Similarity.ivfTopKProbe(Tables.embeddings(s, dir), "vec_id", "embedding",
+      centroidPred = pmod(col("vec_id"), lit(97)) === 3,
+      queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rk")),
+    Some {
+      val dvv = dotSql("v", "v"); val dvc = dotSql("v", "cv"); val dcc = dotSql("cv", "cv")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 97 = 3),
+      assign AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (($dvv - 2*$dvc) + $dcc) ASC, c.centroid_id ASC) AS rk
+          FROM e CROSS JOIN c) WHERE rk = 1),
+      qprobe AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY (($dvv - 2*$dvc) + $dcc) ASC, c.centroid_id ASC) AS rk
+          FROM e CROSS JOIN c WHERE e.vec_id % 100 = 0) WHERE rk <= 2),
+      corpus AS (SELECT e.vec_id AS cand_id, v AS cvv, cell
+        FROM e JOIN assign ON e.vec_id = assign.vec_id),
+      q AS (SELECT e.vec_id AS query_id, v AS qv, cell
+        FROM e JOIN qprobe ON e.vec_id = qprobe.vec_id),
+      scored AS (SELECT query_id, cand_id,
+          round(${dotSql("qv", "cvv")}
+            / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cvv", "cvv")})), 6) AS cosine
+        FROM corpus JOIN q USING (cell) WHERE cand_id <> query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""
+    })
+
   /** Skew-resistant salted two-stage aggregation — identical results to the
     * direct groupBy (the oracle is the direct form), different shuffle
     * profile: the hot key spreads over 16 salt buckets before merging. */
@@ -3426,6 +3463,33 @@ object Queries {
     * interleave — rank r of every source precedes rank r+1 of any.
     * The oracle replays the identical per-source rank + lexicographic
     * (rk, source) manifest order. */
+  /** X6 — size-balanced output shards: round-robin over (size DESC, id)
+    * order → doc counts differ ≤ 1 and token totals differ ≤ the largest
+    * document per shard. Spark plans the rank through the bucket-prefix
+    * decomposition (no global window); the oracle is the naive global
+    * row_number, proving the decomposition exact. */
+  private val x6Shard = Q("x6_shard_manifest",
+    (s, dir) => Curation.shardManifest(Tables.documents(s, dir), "doc_id",
+      col("n_chars"), shards = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+        row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rk
+      FROM documents)
+      SELECT doc_id, n_tokens, CAST(rk % 8 AS BIGINT) AS shard
+      FROM r ORDER BY doc_id"""))
+
+  /** X6 — deterministic epoch reshuffle manifest: 3 epochs, each a
+    * different md5-derived pseudorandom order, re-derivable as a pure
+    * projection (elastic-restart safe; no stored permutation). */
+  private val x6Epoch = Q("x6_epoch_shuffle",
+    (s, dir) => Curation.epochShuffle(Tables.documents(s, dir), "doc_id", epochs = 3)
+      .orderBy(col("epoch"), col("ord"), col("doc_id")),
+    Some("""SELECT CAST(e AS BIGINT) AS epoch,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(e AS VARCHAR)), 1, 15)) AS BIGINT) AS ord,
+        doc_id
+      FROM documents, (SELECT unnest(range(3)) AS e)
+      ORDER BY epoch, ord, doc_id"""))
+
   private val x6Curriculum = Q("x6_curriculum_order",
     (s, dir) => Curation.curriculumOrder(Tables.documents(s, dir), "doc_id", "source",
       col("n_chars").cast("double")),
@@ -3542,7 +3606,7 @@ object Queries {
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
-    x1KeepBest, x3QualityGate)
+    x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -264,6 +264,69 @@ object Curation {
           .cast("long"))
   }
 
+  /** X6 — size-balanced shard manifest: assign every document to one of
+    * `shards` output files so per-shard token totals balance — the step
+    * that turns a curated corpus into the fixed-width training shards a
+    * data loader streams. Semantics: round-robin over the corpus in
+    * (size DESC, id ASC) order — shard = global_rank mod `shards` — which
+    * guarantees (a) shard doc counts differ by at most one and (b) shard
+    * token totals differ by at most the single largest document
+    * (telescoping over the descending rounds), with no bin-packing
+    * search and full determinism.
+    *
+    * Scale shape — the global rank decomposes exactly like
+    * [[tokenBudgetSelect]]: per-size-level counts (aggregate-tiny, one
+    * row per distinct size), level prefix sums via a broadcast non-equi
+    * self-join on that tiny frame (never a window, so the PlanSpec
+    * unpartitioned-window ban holds even on the tiny side), then a
+    * row_number window PARTITIONED BY size level over the corpus —
+    * rank = level prefix + within-level position. At 100 TB the only
+    * corpus-sized exchange is that size-keyed window; pass a DISCRETIZED
+    * size if sizes are near-unique (same caveat as [[curriculumOrder]]).
+    *
+    * Output: (doc_id, n_tokens, shard). */
+  def shardManifest(df: DataFrame, idCol: String, sizeCol: Column,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be at least 1, got $shards")
+    val base = df.select(col(idCol).as("doc_id"), sizeCol.cast("long").as("n_tokens"))
+    val byN = base.groupBy(col("n_tokens")).agg(count(lit(1)).as("__n"))
+    val pre = byN.as("a").join(broadcast(byN.as("b")),
+        col("b.n_tokens") > col("a.n_tokens"), "left")
+      .groupBy(col("a.n_tokens").as("n_tokens"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__prefix"))
+    val wIn = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+    base.join(broadcast(pre), Seq("n_tokens"))
+      .withColumn("__rk", col("__prefix") + row_number().over(wIn).cast("long") - lit(1L))
+      .select(col("doc_id"), col("n_tokens"),
+        pmod(col("__rk"), lit(shards.toLong)).as("shard"))
+  }
+
+  /** X6 — deterministic epoch reshuffle: a training run visits the corpus
+    * `epochs` times, each epoch in a DIFFERENT pseudorandom order (same-
+    * order epochs measurably hurt convergence), and the order must be
+    * reproducible for elastic restarts. Each (doc, epoch) draws its sort
+    * key from md5(id ‖ ':' ‖ epoch ‖ seed) — 60 bits, collision-free in
+    * practice and identical in any engine — so the manifest for epoch e
+    * is just ORDER BY (epoch, ord, doc_id), no stored permutation and no
+    * shuffle service: re-deriving any epoch's order is a projection.
+    *
+    * Scale shape: a map-only explode of `epochs` rows per document (the
+    * epoch count is single-digit; the output IS the manifest being
+    * requested). No window, no join, no aggregation — at 100 TB this is
+    * scan throughput, and a consumer materializing one epoch filters
+    * epoch = e at the scan. Output: (epoch, ord, doc_id). */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   seed: String = ""): DataFrame = {
+    require(epochs >= 1, s"epochs must be at least 1, got $epochs")
+    df.select(col(idCol).as("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"), lit(seed))), 1, 15), 16, 10)
+          .cast("long").as("ord"),
+        col("doc_id"))
+  }
+
   /** X6 — curriculum ordering: easiest-first training order that still
     * interleaves sources round-robin, so early training never sees a
     * single-source (single-distribution) run. Each document ranks within

@@ -210,6 +210,54 @@ object Similarity {
         col("cand_id"), col("cosine"))
   }
 
+  /** Multi-probe IVF ANN — [[ivfTopK]] with the standard recall lever:
+    * each query searches its `nprobe` NEAREST cells instead of only its
+    * own (probing more cells recovers neighbors that fell just across a
+    * cell boundary — the knob `x2_ivf_recall` measures the need for).
+    *
+    * Scale shape: the CORPUS side is unchanged — one-row-broadcast argmin
+    * fold, never shuffled, never expanded. Only the QUERY side expands,
+    * to exactly `nprobe` rows per query (queries ≪ corpus, so the
+    * expansion is broadcast-tiny): the same one-row centroid frame is
+    * scored per query with a `transform`, sorted ascending by
+    * (distance, cell) — the struct field order makes `array_sort` apply
+    * the argmin tie-break (lowest cell at equal distance) — and sliced to
+    * the first `nprobe` cells. A candidate lives in exactly one cell, so
+    * probing multiple cells can never duplicate a (query, candidate)
+    * pair and the top-k window needs no distinct. */
+  def ivfTopKProbe(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidPred: Column, queryPred: Column,
+                   k: Int = 5, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb.where(centroidPred)
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv"))
+    val corpus = assignNearestCell(
+      emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv")), centroids)
+      .select(col("pid").as("cand_id"), col("pv").as("cvec"), col("cell"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val one = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("pn", expr("graft_dot(qvec, qvec)"))
+      .join(broadcast(one))
+      .withColumn("probe", explode(expr(
+        s"""slice(array_sort(transform(cents, c -> named_struct(
+              'dist', (pn - 2 * graft_dot(qvec, c.cv)) + graft_dot(c.cv, c.cv),
+              'cell', c.cell))), 1, $nprobe)""")))
+      .select(col("query_id"), col("qvec"), col("probe.cell").as("cell"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
+  }
+
   /** X1 embedding near-dup: all unordered pairs above a cosine threshold,
     * bucket-pruned by sign-LSH (exact within bucket). */
   def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,

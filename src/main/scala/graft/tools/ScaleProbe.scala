@@ -208,6 +208,14 @@ object ScaleProbe {
         .withColumn("s1", sum(col("value")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
             .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)))))
+    // shard count FIXED across scales (shards are an output-layout choice):
+    // the level-prefix join stays distinct-size-bounded at any corpus size
+    probe("shard manifest (8 shards)",
+      cnt(Curation.shardManifest(docs1, "doc_id", col("n_chars"), 8)),
+      cnt(Curation.shardManifest(docsN, "doc_id", col("n_chars"), 8)))
+    probe("epoch shuffle (3 epochs)",
+      cnt(Curation.epochShuffle(docs1, "doc_id", 3)),
+      cnt(Curation.epochShuffle(docsN, "doc_id", 3)))
     probe("url canonical dedup",
       cnt(docs1.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
         (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),

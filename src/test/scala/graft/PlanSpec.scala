@@ -320,6 +320,42 @@ class PlanSpec extends SparkSpec {
       "centroid relation must broadcast")
   }
 
+  test("multi-probe IVF keeps the fold on the corpus — expansion only on the query side") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Queries.all.find(_.name == "x2_ivf_nprobe_topk").get
+      .run(spark, sf001).queryExecution.executedPlan
+    // same invariant as single-probe IVF: nprobe expands the QUERY side
+    // (tiny, broadcast) via a sorted slice of the one-row centroid frame,
+    // never the corpus — so the only window is still the final top-k rank.
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    assert(windows.size == 1,
+      s"expected only the top-k window, saw ${windows.size}")
+    assert(windows.head.partitionSpec.map(_.toString).exists(_.contains("query_id")),
+      "the surviving window must be the per-query top-k rank")
+  }
+
+  test("epoch shuffle is map-only: no exchange anywhere in the operator's plan") {
+    val exec = ops.Curation.epochShuffle(
+      graft.sources.Tables.documents(spark, sf001), "doc_id", epochs = 3)
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("Exchange"),
+      "the manifest is a projection+explode — any exchange is a regression")
+  }
+
+  test("shard manifest windows only within a size level; prefix is the broadcast self-join") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Queries.all.find(_.name == "x6_shard_manifest").get
+      .run(spark, sf001).queryExecution.executedPlan
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "the within-level rank is a window")
+    assert(windows.forall(_.partitionSpec.map(_.toString)
+        .exists(_.contains("n_tokens"))),
+      "every window must partition by the size level — a global rank " +
+        "window would funnel the corpus through one task")
+    assert(!exec.toString.contains("SortMergeJoin"),
+      "the level-prefix join is tiny and must broadcast")
+  }
+
   test("bucketed join is shuffle-free scan-to-scan (co-located buckets)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

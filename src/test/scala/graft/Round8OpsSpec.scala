@@ -28,4 +28,67 @@ class Round8OpsSpec extends SparkSpec {
     ops.DedupCaches.unmanaged.track(df) // no re-cache warning path
     df.unpersist()
   }
+
+  private def emb = sources.Tables.embeddings(spark, sf001)
+  private def docs = sources.Tables.documents(spark, sf001)
+  private val centPred = pmod(col("vec_id"), lit(97)) === 3
+  private val queryPred = pmod(col("vec_id"), lit(100)) === 0
+
+  test("multi-probe IVF: nprobe=1 reproduces single-probe ivfTopK exactly") {
+    val single = ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      centPred, queryPred, k = 5).collect().toSet
+    val probe1 = ops.Similarity.ivfTopKProbe(emb, "vec_id", "embedding",
+      centPred, queryPred, k = 5, nprobe = 1).collect().toSet
+    assert(probe1 == single)
+  }
+
+  test("multi-probe IVF: widening nprobe never lowers recall against exact top-k") {
+    val exact = ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryPred, k = 5).select(col("query_id"), col("cand_id"))
+    def recallHits(nprobe: Int): Long =
+      exact.join(
+        ops.Similarity.ivfTopKProbe(emb, "vec_id", "embedding",
+          centPred, queryPred, k = 5, nprobe = nprobe)
+          .select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_semi").count()
+    val h1 = recallHits(1); val h2 = recallHits(2); val h3 = recallHits(3)
+    assert(h2 >= h1 && h3 >= h2,
+      s"recall hits must be monotone in nprobe: $h1, $h2, $h3")
+  }
+
+  test("shard manifest: every doc exactly once; counts differ ≤1; token totals differ ≤ the largest doc") {
+    val m = ops.Curation.shardManifest(docs, "doc_id", col("n_chars"), shards = 8)
+    val nDocs = docs.count()
+    assert(m.count() == nDocs)
+    assert(m.select(col("doc_id")).distinct().count() == nDocs)
+    val per = m.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tot"))
+      .collect()
+    assert(per.length == 8)
+    val counts = per.map(_.getAs[Long]("n"))
+    assert(counts.max - counts.min <= 1,
+      s"doc counts must differ by at most one: ${counts.mkString(",")}")
+    val totals = per.map(_.getAs[Long]("tot"))
+    val maxDoc = docs.agg(max(col("n_chars"))).head.getLong(0)
+    // round-robin over descending sizes telescopes: spread ≤ largest item
+    assert(totals.max - totals.min <= maxDoc,
+      s"token-total spread ${totals.max - totals.min} exceeds largest doc $maxDoc")
+  }
+
+  test("epoch shuffle: full permutation per epoch, epochs order differently, seed changes the order") {
+    val n = docs.count()
+    val e = ops.Curation.epochShuffle(docs, "doc_id", epochs = 3)
+    assert(e.count() == 3 * n)
+    assert(e.groupBy(col("epoch")).count().collect().forall(_.getLong(1) == n))
+    def order(epoch: Int, seed: String = ""): Seq[Long] =
+      ops.Curation.epochShuffle(docs, "doc_id", epochs = 3, seed = seed)
+        .where(col("epoch") === epoch)
+        .orderBy(col("ord"), col("doc_id"))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val o0 = order(0); val o1 = order(1)
+    assert(o0.sorted == o1.sorted, "each epoch must visit the same corpus")
+    assert(o0 != o1, "epochs must not repeat the same order")
+    assert(o0 == order(0), "same seed must reproduce the same order")
+    assert(o0 != order(0, seed = "alt"), "a different seed must change the order")
+  }
 }
