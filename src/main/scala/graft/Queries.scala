@@ -2472,20 +2472,36 @@ object Queries {
         Beta2, ExpCap)
       val aNorm = aC * lit(2.0) - lit(1.0)
       val bc = (col("pi") - aNorm) * (col("pi") - aNorm)
-      base.withColumn("exp_adv", expAdv).withColumn("bc", bc).agg(
+      val full = base.withColumn("exp_adv", expAdv).withColumn("bc", bc)
+      // medians: lag and cost_v are bounded-domain functions of the
+      // integer-valued state, so the exact torch lower-median comes from
+      // ONE tiny value-histogram + fold (AggOps.lowerMediansByHistogram)
+      // instead of collecting the corpus into a single sort buffer — the
+      // only piece of the branch that wasn't scale-free. Both medians
+      // share the one histogram pass; the 1-row result broadcast-joins
+      // the loss aggregate.
+      val meds = AggOps.lowerMediansByHistogram(full,
+        Seq("__med_lag" -> col("lag"), "__med_cost_v" -> col("cost_v")))
+      full.agg(
         count(lit(1)).as("n"),
         round(sum(-col("lag") * (col("cost_v") - lit(CostThresh))), 4)
           .as("lag_loss_sum"),
         round(sum(col("lag")), 4).as("lag_sum"),
         pround(max(col("lag")), 6).as("max_lag_b"),
         pround(min(col("lag")), 6).as("min_lag_b"),
-        pround(AggOps.lowerMedian(col("lag")), 6).as("median_lag_b"),
         round(sum(col("cost_v")), 4).as("cost_v_sum"),
-        pround(AggOps.lowerMedian(col("cost_v")), 6).as("median_cost_v_b"),
         round(sum(col("exp_adv")), 4).as("exp_adv_sum"),
         pround(max(col("exp_adv")), 6).as("max_exp_adv"),
         pround(min(col("exp_adv")), 6).as("min_exp_adv"),
         round(sum(col("exp_adv") * col("bc")), 4).as("policy_loss_sum"))
+        .crossJoin(broadcast(meds))
+        .select(col("n"), col("lag_loss_sum"), col("lag_sum"),
+          col("max_lag_b"), col("min_lag_b"),
+          pround(col("__med_lag"), 6).as("median_lag_b"),
+          col("cost_v_sum"),
+          pround(col("__med_cost_v"), 6).as("median_cost_v_b"),
+          col("exp_adv_sum"), col("max_exp_adv"), col("min_exp_adv"),
+          col("policy_loss_sum"))
     },
     Some("""WITH tr AS (SELECT l_quantity AS s, l_discount*10.0 AS a FROM lineitem),
       f AS (SELECT *,

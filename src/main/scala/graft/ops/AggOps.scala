@@ -60,6 +60,50 @@ object AggOps {
       .select(keys :+ col(valueCol).as(outCol): _*)
   }
 
+  /** A3 exact-at-scale GLOBAL lower median(s) — the join-free sibling of
+    * [[exactMedianByValue]] for the no-group case, where that method's
+    * empty-partition window would funnel every histogram row through one
+    * task (the shape PlanSpec bans). Shape instead: ONE (values…)
+    * histogram aggregate over the corpus (partial+final — the shuffle
+    * carries distinct value-combinations, bounded by assumption), the
+    * histogram collapses to a single collected row (tiny), and each
+    * requested median is a sorted-histogram `aggregate` HOF fold to the
+    * 1-based rank ⌊(n+1)/2⌋ — identical semantics to [[lowerMedian]]
+    * (torch lower-middle; nulls ignored) with no corpus-sized array
+    * anywhere. Requesting several medians of columns derived from the
+    * same bounded inputs shares the one histogram pass.
+    *
+    * Use when the value domain is bounded (quantities, clamped nets,
+    * quantized scores); unbounded domains → [[approxMedian]].
+    * Output: ONE row, one double column per requested name (null if the
+    * column is all-null). */
+  def lowerMediansByHistogram(df: org.apache.spark.sql.DataFrame,
+                              medians: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(medians.nonEmpty, "need at least one median column")
+    val hist = df.groupBy(medians.map { case (n, c) =>
+        c.cast("double").as(s"__v_$n") }: _*)
+      .agg(count(lit(1)).as("__c"))
+    val one = hist.agg(collect_list(
+      struct(hist.columns.map(col): _*)).as("__h"))
+    medians.foldLeft(one) { case (acc, (n, _)) =>
+      acc
+        .withColumn("__hs", expr(
+          s"""filter(array_sort(transform(__h,
+                x -> named_struct('v', x.__v_$n, 'c', x.__c))),
+              p -> p.v IS NOT NULL)"""))
+        .withColumn("__rk", expr(
+          "CAST(floor((aggregate(__hs, CAST(0 AS BIGINT), (a, p) -> a + p.c) + 1) / 2) AS BIGINT)"))
+        .withColumn(n, expr(
+          """aggregate(__hs,
+               named_struct('cum', CAST(0 AS BIGINT), 'ans', CAST(NULL AS DOUBLE)),
+               (a, p) -> IF(a.ans IS NOT NULL, a,
+                 named_struct('cum', a.cum + p.c,
+                   'ans', IF(a.cum + p.c >= __rk, p.v, CAST(NULL AS DOUBLE)))),
+               a -> a.ans)"""))
+        .drop("__hs", "__rk")
+    }.drop("__h")
+  }
+
   /** A4 — population stddev (`np.std` ddof=0, reference fawac.py:595). */
   def stddevPop(c: Column): Column = stddev_pop(c)
 

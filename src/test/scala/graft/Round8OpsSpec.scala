@@ -75,6 +75,34 @@ class Round8OpsSpec extends SparkSpec {
       s"token-total spread ${totals.max - totals.min} exceeds largest doc $maxDoc")
   }
 
+  test("histogram-fold lower medians match the collect-based lowerMedian (odd/even/dups/nulls)") {
+    val odd = Seq(5.0, 1.0, 3.0, 3.0, 2.0, -4.0, 7.0).toDF("x")
+    val m = ops.AggOps.lowerMediansByHistogram(odd,
+      Seq("mx" -> col("x"), "m2" -> (col("x") * 2)))
+    val row = m.head()
+    assert(row.getAs[Double]("mx") == 3.0) // sorted: -4,1,2,3,3,5,7 → rank 4
+    assert(row.getAs[Double]("m2") == 6.0) // shared histogram, second fold
+    val even = Seq(4.0, 1.0, 2.0, 3.0).toDF("x") // rank ⌊5/2⌋ = 2 → 2.0
+    val a = even.agg(ops.AggOps.lowerMedian(col("x"))).head().getDouble(0)
+    val b = ops.AggOps.lowerMediansByHistogram(even, Seq("m" -> col("x")))
+      .head().getAs[Double]("m")
+    assert(a == b && b == 2.0)
+    val withNull = Seq(Some(1.0), None, Some(9.0), Some(5.0)).toDF("x")
+    assert(ops.AggOps.lowerMediansByHistogram(withNull, Seq("m" -> col("x")))
+      .head().getAs[Double]("m") == 5.0) // nulls ignored: rank 2 of (1,5,9)
+    val allNull = Seq[Option[Double]](None, None).toDF("x")
+    assert(ops.AggOps.lowerMediansByHistogram(allNull, Seq("m" -> col("x")))
+      .head().isNullAt(0))
+    // randomized parity with the collect-based form (fixed seed)
+    val rnd = new scala.util.Random(8)
+    val xs = Seq.fill(257)(rnd.nextInt(40).toDouble / 4.0)
+    val rdf = xs.toDF("x")
+    val exact = rdf.agg(ops.AggOps.lowerMedian(col("x"))).head().getDouble(0)
+    val hist = ops.AggOps.lowerMediansByHistogram(rdf, Seq("m" -> col("x")))
+      .head().getAs[Double]("m")
+    assert(exact == hist)
+  }
+
   test("epoch shuffle: full permutation per epoch, epochs order differently, seed changes the order") {
     val n = docs.count()
     val e = ops.Curation.epochShuffle(docs, "doc_id", epochs = 3)
