@@ -30,6 +30,7 @@ object Bench {
     "x2_ann_lsh_topk",           // LSH-bucketed ANN
     "x3_text_analysis",          // text quality/lang-id kernels
     "e2e_train_step",            // full train_one_step composition
+    "e2e_train_step_lagrangian", // FAWAC-M branch (histogram-fold medians)
     "x2_kmeans_fit",             // in-plan Lloyd's (broadcast-fold assign)
     "x6_token_budget",           // bucket-prefix global selection
     "x7_curation_pipeline")      // full curation program DAG

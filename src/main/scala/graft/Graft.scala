@@ -370,6 +370,14 @@ object Graft {
                       checkpoint: String, keyCol: String = "user_id") =
     StreamingOps.incrementalScd2(changes, keyCol, currentPath, historyPath, checkpoint)
 
+  /** Incremental shard accretion: streamed docs append to a size-balanced
+    * shard manifest (greedy pile-onto-lightest; S-row totals ledger). */
+  def shardIncremental(docs: DataFrame, sizeCol: String, shards: Int,
+                       manifestPath: String, ledgerPath: String,
+                       checkpoint: String, idCol: String = "doc_id") =
+    StreamingOps.incrementalShardAssign(docs, idCol, sizeCol, shards,
+      manifestPath, ledgerPath, checkpoint)
+
   /** Streaming 3σ anomaly detection: per-key trailing window carried
     * across micro-batches; flags exactly the batch form's rows. */
   def anomalyStream(ds: org.apache.spark.sql.Dataset[StreamingOps.KeyedValue],

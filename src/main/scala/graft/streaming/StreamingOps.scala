@@ -618,6 +618,61 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental size-balanced shard accretion — the CDC mirror of
+    * [[graft.ops.Curation.shardManifest]]: documents stream in; each
+    * micro-batch is first balanced WITHIN itself by the batch op
+    * (round-robin over (size DESC, id) — batch-pile i carries the i-th
+    * largest batch total, by the op's telescoping bound), then the pile
+    * ranks map onto the INVERTED current shard totals — largest pile
+    * onto lightest shard, the greedy-LPT step at pile granularity — the
+    * manifest rows append, and the S-row totals ledger rewrites.
+    *
+    * Scale shape: durable state is exactly S (shard-count) rows of
+    * (shard, total) — driver-tiny at any corpus size; the manifest is
+    * the appended output, never re-read. Per batch: the batch op's
+    * level-prefix rank (no global window) + one S-row broadcast-mapped
+    * projection. Write order is manifest-first, ledger-second — a crash
+    * between them replays the batch with stale totals (duplicate
+    * manifest rows: at-least-once, the same contract as
+    * [[incrementalExactDedup]]'s corpus append); reversing the order
+    * would silently skew totals instead, which is worse because it is
+    * invisible. Exactly-once needs an atomic manifest+ledger commit via
+    * a transactional table format. */
+  def incrementalShardAssign(docs: DataFrame, idCol: String, sizeCol: String,
+                             shards: Int, manifestPath: String, ledgerPath: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerExists =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        // S rows — driver-side by design (same class as a broadcast dim)
+        val totals: Map[Long, Long] =
+          if (ledgerExists)
+            spark.read.parquet(ledgerPath).as[(Long, Long)].collect().toMap
+          else (0L until shards.toLong).map(_ -> 0L).toMap
+        // batch-internal balance (scale-safe rank decomposition), then
+        // pile i (i-th largest batch total) → i-th lightest shard
+        val piles = graft.ops.Curation.shardManifest(batch, idCol, col(sizeCol), shards)
+        val lightestFirst = totals.toSeq.sortBy { case (sh, t) => (t, sh) }.map(_._1)
+        val mapping = lightestFirst.zipWithIndex
+          .map { case (sh, pile) => (pile.toLong, sh) }.toDF("shard", "__target")
+        val assigned = piles.join(broadcast(mapping), Seq("shard"))
+          .select(col("doc_id"), col("n_tokens"), col("__target").as("shard"))
+          .cache()
+        assigned.write.mode("append").parquet(manifestPath)
+        val delta = assigned.groupBy(col("shard"))
+          .agg(sum(col("n_tokens")).as("t")).as[(Long, Long)].collect().toMap
+        val next = totals.map { case (sh, t) => (sh, t + delta.getOrElse(sh, 0L)) }
+        next.toSeq.sortBy(_._1).toDF("shard", "total")
+          .coalesce(1).write.mode("overwrite").parquet(ledgerPath)
+        assigned.unpersist(): Unit
+      }
+      .start()
+
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */
   def validateIngest(batch: DataFrame, existingCount: Long, capacity: Long): DataFrame = {

@@ -129,4 +129,21 @@ class PropertySpec extends AnyFunSuite {
       h >= 0 && h < Dedup.MinhashP
     })
   }
+
+  test("round-robin sharding over descending sizes: counts ≤1 apart, totals ≤ max item apart") {
+    // the balance bound Curation.shardManifest documents: assigning
+    // shard = rank mod S over (size DESC) order telescopes — shard i's
+    // round-j item dominates shard i+1's, so total spread ≤ the single
+    // largest item, and counts differ by at most one by construction
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)), Gen.choose(1, 16))
+    check(Prop.forAll(gen) { case (sizes, s) =>
+      val sorted = sizes.sorted(Ordering[Long].reverse)
+      val totals = Array.fill(s)(0L)
+      val counts = Array.fill(s)(0L)
+      sorted.zipWithIndex.foreach { case (sz, i) =>
+        totals(i % s) += sz; counts(i % s) += 1L
+      }
+      counts.max - counts.min <= 1 && totals.max - totals.min <= sorted.head
+    })
+  }
 }

@@ -499,6 +499,40 @@ class StreamingSpec extends SparkSpec {
     assert(packed(maintained) == packed(batchGated))
   }
 
+  test("incremental shard accretion stays balanced across micro-batches; ledger equals manifest sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val manifest = Files.createTempDirectory("graft_shard_manifest").toString
+    val ledger = Files.createTempDirectory("graft_shard_ledger").toString + "/totals"
+    val ckpt = Files.createTempDirectory("graft_shard_ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incrementalShardAssign(
+      mem.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars",
+      shards = 4, manifest, ledger, ckpt)
+    // three batches with skewed sizes — balance must hold ACROSS batches,
+    // not just within one (the greedy pile→lightest-shard mapping)
+    mem.addData((1L, 900L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 80L))
+    q.processAllAvailable()
+    mem.addData((6L, 500L), (7L, 450L), (8L, 60L), (9L, 40L))
+    q.processAllAvailable()
+    mem.addData((10L, 300L), (11L, 200L), (12L, 100L), (13L, 50L), (14L, 25L))
+    q.processAllAvailable()
+    q.stop()
+    val m = spark.read.parquet(manifest)
+    assert(m.count() == 14)
+    assert(m.select("doc_id").distinct().count() == 14)
+    val perShard = m.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(perShard.keySet == Set(0L, 1L, 2L, 3L))
+    // greedy pile-onto-lightest accretion: spread stays within the one
+    // dominant item (900), far under the ~1800 a naive hash split risks
+    val spread = perShard.values.max - perShard.values.min
+    assert(spread <= 900L, s"shard totals $perShard spread $spread")
+    // durable totals agree with the manifest exactly
+    val tot = spark.read.parquet(ledger).as[(Long, Long)].collect().toMap
+    assert(tot == perShard)
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
