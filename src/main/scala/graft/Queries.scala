@@ -140,6 +140,33 @@ object Queries {
           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) / pow(""" + d(Gamma) + """, rn)""", 4) + """ AS cost_return
       FROM r ORDER BY episode_id, t, cost_return"""))
 
+  /** S2: the external-dataset boundary (`env.get_dataset()`,
+    * reference train_fawac_iql.py:56) as a DataSourceV2 connector scan —
+    * [[graft.sources.TransitionGen]] plans per-worker splits, prunes
+    * columns, and narrows the generated interval from the pushed range
+    * predicates, so the `WHERE` never materializes outside [1200, 43200).
+    * The closed forms are dyadic rationals (k/2^20), so every per-episode
+    * sum here is exact in IEEE double in any addition order — no rounding
+    * needed for cross-engine parity. Oracle forms come from the connector
+    * itself ([[graft.sources.TransitionGen.oracleForms]]) so the Scala and
+    * SQL renderings can only drift together. */
+  private val s2Generator = {
+    val f = graft.sources.TransitionGen.oracleForms
+    Q("s2_generator_source",
+      (s, _) => s.read.format("graft-transitions")
+        .option("rows", 50000L).option("splits", 8).load()
+        .where(col("i") >= 1200 && col("i") < 43200)
+        .groupBy(col("episode"))
+        .agg(count(lit(1)).as("n"), sum(col("reward")).as("sum_reward"),
+          max(col("obs")).as("max_obs"),
+          sum(col("done")).cast("long").as("n_done"))
+        .orderBy(col("episode")),
+      Some(s"""SELECT ${f("episode")} AS episode, count(*) AS n,
+        sum(${f("reward")}) AS sum_reward, max(${f("obs")}) AS max_obs,
+        CAST(sum(${f("done")}) AS BIGINT) AS n_done
+        FROM range(1200, 43200) t(i) GROUP BY 1 ORDER BY 1"""))
+  }
+
   // ------------------------------------------------------------------
   // §2.2 projections / scalar expressions
   // ------------------------------------------------------------------
@@ -3622,7 +3649,7 @@ object Queries {
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
-    x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch)
+    x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -407,6 +407,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 generator scan: range filters push into the connector, columns prune, no residual Filter") {
+    val p = plan("s2_generator_source")
+    // the connector narrowed its interval from the pushed predicates...
+    assert(p.contains("PushedFilters: [GreaterThanOrEqual(i,1200), LessThan(i,43200)]"), p)
+    assert(p.contains("[1200, 43200)"), "scan description must show the narrowed interval")
+    // ...so no Filter NODE survives post-scan ("PushedFilters:"/
+    // "RuntimeFilters:" labels are not nodes — match the tree rendering)
+    assert(!p.contains("- Filter "), "range predicate must be fully absorbed by the scan")
+    // pruning: only the 4 referenced columns are generated
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.contains("[episode#") && scanLine.contains("done#"), scanLine)
+    assert(!scanLine.contains("action#") && !scanLine.contains("cost#") &&
+      !scanLine.contains("i#"),
+      "unused generator columns must be pruned at the connector")
+  }
+
   test("graft_dot registered function evaluates the fused kernel") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._

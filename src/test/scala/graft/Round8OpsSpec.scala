@@ -119,4 +119,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(o0 == order(0), "same seed must reproduce the same order")
     assert(o0 != order(0, seed = "alt"), "a different seed must change the order")
   }
+
+  private def transitions(rows: Long, splits: Int = 4) =
+    spark.read.format("graft-transitions")
+      .option("rows", rows).option("splits", splits).load()
+
+  test("DSv2 generator: closed forms match TransitionGen.value row-for-row") {
+    val got = transitions(250).collect()
+    assert(got.length == 250)
+    val fields = sources.TransitionGen.schema.fieldNames
+    got.foreach { r =>
+      val i = r.getLong(0)
+      fields.zipWithIndex.foreach { case (f, idx) =>
+        assert(r.get(idx) == sources.TransitionGen.value(f, i), s"$f($i)")
+      }
+    }
+    // done fires exactly on the 100-step episode boundary
+    assert(got.count(_.getDouble(7) == 1.0) == 2)
+  }
+
+  test("DSv2 generator: EqualTo pushdown plans a single-row interval; empty ranges plan nothing") {
+    val one = transitions(100000).where(col("i") === 4321L)
+    assert(one.rdd.getNumPartitions == 1, "a point lookup must plan one split")
+    assert(one.select(col("step")).as[Long].head() == 21L)
+    assert(transitions(1000).where(col("i") > 5000L).count() == 0)
+    assert(transitions(0).count() == 0)
+  }
+
+  test("DSv2 generator: limit pushdown truncates the planned interval") {
+    val limited = transitions(1000000000L, splits = 8).limit(7)
+    assert(limited.count() == 7)
+    // the truncation happened at planning time, not post-scan: 7 rows
+    // never need 8 splits
+    assert(limited.rdd.getNumPartitions <= 7)
+  }
+
+  test("DSv2 generator: splits cap at the row count and cover the range exactly once") {
+    val df = transitions(5, splits = 32)
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.select(col("i")).as[Long].collect().sorted.toSeq == (0L until 5L))
+    val wide = transitions(10007, splits = 3)
+    assert(wide.rdd.getNumPartitions == 3)
+    assert(wide.count() == 10007)
+    assert(wide.select(countDistinct(col("i"))).as[Long].head() == 10007)
+  }
 }
