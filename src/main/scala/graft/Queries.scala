@@ -167,6 +167,21 @@ object Queries {
         FROM range(1200, 43200) t(i) GROUP BY 1 ORDER BY 1"""))
   }
 
+  /** S2 (pushed aggregation): ungrouped count/min/max over the connector
+    * answer at PLANNING time — [[graft.sources.TransitionGen]] folds them
+    * to closed forms of the filter-narrowed interval and emits one row,
+    * generating nothing (Round8OpsSpec proves the same plan at 2^40
+    * rows). The 200M-row size here is for the oracle's benefit: DuckDB
+    * actually scans its `range()`, Spark does not. */
+  private val s2PushCount = Q("s2_generator_pushdown_count",
+    (s, _) => s.read.format("graft-transitions")
+      .option("rows", 200000000L).option("splits", 8).load()
+      .where(col("i") >= 1234)
+      .agg(count(lit(1)).as("n_rows"), min(col("i")).as("min_i"),
+        max(col("i")).as("max_i")),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows, min(i) AS min_i,
+      max(i) AS max_i FROM range(1234, 200000000) t(i)"""))
+
   // ------------------------------------------------------------------
   // §2.2 projections / scalar expressions
   // ------------------------------------------------------------------
@@ -3649,7 +3664,8 @@ object Queries {
     x2Pca, x2SemDedup, s9Bucketed, x6Curriculum, w8Anomaly, s10Schema,
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
-    x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator)
+    x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
+    s2PushCount)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -130,12 +131,14 @@ private[sources] class TransitionScanBuilder(rows: Long, splits: Int)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TransitionGen.schema
+  private var aggPushed: Option[Aggregation] = None
 
   /** Accept range/equality predicates on `i` (narrowing [lo, hi)) and
     * IsNotNull on any column (vacuous: the generator never emits null).
@@ -166,8 +169,81 @@ private[sources] class TransitionScanBuilder(rows: Long, splits: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new TransitionScan(math.max(lo, 0L), math.max(hi, lo), splits, required, pushed)
+  /** Ungrouped count(*) / min(i) / max(i) are closed forms of the
+    * (already filter-narrowed) interval: count = hi−lo, min = lo,
+    * max = hi−1. Complete pushdown — the scan emits ONE final row and
+    * generates nothing, so `SELECT count(*) FROM t WHERE i < x` on a
+    * trillion-row table costs the same as on a hundred-row one. Anything
+    * that actually needs row content (grouping, other columns, sums)
+    * declines, and Spark aggregates the generated rows as usual. */
+  private def closedForm(agg: Aggregation): Boolean = {
+    def isI(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("i"))
+        case _ => false
+      }
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min       => isI(m.column)
+        case m: Max       => isI(m.column)
+        case _            => false
+      }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = closedForm(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = closedForm(agg)
+    if (ok) aggPushed = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = {
+    val (l, h) = (math.max(lo, 0L), math.max(hi, lo))
+    aggPushed match {
+      case Some(agg) => new TransitionAggScan(l, h, agg, pushed)
+      case None      => new TransitionScan(l, h, splits, required, pushed)
+    }
+  }
+}
+
+/** One-row scan answering a completely-pushed aggregation in closed form.
+  * An empty interval yields SQL semantics for ungrouped aggregates over
+  * zero rows: count = 0, min/max = null. */
+private[sources] class TransitionAggScan(lo: Long, hi: Long, agg: Aggregation,
+                                         pushed: Array[Filter])
+  extends Scan with Batch {
+  private val n = math.max(hi - lo, 0L)
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-transitions [$lo, $hi) PushedFilters: [${pushed.mkString(", ")}] " +
+      s"PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(TransitionPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = agg.aggregateExpressions.map {
+      case _: CountStar => n
+      case _: Min       => if (n == 0) null else lo
+      case _: Max       => if (n == 0) null else hi - 1
+      case other => throw new IllegalStateException(s"unpushable aggregate $other")
+    }
+    new SingleRowReaderFactory(values)
+  }
+}
+
+private[sources] class SingleRowReaderFactory(values: Array[Any])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class TransitionScan(lo: Long, hi: Long, splits: Int,

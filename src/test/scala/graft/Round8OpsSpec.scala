@@ -154,6 +154,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(limited.rdd.getNumPartitions <= 7)
   }
 
+  test("DSv2 generator: ungrouped count/min/max answer at planning time — a 2^40-row table in one row") {
+    val r = transitions(1L << 40, splits = 8).where(col("i") >= 12345L)
+      .agg(count(lit(1)).as("n"), min(col("i")).as("mn"), max(col("i")).as("mx"))
+    assert(r.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "closed-form aggregates must push into the connector")
+    val row = r.collect().head
+    assert(row.getLong(0) == (1L << 40) - 12345L)
+    assert(row.getLong(1) == 12345L)
+    assert(row.getLong(2) == (1L << 40) - 1L)
+    // empty interval keeps SQL zero-row semantics: count 0, min/max null
+    val empty = transitions(100).where(col("i") >= 1000L)
+      .agg(count(lit(1)), min(col("i")), max(col("i"))).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) && empty.isNullAt(2))
+    // aggregates needing row content decline and evaluate post-scan
+    val sums = transitions(1000).agg(sum(col("reward")).as("s"))
+    assert(!sums.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(math.abs(sums.as[Double].head() - 1000 * 0.5) < 30.0)
+  }
+
   test("DSv2 generator: splits cap at the row count and cover the range exactly once") {
     val df = transitions(5, splits = 32)
     assert(df.rdd.getNumPartitions == 5)
