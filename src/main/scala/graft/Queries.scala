@@ -1924,6 +1924,31 @@ object Queries {
       FROM grams g JOIN bench USING (g) WHERE g.doc_id % 10 <> 7
       GROUP BY g.doc_id ORDER BY doc_id"""))
 
+  /** X1 — cross-document duplicated-span fraction (Lee et al. exact-
+    * substring dedup signal at 8-gram granularity): occurrences whose
+    * gram appears in ≥2 distinct documents. Counts are exact integers;
+    * the ratio uses portable rounding. Spark matches on xxhash64, the
+    * oracle on gram strings — the same accepted 2⁻⁶⁴ collision trade as
+    * x3_decontaminate. */
+  private val x1DupSpans = Q("x1_dup_span_fraction",
+    (s, dir) => {
+      val r = TextOps.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      r.select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        pround(col("n_dup_grams").cast("double") / col("n_grams"), 4).as("dup_span_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      i AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) AS i
+            FROM toks WHERE len(t) >= 8),
+      gr AS (SELECT doc_id, array_to_string(t[i+1:i+8], ' ') AS g FROM i),
+      df AS (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        """ + proundSql("sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4) + """ AS dup_span_frac
+      FROM gr JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id"""))
+
   /** X3 — Gopher-style repetition quality gates: duplicate-bigram ratio
     * and top-token frequency ratio per doc. Counts are exact integers;
     * the two ratios use portable rounding (ratios of small ints land
@@ -3665,7 +3690,7 @@ object Queries {
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
-    s2PushCount)
+    s2PushCount, x1DupSpans)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -254,6 +254,40 @@ object TextOps {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** X1 — cross-document duplicated-span fraction: the exact-substring
+    * self-dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") at word n-gram granularity. A gram
+    * occurrence is DUPLICATED when at least one *other* document contains
+    * the same gram; per doc this reports total gram occurrences, the
+    * duplicated subset, and their ratio — the span-level complement of
+    * [[repetitionStats]] (within-doc) and whole-doc MinHash dedup
+    * (reference boundary: the corpus hygiene the reference's external
+    * dataset pipeline assumes before `env.get_dataset()`,
+    * train_fawac_iql.py:56).
+    *
+    * Scale shape: grams reduce to 64-bit `xxhash64` at the scan (no gram
+    * strings cross an exchange), then collapse to weighted (gh, doc,
+    * occurrence-count) pairs with map-side combine — the only full-gram
+    * shuffle. Document frequency is a `count(*)` window over the gh
+    * partitioning of those DEDUPED pairs (no join: a df-table join-back
+    * would either broadcast a corpus-sized table or shuffle the raw
+    * grams a second time), and the per-doc rollup shuffles doc-keyed
+    * partials only. Three exchanges total, each over combined/deduped
+    * rows; no join, no all-pairs stage — PlanSpec pins the shape. A
+    * ubiquitous gram makes one large-but-spillable window partition
+    * (count-only frame, no ordering buffer). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = gramHashes(docs, idCol, textCol, n)
+      .groupBy(col("gh"), col("doc_id")).agg(count(lit(1)).as("__cnt"))
+    val withDf = pairs.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("gh"))))
+    withDf.groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__df") >= 2, col("__cnt")).otherwise(0L)).as("n_dup_grams"))
+  }
+
   /** X3 — intra-document repetition signals (the Gopher/MassiveText
     * quality rules: a doc whose n-grams or single tokens repeat heavily is
     * boilerplate/spam and gets filtered before training). Returns per doc:

@@ -407,6 +407,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("duplicated spans: no join-back of the df table — deduped pairs, gh window, doc rollup") {
+    val p = plan("x1_dup_span_fraction")
+    assert(!p.contains("Join"), "df must come from the gh window, never a join-back")
+    assert(p.contains("Window"), "df is the count(*) window over gh")
+    // three data shuffles (pairs, window partitioning, doc rollup) plus
+    // the final ORDER BY range exchange — nothing else
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused"))
+    assert(exchanges == 4, s"expected 4 exchanges, got $exchanges:\n$p")
+  }
+
   test("DSv2 generator scan: range filters push into the connector, columns prune, no residual Filter") {
     val p = plan("s2_generator_source")
     // the connector narrowed its interval from the pushed predicates...
