@@ -2990,6 +2990,153 @@ object Queries {
       FROM a1, range(64) t(i) GROUP BY cell, i ORDER BY cell, pos"""
     })
 
+  /** Shared oracle scaffolding for the PQ queries: 2 subspaces × 32 dims
+    * over the 64-dim embeddings, seeds vec_id%97==3, 2 Lloyd iterations —
+    * the per-subspace generalization of the x2_kmeans_fit CTE chain. */
+  private def pqOracleCtes(seedMod: Int = 97, m: Int = 2): String = {
+    val subd = 64 / m
+    val dpc = dotSql("pv", "cv"); val dcc = dotSql("cv", "cv")
+    def distRk(cents: String) =
+      s"""SELECT pid, sub, pv, pn, cell FROM (
+        SELECT e.pid, e.sub, e.pv, e.pn, c.cell,
+          row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+            ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+        FROM e JOIN $cents c USING (sub)) WHERE rk = 1"""
+    s"""WITH v AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS v FROM embeddings),
+      e0 AS (SELECT pid, s AS sub, v[s*$subd+1 : s*$subd+$subd] AS pv FROM v, range($m) t(s)),
+      e AS (SELECT pid, sub, pv, ${dotSql("pv", "pv")} AS pn FROM e0),
+      c0 AS (SELECT sub, CAST(pid AS BIGINT) AS cell, pv AS cv
+        FROM e0 WHERE pid % $seedMod = 3),
+      a0 AS (${distRk("c0")}),
+      m0 AS (SELECT sub, cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a0, range($subd) t(i) GROUP BY sub, cell, i),
+      c1 AS (SELECT sub, cell, list(m ORDER BY pos) AS cv FROM m0 GROUP BY sub, cell),
+      a1 AS (${distRk("c1")})"""
+  }
+
+  /** X2 — PQ codebook training (Jégou et al. 2011): per-subspace Lloyd's
+    * in one dataflow; see [[graft.ops.Similarity.pqTrain]] for the
+    * broadcast-fold scale argument. */
+  private val x2PqTrain = Q("x2_pq_train",
+    (s, dir) => Similarity.pqTrain(Tables.embeddings(s, dir), "vec_id", "embedding",
+        m = 2, dim = 64, seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      .orderBy(col("sub"), col("cell"), col("pos")),
+    Some(s"""${pqOracleCtes()}
+      SELECT sub, cell, CAST(i AS BIGINT) AS pos,
+        floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS coord,
+        CAST(count(*) AS BIGINT) AS n
+      FROM a1, range(32) t(i) GROUP BY sub, cell, i ORDER BY sub, cell, pos"""))
+
+  /** X2 — PQ encode + asymmetric-distance top-k chained onto the trained
+    * codebooks: every corpus vector compresses to 2 sub-codes and queries
+    * rank candidates by summed distance-table lookups. The ADC sum is one
+    * FP add at m=2 (commutative — engine-order-safe without rounding);
+    * ties break by candidate id. */
+  private val x2PqSearch = Q("x2_pq_adc_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      Similarity.pqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
+        codebooks = cb, queryPred = col("vec_id") < 3, k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""${pqOracleCtes()},
+      m1 AS (SELECT sub, cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a1, range(32) t(i) GROUP BY sub, cell, i),
+      cb AS (SELECT sub, cell, list(m ORDER BY pos) AS cv FROM m1 GROUP BY sub, cell),
+      codes AS (SELECT pid, sub, cell AS code FROM (
+        SELECT e.pid, e.sub, c.cell,
+          row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+            ((e.pn - 2*${dotSql("pv", "cv")}) + ${dotSql("cv", "cv")}) ASC, c.cell ASC) AS rk
+        FROM e JOIN cb c USING (sub)) WHERE rk = 1),
+      dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
+          ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
+        FROM e q JOIN cb c USING (sub) WHERE q.pid < 3),
+      scored AS (SELECT dt.query_id, codes.pid,
+          list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+        WHERE codes.pid <> dt.query_id GROUP BY dt.query_id, codes.pid),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_dist ASC, pid ASC) AS rk FROM scored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, pid AS cand_id, adc_dist
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  /** X2 — PQ recall@5 against exact L2 ranking (the compression-loss
+    * measurement, sibling of x2_ann_recall/x2_ivf_recall): how much of
+    * the true top-5 survives 64-dim → 2-byte quantization. Trains a
+    * denser codebook than the train/search queries (seeds %23 → ~22
+    * codes per subspace, ~480 product cells) so the measurement reflects
+    * a usable operating point rather than the oracle-friendly toy. Exact L2
+    * distances round portable-free at 6 digits before ranking (same
+    * accepted trade as the cosine recalls). */
+  private val x2PqRecall = Q("x2_pq_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
+      val pq = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8, dim = 64,
+        codebooks = cb, queryPred = qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val e = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("cand_id").asc)
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(pq, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""${pqOracleCtes(23, 8)},
+      m1 AS (SELECT sub, cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a1, range(8) t(i) GROUP BY sub, cell, i),
+      cb AS (SELECT sub, cell, list(m ORDER BY pos) AS cv FROM m1 GROUP BY sub, cell),
+      codes AS (SELECT pid, sub, cell AS code FROM (
+        SELECT e.pid, e.sub, c.cell,
+          row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+            ((e.pn - 2*${dotSql("pv", "cv")}) + ${dotSql("cv", "cv")}) ASC, c.cell ASC) AS rk
+        FROM e JOIN cb c USING (sub)) WHERE rk = 1),
+      dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
+          ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
+        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0),
+      pqscored AS (SELECT dt.query_id, codes.pid,
+          list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+        FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+        WHERE codes.pid <> dt.query_id GROUP BY dt.query_id, codes.pid),
+      pqrk AS (SELECT query_id, pid AS cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 5),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      exscored AS (SELECT query_id, w.pid AS cand_id,
+          round(list_sum(list_transform(range(len(w.v)),
+            i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
+        FROM v w CROSS JOIN q2 WHERE w.pid <> query_id),
+      exrk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d ASC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
+      hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM exrk JOIN pqrk USING (query_id, cand_id) GROUP BY query_id),
+      qs AS (SELECT DISTINCT query_id FROM q2)
+      SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
+
   /** X5 — Misra–Gries heavy hitters per source (mergeable sketch
     * aggregate; see [[graft.ops.MisraGriesAggregator]]). Capacity 64 vs a
     * 31-token vocabulary puts the sketch in its exact regime, so the
@@ -3690,7 +3837,7 @@ object Queries {
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
-    s2PushCount, x1DupSpans)
+    s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -474,4 +474,134 @@ object Similarity {
       .select(col("pid"), col("cell"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search"): the memory-compression path for
+  // corpus-scale ANN. A d-dim float vector (d·8 bytes) compresses to m
+  // sub-codes (m bytes at k ≤ 256) — 64-dim doubles compress 512 B → 2 B
+  // at m=2 — so a 100 TB embedding corpus's codes fit a fraction of
+  // cluster RAM while search cost drops to table lookups.
+  // ------------------------------------------------------------------
+
+  /** Corpus sliced into m contiguous subvectors: (pid, sub, pv) — m rows
+    * per vector, each of length dim/m, so the expansion carries no net
+    * data growth. */
+  private def subSlices(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subd = dim / m
+    emb.select(col(idCol).cast("long").as("pid"), asDouble(col(vecCol)).as("v"))
+      .select(col("pid"), explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("v"))
+      .select(col("pid"), col("sub"),
+        expr(s"slice(v, sub * $subd + 1, $subd)").as("pv"))
+  }
+
+  /** Nearest code per (point, subspace): [[assignNearestCell]]'s broadcast
+    * argmin fold, generalized — the codebook collapses to ONE row per
+    * subspace (m·k·(dim/m) = k·dim doubles total, tiny) and broadcast-
+    * joins on `sub`, so the sliced corpus never shuffles and no window or
+    * row expansion appears. Ties break to the lowest code in the fold. */
+  private def assignSubCells(slices: DataFrame, codebooks: DataFrame): DataFrame = {
+    val bySub = codebooks.groupBy(col("sub")).agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    slices.withColumn("pn", expr("graft_dot(pv, pv)"))
+      .join(broadcast(bySub), Seq("sub"))
+      .withColumn("best", expr(
+        """aggregate(
+             transform(cents, c -> named_struct(
+               'cell', c.cell,
+               'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
+             named_struct('cell', CAST(-1 AS BIGINT),
+                          'dist', CAST('Infinity' AS DOUBLE)),
+             (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
+      .select(col("pid"), col("sub"), col("pv"), col("best.cell").as("cell"))
+  }
+
+  /** X2 — PQ codebook training: [[kmeansFit]]'s Lloyd's loop run over all
+    * m subspaces in ONE dataflow. Per iteration the sliced corpus
+    * broadcast-assigns to its subspace's codes (no shuffle) and the
+    * update groupBy (sub, cell, pos) combines map-side — the shuffle
+    * carries partitions·k·dim partial sums, never the corpus. Unlike m
+    * separate kmeansFit calls, the corpus is sliced and scanned once per
+    * iteration for ALL subspaces. Codes are seeded from `seedPred`
+    * vectors' slices (same seed ids across subspaces). Output:
+    * (sub, cell, pos, coord, n) — the trained codebooks exploded. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+              seedPred: Column, iters: Int = 2, roundDigits: Int = 6): DataFrame = {
+    require(iters >= 1, "pqTrain needs at least one Lloyd iteration")
+    GraftFunctions.register(emb.sparkSession)
+    val scale = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(scale) + lit(0.5)) / lit(scale)
+    val pts = subSlices(emb, idCol, vecCol, m, dim)
+    def update(assigned: DataFrame, withN: Boolean): DataFrame = {
+      val base = assigned
+        .select(col("sub"), col("cell"), posexplode(col("pv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+      if (withN) base.agg(pr(avg(col("x"))).as("coord"), count(lit(1)).as("n"))
+      else base.agg(pr(avg(col("x"))).as("m"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    var codebooks: DataFrame = subSlices(emb.where(seedPred), idCol, vecCol, m, dim)
+      .select(col("sub"), col("pid").as("cell"), col("pv").as("cv"))
+    for (_ <- 1 until iters)
+      codebooks = update(assignSubCells(pts, codebooks), withN = false)
+    update(assignSubCells(pts, codebooks), withN = true)
+      .select(col("sub"), col("cell"), col("pos").cast("long").as("pos"),
+        col("coord"), col("n"))
+  }
+
+  /** X2 — PQ encoding against trained codebooks ((sub, cell, pos, coord)
+    * long form, as [[pqTrain]] emits): each vector's m sub-codes, long
+    * form (pid, sub, code). The broadcast fold again — encoding a 100 TB
+    * corpus is one scan, zero shuffles. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+               codebooks: DataFrame): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cb = codebooks.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+        s => s.getField("coord")).as("cv"))
+    assignSubCells(subSlices(emb, idCol, vecCol, m, dim), cb)
+      .select(col("pid"), col("sub"), col("cell").as("code"))
+  }
+
+  /** X2 — asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its distance to every code in every subspace (a
+    * queries·m·k table — broadcast-tiny), and a corpus item's
+    * approximate distance is the sum of its m looked-up entries. The
+    * encoded corpus broadcast-joins the table on (sub, code) — never
+    * shuffles — and the per-(query, item) ADC total folds over the m
+    * looked-up entries in ASCENDING SUBSPACE ORDER (collect, sort,
+    * left-fold): FP addition order is fixed by construction, so the
+    * total is bit-identical across engines and partition orders for any
+    * m — no rounding needed before ranking. The collected array is
+    * m-sized (bounded), and ranking windows per query (bounded by the
+    * query count). Output: (query_id, rk, cand_id, adc_dist). */
+  def pqSearch(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+               codebooks: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val codes = pqEncode(emb, idCol, vecCol, m, dim, codebooks)
+    val cb = codebooks.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+        s => s.getField("coord")).as("cv"))
+    val qs = subSlices(emb.where(queryPred), idCol, vecCol, m, dim)
+      .select(col("pid").as("query_id"), col("sub"), col("pv").as("qv"))
+    val dt = qs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        ((expr("graft_dot(qv, qv)") - lit(2.0) * expr("graft_dot(qv, cv)"))
+          + expr("graft_dot(cv, cv)")).as("d"))
+    val scored = codes.join(broadcast(dt), Seq("sub", "code"))
+      .where(col("pid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("pid"))
+      .agg(expr("""aggregate(
+          array_sort(collect_list(named_struct('sub', sub, 'd', d))),
+          CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)""").as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("pid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("pid").as("cand_id"), col("adc_dist"))
+  }
 }

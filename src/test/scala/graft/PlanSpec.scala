@@ -407,6 +407,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("PQ training: broadcast-fold assignment for every subspace — no window in the fit") {
+    val p = plan("x2_pq_train")
+    assert(!p.contains("Window"),
+      "sub-code assignment must be the broadcast argmin fold, not a ranking window")
+    assert(p.contains("BroadcastExchange"), "codebooks must broadcast to the sliced corpus")
+  }
+
+  test("PQ ADC search: codes and distance table broadcast-join; only the final ranking windows") {
+    val p = plan("x2_pq_adc_topk")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly the query-partitioned ranking window, got $windows")
+    assert(p.contains("BroadcastExchange"), "the queries·m·k distance table must broadcast")
+  }
+
   test("duplicated spans: no join-back of the df table — deduped pairs, gh window, doc rollup") {
     val p = plan("x1_dup_span_fraction")
     assert(!p.contains("Join"), "df must come from the gh window, never a join-back")
