@@ -3164,6 +3164,51 @@ object Queries {
       SELECT source, CAST(rk AS BIGINT) AS rk, token, n
       FROM r WHERE rk <= 5 ORDER BY source, rk"""))
 
+  /** X5 — Count–Min point-frequency estimates (mergeable sketch
+    * aggregate, [[graft.ops.CountMinAggregator]]): the whole corpus
+    * folds into one depth×width counter matrix (partial + merge, never
+    * a token-level shuffle for the SKETCH side), and doc 0's distinct
+    * tokens probe it via the shared closed-form hash. `n_exact` rides
+    * along to exhibit the one-sided error (est ≥ exact always; the
+    * oracle replays sketch construction in SQL, so both engines see the
+    * identical collisions). */
+  private val x5CountMin = Q("x5_count_min",
+    (s, dir) => {
+      val cms = udaf(new CountMinAggregator(3, 64))
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      val sketch = toks.agg(cms(col("t")).as("sk"))
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("n_exact"))
+      val probes = docs.where(col("doc_id") === 0)
+        .select(explode(TextOps.tokens(col("text"))).as("t")).distinct()
+      val lookups = (0 until 3).map { j =>
+        expr(s"element_at(sk, CAST(${j * 64} + ${CountMin.bucketSql("code", j, 64)} + 1 AS INT))")
+      }
+      probes.join(exact, Seq("t"))
+        .crossJoin(broadcast(sketch))
+        .withColumn("code", expr(CountMin.codeSql("t")))
+        .select(col("t").as("token"), least(lookups: _*).as("est"),
+          col("n_exact"))
+        .orderBy(col("token"))
+    },
+    Some {
+      val aCase = "CASE j " + CountMin.A.take(3).zipWithIndex
+        .map { case (a, j) => s"WHEN $j THEN $a" }.mkString(" ") + " END"
+      val bucket = s"((($aCase * c + j + 1) % ${CountMin.P}) % 64)"
+      s"""WITH base AS ($docsTokSql),
+        tok AS (SELECT unnest(toks) AS t FROM base),
+        cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+        code AS (SELECT t, n, ${CountMin.codeDuck("t")} AS c FROM cnt),
+        bk AS (SELECT t, n, c, j, $bucket AS b FROM code, range(3) s(j)),
+        rows_ AS (SELECT j, b, CAST(sum(n) AS BIGINT) AS tot FROM bk GROUP BY j, b),
+        probes AS (SELECT DISTINCT unnest(toks) AS t FROM base WHERE doc_id = 0),
+        pbk AS (SELECT bk.t, bk.j, bk.b FROM bk JOIN probes USING (t)),
+        est AS (SELECT t, CAST(min(tot) AS BIGINT) AS est
+          FROM pbk JOIN rows_ USING (j, b) GROUP BY t)
+        SELECT t AS token, est, cnt.n AS n_exact
+        FROM est JOIN cnt USING (t) ORDER BY token"""
+    })
+
   /** X3 — URL canonicalization + URL-level dedup (the fetch-identity
     * pass web curation runs BEFORE content dedup). Messy URLs are
     * synthesized deterministically (mixed-case scheme/host, default
@@ -3837,7 +3882,7 @@ object Queries {
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
-    s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall)
+    s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

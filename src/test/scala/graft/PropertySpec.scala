@@ -130,6 +130,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Count-Min sketch: never undercounts, and merging is partition-invariant") {
+    val width = 16
+    val agg = new CountMinAggregator(3, width)
+    def estimate(sk: Array[Long], t: String): Long =
+      (0 until 3).map(j => sk(j * width + CountMin.bucket(CountMin.code(t), j, width))).min
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "the", "cat", "dog", "spark", "data", "dedup", "corpus", "a", "zz"))
+    val splitGen = Gen.choose(0, 1000)
+    check(Prop.forAll(Gen.zip(tokGen, splitGen)) { case (toks, cut) =>
+      val whole = toks.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = toks.splitAt(cut % (toks.length + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val exact = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      java.util.Arrays.equals(whole, merged) &&
+        exact.forall { case (t, n) => estimate(whole, t) >= n }
+    })
+  }
+
   test("round-robin sharding over descending sizes: counts ≤1 apart, totals ≤ max item apart") {
     // the balance bound Curation.shardManifest documents: assigning
     // shard = rank mod S over (size DESC) order telescopes — shard i's
