@@ -33,7 +33,9 @@ object Bench {
     "e2e_train_step_lagrangian", // FAWAC-M branch (histogram-fold medians)
     "x2_kmeans_fit",             // in-plan Lloyd's (broadcast-fold assign)
     "x6_token_budget",           // bucket-prefix global selection
-    "x7_curation_pipeline")      // full curation program DAG
+    "x7_curation_pipeline",      // full curation program DAG
+    "x2_pq_adc_topk",            // PQ train→encode→ADC search chain
+    "x1_dup_span_fraction")      // cross-doc duplicated-span signal
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -370,6 +370,15 @@ object Graft {
                       checkpoint: String, keyCol: String = "user_id") =
     StreamingOps.incrementalScd2(changes, keyCol, currentPath, historyPath, checkpoint)
 
+  /** Incremental PQ code maintenance: streamed vectors encode against
+    * frozen codebooks (broadcast fold); the m-byte code table is both
+    * the searchable artifact and the replay ledger. */
+  def pqCodesIncremental(emb: DataFrame, m: Int, dim: Int, codebooks: DataFrame,
+                         codesPath: String, checkpoint: String,
+                         idCol: String = "vec_id", vecCol: String = "embedding") =
+    StreamingOps.incrementalPqCodes(emb, idCol, vecCol, m, dim, codebooks,
+      codesPath, checkpoint)
+
   /** Incremental shard accretion: streamed docs append to a size-balanced
     * shard manifest (greedy pile-onto-lightest; S-row totals ledger). */
   def shardIncremental(docs: DataFrame, sizeCol: String, shards: Int,

@@ -588,6 +588,39 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental PQ code maintenance (CDC × X2) — the compressed sibling
+    * of [[incrementalAnnIndex]]: codebooks are FROZEN (trained once by
+    * [[graft.ops.Similarity.pqTrain]]; retraining is an offline epoch
+    * event, as with the IVF centroids), each micro-batch encodes only
+    * vectors absent from the code table (anti-join on pid — the table is
+    * its own replay ledger), and the m sub-codes append. The encode is
+    * [[graft.ops.Similarity.pqEncode]]'s broadcast fold — per batch: one
+    * scan of the batch, zero shuffles of it. At 100 TB the point is that
+    * the MAINTAINED searchable artifact is the m-byte code table, not
+    * the float vectors: ADC search over it never touches the stream's
+    * history. Crash semantics: at-least-once append, duplicates
+    * suppressed by the ledger anti-join on replay. */
+  def incrementalPqCodes(emb: DataFrame, idCol: String, vecCol: String,
+                         m: Int, dim: Int, codebooks: DataFrame, codesPath: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(codesPath)
+        val codesExist =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val pts = batch.select(col(idCol).cast("long").as("pid"), col(vecCol))
+        val fresh =
+          if (codesExist)
+            pts.join(spark.read.parquet(codesPath).select(col("pid")).distinct(),
+              Seq("pid"), "left_anti")
+          else pts
+        graft.ops.Similarity.pqEncode(fresh, "pid", vecCol, m, dim, codebooks)
+          .write.mode("append").parquet(codesPath)
+      }
+      .start()
+
   /** Incremental bucketed materialization — each micro-batch appends into
     * a table bucketed on the join key, so the CONTINUOUSLY-INGESTED fact
     * table keeps the layout that makes every downstream equi-join on the

@@ -605,4 +605,41 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("cell=")).sorted.toSeq
     assert(cellDirs == Seq("cell=0", "cell=1"))
   }
+
+  test("incremental PQ codes: batch-parity encoding against frozen codebooks, replays suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val codes = Files.createTempDirectory("graft_pq_codes").toString + "/codes"
+    val ckpt = Files.createTempDirectory("graft_pq_ckpt").toString
+    // frozen codebooks: 2 subspaces × 2 codes over 4-dim vectors, long
+    // form (sub, cell, pos, coord) as pqTrain emits
+    val cb = Seq(
+      (0L, 0L, 0L, 1.0), (0L, 0L, 1L, 0.0), (0L, 1L, 0L, 0.0), (0L, 1L, 1L, 1.0),
+      (1L, 0L, 0L, 1.0), (1L, 0L, 1L, 0.0), (1L, 1L, 0L, 0.0), (1L, 1L, 1L, 1.0))
+      .toDF("sub", "cell", "pos", "coord")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.incrementalPqCodes(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 2, dim = 4, codebooks = cb, codes, ckpt)
+    mem.addData((1L, Seq(0.9, 0.1, 0.2, 0.8)), (2L, Seq(0.1, 0.9, 0.9, 0.1)))
+    q.processAllAvailable()
+    // batch 2 replays id 1 + one new vector
+    mem.addData((1L, Seq(0.9, 0.1, 0.2, 0.8)), (3L, Seq(0.8, 0.2, 0.1, 0.9)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(codes)
+      .select(col("pid"), col("sub"), col("code"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 2L, 3L))
+    assert(got.size == 6, "replayed vector must encode exactly once (m rows per id)")
+    // parity with the batch encode over the same unique vectors
+    val batchAll = Seq((1L, Seq(0.9, 0.1, 0.2, 0.8)), (2L, Seq(0.1, 0.9, 0.9, 0.1)),
+      (3L, Seq(0.8, 0.2, 0.1, 0.9))).toDF("vec_id", "embedding")
+    val want = graft.ops.Similarity.pqEncode(batchAll, "vec_id", "embedding", 2, 4, cb)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // and the codes are the expected nearest sub-codes
+    assert(got == Set((1L, 0L, 0L), (1L, 1L, 1L), (2L, 0L, 1L), (2L, 1L, 0L),
+      (3L, 0L, 0L), (3L, 1L, 1L)))
+  }
 }
