@@ -216,6 +216,28 @@ object ScaleProbe {
     probe("epoch shuffle (3 epochs)",
       cnt(Curation.epochShuffle(docs1, "doc_id", 3)),
       cnt(Curation.epochShuffle(docsN, "doc_id", 3)))
+    // round-8 additions: duplicated spans (window over deduped pairs —
+    // expect ~linear; hot grams make fat-but-streaming count frames),
+    // PQ train/encode (broadcast folds — expect ~linear in the corpus
+    // with the k·dim term fixed by the frozen seed predicate), and the
+    // Count-Min sketch (pure partial+merge — expect ~linear).
+    probe("duplicated spans (8-gram)",
+      cnt(TextOps.duplicatedSpans(docs1, "doc_id", "text")),
+      cnt(TextOps.duplicatedSpans(docsN, "doc_id", "text")))
+    probe("pq train (m=2, 2 iters)",
+      cnt(Similarity.pqTrain(emb1, "vec_id", "embedding", 2, 64,
+        pmod(col("vec_id"), lit(997)) === 3, iters = 2)),
+      cnt(Similarity.pqTrain(embN, "vec_id", "embedding", 2, 64,
+        pmod(col("vec_id"), lit(997)) === 3, iters = 2)))
+    probe("count-min sketch (3x64)", {
+      val cms = org.apache.spark.sql.functions.udaf(new CountMinAggregator(3, 64))
+      cnt(docs1.select(explode(TextOps.tokens(col("text"))).as("t"))
+        .agg(cms(col("t")).as("sk")))
+    }, {
+      val cms = org.apache.spark.sql.functions.udaf(new CountMinAggregator(3, 64))
+      cnt(docsN.select(explode(TextOps.tokens(col("text"))).as("t"))
+        .agg(cms(col("t")).as("sk")))
+    })
     probe("url canonical dedup",
       cnt(docs1.groupBy(TextOps.canonicalUrl(concat(lit("https://h"),
         (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
