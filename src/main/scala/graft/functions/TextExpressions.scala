@@ -139,6 +139,67 @@ object TextKernels {
     while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(arr)
   }
+
+  /** 64-bit word n-gram hashes with NO gram-string materialization, one
+    * hash per position (occurrence order preserved, duplicates kept):
+    * FNV-1a over each token's chars once, then a golden-ratio polynomial
+    * fold across every n-window, finished with the murmur3 fmix64
+    * avalanche. Replaces the `xxhash64(concat_ws(' ', slice(toks,...)))`
+    * chain, which allocates a sliced array plus a joined string per
+    * gram — this kernel touches each token's characters exactly once
+    * per document. Same accepted ~2⁻⁶⁴ collision trade (the oracles
+    * compare gram-derived COUNTS, never hash values; the streaming
+    * ledgers persist these hashes, so all call sites switch together
+    * by construction — this kernel is the single definition). */
+  def gramHashArray(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      var h = 1469598103934665603L // FNV-1a offset basis
+      val t = toks(i)
+      var j = 0
+      while (j < t.length) { h = (h ^ t.charAt(j).toLong) * 1099511628211L; j += 1 }
+      th(i) = h
+      i += 1
+    }
+    val out = new Array[Any](toks.length - n + 1)
+    var p = 0
+    while (p + n <= toks.length) {
+      var h = 0L
+      var j = p
+      while (j < p + n) { h = h * -7046029254386353131L + th(j); j += 1 } // 0x9E3779B97F4A7C15
+      h ^= (h >>> 33); h *= -49064778989728563L                          // 0xFF51AFD7ED558CCD
+      h ^= (h >>> 33); h *= -4265267296055464877L                        // 0xC4CEB9FE1A85EC53
+      h ^= (h >>> 33)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_gram_hashes(text, n)` — codegen word-n-gram hashing (see
+  * [[TextKernels.gramHashArray]]). */
+case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "gram width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.gramHashArray(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.gramHashArray($t, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `graft_tokens(text)` — codegen tokenizer (see [[TextKernels]]). */

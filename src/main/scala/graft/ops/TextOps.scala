@@ -204,8 +204,8 @@ object TextOps {
     * n-gram with the bench slice; anti-join the corpus on it to clean
     * ([[decontaminated]]).
     *
-    * Scale shape: both sides reduce n-grams to 64-bit `xxhash64` before
-    * any join — the bench gram set (eval suites are corpus-tiny) becomes
+    * Scale shape: both sides reduce n-grams to 64 bits via the fused
+    * gram-hash kernel before any join — the bench gram set (eval suites are corpus-tiny) becomes
     * a broadcast of longs and the corpus side probes it in place, so the
     * 100 TB scan is never shuffled and never materializes gram STRINGS
     * past its own projection. A hash collision could over-drop one doc
@@ -216,10 +216,7 @@ object TextOps {
                           isBench: Column, n: Int = 8): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc_id"), isBench.as("__bench"),
-        tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), col("__bench"),
-        explode(wordNgrams(col("__t"), n)).as("g"))
-      .select(col("doc_id"), col("__bench"), xxhash64(col("g")).as("gh"))
+        explode(gramHashCol(col(textCol), n)).as("gh"))
     val benchGrams = grams.where(col("__bench")).select("gh").distinct()
     grams.where(!col("__bench"))
       .join(broadcast(benchGrams), "gh")
@@ -227,15 +224,25 @@ object TextOps {
       .agg(count_distinct(col("gh")).as("n_hits"))
   }
 
-  /** (doc_id, gh) — xxhash64 of each word n-gram, one row per gram
-    * occurrence. The shared probe-side shape for decontamination
-    * (batch self-corpus form above; streaming applier in
-    * [[graft.streaming.StreamingOps.incrementalDecontaminate]]). */
+  /** (doc_id, gh) — 64-bit hash of each word n-gram, one row per gram
+    * occurrence, via the fused codegen kernel
+    * [[graft.functions.TextKernels.gramHashArray]] (no gram strings or
+    * sliced arrays are ever built). The shared probe-side shape for
+    * decontamination and duplicated-span detection (batch forms here;
+    * streaming applier in
+    * [[graft.streaming.StreamingOps.incrementalDecontaminate]] — the
+    * persisted ledgers use the same kernel by construction). */
   def gramHashes(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 8): DataFrame =
-    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), explode(wordNgrams(col("__t"), n)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    docs.select(col(idCol).as("doc_id"),
+      explode(gramHashCol(col(textCol), n)).as("gh"))
+
+  /** The gram-hash kernel as a column: array<long>, one hash per
+    * n-gram position. */
+  def gramHashCol(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.WordGramHashes(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), n))
 
   /** The durable decontamination ledger: distinct n-gram hashes of a
     * benchmark/eval table — eval suites are corpus-tiny, so this is a
@@ -265,8 +272,8 @@ object TextOps {
     * dataset pipeline assumes before `env.get_dataset()`,
     * train_fawac_iql.py:56).
     *
-    * Scale shape: grams reduce to 64-bit `xxhash64` at the scan (no gram
-    * strings cross an exchange), then collapse to weighted (gh, doc,
+    * Scale shape: grams reduce to 64 bits at the scan via the fused
+    * kernel (no gram strings are even BUILT, let alone cross an exchange), then collapse to weighted (gh, doc,
     * occurrence-count) pairs with map-side combine — the only full-gram
     * shuffle. Document frequency is a `count(*)` window over the gh
     * partitioning of those DEDUPED pairs (no join: a df-table join-back

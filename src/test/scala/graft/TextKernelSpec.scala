@@ -100,6 +100,37 @@ class TextKernelSpec extends SparkSpec {
     assert(r._2 == Seq("a b c", "b c d"))
   }
 
+  test("graft_gram_hashes mirrors the declarative gram structure: count, order, equality pattern") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val both = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        TextOps.gramHashCol(col("text"), 3).as("hs"))
+      .select(col("doc_id"), TextOps.wordNgrams(col("toks"), 3).as("gs"), col("hs"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    val gramToHash = scala.collection.mutable.Map[String, Long]()
+    both.foreach { case (id, gs, hs) =>
+      assert(gs.length == hs.length, s"doc $id: one hash per gram position")
+      // equal grams (within and across docs) → equal hashes; distinct
+      // grams → distinct hashes (collision-free on this corpus)
+      gs.zip(hs).foreach { case (g, h) =>
+        gramToHash.get(g) match {
+          case Some(prev) => assert(prev == h, s"gram '$g' hashed inconsistently")
+          case None       => gramToHash(g) = h
+        }
+      }
+    }
+    assert(gramToHash.values.toSet.size == gramToHash.size,
+      "distinct grams must keep distinct hashes on the test corpus")
+    // short docs: fewer than n tokens → empty hash array
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(TextOps.gramHashCol(col("text"), 3).as("hs"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("shingle explode plan keeps the kernel out of a re-inlined filter") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val plan = Dedup.docShingleSets(docs, "doc_id", "text")
