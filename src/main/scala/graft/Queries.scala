@@ -1907,7 +1907,7 @@ object Queries {
 
   /** X3 — benchmark decontamination: docs with doc_id ≡ 7 (mod 10) play
     * the eval set; the report lists every training doc sharing a word
-    * 8-gram with it. Spark joins on xxhash64 of the gram (the scale
+    * 8-gram with it. Spark joins on the fused kernel's 64-bit gram hashes (the scale
     * shape — broadcast longs, corpus never shuffled); the oracle joins on
     * the gram STRINGS, so any hash collision would fail the gate here. */
   private val x3Decon = Q("x3_decontaminate",
@@ -1927,7 +1927,7 @@ object Queries {
   /** X1 — cross-document duplicated-span fraction (Lee et al. exact-
     * substring dedup signal at 8-gram granularity): occurrences whose
     * gram appears in ≥2 distinct documents. Counts are exact integers;
-    * the ratio uses portable rounding. Spark matches on xxhash64, the
+    * the ratio uses portable rounding. Spark matches on 64-bit gram hashes, the
     * oracle on gram strings — the same accepted 2⁻⁶⁴ collision trade as
     * x3_decontaminate. */
   private val x1DupSpans = Q("x1_dup_span_fraction",
@@ -3368,7 +3368,7 @@ object Queries {
     *  4. greedy 512-token packing per lang over the survivors.
     * Output: per (lang, bin) doc count + token sum. The oracle chains the
     * identical four stages as CTEs (string grams where Spark uses
-    * xxhash64 — the same accepted collision trade as x3_decontaminate,
+    * 64-bit gram hashes — the same accepted collision trade as x3_decontaminate,
     * which the hash-match would surface). */
   private val x7Curation = Q("x7_curation_pipeline",
     (s, dir) => {

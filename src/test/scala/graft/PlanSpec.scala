@@ -174,7 +174,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bench gram set must broadcast")
     assert(!p.contains("SortMergeJoin"),
       "the corpus side must probe in place, not shuffle on gram hash")
-    assert(p.contains("xxhash64"), "grams must reduce to hashes before the join")
+    assert(p.contains("graft_gram_hashes"),
+      "grams must reduce to hashes (fused kernel) before the join")
   }
 
   test("trajectory outlier filter has no ranking window over episodes") {
