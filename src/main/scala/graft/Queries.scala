@@ -3848,6 +3848,109 @@ object Queries {
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
     eagerPlan = true) // constructing writes the bucketed tables
 
+  /** X1 — cross-corpus dedup ([[graft.ops.Dedup.dedupAgainstReference]]):
+    * a new shard (doc_id ≡ 0 mod 3) diffed against the reference corpus
+    * (every other document) on the normalized-content fingerprint; only
+    * never-seen content survives. The anti join shuffles 16-byte
+    * fingerprints, never text. */
+  private val x1CrossCorpus = Q("x1_cross_corpus_dedup",
+    (s, dir) => Dedup.dedupAgainstReference(
+      Tables.documents(s, dir).where(pmod(col("doc_id"), lit(3)) === 0),
+      Tables.documents(s, dir).where(pmod(col("doc_id"), lit(3)) =!= 0),
+      "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 3 = 0
+        AND md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 3 <> 0)
+      ORDER BY doc_id"""))
+
+  /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
+    * the changelog BETWEEN two keyed table versions. Old = orders outside
+    * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
+    * stripe's price bumped by exactly +1.0 (a single IEEE add — bit-equal
+    * in any engine), so all three ops I/U/D appear and unchanged keys are
+    * provably suppressed. */
+  private val cdcSnapshot = Q("cdc_snapshot_diff",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val oldSnap = o.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val newSnap = o.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(11)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("price"))
+      StreamingOps.snapshotDiff(oldSnap, newSnap, "o_orderkey", "price")
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS old_value
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      n AS (SELECT o_orderkey AS k,
+          CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+               ELSE o_totalprice END AS new_value
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      d AS (SELECT coalesce(o.k, n.k) AS o_orderkey,
+          CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+               WHEN old_value IS DISTINCT FROM new_value THEN 'U'
+               ELSE 'N' END AS op, old_value, new_value
+        FROM o FULL OUTER JOIN n ON o.k = n.k)
+      SELECT o_orderkey, op, old_value, new_value FROM d
+      WHERE op <> 'N' ORDER BY o_orderkey"""))
+
+  /** X6 — fill-in-the-middle transform ([[graft.ops.Curation.fimTransform]]):
+    * PSM rearrangement of a deterministic half of the corpus; cut points
+    * are integer arithmetic on the id, so the oracle replays them exactly. */
+  private val x6Fim = Q("x6_fim_transform",
+    (s, dir) => Curation.fimTransform(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("fim"), col("text_out"))
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, text,
+        CAST(length(text) AS BIGINT) AS len,
+        greatest(CAST(floor(length(text)/3.0) AS BIGINT), 1) AS third
+      FROM documents),
+      c AS (SELECT doc_id, text, len,
+        1 + (doc_id*7919) % third AS cut1,
+        len - 1 - (doc_id*9973) % third AS cut2,
+        ((doc_id*2654435761) % 100 < 50 AND len >= 12) AS gated
+      FROM b)
+      SELECT doc_id, CAST(CASE WHEN gated THEN 1 ELSE 0 END AS BIGINT) AS fim,
+        CASE WHEN gated THEN
+          '<PRE>' || substring(text, 1, CAST(cut1 AS INT))
+          || '<SUF>' || substring(text, CAST(cut2 + 1 AS INT))
+          || '<MID>' || substring(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT))
+        ELSE text END AS text_out
+      FROM c ORDER BY doc_id"""))
+
+  /** X6 — DoReMi domain reweighting ([[graft.ops.Curation.doremiWeights]]):
+    * 3 unrolled exponentiated-gradient iterations over per-source mean
+    * quality deficit (1 − min(n_chars/200, 1)). The oracle chains the
+    * identical iteration CTEs with the identical portable rounding, so the
+    * hash-match proves the whole unrolled update agrees. */
+  private val x6Doremi = Q("x6_doremi_weights",
+    (s, dir) => Curation.doremiWeights(Tables.documents(s, dir), "source",
+      lit(1.0) - least(col("n_chars").cast("double") / lit(200.0), lit(1.0)),
+      eta = 0.5, iters = 3)
+      .orderBy(col("source")),
+    Some {
+      def pr(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+      s"""WITH d0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          ${pr("avg(1.0 - least(CAST(n_chars AS DOUBLE)/200.0, 1.0))")} AS domain_loss
+        FROM documents GROUP BY source),
+      e AS (SELECT *, domain_loss - (SELECT min(domain_loss) FROM d0) AS excess FROM d0),
+      i1 AS (SELECT *, ${pr("1.0 * exp(0.5 * excess)")} AS wr FROM e),
+      n1 AS (SELECT source, n_docs, domain_loss, excess,
+          ${pr("wr / (SELECT sum(wr) FROM i1)")} AS w FROM i1),
+      i2 AS (SELECT *, ${pr("w * exp(0.5 * excess)")} AS wr FROM n1),
+      n2 AS (SELECT source, n_docs, domain_loss, excess,
+          ${pr("wr / (SELECT sum(wr) FROM i2)")} AS w FROM i2),
+      i3 AS (SELECT *, ${pr("w * exp(0.5 * excess)")} AS wr FROM n2),
+      n3 AS (SELECT source, n_docs, domain_loss, excess,
+          ${pr("wr / (SELECT sum(wr) FROM i3)")} AS w FROM i3)
+      SELECT source, n_docs, domain_loss, excess, w AS weight
+      FROM n3 ORDER BY source"""
+    })
+
   // ------------------------------------------------------------------
 
   val all: Seq[Q] = Seq(
@@ -3882,7 +3985,8 @@ object Queries {
     x7Curation, x6GroupSplit, s3Winsorize, x2SemTrained, s11Zorder,
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
-    s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin)
+    s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
+    x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -364,4 +364,81 @@ object Curation {
       .select(col("rk"), col(sourceCol), col(idCol), col("difficulty"))
       .orderBy(col("rk"), col(sourceCol))
   }
+
+  /** X6 — fill-in-the-middle (FIM) transform in PSM order (prefix, suffix,
+    * middle), the standard pre-training augmentation for infilling-capable
+    * code/text models (Bainbridge-style "FIM-rate" gating: a deterministic
+    * fraction of documents is rearranged, the rest pass through verbatim).
+    *
+    * All decisions are integer arithmetic on the document id — the same
+    * LCG-style closed form both engines reproduce bit-identically — never
+    * `rand()`: re-running the transform on the same corpus yields the same
+    * augmented corpus (a replayed shard must not re-roll its splits).
+    * The two cut points land in the first and last thirds of the text so
+    * prefix, middle, and suffix are all non-empty; documents shorter than
+    * `minChars` (or outside the gated fraction) pass through with
+    * `fim = 0`. Pure stateless projection: no shuffle, no state — at
+    * 100 TB this is scan-throughput work that pipelines into whatever
+    * shuffle follows (packing, sharding). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   sentinelPre: String = "<PRE>", sentinelSuf: String = "<SUF>",
+                   sentinelMid: String = "<MID>",
+                   ratePct: Int = 50, minChars: Int = 12): DataFrame = {
+    val id = col(idCol)
+    val len = length(col(textCol)).cast("long")
+    val third = greatest(floor(len / lit(3.0)).cast("long"), lit(1L))
+    // cut1 ∈ [1, third], cut2 ∈ [len−third, len−1]: both strictly inside
+    val cut1 = lit(1L) + pmod(id * lit(7919L), third)
+    val cut2 = len - lit(1L) - pmod(id * lit(9973L), third)
+    val gated = pmod(id * lit(2654435761L), lit(100L)) < lit(ratePct.toLong) &&
+      len >= lit(minChars.toLong)
+    val pre = substring(col(textCol), lit(1), cut1.cast("int"))
+    val mid = substring(col(textCol), (cut1 + lit(1L)).cast("int"),
+      (cut2 - cut1).cast("int"))
+    val suf = substring(col(textCol), (cut2 + lit(1L)).cast("int"), lit(Int.MaxValue))
+    df.withColumn("fim", when(gated, lit(1L)).otherwise(lit(0L)))
+      .withColumn("text_out",
+        when(gated, concat(lit(sentinelPre), pre, lit(sentinelSuf), suf,
+          lit(sentinelMid), mid))
+          .otherwise(col(textCol)))
+  }
+
+  /** X6 — DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    * optimizing data mixtures speeds up language model pretraining"):
+    * starting from uniform domain weights, run `iters` rounds of the
+    * exponentiated-gradient update
+    * `w ← normalize(w · exp(eta · excess_loss_d))`, where the per-domain
+    * excess loss comes from a corpus aggregate (here: mean quality deficit
+    * vs the corpus-wide floor — a stand-in for the proxy-model loss gap in
+    * the paper; callers supply any per-row loss column).
+    *
+    * Scale shape: the corpus is touched EXACTLY ONCE (one partial+final
+    * aggregate per domain); every update iteration then runs on the
+    * domains-sized table (corpus-tiny) with its normalizing constant as a
+    * broadcast one-row cross join — the same pattern as `mixtureRates`.
+    * Unrolled, not looped-with-actions: the whole computation is one
+    * declarative plan, so it rides a single job. The domain loss and each
+    * iteration's weights are portable-rounded (floor(x·10^d + 0.5)/10^d)
+    * so corpus partial-sum order cannot compound across the unrolled
+    * iterations — the same chaining rule as `kmeansFit`/`pcaPowerIteration`. */
+  def doremiWeights(df: DataFrame, domainCol: String, lossCol: Column,
+                    eta: Double = 0.5, iters: Int = 3,
+                    roundDigits: Int = 6): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(pr(avg(lossCol)).as("domain_loss"), count(lit(1)).as("n_docs"))
+    // excess over the min-loss domain: the best domain gets zero gradient
+    val floor0 = perDomain.agg(min(col("domain_loss")).as("__floor"))
+    val seeded = perDomain.crossJoin(broadcast(floor0))
+      .withColumn("excess", col("domain_loss") - col("__floor"))
+      .withColumn("w", lit(1.0))
+    val converged = (1 to iters).foldLeft(seeded) { (cur, _) =>
+      val scored = cur.withColumn("w", pr(col("w") * exp(lit(eta) * col("excess"))))
+      scored.crossJoin(broadcast(scored.agg(sum(col("w")).as("__z"))))
+        .withColumn("w", pr(col("w") / col("__z"))).drop("__z")
+    }
+    converged.select(col(domainCol), col("n_docs"), col("domain_loss"),
+      col("excess"), col("w").as("weight"))
+  }
 }

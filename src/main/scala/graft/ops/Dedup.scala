@@ -116,6 +116,32 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** X1 cross-corpus dedup — drop every new-shard document whose
+    * normalized-content fingerprint already exists in a REFERENCE corpus
+    * (prior training rounds, a held-out benchmark, an earlier crawl).
+    * The batch analog of the streaming fingerprint ledger
+    * (`StreamingOps.incrementalExactDedup`): there the ledger accretes
+    * per micro-batch; here it is a whole corpus diffed in one shot.
+    *
+    * Plan shape at 100 TB: both sides project to (16-byte fp [+ id]) at
+    * the scan, so the left-anti join shuffles fingerprints — never text.
+    * The reference side reduces to DISTINCT fps (its ids are irrelevant),
+    * which partial-aggregates map-side before the exchange. A sort-merge
+    * anti join on fp is exactly the plan Spark picks when both ledgers are
+    * corpus-sized; when the reference is small it broadcasts instead —
+    * both are the plan you'd want, so no hints. For a repeated-probe
+    * deployment (many shards vs one frozen reference) build a bloom
+    * prefilter with [[BloomJoin]] and keep this join as the exact residual
+    * check. */
+  def dedupAgainstReference(newDocs: DataFrame, refDocs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val refFps = refDocs
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    newDocs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+      .join(refFps, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Per-document distinct token sets, with set size. */
   def docTokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -250,6 +250,38 @@ object StreamingOps {
           .otherwise(lit("N")))
   }
 
+  /** CDC snapshot differencing — derive the changelog BETWEEN two keyed
+    * snapshots when no event log exists (the other direction from
+    * [[changelogOps]], which derives state from a log): emit one row per
+    * key whose state changed, op ∈ {'I' (key only in the new snapshot),
+    * 'U' (present in both, value differs), 'D' (key only in the old)}.
+    * Unchanged keys are omitted — a snapshot diff that mostly says
+    * "nothing happened" must not be corpus-sized.
+    *
+    * Both inputs must be one-row-per-key (apply a latest-state compaction
+    * first if they're logs). Plan: one full outer sort-merge join keyed on
+    * `keyCol` — each side shuffles once on the key it is already
+    * aggregated by, and AQE handles the skewed-key case the same way it
+    * does for any join. This is the standard lakehouse "diff two table
+    * versions" primitive; at 100 TB the output is proportional to the
+    * CHANGE volume, not the table. Null state values are compared
+    * null-safely ('U' when exactly one side is null). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String, valueCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("k"), col(valueCol).as("old_value"),
+      lit(1).as("__in_old"))
+    val n = newSnap.select(col(keyCol).as("k"), col(valueCol).as("new_value"),
+      lit(1).as("__in_new"))
+    o.join(n, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, lit("I"))
+          .when(col("__in_new").isNull, lit("D"))
+          .when(!(col("old_value") <=> col("new_value")), lit("U"))
+          .otherwise(lit("N")))
+      .where(col("op") =!= "N")
+      .select(col("k").as(keyCol), col("op"), col("old_value"), col("new_value"))
+  }
+
   /** Incremental SCD Type-2 maintenance over micro-batches — the applier
     * form of [[scd2History]]: closed version rows are APPEND-ONLY at
     * `historyPath` (at 100 TB this is the big immutable table), while the

@@ -182,4 +182,74 @@ class Round8OpsSpec extends SparkSpec {
     assert(wide.count() == 10007)
     assert(wide.select(countDistinct(col("i"))).as[Long].head() == 10007)
   }
+
+  test("cross-corpus dedup: drops exactly the shard docs whose normalized content the reference has seen") {
+    val newDocs = Seq((1L, "Hello  World"), (2L, "fresh content"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    // fp normalizes case + whitespace, so "hello world" collides with doc 1
+    val ref = Seq((100L, "hello world"), (101L, "unrelated")).toDF("doc_id", "text")
+    val kept = ops.Dedup.dedupAgainstReference(newDocs, ref, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // dedup against itself keeps nothing; against empty keeps everything
+    assert(ops.Dedup.dedupAgainstReference(newDocs, newDocs, "doc_id", "text").count() == 0L)
+    assert(ops.Dedup.dedupAgainstReference(newDocs, ref.where(lit(false)),
+      "doc_id", "text").count() == 3L)
+  }
+
+  test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
+    val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
+      .toDF("k", "v")
+    val newSnap = Seq((2L, Some("b")), (3L, Some("x")), (4L, Some("d")), (5L, Some("now-set")))
+      .toDF("k", "v")
+    val out = streaming.StreamingOps.snapshotDiff(oldSnap, newSnap, "k", "v")
+      .orderBy(col("k"))
+      .select(col("k"), col("op")).as[(Long, String)].collect().toSeq
+    // 1: deleted; 2: unchanged (suppressed); 3: updated; 4: inserted;
+    // 5: null → non-null counts as an update under null-safe comparison
+    assert(out == Seq((1L, "D"), (3L, "U"), (4L, "I"), (5L, "U")))
+  }
+
+  test("FIM transform: gated docs reassemble to the original text with all three segments non-empty") {
+    import ops.Curation
+    val out = Curation.fimTransform(docs, "doc_id", "text")
+      .select(col("doc_id"), col("text"), col("fim"), col("text_out")).collect()
+    assert(out.nonEmpty)
+    var gatedN = 0
+    out.foreach { r =>
+      val (text, fim, to) = (r.getString(1), r.getLong(2), r.getString(3))
+      if (fim == 0L) assert(to == text, s"ungated doc ${r.getLong(0)} must pass through")
+      else {
+        gatedN += 1
+        assert(to.startsWith("<PRE>"))
+        val afterPre = to.stripPrefix("<PRE>")
+        val Array(pre, rest) = afterPre.split("<SUF>", 2)
+        val Array(suf, mid) = rest.split("<MID>", 2)
+        assert(pre.nonEmpty && mid.nonEmpty && suf.nonEmpty,
+          s"doc ${r.getLong(0)}: all PSM segments must be non-empty")
+        assert(pre + mid + suf == text,
+          s"doc ${r.getLong(0)}: PSM segments must reassemble the original")
+      }
+    }
+    // the id-derived gate takes roughly the configured half of long-enough docs
+    assert(gatedN > out.length / 4, s"expected a substantial gated fraction, got $gatedN")
+  }
+
+  test("DoReMi weights: normalized, floor-domain has zero excess, monotone in excess, sharpened by iterations") {
+    import ops.Curation
+    val loss = lit(1.0) - least(col("n_chars").cast("double") / lit(200.0), lit(1.0))
+    val w3 = Curation.doremiWeights(docs, "source", loss, eta = 0.5, iters = 3)
+      .select(col("source"), col("excess"), col("weight"))
+      .as[(String, Double, Double)].collect().toSeq
+    assert(math.abs(w3.map(_._3).sum - 1.0) < 1e-4, "weights must normalize to 1")
+    assert(w3.map(_._2).min == 0.0, "the min-loss domain has zero excess")
+    val byExcess = w3.sortBy(_._2)
+    assert(byExcess.map(_._3) == byExcess.map(_._3).sorted,
+      "higher excess loss must never get a lower weight")
+    val w1 = Curation.doremiWeights(docs, "source", loss, eta = 0.5, iters = 1)
+      .select(col("source"), col("weight")).as[(String, Double)].collect().toMap
+    val hardest = byExcess.last._1
+    assert(w3.find(_._1 == hardest).get._3 >= w1(hardest) - 1e-9,
+      "more iterations concentrate weight on the hardest domain")
+  }
 }
