@@ -46,16 +46,30 @@ object Tables {
   /** The CDC/stream table (FIXTURES.md: event_id pk, ts event-time,
     * user_id session key, value metric, props JSON).
     *
-    * `ts` is written as a nanosecond parquet timestamp, which Spark's
-    * vectorized reader rejects; `nanosAsLong` (set defensively here so any
-    * session works) reads it as epoch-nanos bigint — lossless, totally
-    * ordered, and exactly DuckDB's `epoch_ns(ts)`, which is what the
-    * oracle uses. Event-time ops derive a µs timestamp via `ts div 1000`.
-    */
+    * `ts` is normalized to epoch-nanos bigint regardless of how the file
+    * stores it — lossless, totally ordered, and exactly DuckDB's
+    * `epoch_ns(ts)`, which is what every oracle uses. Two generator
+    * vintages exist: a nanosecond parquet timestamp (which Spark's
+    * vectorized reader only accepts via `nanosAsLong`, already bigint ns)
+    * and a microsecond timestamp (read as a timestamp column and scaled
+    * here; sessions pin UTC so the wall-time→instant cast is exact).
+    * Event-time ops derive a µs timestamp via `ts div 1000`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    normalizeEvents(t(spark, dir, "events"))
   }
+
+  /** Coerce an events-shaped frame's `ts` to epoch-nanos bigint (no-op if
+    * already long). Exposed separately so file-STREAM readers — which must
+    * pass the RAW file schema to `readStream.schema(...)` — can apply the
+    * same normalization after the scan. Pure projection: pipelines into
+    * the scan, never a shuffle. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
 
   /** Transition-table view over lineitem, modelling the reference's
     * ReplayBuffer ingest contract (S1, reference fawac.py:56-73):

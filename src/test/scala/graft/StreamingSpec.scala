@@ -134,8 +134,11 @@ class StreamingSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft_ev_stream")
     Files.copy(Paths.get(s"$sf001/events.parquet"), tmp.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val schema = graft.sources.Tables.events(spark, sf001).schema
-    val stream = spark.readStream.schema(schema).parquet(tmp.toString)
+    // readStream needs the RAW file schema; normalize ts afterwards the
+    // same way the batch loader does
+    val schema = spark.read.parquet(tmp.toString).schema
+    val stream = graft.sources.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(tmp.toString))
     val q = StreamingOps.tumblingAgg(stream, "1 day")
       .writeStream.format("memory").queryName("tumbling_stream")
       .outputMode("complete").start()
