@@ -3866,6 +3866,50 @@ object Queries {
           FROM documents WHERE doc_id % 3 <> 0)
       ORDER BY doc_id"""))
 
+  /** X1 — bloom-prefiltered cross-corpus dedup
+    * ([[graft.ops.Dedup.dedupAgainstReferenceBloom]]): same contract as
+    * `x1_cross_corpus_dedup` on a different shard split (mod 4), with the
+    * reference folded into a distributed bloom sketch so only
+    * bloom-positive rows reach the exact anti join. The oracle is the
+    * plain NOT IN — the bloom is pure routing and must not change the
+    * answer. */
+  private val x1CrossCorpusBloom = Q("x1_cross_corpus_bloom",
+    (s, dir) => Dedup.dedupAgainstReferenceBloom(
+      Tables.documents(s, dir).where(pmod(col("doc_id"), lit(4)) === 0),
+      Tables.documents(s, dir).where(pmod(col("doc_id"), lit(4)) =!= 0),
+      "doc_id", "text", expectedItems = 4096L)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+      WHERE doc_id % 4 = 0
+        AND md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+          FROM documents WHERE doc_id % 4 <> 0)
+      ORDER BY doc_id"""))
+
+  /** X1 — sub-document (paragraph-level) dedup
+    * ([[graft.ops.Dedup.paragraphDedup]]): every duplicated 8-token unit
+    * survives only at its first (doc, position) occurrence corpus-wide;
+    * host documents re-assemble around the stripped units. Keep-first
+    * semantics — contrast `x3_boilerplate_strip`, which removes high-DF
+    * units from every document including the first. */
+  private val x1ParaDedup = Q("x1_paragraph_dedup",
+    (s, dir) => Dedup.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
+        unitTokens = 8)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH base AS ($docsTokSql),
+      ch AS (SELECT doc_id, i AS idx,
+          array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS unit
+        FROM (SELECT doc_id, toks,
+                unnest(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS i
+              FROM base)),
+      mk AS (SELECT *, row_number() OVER (PARTITION BY unit
+          ORDER BY doc_id, idx) AS rk FROM ch)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+        CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN rk = 1 THEN unit END, ' '
+          ORDER BY idx), '')) AS kept_fp
+      FROM mk GROUP BY doc_id ORDER BY doc_id"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -3986,7 +4030,7 @@ object Queries {
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
-    x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi)
+    x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -142,6 +142,76 @@ object Dedup {
       .drop("fp")
   }
 
+  /** X1 cross-corpus dedup, bloom-prefiltered — the repeated-probe form of
+    * [[dedupAgainstReference]] for the deployment that motivates it: many
+    * incoming shards probed against one frozen reference corpus. The
+    * reference's distinct fingerprints are folded DISTRIBUTEDLY into one
+    * bloom sketch (partial sketches OR-merged — [[BloomJoin.bloomFilterFor]]),
+    * and the sketch comes back as a literal in the shard's scan filter.
+    *
+    * Routing: a shard row whose fp the bloom rejects CANNOT be in the
+    * reference (no false negatives) — it is kept straight off the scan,
+    * touching no join and no shuffle. Only bloom-positive rows (true
+    * dups + the fpp sliver) carry into the exact anti join, so the join
+    * shuffles the duplicate volume, not the shard. Result is EXACTLY
+    * [[dedupAgainstReference]] — the bloom only re-routes rows. The two
+    * branches are disjoint filters of one scan; Spark scans the shard
+    * twice at small SF, which at 100 TB is the right trade: a columnar
+    * re-scan of (id, fp-source column) is far cheaper than shuffling the
+    * ~all-clean shard through the anti join's exchange. */
+  def dedupAgainstReferenceBloom(newDocs: DataFrame, refDocs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 expectedItems: Long = 1000000L): DataFrame = {
+    val refFps = refDocs
+      .select(TextOps.fingerprint(col(textCol)).as("fp")).distinct()
+    val bloom = BloomJoin.bloomFilterFor(refFps, col("fp"), expectedItems)
+    val stamped = newDocs.withColumn("fp", TextOps.fingerprint(col(textCol)))
+    val hit = BloomJoin.mightContain(bloom, col("fp"))
+    val clean = stamped.where(!hit)
+    val residual = stamped.where(hit).join(refFps, Seq("fp"), "left_anti")
+    clean.unionByName(residual).drop("fp")
+  }
+
+  /** X1 sub-document (paragraph-level) dedup — the CCNet/RefinedWeb pass
+    * that exact doc-dedup misses: boilerplate and quoted passages recur
+    * across otherwise-distinct documents. Every duplicated unit survives
+    * ONLY at its first occurrence in global (doc, position) order; later
+    * occurrences are stripped and the hosts re-assembled. Differs from
+    * [[TextOps.boilerplateStrip]], which removes high-DF units from ALL
+    * documents including the first — here each unit's content survives
+    * exactly once corpus-wide.
+    *
+    * Units are fixed non-overlapping token windows ([[Curation.chunkDocuments]]
+    * — the corpus has no layout markers; with real paragraphs, split on
+    * the delimiter instead and the rest is unchanged). Plan shape: the
+    * unit ledger groups by unit fingerprint carrying only (fp, 16 bytes)
+    * + the min (doc, idx) struct — partial-aggregated map-side; join-back
+    * on fp; one groupBy(doc) re-assembly. Three fp/doc-keyed exchanges of
+    * unit-sized rows, never an all-pairs comparison. Output mirrors
+    * boilerplateStrip: (doc_id, n_units, n_kept, kept_fp). */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     unitTokens: Int = 8): DataFrame = {
+    val units = Curation.chunkDocuments(docs, idCol, textCol, unitTokens, unitTokens)
+      .withColumn("fp", TextOps.fingerprint(col("chunk_text")))
+    // min over the (doc, idx) struct = lexicographic first occurrence
+    val owners = units.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__own"))
+      .select(col("fp"), col("__own.doc_id").as("__own_doc"),
+        col("__own.chunk_idx").as("__own_idx"))
+    units.join(owners, Seq("fp"))
+      .withColumn("__keep", col("doc_id") === col("__own_doc") &&
+        col("chunk_idx") === col("__own_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("chunk_idx").as("i"),
+              col("__keep").as("keep"), col("chunk_text").as("u")))),
+              s => s.getField("keep")),
+            s => s.getField("u")), " ")).as("kept_fp"))
+  }
+
   /** Per-document distinct token sets, with set size. */
   def docTokenSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -148,6 +148,28 @@ class PlanSpec extends SparkSpec {
       "bloom probe must sit under the join in the physical plan")
   }
 
+  test("bloom cross-corpus dedup: clean branch is scan-only; anti join sees bloom-positive rows only") {
+    val p = plan("x1_cross_corpus_bloom")
+    assert(p.contains("might_contain"), "bloom probe must appear in the plan")
+    // both branches filter on the probe (one negated, one positive) at
+    // scan stage — i.e. the probe fires twice, under the union
+    val first = p.indexOf("might_contain")
+    assert(p.indexOf("might_contain", first + 1) > first,
+      "both routing branches must carry the scan-stage bloom probe")
+    // the anti join exists for the residual branch only
+    assert(p.contains("LeftAnti"), "exact residual anti join must remain")
+  }
+
+  test("paragraph dedup: fp-keyed ledger join, no all-pairs and no unit-table window") {
+    val p = plan("x1_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"), "no all-pairs comparison")
+    assert(!p.contains("Window"), "ownership is a struct-min aggregate, not a ranking window")
+    // partial+final aggregation on the fp ledger (map-side combine before
+    // the exchange)
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "owner aggregate must split partial/final")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),

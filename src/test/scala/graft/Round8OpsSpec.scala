@@ -197,6 +197,43 @@ class Round8OpsSpec extends SparkSpec {
       "doc_id", "text").count() == 3L)
   }
 
+  test("bloom cross-corpus dedup equals the exact anti join on every shard split") {
+    val newDocs = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+    val refDocs = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+    val exact = ops.Dedup.dedupAgainstReference(newDocs, refDocs, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val bloomed = ops.Dedup.dedupAgainstReferenceBloom(newDocs, refDocs,
+      "doc_id", "text", expectedItems = 512L)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(bloomed == exact, "bloom routing must not change the answer")
+    // a deliberately undersized sketch (high fpp) still agrees: false
+    // positives only push rows into the exact residual join
+    val tiny = ops.Dedup.dedupAgainstReferenceBloom(newDocs, refDocs,
+      "doc_id", "text", expectedItems = 8L)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(tiny == exact)
+  }
+
+  test("paragraph dedup: keep-first corpus-wide, hosts reassemble, no unit content survives twice") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // unit1: "a b c" unit2: "d e f"
+      (2L, "a b c x y z"),        // repeats doc1's first unit → stripped here
+      (3L, "x y z d e f"),        // repeats doc2's tail and doc1's tail
+      (4L, "q r s")               // unique
+    ).toDF("doc_id", "text")
+    val out = ops.Dedup.paragraphDedup(d, "doc_id", "text", unitTokens = 3)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_units"), col("n_kept")).as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc1 owns both its units; doc2 loses "a b c", keeps "x y z"; doc3
+    // arrives after both owners → loses both; doc4 unique
+    assert(out == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 1L, 1L)))
+    // every duplicated unit survives exactly once corpus-wide: total kept
+    // = number of DISTINCT units ({a b c, d e f, x y z, q r s} = 4)
+    assert(out.map(_._3).sum == 4L,
+      s"kept total ${out.map(_._3).sum} must equal distinct unit count")
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
