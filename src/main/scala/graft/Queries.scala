@@ -3910,6 +3910,45 @@ object Queries {
           ORDER BY idx), '')) AS kept_fp
       FROM mk GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X3 — BPE merge training ([[graft.ops.TextOps.bpeMerges]]): 3
+    * exponentiated merge iterations over corpus word frequencies. The
+    * oracle chains the identical iteration CTEs (pair counts → ordered
+    * LIMIT 1 argmax → `replace` fuse); weights are integer sums, so the
+    * hash-match proves the whole unrolled training loop agrees with no
+    * float tolerance at all. */
+  private val x3Bpe = Q("x3_bpe_merges",
+    (s, dir) => TextOps.bpeMerges(Tables.documents(s, dir), "doc_id", "text",
+        merges = 3)
+      .orderBy(col("iter")),
+    Some {
+      // per-iteration CTE triplet over the previous vocab encoding v{i-1}
+      def iterCte(i: Int): String = {
+        val (p, t, vPrev, v) = (s"p$i", s"t$i", s"v${i - 1}", s"v$i")
+        s"""$p AS (SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_weight
+            FROM (SELECT syms[i] AS left_sym, syms[i+1] AS right_sym, freq
+              FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                FROM (SELECT freq, list_filter(string_split(enc, '_'),
+                    s -> s <> '') AS syms FROM $vPrev)))
+            GROUP BY 1, 2),
+          $t AS (SELECT * FROM $p
+            ORDER BY pair_weight DESC, left_sym, right_sym LIMIT 1),
+          $v AS (SELECT w, freq, replace(enc,
+              '_' || (SELECT left_sym FROM $t) || '__' || (SELECT right_sym FROM $t) || '_',
+              '_' || (SELECT left_sym FROM $t) || (SELECT right_sym FROM $t) || '_') AS enc
+            FROM $vPrev)"""
+      }
+      def outRow(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS iter, left_sym, right_sym,
+          left_sym || right_sym AS merged, pair_weight FROM t$i"""
+      s"""WITH base AS ($docsTokSql),
+        w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+        v0 AS (SELECT w, freq, regexp_replace(w, '(.)', '_\\1_', 'g') AS enc FROM w),
+        ${iterCte(1)}, ${iterCte(2)}, ${iterCte(3)}
+        ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
+        ORDER BY iter"""
+    })
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4030,7 +4069,8 @@ object Queries {
     e2eTrainLag, evalNorm, s11Zorder3d, x2AnnRecall, x2IvfRecall, x6Temperature,
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
-    x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup)
+    x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
+    x3Bpe)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

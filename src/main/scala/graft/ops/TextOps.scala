@@ -194,6 +194,73 @@ object TextOps {
         (floor(avg(col("lp")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_logprob"))
   }
 
+  /** X3 — BPE merge training: the inner loop of byte-pair-encoding
+    * tokenizer fitting, distributed. Each iteration finds the most
+    * frequent adjacent symbol pair across the corpus (weighted by word
+    * frequency) and fuses it everywhere; the returned merge table — one
+    * row per iteration: (iter, left_sym, right_sym, merged, pair_weight)
+    * — IS the trained tokenizer artifact.
+    *
+    * Scale shape: the corpus is touched EXACTLY ONCE (word-frequency
+    * aggregate, map-side combined); every merge iteration then runs on
+    * the VOCABULARY-sized table — pair counts via a vocab-level explode,
+    * the argmax as an ordered `limit(1)` (TakeOrderedAndProject, no
+    * global sort), and the fuse as a one-row broadcast cross join. The
+    * whole k-iteration program is one declarative DAG; for k beyond a
+    * handful, checkpoint the (vocab-sized) encoding table per iteration
+    * to cap lineage growth.
+    *
+    * Determinism: weights are integer sums (no float parity risk); ties
+    * break lexicographically on the pair. Symbol encoding brackets every
+    * symbol with `_` (impossible in the `[a-z]+` token alphabet): chars
+    * map to `_c_`, so symbols are separated by `__` inside a word and a
+    * single `_` at each end. The pair fuse is then a plain left-to-right
+    * `replace` of `_l__r_` with `_lr_`: the middle `__` can only match a
+    * real symbol boundary (no prefix/suffix false matches), and each
+    * occurrence consumes only one half of each shared separator, so
+    * chained runs merge exactly like per-token greedy BPE — verified
+    * equivalent on overlap cases (aaa → [aa,a], aaaa → [aa,aa]) in the
+    * spec. Plain `replace` scans the original string identically in the
+    * JVM and DuckDB, so the oracle replays the fuse bit-for-bit. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                merges: Int = 3,
+                caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    val words = caches.track(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    val enc0 = words.select(col("w"), col("freq"),
+      regexp_replace(col("w"), "(.)", "_$1_").as("enc"))
+
+    def pairTable(v: DataFrame): DataFrame =
+      v.select(col("freq"),
+          filter(split(col("enc"), "_"), s => s =!= lit("")).as("syms"))
+        .where(size(col("syms")) >= 2) // sequence(1,0) would run DOWNWARD
+        .select(col("freq"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - lit(1))).as("i"))
+        .select(element_at(col("syms"), col("i")).as("left_sym"),
+          element_at(col("syms"), col("i") + lit(1)).as("right_sym"),
+          col("freq"))
+        .groupBy(col("left_sym"), col("right_sym"))
+        .agg(sum(col("freq")).as("pair_weight"))
+
+    var vocab = enc0
+    val steps = (1 to merges).map { it =>
+      val top = pairTable(vocab)
+        .orderBy(col("pair_weight").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+      vocab = vocab.crossJoin(broadcast(top))
+        .withColumn("enc", call_function("replace", col("enc"),
+          concat(lit("_"), col("left_sym"), lit("__"), col("right_sym"), lit("_")),
+          concat(lit("_"), col("left_sym"), col("right_sym"), lit("_"))))
+        .select(col("w"), col("freq"), col("enc"))
+      top.select(lit(it.toLong).as("iter"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_weight"))
+    }
+    steps.reduce(_.unionByName(_))
+  }
+
   /** X3 — benchmark decontamination report (the standard training-data
     * hygiene pass: a training document that shares any word n-gram with an
     * evaluation/benchmark document leaks eval answers into training and

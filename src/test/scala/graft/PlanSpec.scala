@@ -170,6 +170,17 @@ class PlanSpec extends SparkSpec {
       "owner aggregate must split partial/final")
   }
 
+  test("BPE training: ordered-limit argmax, broadcast fuse, no window anywhere") {
+    val p = plan("x3_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-iteration argmax must be TakeOrderedAndProject, not a global sort")
+    assert(!p.contains("Window"), "no ranking window in the training loop")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row merge decision must broadcast into the vocab fuse")
+    assert(p.contains("partial_sum") || p.contains("partial_count") || p.contains("partial"),
+      "pair counts must partial-aggregate map-side")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -234,6 +234,43 @@ class Round8OpsSpec extends SparkSpec {
       s"kept total ${out.map(_._3).sum} must equal distinct unit count")
   }
 
+  test("BPE merges: hand-computed corpus — greedy left-to-right fuse, frequency argmax, lexicographic ties") {
+    // corpus: "banana banana bandana" → words {banana:2, bandana:1}
+    // pairs it1: (b,a)=3 (a,n): banana has 2 each ×2 =4, bandana has 2 → 6
+    //   (n,a): banana 2×2=4, bandana 1 → 5; (n,d)=1, (d,a)=1
+    //   → top = (a,n) weight 6 → "an"
+    // it2 encodings: b an an a (×2), b an d an a
+    //   pairs: (b,an)=3, (an,an)=2, (an,a)=3, (an,d)=1, (d,an)=1
+    //   → tie (an,a) vs (b,an) at 3 → lexicographic: "an"<"b" → (an,a)
+    // it3: b an ana (×2), b an d ana
+    //   pairs: (b,an)=3, (an,ana)=2, (an,d)=1, (d,ana)=1 → (b,an)=3 → "ban"
+    val d = Seq((1L, "banana banana"), (2L, "bandana")).toDF("doc_id", "text")
+    val out = ops.TextOps.bpeMerges(d, "doc_id", "text", merges = 3)
+      .orderBy(col("iter"))
+      .select(col("iter"), col("left_sym"), col("right_sym"), col("merged"),
+        col("pair_weight"))
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "n", "an", 6L),
+      (2L, "an", "a", "ana", 3L),
+      (3L, "b", "an", "ban", 3L)))
+  }
+
+  test("BPE merges: chained self-pair runs fuse like per-token greedy BPE") {
+    // aaa → [aa, a], aaaa → [aa, aa] under merge (a,a) — the overlap case
+    // a naive single-separator string encoding gets wrong
+    val runs = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+    // it1: (a,a) weight 2+3 = 5 → "aa"
+    // it2: [aa,a] gives (aa,a)=1; [aa,aa] gives (aa,aa)=1 →
+    //   tie broken lexicographically: (aa,a) wins
+    val out = ops.TextOps.bpeMerges(runs, "doc_id", "text", merges = 2)
+      .orderBy(col("iter"))
+      .select(col("iter"), col("left_sym"), col("right_sym"), col("merged"),
+        col("pair_weight"))
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "a", "aa", 5L), (2L, "aa", "a", "aaa", 1L)))
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
