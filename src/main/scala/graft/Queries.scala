@@ -3949,6 +3949,29 @@ object Queries {
         ORDER BY iter"""
     })
 
+  /** Profiling — key-skew report ([[graft.ops.DataProfile.keySkewReport]]):
+    * the pre-join diagnosis over three lineitem keys spanning the skew
+    * spectrum (near-uniform l_suppkey, small-group l_orderkey, and
+    * 3-giant-groups l_returnflag). quantile_disc = the helper's exact
+    * lower median. */
+  private val profSkew = Q("profile_key_skew",
+    (s, dir) => DataProfile.keySkewReport(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_returnflag", "l_suppkey"))
+      .orderBy(col("key_col")),
+    Some {
+      def one(c: String) =
+        s"""SELECT '$c' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(max(c) AS BIGINT) AS max_key_rows,
+          CAST(quantile_disc(c, 0.5) AS DOUBLE) AS median_key_rows,
+          floor(max(c) / sum(c) * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+          floor(max(c) / quantile_disc(c, 0.5) * 1000000.0 + 0.5) / 1000000.0
+            AS skew_ratio
+        FROM (SELECT $c AS k, count(*) AS c FROM lineitem GROUP BY 1)"""
+      s"""${one("l_orderkey")} UNION ALL ${one("l_returnflag")}
+        UNION ALL ${one("l_suppkey")} ORDER BY key_col"""
+    })
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4070,7 +4093,7 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe)
+    x3Bpe, profSkew)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

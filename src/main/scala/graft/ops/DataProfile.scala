@@ -63,4 +63,43 @@ object DataProfile {
     }: _*)).as("e")).select(col("e.col_name").as("col_name"),
       col("e.metric").as("metric"), col("e.value").as("value"))
   }
+
+  /** Key-skew report — the diagnosis that decides salting / AQE skew
+    * hints / bucket counts BEFORE a 100 TB join or aggregation is
+    * launched on a key. One row per candidate key column:
+    * (key_col, n_rows, n_keys, max_key_rows, median_key_rows, top_share,
+    * skew_ratio) where top_share = heaviest key's row fraction and
+    * skew_ratio = max/median per-key rows — a uniform key sits near 1,
+    * a power-law key explodes.
+    *
+    * Plan shape per column: one partial+final count aggregate keyed on
+    * the column (the same shuffle the real query would pay — nothing
+    * heavier), then the per-key count table reduces two ways: a tiny
+    * scalar aggregate, and a count-of-counts histogram for the EXACT
+    * lower median ([[AggOps.lowerMediansByHistogram]] — the count domain
+    * is bounded, so the histogram is tiny and no per-key array ever
+    * materializes). Columns profile independently and union — each key
+    * needs its own shuffle anyway; there is nothing to share. Null keys
+    * count as a real group (they land in one reduce partition in a real
+    * join — exactly the skew this report exists to expose). */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String],
+                    shareDigits: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val s = math.pow(10.0, shareDigits)
+    def pround(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    keyCols.map { k =>
+      val counts = df.groupBy(col(k)).agg(count(lit(1)).as("__c"))
+      val scalars = counts.agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("__c")).as("max_key_rows"))
+      val med = AggOps.lowerMediansByHistogram(counts,
+        Seq(("median_key_rows", col("__c"))))
+      scalars.crossJoin(broadcast(med))
+        .select(lit(k).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("median_key_rows"),
+          pround(col("max_key_rows") / col("n_rows")).as("top_share"),
+          pround(col("max_key_rows") / col("median_key_rows")).as("skew_ratio"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -271,6 +271,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == Seq((1L, "a", "a", "aa", 5L), (2L, "aa", "a", "aaa", 1L)))
   }
 
+  test("key-skew report: uniform key near ratio 1, hot key exposed, null keys are a real group") {
+    val d = (1L to 90L).map(i => (i % 9, "hot"))        // uniform: 9 keys x 10
+      .++((1L to 110L).map(_ => (99L, "x")))           // one hot key: 110 rows
+      .toDF("k", "tag")
+      .withColumn("k2", when(col("k") < 3, col("k")).otherwise(lit(null: java.lang.Long)))
+    val rep = ops.DataProfile.keySkewReport(d, Seq("k", "k2"))
+      .orderBy(col("key_col"))
+      .collect()
+    val k = rep(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 200L && k.getLong(2) == 10L)
+    assert(k.getLong(3) == 110L && k.getDouble(4) == 10.0)
+    assert(k.getDouble(5) == 0.55 && k.getDouble(6) == 11.0)
+    // k2: nulls form one group (keys 3..8 -> 60 rows, plus the 110 hot)
+    val k2 = rep(1)
+    assert(k2.getLong(2) == 4L, "null must count as its own key group")
+    assert(k2.getLong(3) == 170L)
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
