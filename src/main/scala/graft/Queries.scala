@@ -3972,6 +3972,43 @@ object Queries {
         UNION ALL ${one("l_suppkey")} ORDER BY key_col"""
     })
 
+  /** X4 — frame sampling + resize planning
+    * ([[graft.ops.Multimodal.frameSample]] / [[graft.ops.Multimodal.resizeFit]]):
+    * every synthetic video yields 4 frame rows (posexplode fan-out) with
+    * stub dimensions derived from payload bytes, each fit into a 32×32
+    * box with aspect preserved. The oracle replays the byte math from the
+    * text the payload encodes (ASCII corpus ⇒ byte = codepoint). */
+  private val x4Frames = Q("x4_frame_resize",
+    (s, dir) => {
+      val enriched = Multimodal.enrich(Tables.documents(s, dir), "doc_id", "text")
+      val frames = Multimodal.frameSample(enriched, "doc_id", "media", k = 4)
+      val dims = enriched.select(col("doc_id"),
+        (lit(1L) + element_at(Multimodal.fakeDecodeFeatures(col("media")), 2)
+          .cast("long") % lit(64L)).as("w"),
+        (lit(1L) + element_at(Multimodal.fakeDecodeFeatures(col("media")), 3)
+          .cast("long") % lit(64L)).as("h"))
+      val (outW, outH) = Multimodal.resizeFit(col("w"), col("h"), 32, 32)
+      frames.join(dims, Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+          col("frame_fp"), col("w"), col("h"),
+          outW.as("out_w"), outH.as("out_h"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH m AS (SELECT doc_id, text, strlen(text) AS n,
+        1 + ascii(substring(text, 1, 1)) % 64 AS w,
+        1 + ascii(substring(text, strlen(text), 1)) % 64 AS h
+      FROM documents),
+      f AS (SELECT doc_id, text, n, w, h, i AS frame_idx,
+          CAST(floor(i * n / 4.0) AS BIGINT) AS frame_offset
+        FROM (SELECT *, unnest(range(4)) AS i FROM m)),
+      r AS (SELECT *, least(32.0 / w, 32.0 / h, 1.0) AS scale FROM f)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_offset,
+        md5(text || CAST(frame_offset AS VARCHAR)) AS frame_fp,
+        CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        CAST(greatest(floor(w * scale), 1.0) AS BIGINT) AS out_w,
+        CAST(greatest(floor(h * scale), 1.0) AS BIGINT) AS out_h
+      FROM r ORDER BY doc_id, frame_idx"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4093,7 +4130,7 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe, profSkew)
+    x3Bpe, profSkew, x4Frames)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

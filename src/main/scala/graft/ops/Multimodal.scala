@@ -51,6 +51,35 @@ object Multimodal {
     transform(sequence(lit(0), lit(k - 1)),
       i => floor(i.cast("double") * length(bin).cast("double") / lit(k.toDouble)).cast("long"))
 
+  /** Frame sampling as a relational fan-out — ONE ROW PER SAMPLED FRAME,
+    * the shape every video pipeline needs downstream (per-frame
+    * embedding, dedup, captioning all want frame rows, not arrays).
+    * Offsets are evenly spaced ([[fakeFrameOffsets]]); the frame
+    * "content" is stubbed as a fingerprint of (payload, offset) — a real
+    * extractor replaces that one column with decoded pixels while the
+    * posexplode fan-out, the row schema, and the k-multiplier on row
+    * count (what you budget shuffle partitions around at 100 TB) all
+    * stay. Pure projection + generate: no shuffle. */
+  def frameSample(df: DataFrame, idCol: String, binCol: String, k: Int): DataFrame =
+    df.select(col(idCol), col(binCol),
+        posexplode(fakeFrameOffsets(col(binCol), k)))
+      .select(col(idCol), col("pos").cast("long").as("frame_idx"),
+        col("col").as("frame_offset"),
+        md5(concat(col(binCol),
+          encode(col("col").cast("string"), "UTF-8"))).as("frame_fp"))
+
+  /** Aspect-preserving fit-in-box resize — the METADATA math of an image
+    * resize stage (the pixel work is the codec stub's job; the dimension
+    * arithmetic is what the pipeline plans storage and batch shapes
+    * with). Never upscales; floors to integer pixels with a 1px minimum.
+    * Pure IEEE-double arithmetic in a fixed association, so any engine
+    * reproduces it bit-identically. */
+  def resizeFit(w: Column, h: Column, maxW: Int, maxH: Int): (Column, Column) = {
+    val scale = least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h, lit(1.0))
+    (greatest(floor(w * scale), lit(1.0)).cast("long"),
+      greatest(floor(h * scale), lit(1.0)).cast("long"))
+  }
+
   case class MediaRow(doc_id: Long, media: Array[Byte])
   case class DecodedMedia(doc_id: Long, width: Int, height: Int,
                           n_bytes: Long, features: Array[Double])

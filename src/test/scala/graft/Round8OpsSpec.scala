@@ -289,6 +289,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(k2.getLong(3) == 170L)
   }
 
+  test("frame sample fans out k rows per doc; resizeFit preserves aspect, never upscales, floors at 1px") {
+    val d = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val enriched = ops.Multimodal.enrich(d, "doc_id", "text")
+    val frames = ops.Multimodal.frameSample(enriched, "doc_id", "media", k = 4)
+      .orderBy(col("frame_idx"))
+      .select(col("frame_idx"), col("frame_offset")).as[(Long, Long)].collect().toSeq
+    assert(frames == Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L)))
+    val dims = Seq((64L, 16L), (16L, 64L), (10L, 10L), (200L, 1L))
+      .toDF("w", "h")
+    val (ow, oh) = ops.Multimodal.resizeFit(col("w"), col("h"), 32, 32)
+    val out = dims.select(col("w"), col("h"), ow.as("ow"), oh.as("oh"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (64L, 16L, 32L, 8L),   // downscale by width, aspect held
+      (16L, 64L, 8L, 32L),   // downscale by height
+      (10L, 10L, 10L, 10L),  // inside the box: never upscale
+      (200L, 1L, 32L, 1L))) // floor clamps to 1px
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
