@@ -4009,6 +4009,35 @@ object Queries {
         CAST(greatest(floor(h * scale), 1.0) AS BIGINT) AS out_h
       FROM r ORDER BY doc_id, frame_idx"""))
 
+  /** X3 — corpus drift report ([[graft.ops.TextOps.corpusDriftBySource]]):
+    * per-source add-α KL against the whole corpus over the corpus
+    * vocabulary. The oracle chains the identical count CTEs and the
+    * identical smoothed ratio, `ln` per grid cell, rounded sum. */
+  private val x3Drift = Q("x3_corpus_drift",
+    (s, dir) => TextOps.corpusDriftBySource(Tables.documents(s, dir), "doc_id",
+        "text", "source")
+      .orderBy(col("source")),
+    Some(s"""WITH base AS ($docsTokSql),
+      tok AS (SELECT source, t AS tok FROM
+        (SELECT source, unnest(toks) AS t FROM base)),
+      corpus AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(count(*) AS DOUBLE) AS v
+        FROM corpus),
+      st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+        FROM tok GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
+      grid AS (SELECT n.source, c.tok, c.ca, coalesce(s2.cs, 0) AS cs, n.ns,
+          t.na, t.v
+        FROM ns n CROSS JOIN corpus c
+        LEFT JOIN st s2 ON s2.source = n.source AND s2.tok = c.tok
+        CROSS JOIN tot t)
+      SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_source,
+        floor(sum(((cs + 0.5) / (ns + 0.5 * v))
+            * ln(((cs + 0.5) / (ns + 0.5 * v)) / ((ca + 0.5) / (na + 0.5 * v))))
+          * 10000.0 + 0.5) / 10000.0 AS kl_vs_corpus
+      FROM grid GROUP BY source ORDER BY source"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4130,7 +4159,7 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe, profSkew, x4Frames)
+    x3Bpe, profSkew, x4Frames, x3Drift)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -261,6 +261,47 @@ object TextOps {
     steps.reduce(_.unionByName(_))
   }
 
+  /** X3 — corpus drift report: add-α-smoothed KL divergence of each
+    * source's token distribution against the whole corpus — the
+    * distribution-shift monitor a mixture pipeline watches (a crawl snap
+    * whose KL jumps got a new template; a source drifting from the
+    * mixture it was weighted for needs re-weighting — the measurement
+    * side of [[Curation.doremiWeights]]).
+    *
+    * Scale shape: the corpus explodes once into (source, token); both
+    * count tables are vocabulary-bounded. The KL sum must range over the
+    * CORPUS vocabulary (tokens a source lacks still carry α mass), so the
+    * compute grid is sources × vocab — corpus-independent, and the only
+    * table bigger than the vocab itself. Smoothed p/q are rationals of
+    * integer counts; the single `log` per grid cell and the rounded
+    * transcendental sum follow the same parity contract as
+    * [[lmPerplexityScore]].
+    *
+    * Output per source: (source, n_tokens, n_vocab_source, kl_vs_corpus),
+    * kl rounded at `roundDigits`. */
+  def corpusDriftBySource(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, alpha: Double = 0.5,
+                          roundDigits: Int = 4): DataFrame = {
+    val tok = docs.select(col(sourceCol).as("source"),
+      explode(tokens(col(textCol))).as("tok"))
+    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    val tot = corpus.agg(sum(col("ca")).cast("double").as("na"),
+      count(lit(1)).cast("double").as("v"))
+    val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val grid = ns.crossJoin(broadcast(corpus))
+      .join(st, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(tot))
+    val p = (col("cs") + lit(alpha)) / (col("ns") + lit(alpha) * col("v"))
+    val q = (col("ca") + lit(alpha)) / (col("na") + lit(alpha) * col("v"))
+    val s = math.pow(10.0, roundDigits)
+    grid.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        sum(when(col("cs") > 0, 1L).otherwise(0L)).as("n_vocab_source"),
+        (floor(sum(p * log(p / q)) * lit(s) + lit(0.5)) / lit(s)).as("kl_vs_corpus"))
+  }
+
   /** X3 — benchmark decontamination report (the standard training-data
     * hygiene pass: a training document that shares any word n-gram with an
     * evaluation/benchmark document leaks eval answers into training and

@@ -308,6 +308,25 @@ class Round8OpsSpec extends SparkSpec {
       (200L, 1L, 32L, 1L))) // floor clamps to 1px
   }
 
+  test("corpus drift: matching source sits near zero KL, alien-vocab source dominates, all non-negative") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha beta", "mix"),
+      (2L, "alpha beta gamma beta alpha", "mix"),
+      (3L, "zeta zeta zeta omega omega", "alien")
+    ).toDF("doc_id", "text", "source")
+    val out = ops.TextOps.corpusDriftBySource(d, "doc_id", "text", "source")
+      .orderBy(col("source"))
+      .select(col("source"), col("n_tokens"), col("n_vocab_source"),
+        col("kl_vs_corpus"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("mix")._2 == 10L && byName("mix")._3 == 3L)
+    assert(byName("alien")._2 == 5L && byName("alien")._3 == 2L)
+    assert(out.forall(_._4 >= 0.0), "KL is non-negative")
+    assert(byName("alien")._4 > byName("mix")._4 * 2,
+      "the disjoint-vocabulary source must dominate the drift report")
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
