@@ -4038,6 +4038,47 @@ object Queries {
           * 10000.0 + 0.5) / 10000.0 AS kl_vs_corpus
       FROM grid GROUP BY source ORDER BY source"""))
 
+  /** X2 — PCA projection chained onto the trained component
+    * ([[graft.ops.Similarity.pcaProject]] ∘ pcaPowerIteration): the apply
+    * step of whitening. The oracle replays the full power iteration (same
+    * CTEs as x2_pca_power) and then the same broadcast dot — proving
+    * training AND application agree end-to-end. */
+  private val x2PcaProject = Q("x2_pca_project",
+    (s, dir) => {
+      val pc = Similarity.pcaPowerIteration(Tables.embeddings(s, dir),
+        "embedding", dim = 64, iters = 3)
+      Similarity.pcaProject(Tables.embeddings(s, dir), "vec_id", "embedding", pc)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val iterCtes = (1 to 3).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""w$t AS (SELECT cv.i, floor(sum(cov * vj) * 1000000.0 + 0.5) / 1000000.0 AS wi
+          FROM cv JOIN $prev ON cv.j = $prev.j GROUP BY cv.i),
+        n$t AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w$t),
+        v$t AS (SELECT i AS j, floor(wi / nrm * 1000000.0 + 0.5) / 1000000.0 AS vj
+          FROM w$t, n$t)"""
+      }.mkString(",\n        ")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+          FROM e, range(64) a(i), range(64) b(j) WHERE i <= j),
+        up AS (SELECT i, j,
+            floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+              / 1000000.0 AS cov
+          FROM p GROUP BY i, j),
+        cv AS (SELECT i, j, cov FROM up
+               UNION ALL SELECT j AS i, i AS j, cov FROM up WHERE i <> j),
+        v0 AS (SELECT i AS j, 1.0 AS vj FROM range(64) t(i)),
+        $iterCtes,
+        pc AS (SELECT list(vj ORDER BY j) AS pc FROM v3),
+        pts AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings)
+        SELECT vec_id,
+          floor(${dotSql("pv", "pc")} * 1000000.0 + 0.5) / 1000000.0 AS score,
+          floor((${dotSql("pv", "pv")} - ${dotSql("pv", "pc")} * ${dotSql("pv", "pc")})
+            * 1000000.0 + 0.5) / 1000000.0 AS residual_norm2
+        FROM pts CROSS JOIN pc ORDER BY vec_id"""
+    })
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4159,7 +4200,7 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe, profSkew, x4Frames, x3Drift)
+    x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

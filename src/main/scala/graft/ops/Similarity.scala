@@ -358,6 +358,36 @@ object Similarity {
     v.select(col("j").cast("long").as("i"), col("vj").as("loading"))
   }
 
+  /** X2 — project every embedding onto a trained component table (the
+    * APPLY step after [[pcaPowerIteration]]: whitening, OPQ-style
+    * rotation prep, or 1-D curriculum ordering by principal score).
+    * `component` is (i, loading) — d rows. It collapses to ONE broadcast
+    * array row (ordered by i), so the corpus side computes
+    * `score = graft_dot(v, pc)` in a single codegen projection: no
+    * shuffle, no window, no row expansion — the same trained-artifact
+    * broadcast shape as `kmeansFit.assign`. Also emits the residual
+    * norm² `graft_dot(v,v) − score²` — the reconstruction-error signal a
+    * whitening/compression pass monitors. Scores round at `roundDigits`
+    * (transcendental-free but component loadings are already rounded, so
+    * the product lattice is preserved portably). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 component: DataFrame, roundDigits: Int = 6): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    // order enforced INSIDE the aggregate (collect_list order is not
+    // stable through a shuffle): sort the (i, loading) structs, strip i
+    val pcRow = component
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
+        p => p.getField("loading")).as("pc"))
+    emb.select(col(idCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(pcRow))
+      .select(col(idCol),
+        pr(expr("graft_dot(pv, pc)")).as("score"),
+        pr(expr("graft_dot(pv, pv) - graft_dot(pv, pc) * graft_dot(pv, pc)"))
+          .as("residual_norm2"))
+  }
+
   /** X2 index training — Lloyd's k-means over the embedding column with a
     * deterministic seed set and a fixed iteration count: the step that
     * produces [[ivfTopK]]'s centroid table (reference users train the

@@ -181,6 +181,14 @@ class PlanSpec extends SparkSpec {
       "pair counts must partial-aggregate map-side")
   }
 
+  test("PCA projection: trained component broadcasts; the corpus side never shuffles or windows") {
+    val p = plan("x2_pca_project")
+    assert(p.contains("graft_dot"), "projection must use the codegen dot kernel")
+    assert(!p.contains("Window"), "no ranking window in the apply step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the d-sized component row must broadcast into the corpus projection")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),
