@@ -284,10 +284,20 @@ object TextOps {
                           roundDigits: Int = 4): DataFrame = {
     val tok = docs.select(col(sourceCol).as("source"),
       explode(tokens(col(textCol))).as("tok"))
-    val corpus = tok.groupBy(col("tok")).agg(count(lit(1)).as("ca"))
+    driftFromCounts(
+      tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs")),
+      alpha, roundDigits)
+  }
+
+  /** [[corpusDriftBySource]] from an ALREADY-AGGREGATED (source, tok, cs)
+    * count table — the form the streaming monitor maintains as a ledger
+    * (corpus token counts are the per-source sums, so the count table is
+    * a sufficient statistic for the whole report). */
+  def driftFromCounts(st: DataFrame, alpha: Double = 0.5,
+                      roundDigits: Int = 4): DataFrame = {
+    val corpus = st.groupBy(col("tok")).agg(sum(col("cs")).as("ca"))
     val tot = corpus.agg(sum(col("ca")).cast("double").as("na"),
       count(lit(1)).cast("double").as("v"))
-    val st = tok.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
     val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
     val grid = ns.crossJoin(broadcast(corpus))
       .join(st, Seq("source", "tok"), "left")

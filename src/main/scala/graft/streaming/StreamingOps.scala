@@ -539,6 +539,50 @@ object StreamingOps {
     * produce the same corpus whenever ids arrive in ascending order (the
     * batch keep-rule is min-id per fingerprint; streaming keeps
     * first-seen) — proven against the x7 program in StreamingSpec. */
+  /** Incremental corpus-drift monitor — the CDC mirror of
+    * `x3_corpus_drift`: each micro-batch's (source, token) counts append
+    * to a durable ledger stamped with the batch id, and the per-source KL
+    * report is recomputed from the accreted counts and overwritten at
+    * `reportPath` (the report is sources-sized — rewriting it is the
+    * cheap, atomic-enough monitor output; the LEDGER is the durable
+    * state and is append-only).
+    *
+    * Crash/replay contract: a replayed batch re-appends byte-identical
+    * (batch_id, source, tok, cs) rows — deterministic aggregation of
+    * deterministic input — so the read-side `dropDuplicates` on that key
+    * makes re-delivery idempotent WITHOUT a read-modify-write upsert (the
+    * same reasoning as the dedup ledgers' at-least-once appends, but for
+    * additive state: increments can't be deduplicated by value alone,
+    * hence the batch-id stamp).
+    *
+    * The count ledger is the sufficient statistic for the whole report
+    * ([[graft.ops.TextOps.driftFromCounts]]): token counts are additive
+    * across batches, so maintain-incrementally equals compute-once-batch
+    * exactly — proven in StreamingSpec against [[graft.ops.TextOps.corpusDriftBySource]]
+    * on the same rows split across micro-batches. */
+  def incrementalDriftMonitor(docs: DataFrame, textCol: String, sourceCol: String,
+                              ledgerPath: String, reportPath: String,
+                              checkpoint: String, alpha: Double = 0.5,
+                              roundDigits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val inc = batch.select(col(sourceCol).as("source"),
+            explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+          .withColumn("batch_id", lit(batchId))
+        inc.write.mode("append").parquet(ledgerPath)
+        val accreted = spark.read.parquet(ledgerPath)
+          .dropDuplicates("batch_id", "source", "tok")
+          .groupBy(col("source"), col("tok")).agg(sum(col("cs")).as("cs"))
+        graft.ops.TextOps.driftFromCounts(accreted, alpha, roundDigits)
+          .withColumn("as_of_batch", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(reportPath)
+      }
+      .start()
+
   def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
                                   benchLedgerPath: String, corpusPath: String,
                                   fpLedgerPath: String, checkpoint: String,

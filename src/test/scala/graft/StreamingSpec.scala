@@ -388,6 +388,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental drift monitor equals the batch KL report on the same rows split across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val ledger = Files.createTempDirectory("graft_drift").toString + "/counts"
+    val report = Files.createTempDirectory("graft_drift_rep").toString + "/kl"
+    val ckpt = Files.createTempDirectory("graft_drift_ckpt").toString
+    val full = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.incrementalDriftMonitor(docs, "text", "source",
+      ledger, report, ckpt)
+    // three micro-batches over an arbitrary split
+    full.grouped((full.size + 2) / 3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.read.parquet(report)
+      .select(col("source"), col("n_tokens"), col("n_vocab_source"),
+        col("kl_vs_corpus"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batch = ops.TextOps.corpusDriftBySource(
+        sources.Tables.documents(spark, sf001), "doc_id", "text", "source")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      "accreted count ledger must be a sufficient statistic for the exact batch report")
+  }
+
   test("incremental near-dedup: signature ledger drops cross-batch near-copies") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
