@@ -4079,6 +4079,32 @@ object Queries {
         FROM pts CROSS JOIN pc ORDER BY vec_id"""
     })
 
+  /** X2/X3 — semantic decontamination
+    * ([[graft.ops.Similarity.semanticDecontaminate]]): corpus embeddings
+    * (outside the mod-97 bench stripe) max-cosine-scored against the
+    * bench stripe via one broadcast fold. The oracle's per-row max over
+    * an explicit cross join is order-independent, so both engines agree
+    * bit-for-bit before the shared rounding. */
+  private val x3SemDecon = Q("x3_semantic_decontaminate",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDecontaminate(
+        emb.where(pmod(col("vec_id"), lit(97)) =!= 5), "vec_id", "embedding",
+        emb.where(pmod(col("vec_id"), lit(97)) === 5), "embedding", tau = 0.3)
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH b AS (SELECT embedding::DOUBLE[] AS bv FROM embeddings
+        WHERE vec_id % 97 = 5),
+      p AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings
+        WHERE vec_id % 97 <> 5),
+      m AS (SELECT vec_id,
+          floor(max(${dotSql("pv", "bv")}
+              / (sqrt(${dotSql("pv", "pv")}) * sqrt(${dotSql("bv", "bv")})))
+            * 1000000.0 + 0.5) / 1000000.0 AS max_cos
+        FROM p CROSS JOIN b GROUP BY vec_id)
+      SELECT vec_id, max_cos, max_cos >= 0.3 AS contaminated
+      FROM m ORDER BY vec_id"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4200,7 +4226,7 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject)
+    x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -388,6 +388,39 @@ object Similarity {
           .as("residual_norm2"))
   }
 
+  /** X2/X3 — SEMANTIC decontamination: flag corpus items whose embedding
+    * is near-identical to any benchmark/eval embedding (max cosine ≥ τ).
+    * Catches the leaks n-gram decontamination misses — paraphrased or
+    * re-formatted eval answers whose surface text shares no 8-gram with
+    * the benchmark ([[TextOps.contaminationReport]] is the lexical
+    * sibling; real pipelines run both).
+    *
+    * Scale shape: the benchmark embedding set (eval suites are
+    * corpus-tiny) collapses to ONE broadcast array row; each corpus
+    * vector folds a max-cosine over it with the codegen dot kernel — no
+    * shuffle, no window, no row expansion on the 100 TB side, exactly
+    * the `kmeansFit.assign` artifact-broadcast shape. The max fold is
+    * order-independent, so the collected bench order cannot affect the
+    * result; the rounded max_cos then drives the flag. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, benchVecCol: String,
+                            tau: Double = 0.3, roundDigits: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val bRow = bench.select(asDouble(col(benchVecCol)).as("bv"))
+      .agg(collect_list(col("bv")).as("bvs"))
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(bRow))
+      .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
+      .withColumn("max_cos", pr(expr(
+        """aggregate(bvs, CAST(-1.0 AS DOUBLE),
+             (acc, bv) -> greatest(acc,
+               graft_dot(pv, bv) / (pn * sqrt(graft_dot(bv, bv)))))""")))
+      .select(col(idCol), col("max_cos"),
+        (col("max_cos") >= lit(tau)).as("contaminated"))
+  }
+
   /** X2 index training — Lloyd's k-means over the embedding column with a
     * deterministic seed set and a fixed iteration count: the step that
     * produces [[ivfTopK]]'s centroid table (reference users train the

@@ -189,6 +189,15 @@ class PlanSpec extends SparkSpec {
       "the d-sized component row must broadcast into the corpus projection")
   }
 
+  test("semantic decontamination: bench set broadcasts as one row; corpus side never shuffles") {
+    val p = plan("x3_semantic_decontaminate")
+    assert(p.contains("graft_dot"), "cosine fold must use the codegen dot kernel")
+    assert(!p.contains("Window"), "no ranking window — the max is a per-row fold")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the bench embedding row must broadcast into the corpus scan")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the bench probe")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -327,6 +327,21 @@ class Round8OpsSpec extends SparkSpec {
       "the disjoint-vocabulary source must dominate the drift report")
   }
 
+  test("semantic decontamination flags the planted near-duplicate and clears orthogonal vectors") {
+    val bench = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99, 0.1, 0.0, 0.0)),  // near-copy of the bench vector
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (3L, Array(-1.0, 0.0, 0.0, 0.0))   // anti-parallel
+    ).toDF("vec_id", "embedding")
+    val out = ops.Similarity.semanticDecontaminate(corpus, "vec_id", "embedding",
+        bench, "embedding", tau = 0.9)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("contaminated")).as[(Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq((1L, true), (2L, false), (3L, false)))
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
