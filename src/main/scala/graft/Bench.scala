@@ -35,7 +35,11 @@ object Bench {
     "x6_token_budget",           // bucket-prefix global selection
     "x7_curation_pipeline",      // full curation program DAG
     "x2_pq_adc_topk",            // PQ train→encode→ADC search chain
-    "x1_dup_span_fraction")      // cross-doc duplicated-span signal
+    "x1_dup_span_fraction",      // cross-doc duplicated-span signal
+    "x3_bpe_merges",             // BPE training loop (vocab iterations)
+    "x1_paragraph_dedup",        // sub-document keep-first dedup
+    "x2_pca_project",            // power iteration + whitening apply chain
+    "x3_corpus_drift")           // per-source KL drift report
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

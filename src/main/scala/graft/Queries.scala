@@ -4105,6 +4105,40 @@ object Queries {
       SELECT vec_id, max_cos, max_cos >= 0.3 AS contaminated
       FROM m ORDER BY vec_id"""))
 
+  /** TPC-H Q6 shape — the canonical scan-filter-aggregate: at 100 TB this
+    * query IS the pushdown story (every predicate reaches the parquet
+    * reader, no shuffle at all until the final scalar), so it earns a
+    * PlanSpec gate on PushedFilters. */
+  private val q6Revenue = Q("q6_forecast_revenue",
+    (s, dir) => Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_items FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  /** VARIANT ops — Spark 4's semi-structured type: `parse_json` shreds
+    * `events.props` to a VARIANT once, `variant_get` extracts with a
+    * type; aggregation then runs on the extracted column (the modern
+    * alternative to per-access `get_json_object` string re-parsing — at
+    * 100 TB the parse happens once per row, not once per extraction). */
+  private val jsonVariant = Q("json_variant_ops",
+    (s, dir) => Tables.events(s, dir)
+      .select(parse_json(col("props")).as("v"))
+      .select(variant_get(col("v"), "$.k", "bigint").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod")),
+    Some("""SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+      FROM events GROUP BY 1 ORDER BY k_mod"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4226,7 +4260,8 @@ object Queries {
     x1KeepBest, x3QualityGate, x2IvfNprobe, x6Shard, x6Epoch, s2Generator,
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
-    x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon)
+    x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
+    q6Revenue, jsonVariant)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

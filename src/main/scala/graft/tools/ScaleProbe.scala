@@ -247,6 +247,53 @@ object ScaleProbe {
         (col("doc_id") % 999).cast("string"), lit(".ex.com/p/"),
         col("doc_id").cast("string"), lit("?utm_source=x&a=1"))).as("u"))
         .agg(count(lit(1)))))
+    // round-8 third batch. Expectations: paragraph dedup ~linear (three
+    // unit-keyed exchanges of fp-sized rows); BPE ~linear (one corpus
+    // word count; the replicated corpus repeats the same words, so the
+    // vocab iterations are constant by construction — as in production,
+    // where vocab grows ≪ corpus); drift ~linear (sources×vocab grid is
+    // corpus-independent); bloom cross-corpus ~linear (replicas make the
+    // ref contain every shard text — worst case: everything bloom-positive
+    // → the residual anti join sees the full shard); skew report ~linear
+    // (the same count shuffle a real query pays); frame fan-out and PCA
+    // apply ~linear (pure projections; the component is trained at 1×
+    // both times to isolate the apply step).
+    probe("paragraph dedup (8-token units)",
+      cnt(Dedup.paragraphDedup(docs1, "doc_id", "text")),
+      cnt(Dedup.paragraphDedup(docsN, "doc_id", "text")))
+    probe("bpe merges (3 iterations)",
+      cnt(TextOps.bpeMerges(docs1, "doc_id", "text", merges = 3)),
+      cnt(TextOps.bpeMerges(docsN, "doc_id", "text", merges = 3)))
+    probe("corpus drift (KL by source)",
+      cnt(TextOps.corpusDriftBySource(docs1, "doc_id", "text", "source")),
+      cnt(TextOps.corpusDriftBySource(docsN, "doc_id", "text", "source")))
+    probe("cross-corpus bloom dedup",
+      cnt(Dedup.dedupAgainstReferenceBloom(
+        docs1.where(pmod(col("doc_id"), lit(4)) === 0),
+        docs1.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text")),
+      cnt(Dedup.dedupAgainstReferenceBloom(
+        docsN.where(pmod(col("doc_id"), lit(4)) === 0),
+        docsN.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text")))
+    probe("key-skew report (3 keys)",
+      cnt(DataProfile.keySkewReport(li1, Seq("l_orderkey", "l_returnflag", "l_suppkey"))),
+      cnt(DataProfile.keySkewReport(liN, Seq("l_orderkey", "l_returnflag", "l_suppkey"))))
+    probe("frame sample + resize (k=4)", {
+      val e = Multimodal.enrich(docs1, "doc_id", "text")
+      cnt(Multimodal.frameSample(e, "doc_id", "media", 4))
+    }, {
+      val e = Multimodal.enrich(docsN, "doc_id", "text")
+      cnt(Multimodal.frameSample(e, "doc_id", "media", 4))
+    })
+    val pc1 = Similarity.pcaPowerIteration(emb1, "embedding", 64, iters = 2).cache()
+    pc1.count()
+    probe("pca project (trained component)",
+      cnt(Similarity.pcaProject(emb1, "vec_id", "embedding", pc1)),
+      cnt(Similarity.pcaProject(embN, "vec_id", "embedding", pc1)))
+    probe("semantic decontaminate (bench 1x)",
+      cnt(Similarity.semanticDecontaminate(emb1, "vec_id", "embedding",
+        emb1.where(pmod(col("vec_id"), lit(97)) === 5), "embedding")),
+      cnt(Similarity.semanticDecontaminate(embN, "vec_id", "embedding",
+        emb1.where(pmod(col("vec_id"), lit(97)) === 5), "embedding")))
     spark.stop()
   }
 }

@@ -198,6 +198,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the bench probe")
   }
 
+  test("Q6 scan-filter-agg: every predicate pushes to the parquet reader; no shuffle before the scalar") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), "scan must report pushed filters")
+    val pushed = p.substring(p.indexOf("PushedFilters: ["))
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"),
+      s"all three predicates must reach the reader")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a scalar aggregate needs no hash exchange, only the final single-partition gather")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),
