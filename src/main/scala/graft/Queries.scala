@@ -4139,6 +4139,38 @@ object Queries {
         CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
       FROM events GROUP BY 1 ORDER BY k_mod"""))
 
+  /** X1 — content-defined chunk dedup ([[graft.ops.Dedup.cdcChunkDedup]]):
+    * rolling-hash boundaries (w=8, p=31, m=64 → ~64-char chunks), then
+    * the same keep-first ledger as x1_paragraph_dedup. Exact BIGINT hash
+    * arithmetic means the oracle replays the cut set bit-identically. */
+  private val x1CdcChunks = Q("x1_cdc_chunk_dedup",
+    (s, dir) => Dedup.cdcChunkDedup(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+        WHERE strlen(text) > 0),
+      c AS (SELECT doc_id, text, n,
+          list_filter(range(8, n + 1), i ->
+            (list_sum(list_transform(range(0, 8), k -> ascii(text[i-k])
+              * ([1,31,961,29791,923521,28629151,887503681,27512614111])[k+1]))
+             % 64) = 0) AS cuts
+        FROM d),
+      b AS (SELECT doc_id, text, n,
+          CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+               ELSE list_append(cuts, n) END AS bs
+        FROM c),
+      ch AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS idx,
+          substring(text, CASE WHEN j = 1 THEN 1 ELSE bs[j-1] + 1 END,
+            bs[j] - CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) AS unit
+        FROM (SELECT *, unnest(range(1, len(bs) + 1)) AS j FROM b)),
+      mk AS (SELECT *, row_number() OVER (PARTITION BY
+          md5(regexp_replace(trim(lower(unit)), '\s+', ' ', 'g'))
+          ORDER BY doc_id, idx) AS rk FROM ch)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+        CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN rk = 1 THEN unit END, ' '
+          ORDER BY idx), '')) AS kept_fp
+      FROM mk GROUP BY doc_id ORDER BY doc_id"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4261,7 +4293,7 @@ object Queries {
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
-    q6Revenue, jsonVariant)
+    q6Revenue, jsonVariant, x1CdcChunks)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

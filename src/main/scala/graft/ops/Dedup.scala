@@ -190,9 +190,17 @@ object Dedup {
     * unit-sized rows, never an all-pairs comparison. Output mirrors
     * boilerplateStrip: (doc_id, n_units, n_kept, kept_fp). */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
-                     unitTokens: Int = 8): DataFrame = {
-    val units = Curation.chunkDocuments(docs, idCol, textCol, unitTokens, unitTokens)
-      .withColumn("fp", TextOps.fingerprint(col("chunk_text")))
+                     unitTokens: Int = 8): DataFrame =
+    keepFirstReassemble(
+      Curation.chunkDocuments(docs, idCol, textCol, unitTokens, unitTokens))
+
+  /** Keep-first unit dedup + host re-assembly over ANY unit decomposition
+    * — shared tail of [[paragraphDedup]] (fixed token windows) and
+    * [[cdcChunkDedup]] (content-defined boundaries). `units` must carry
+    * (doc_id, chunk_idx, chunk_text). Plan shape documented at the
+    * call sites. */
+  private[ops] def keepFirstReassemble(units0: DataFrame): DataFrame = {
+    val units = units0.withColumn("fp", TextOps.fingerprint(col("chunk_text")))
     // min over the (doc, idx) struct = lexicographic first occurrence
     val owners = units.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__own"))
@@ -210,6 +218,38 @@ object Dedup {
               col("__keep").as("keep"), col("chunk_text").as("u")))),
               s => s.getField("keep")),
             s => s.getField("u")), " ")).as("kept_fp"))
+  }
+
+  /** X1 — content-defined chunk dedup: the shift-robust form of
+    * [[paragraphDedup]]. Fixed token windows stop matching after a single
+    * leading insertion (every downstream window shifts); here chunk
+    * boundaries come from a ROLLING HASH of the text itself
+    * ([[TextOps.cdcCuts]], FastCDC-style), so an edit only perturbs the
+    * chunks it touches and every chunk after the next natural boundary
+    * re-aligns — duplicated tails of edited documents still dedup.
+    * Same ledger/reassembly tail and output shape as paragraphDedup;
+    * chunk extraction itself is a pure projection (explode of in-row
+    * boundary segments — no shuffle added). */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 8, p: Long = 31L, m: Long = 64L): DataFrame = {
+    val len = length(col(textCol))
+    val cuts = TextOps.cdcCuts(col(textCol), window, p, m)
+    val bounds = when(
+      coalesce(try_element_at(cuts, lit(-1)), lit(-1)) === len, cuts)
+      .otherwise(concat(cuts, array(len)))
+    val segs = transform(sequence(lit(1), size(col("__b"))), j => struct(
+      (j - 1).cast("long").as("chunk_idx"),
+      col("__t").substr(
+        when(j === 1, lit(1)).otherwise(element_at(col("__b"), j - 1) + 1),
+        element_at(col("__b"), j) -
+          when(j === 1, lit(0)).otherwise(element_at(col("__b"), j - 1)))
+        .as("chunk_text")))
+    val units = docs.where(len > 0)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"), bounds.as("__b"))
+      .select(col("doc_id"), explode(segs).as("__s"))
+      .select(col("doc_id"), col("__s.chunk_idx").as("chunk_idx"),
+        col("__s.chunk_text").as("chunk_text"))
+    keepFirstReassemble(units)
   }
 
   /** Per-document distinct token sets, with set size. */

@@ -261,6 +261,28 @@ object TextOps {
     steps.reduce(_.unionByName(_))
   }
 
+  /** Content-defined chunk boundaries via a Rabin-Karp rolling hash
+    * (FastCDC-style): position i (1-based, i ≥ w) is a cut when the hash
+    * of the trailing w-char window divides m; expected chunk length ≈ m.
+    * All arithmetic is exact BIGINT (powers of p precomputed as integer
+    * literals; max term 127·31⁷ ≈ 3.5e12 ≪ 2⁶³), so any engine replays
+    * the cut set bit-identically. Declarative HOF form — O(len·w) per
+    * row, a pure projection that pipelines into the scan; a codegen
+    * kernel (one linear pass with the rolling update) is the drop-in
+    * upgrade if profiles demand. Empty when the text is shorter than w. */
+  def cdcCuts(text: Column, w: Int = 8, p: Long = 31L, m: Long = 64L): Column = {
+    require(w >= 2 && p > 1 && m > 1, "degenerate rolling-hash parameters")
+    val pows = array((0 until w).map(k => lit(BigInt(p).pow(k).toLong)): _*)
+    val len = length(text)
+    def hashAt(i: Column): Column =
+      aggregate(sequence(lit(0), lit(w - 1)), lit(0L),
+        (acc, k) => acc +
+          ascii(text.substr(i - k, lit(1))).cast("long") * element_at(pows, k + lit(1)))
+    when(len >= lit(w),
+      filter(sequence(lit(w), len), i => pmod(hashAt(i), lit(m)) === lit(0L)))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** X3 — corpus drift report: add-α-smoothed KL divergence of each
     * source's token distribution against the whole corpus — the
     * distribution-shift monitor a mixture pipeline watches (a crawl snap

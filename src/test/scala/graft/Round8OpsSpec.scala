@@ -342,6 +342,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == Seq((1L, true), (2L, false), (3L, false)))
   }
 
+  test("CDC chunking is shift-robust: a leading insertion still dedups the shared tail; fixed windows do not") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the hills tonight"
+    val shifted = "PREFIX! " + base
+    val d = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    // m=8 → ~8-char expected chunks: plenty of natural boundaries in an
+    // 85-char string for the post-insertion re-alignment to happen
+    val cdc = ops.Dedup.cdcChunkDedup(d, "doc_id", "text", window = 4, m = 8L)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_units"), col("n_kept"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 2 must LOSE at least one chunk: after the first natural boundary
+    // past the insertion, its chunks re-align with doc 1's and dedup
+    val doc2 = cdc.find(_._1 == 2L).get
+    assert(doc2._3 < doc2._2,
+      s"shifted doc kept all ${doc2._2} chunks — boundaries failed to re-align")
+    // the fixed-window decomposition sees zero cross-doc duplicates here:
+    // one inserted token shifts every downstream 3-token window
+    val fixed = ops.Dedup.paragraphDedup(d, "doc_id", "text", unitTokens = 3)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_units"), col("n_kept"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fixed.forall(r => r._3 == r._2),
+      "fixed windows should not dedup across the shift (the weakness CDC chunking fixes)")
+  }
+
+  test("CDC cuts: exact rolling-hash positions, empty under window, boundaries terminate at len") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val cuts = d.select(col("doc_id"),
+        ops.TextOps.cdcCuts(col("text"), w = 3, p = 31L, m = 7L).as("c"))
+      .orderBy(col("doc_id")).collect()
+    // hand-check doc 1: hash(i) = ascii(t[i]) + 31*ascii(t[i-1]) + 961*ascii(t[i-2])
+    val t = "abcdefghij"
+    val expect = (3 to 10).filter { i =>
+      (t(i - 1).toLong + 31L * t(i - 2).toLong + 961L * t(i - 3).toLong) % 7L == 0L
+    }
+    assert(cuts(0).getSeq[Int](1) == expect, s"expected cuts $expect")
+    assert(cuts(1).getSeq[Int](1) == Seq(3).filter { i =>
+      ("abc"(2).toLong + 31L * "abc"(1).toLong + 961L * "abc"(0).toLong) % 7L == 0L
+    })
+    assert(cuts(2).getSeq[Int](1).isEmpty)
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
