@@ -3982,11 +3982,14 @@ object Queries {
     (s, dir) => {
       val enriched = Multimodal.enrich(Tables.documents(s, dir), "doc_id", "text")
       val frames = Multimodal.frameSample(enriched, "doc_id", "media", k = 4)
-      val dims = enriched.select(col("doc_id"),
-        (lit(1L) + element_at(Multimodal.fakeDecodeFeatures(col("media")), 2)
-          .cast("long") % lit(64L)).as("w"),
-        (lit(1L) + element_at(Multimodal.fakeDecodeFeatures(col("media")), 3)
-          .cast("long") % lit(64L)).as("h"))
+      // features projected ONCE: duplicating the coalesce(conv(hex))
+      // feature tree per dimension trips a Janino codegen bug (isNull
+      // slot referenced across split functions → whole-stage fallback)
+      val dims = enriched
+        .select(col("doc_id"), Multimodal.fakeDecodeFeatures(col("media")).as("__f"))
+        .select(col("doc_id"),
+          (lit(1L) + element_at(col("__f"), 2).cast("long") % lit(64L)).as("w"),
+          (lit(1L) + element_at(col("__f"), 3).cast("long") % lit(64L)).as("h"))
       val (outW, outH) = Multimodal.resizeFit(col("w"), col("h"), 32, 32)
       frames.join(dims, Seq("doc_id"))
         .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
@@ -4171,6 +4174,31 @@ object Queries {
           ORDER BY idx), '')) AS kept_fp
       FROM mk GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** X3 — PMI collocation mining ([[graft.ops.TextOps.collocations]]):
+    * top-20 adjacent pairs by pointwise mutual information with a min
+    * pair count of 5. Integer count ratios inside one `ln`, rounded —
+    * and a text tie-break so the top-k cut is deterministic. */
+  private val x3Colloc = Q("x3_collocations",
+    (s, dir) => TextOps.collocations(Tables.documents(s, dir), "doc_id", "text",
+      minCount = 5, topK = 20),
+    Some("""WITH toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      nt AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+      bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM
+          (SELECT array_to_string(t[i+1:i+2], ' ') AS bg
+           FROM (SELECT t, unnest(range(greatest(len(t) - 1, 0))) AS i FROM toks))
+        GROUP BY bg HAVING count(*) >= 5)
+      SELECT bg, c2 AS pair_count,
+        floor(ln(nt.n * c2 / (ua.c1 * ub.c1)) * 10000.0 + 0.5) / 10000.0 AS pmi
+      FROM bi
+      JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+      JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+      CROSS JOIN nt
+      ORDER BY pmi DESC, bg LIMIT 20"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4293,7 +4321,7 @@ object Queries {
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
-    q6Revenue, jsonVariant, x1CdcChunks)
+    q6Revenue, jsonVariant, x1CdcChunks, x3Colloc)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -334,6 +334,43 @@ object TextOps {
         (floor(sum(p * log(p / q)) * lit(s) + lit(0.5)) / lit(s)).as("kl_vs_corpus"))
   }
 
+  /** X3 — collocation mining: top-k adjacent token pairs by pointwise
+    * mutual information, `PMI(a,b) = ln(N·c(a,b) / (c(a)·c(b)))` with a
+    * minimum pair count (rare pairs have unreliable PMI — the standard
+    * guard). The corpus-statistics sibling of [[lmPerplexityScore]]
+    * (which consumes the same counts as a model): multi-word-expression
+    * discovery, tokenizer-merge validation, template detection.
+    *
+    * Scale shape: one corpus explode into bigram occurrences; unigram and
+    * bigram count tables are vocabulary-bounded; the count filter prunes
+    * the pair table BEFORE the joins; the final top-k is an ordered
+    * `limit` (TakeOrderedAndProject). One `ln` per surviving pair,
+    * portable-rounded — integer ratios inside, so parity holds to the
+    * rounding lattice. Ties break on the pair text for determinism. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Int = 5, topK: Int = 20,
+                   roundDigits: Int = 4): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTok = uni.agg(sum(col("c1")).cast("double").as("n"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(explode(wordNgrams(col("toks"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "ca")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cb")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("bg"), col("c2").as("pair_count"),
+        (floor(log(col("n") * col("c2") / (col("ca") * col("cb"))) * lit(s)
+          + lit(0.5)) / lit(s)).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(topK)
+  }
+
   /** X3 — benchmark decontamination report (the standard training-data
     * hygiene pass: a training document that shares any word n-gram with an
     * evaluation/benchmark document leaks eval answers into training and

@@ -384,6 +384,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(cuts(2).getSeq[Int](1).isEmpty)
   }
 
+  test("collocations: the exclusive pair out-scores frequent-but-independent pairs; output sorted by PMI") {
+    val d = Seq(
+      (1L, Seq.fill(6)("zig zag").mkString(" ")),   // zig ALWAYS precedes zag
+      (2L, Seq.fill(10)("the a").mkString(" "))     // frequent but high-count words
+    ).toDF("doc_id", "text")
+    val out = ops.TextOps.collocations(d, "doc_id", "text", minCount = 5, topK = 10)
+      .select(col("bg"), col("pair_count"), col("pmi"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out.head._1 == "zig zag",
+      s"the exclusive collocation must rank first, got ${out.head}")
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, "descending PMI order")
+    assert(out.forall(_._2 >= 5L), "min-count guard")
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
