@@ -3916,37 +3916,78 @@ object Queries {
     * LIMIT 1 argmax → `replace` fuse); weights are integer sums, so the
     * hash-match proves the whole unrolled training loop agrees with no
     * float tolerance at all. */
+  /** Shared oracle CTE chain for the 3-iteration BPE training loop
+    * (consumed by `x3_bpe_merges` and replayed verbatim by
+    * `x3_bpe_apply` so the apply oracle trains the identical table). */
+  private val bpeTrainCtes: String = {
+    // per-iteration CTE triplet over the previous vocab encoding v{i-1}
+    def iterCte(i: Int): String = {
+      val (p, t, vPrev, v) = (s"p$i", s"t$i", s"v${i - 1}", s"v$i")
+      s"""$p AS (SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_weight
+          FROM (SELECT syms[i] AS left_sym, syms[i+1] AS right_sym, freq
+            FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+              FROM (SELECT freq, list_filter(string_split(enc, '_'),
+                  s -> s <> '') AS syms FROM $vPrev)))
+          GROUP BY 1, 2),
+        $t AS (SELECT * FROM $p
+          ORDER BY pair_weight DESC, left_sym, right_sym LIMIT 1),
+        $v AS (SELECT w, freq, replace(enc,
+            '_' || (SELECT left_sym FROM $t) || '__' || (SELECT right_sym FROM $t) || '_',
+            '_' || (SELECT left_sym FROM $t) || (SELECT right_sym FROM $t) || '_') AS enc
+          FROM $vPrev)"""
+    }
+    s"""w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
+      v0 AS (SELECT w, freq, regexp_replace(w, '(.)', '_\\1_', 'g') AS enc FROM w),
+      ${iterCte(1)}, ${iterCte(2)}, ${iterCte(3)}"""
+  }
+
   private val x3Bpe = Q("x3_bpe_merges",
     (s, dir) => TextOps.bpeMerges(Tables.documents(s, dir), "doc_id", "text",
         merges = 3)
       .orderBy(col("iter")),
     Some {
-      // per-iteration CTE triplet over the previous vocab encoding v{i-1}
-      def iterCte(i: Int): String = {
-        val (p, t, vPrev, v) = (s"p$i", s"t$i", s"v${i - 1}", s"v$i")
-        s"""$p AS (SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_weight
-            FROM (SELECT syms[i] AS left_sym, syms[i+1] AS right_sym, freq
-              FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-                FROM (SELECT freq, list_filter(string_split(enc, '_'),
-                    s -> s <> '') AS syms FROM $vPrev)))
-            GROUP BY 1, 2),
-          $t AS (SELECT * FROM $p
-            ORDER BY pair_weight DESC, left_sym, right_sym LIMIT 1),
-          $v AS (SELECT w, freq, replace(enc,
-              '_' || (SELECT left_sym FROM $t) || '__' || (SELECT right_sym FROM $t) || '_',
-              '_' || (SELECT left_sym FROM $t) || (SELECT right_sym FROM $t) || '_') AS enc
-            FROM $vPrev)"""
-      }
       def outRow(i: Int): String =
         s"""SELECT CAST($i AS BIGINT) AS iter, left_sym, right_sym,
           left_sym || right_sym AS merged, pair_weight FROM t$i"""
       s"""WITH base AS ($docsTokSql),
-        w AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t),
-        v0 AS (SELECT w, freq, regexp_replace(w, '(.)', '_\\1_', 'g') AS enc FROM w),
-        ${iterCte(1)}, ${iterCte(2)}, ${iterCte(3)}
+        $bpeTrainCtes
         ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
         ORDER BY iter"""
+    })
+
+  /** X3 — tokenizer APPLY + compression measurement
+    * ([[graft.ops.TextOps.bpeApply]] ∘ bpeMerges): every document
+    * re-encoded under the trained merges; symbols-before/after and the
+    * per-doc compression ratio. The oracle re-trains the identical merge
+    * table (shared CTEs) and replays the ordered fuses per document. */
+  private val x3BpeApply = Q("x3_bpe_apply",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeMerges(docs, "doc_id", "text", merges = 3)
+      TextOps.bpeApply(docs, "doc_id", "text", merges, k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def fuse(inner: String, t: String): String =
+        s"""replace($inner,
+          '_' || (SELECT left_sym FROM $t) || '__' || (SELECT right_sym FROM $t) || '_',
+          '_' || (SELECT left_sym FROM $t) || (SELECT right_sym FROM $t) || '_')"""
+      val enc3 = fuse(fuse(fuse("enc", "t1"), "t2"), "t3")
+      s"""WITH base AS ($docsTokSql),
+        $bpeTrainCtes,
+        d AS (SELECT doc_id, array_to_string(list_transform(toks,
+            t -> regexp_replace(t, '(.)', '_\\1_', 'g')), ' ') AS enc FROM base),
+        ap AS (SELECT doc_id,
+            CAST((strlen(enc) - strlen(replace(enc, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_before,
+            CAST((strlen($enc3) - strlen(replace($enc3, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_after
+          FROM d)
+        SELECT doc_id, n_syms_before, n_syms_after,
+          floor(n_syms_before / n_syms_after * 10000.0 + 0.5) / 10000.0
+            AS compression
+        FROM ap WHERE n_syms_before > 0 ORDER BY doc_id"""
     })
 
   /** Profiling — key-skew report ([[graft.ops.DataProfile.keySkewReport]]):
@@ -4199,6 +4240,34 @@ object Queries {
       CROSS JOIN nt
       ORDER BY pmi DESC, bg LIMIT 20"""))
 
+  /** Cohort retention — the classic event-analytics matrix: users
+    * bucketed by first-seen week, activity counted per (cohort, week
+    * offset) as distinct users. Two aggregations over the events table
+    * (first-seen, then distinct activity) joined on user — both shuffles
+    * keyed on user_id/cohort, no window at all. Week arithmetic is exact
+    * integer division on epoch-nanos. */
+  private val cohortRet = Q("cohort_retention",
+    (s, dir) => {
+      val wk = expr("ts div 604800000000000").as("week")
+      val ev = Tables.events(s, dir).select(col("user_id"), wk)
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val activity = ev.distinct()
+      activity.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+        FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, week FROM e)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4321,7 +4390,7 @@ object Queries {
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
-    q6Revenue, jsonVariant, x1CdcChunks, x3Colloc)
+    q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -371,6 +371,48 @@ object TextOps {
       .limit(topK)
   }
 
+  /** X3 — apply a trained BPE merge table to the corpus (the tokenizer
+    * APPLY step after [[bpeMerges]], and the measurement that validates
+    * the training: symbols-per-document before vs after the merges =
+    * the compression the vocabulary actually buys on this corpus).
+    *
+    * The k-row merge table collapses to ONE broadcast array row (sorted
+    * by iteration — merge ORDER is part of BPE's definition) and each
+    * document replays the same boundary-safe `_l__r_` → `_lr_` fuses on
+    * its bracket-encoded text; tokens are joined with a space, which can
+    * never match inside a fuse pattern, so one string per document
+    * suffices. Symbol counts fall out of the encoding invariant — every
+    * symbol carries exactly two `_` brackets — as (underscores / 2), no
+    * re-split needed. Pure projection after the broadcast: the corpus
+    * never shuffles. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame, k: Int, roundDigits: Int = 4): DataFrame = {
+    require(k >= 1, "need at least one merge to apply")
+    val s = math.pow(10.0, roundDigits)
+    val mRow = merges.agg(array_sort(collect_list(struct(col("iter"),
+      col("left_sym"), col("right_sym")))).as("ms"))
+    val enc0 = array_join(
+      transform(tokens(col(textCol)), t => regexp_replace(t, "(.)", "_$1_")), " ")
+    val stamped = docs.select(col(idCol), enc0.as("enc"))
+      .crossJoin(broadcast(mRow))
+    val encK = (1 to k).foldLeft(col("enc")) { (e, i) =>
+      val m = element_at(col("ms"), i)
+      call_function("replace", e,
+        concat(lit("_"), m.getField("left_sym"), lit("__"),
+          m.getField("right_sym"), lit("_")),
+        concat(lit("_"), m.getField("left_sym"), m.getField("right_sym"), lit("_")))
+    }
+    def syms(e: Column): Column =
+      ((length(e) - length(call_function("replace", e, lit("_"), lit("")))) / lit(2))
+        .cast("long")
+    stamped
+      .select(col(idCol), syms(col("enc")).as("n_syms_before"),
+        syms(encK).as("n_syms_after"))
+      .where(col("n_syms_before") > 0)
+      .withColumn("compression",
+        floor(col("n_syms_before") / col("n_syms_after") * lit(s) + lit(0.5)) / lit(s))
+  }
+
   /** X3 — benchmark decontamination report (the standard training-data
     * hygiene pass: a training document that shares any word n-gram with an
     * evaluation/benchmark document leaks eval answers into training and

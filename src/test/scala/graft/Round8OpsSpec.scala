@@ -398,6 +398,20 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.forall(_._2 >= 5L), "min-count guard")
   }
 
+  test("BPE apply: trained merges compress the training corpus by the hand-computed ratios") {
+    val d = Seq((1L, "banana banana"), (2L, "bandana")).toDF("doc_id", "text")
+    val merges = ops.TextOps.bpeMerges(d, "doc_id", "text", merges = 3)
+    val out = ops.TextOps.bpeApply(d, "doc_id", "text", merges, k = 3)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_syms_before"), col("n_syms_after"),
+        col("compression"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // merges learned: an, ana, ban (see the training test). doc 1
+    // "banana banana": 12 chars -> 2x[ban, ana] = 4 symbols; doc 2
+    // "bandana": 7 chars -> [ban, d, ana] = 3 symbols
+    assert(out == Seq((1L, 12L, 4L, 3.0), (2L, 7L, 3L, 2.3333)))
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
