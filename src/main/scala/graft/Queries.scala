@@ -2492,6 +2492,82 @@ object Queries {
         """ + proundSql(d(1.0 - Tau) + "*0.2 + " + d(Tau) + "*(sum(q_tgt * s) / sum(s * s))", 6) + """ AS q_coef_soft_updated
       FROM i"""))
 
+  /** TWO unrolled `train_one_step` iterations in ONE declarative DAG —
+    * the training LOOP property the single-step queries can't show: the
+    * soft-updated target-net parameter from step 1 (a scalar aggregate)
+    * broadcasts back over the batch and changes step 2's advantage,
+    * expectile loss, and next soft update, exactly the
+    * `_update_q → soft_update → next iteration` recurrence
+    * (reference fawac.py:357-373 + train loop train_fawac_iql.py:136-140).
+    * Plan: the TD-target window computes ONCE (both steps read the same
+    * episode-keyed frame), then two tree aggregates chained by a one-row
+    * broadcast — the loop costs one extra reduction per step, never a
+    * second corpus shuffle. The step-1 coefficient is portable-rounded
+    * BEFORE step 2 consumes it, so cross-engine drift cannot compound
+    * through the recurrence (the kmeansFit/doremi chaining rule). */
+  private val e2eTrain2 = Q("e2e_train_2step",
+    (s, dir) => {
+      val tr = Tables.transitions(s, dir)
+      val ord = Seq(col("t"), col("state0"), col("reward"), col("cost"), col("done"))
+      val sC = col("state0"); val aC = col("cost")
+      val rC = col("reward") * lit(RewScale)
+      val vNet = element_at(ModelOps.mlp(array(sC), Seq(
+        (Seq(Seq(0.3), Seq(-0.15)), Seq(-2.0, 4.0), ModelOps.relu),
+        (Seq(Seq(0.5, -0.4)), Seq(0.05), ModelOps.identityAct))), 1)
+      val base = JoinOps.tdTarget(tr.withColumn("v", vNet), "episode_id", ord,
+        rC, col("done"), col("v"), Gamma, "q_tgt")
+      def expectile(u: Column): Column =
+        abs(lit(IqlTau) - CoreOps.indicator(u < lit(0.0))) * u * u
+      def advWith(c: Column): Column = (sC * c + aC * lit(0.3) - lit(0.1)) - col("v")
+      val s1 = base.agg(
+        round(sum(expectile(advWith(lit(0.2)))), 4).as("value_loss_sum"),
+        sum(col("q_tgt") * sC).as("__ts"), sum(sC * sC).as("__ss"))
+        .select(col("value_loss_sum"),
+          pround(lit(1.0 - Tau) * lit(0.2)
+            + lit(Tau) * (col("__ts") / col("__ss")), 6).as("q_coef_after"))
+      val s2 = base.crossJoin(broadcast(s1.select(col("q_coef_after").as("__c"))))
+        .agg(round(sum(expectile(advWith(col("__c")))), 4).as("value_loss_sum"),
+          first(col("__c")).as("__c2"),
+          sum(col("q_tgt") * sC).as("__ts"), sum(sC * sC).as("__ss"))
+        .select(lit(2L).as("step"), col("value_loss_sum"),
+          pround(lit(1.0 - Tau) * col("__c2")
+            + lit(Tau) * (col("__ts") / col("__ss")), 6).as("q_coef_after"))
+      s1.select(lit(1L).as("step"), col("value_loss_sum"), col("q_coef_after"))
+        .unionByName(s2).orderBy(col("step"))
+    },
+    Some {
+      def advSql(c: String) = s"((s*$c + a*0.3 - 0.1) - v)"
+      def lossSql(c: String) =
+        s"""round(sum(abs(${d(IqlTau)} - (CASE WHEN ${advSql(c)} < 0.0
+          THEN 1.0 ELSE 0.0 END)) * ${advSql(c)} * ${advSql(c)}), 4)"""
+      s"""WITH tr AS (SELECT l_orderkey AS episode_id,
+          CAST(l_linenumber AS BIGINT) AS t, l_quantity AS s,
+          l_extendedprice*0.1 AS reward, l_discount*10.0 AS a,
+          CASE WHEN l_returnflag='R' OR l_linestatus='F' THEN 1.0 ELSE 0.0 END AS d
+        FROM lineitem),
+        f AS (SELECT *, reward*0.001 AS r,
+          0.05 + greatest(-2.0 + s*0.3, 0.0)*0.5
+            + greatest(4.0 + s*(-0.15), 0.0)*(-0.4) AS v
+        FROM tr),
+        g AS (SELECT *,
+          r + (1.0 - d) * ${d(Gamma)} * coalesce(lead(v) OVER w, 0.0) AS q_tgt
+        FROM f WINDOW w AS (PARTITION BY episode_id ORDER BY t, s, reward, a, d)),
+        s1 AS (SELECT ${lossSql("0.2")} AS loss,
+          sum(q_tgt * s) AS ts, sum(s * s) AS ss FROM g),
+        c2 AS (SELECT ${proundSql(d(1.0 - Tau) + "*0.2 + " + d(Tau) + "*(ts/ss)", 6)} AS c,
+          ts, ss FROM s1),
+        s2 AS (SELECT ${lossSql("(SELECT c FROM c2)")} AS loss FROM g)
+        SELECT CAST(1 AS BIGINT) AS step, (SELECT loss FROM s1) AS value_loss_sum,
+          (SELECT c FROM c2) AS q_coef_after
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+          (SELECT loss FROM s2),
+          ${proundSql(
+            d(1.0 - Tau) + "*(SELECT c FROM c2) + " + d(Tau)
+              + "*((SELECT ts FROM c2)/(SELECT ss FROM c2))", 6)}
+        ORDER BY step"""
+    })
+
   /** The `obj_method="statewise_lagrangian"` training branch composed
     * end-to-end (fawac_configs.py:50 selects it; the paper's FAWAC-M
     * headline variant) — sibling of [[e2eTrain]], which composes the
@@ -4390,7 +4466,8 @@ object Queries {
     s2PushCount, x1DupSpans, x2PqTrain, x2PqSearch, x2PqRecall, x5CountMin,
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
-    q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply)
+    q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
+    e2eTrain2)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -294,6 +294,39 @@ object ScaleProbe {
         emb1.where(pmod(col("vec_id"), lit(97)) === 5), "embedding")),
       cnt(Similarity.semanticDecontaminate(embN, "vec_id", "embedding",
         emb1.where(pmod(col("vec_id"), lit(97)) === 5), "embedding")))
+    // round-8 fourth batch: content-defined chunking (O(len·w) HOF hash →
+    // fp-keyed ledger — expect ~linear), PMI collocations (vocab-bounded
+    // counts + TakeOrdered — ~linear), BPE apply (broadcast fuse
+    // projection — ~linear; merge table trained at 1× both times to
+    // isolate the apply), cohort retention (two user-keyed aggregates).
+    probe("cdc chunk dedup (rolling hash)",
+      cnt(Dedup.cdcChunkDedup(docs1, "doc_id", "text")),
+      cnt(Dedup.cdcChunkDedup(docsN, "doc_id", "text")))
+    probe("pmi collocations (top 20)",
+      cnt(TextOps.collocations(docs1, "doc_id", "text")),
+      cnt(TextOps.collocations(docsN, "doc_id", "text")))
+    val merges1 = TextOps.bpeMerges(docs1, "doc_id", "text", merges = 3).cache()
+    merges1.count()
+    probe("bpe apply (trained at 1x)",
+      cnt(TextOps.bpeApply(docs1, "doc_id", "text", merges1, k = 3)),
+      cnt(TextOps.bpeApply(docsN, "doc_id", "text", merges1, k = 3)))
+    probe("cohort retention",
+      cnt({
+        val wk = expr("ts div 604800000000000").as("week")
+        val e = ev1.select(col("user_id"), wk)
+        val c = e.groupBy(col("user_id")).agg(min(col("week")).as("cw"))
+        e.distinct().join(c, Seq("user_id"))
+          .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+          .agg(count_distinct(col("user_id")).as("n"))
+      }),
+      cnt({
+        val wk = expr("ts div 604800000000000").as("week")
+        val e = evN.select(col("user_id"), wk)
+        val c = e.groupBy(col("user_id")).agg(min(col("week")).as("cw"))
+        e.distinct().join(c, Seq("user_id"))
+          .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
+          .agg(count_distinct(col("user_id")).as("n"))
+      }))
     spark.stop()
   }
 }
