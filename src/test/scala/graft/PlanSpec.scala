@@ -170,6 +170,12 @@ class PlanSpec extends SparkSpec {
       "owner aggregate must split partial/final")
   }
 
+  test("CDC chunk dedup inherits the same ledger shape: no window, no all-pairs") {
+    val p = plan("x1_cdc_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), "no all-pairs comparison")
+    assert(!p.contains("Window"), "keep-first ownership is a struct-min aggregate")
+  }
+
   test("BPE training: ordered-limit argmax, broadcast fuse, no window anywhere") {
     val p = plan("x3_bpe_merges")
     assert(p.contains("TakeOrderedAndProject"),

@@ -412,6 +412,41 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 12L, 4L, 3.0), (2L, 7L, 3L, 2.3333)))
   }
 
+  test("CDC cut invariant: every cut of s survives (shifted) in q+s for random prefixes") {
+    // the window at a cut of s lies fully inside s, so prefixing cannot
+    // disturb it — the formal statement of shift-robustness
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val rows = (1 to 20).map { i =>
+      val s = randStr(30 + rnd.nextInt(60)); val q = randStr(1 + rnd.nextInt(12))
+      (i.toLong, s, q + s, q.length)
+    }
+    val df = rows.toDF("id", "s", "qs", "qlen")
+    val got = df.select(col("id"), col("qlen"),
+        ops.TextOps.cdcCuts(col("s"), w = 4, m = 8L).as("cs"),
+        ops.TextOps.cdcCuts(col("qs"), w = 4, m = 8L).as("cqs"))
+      .collect()
+    got.foreach { r =>
+      val (qlen, cs, cqs) = (r.getInt(1), r.getSeq[Int](2), r.getSeq[Int](3).toSet)
+      cs.foreach(c => assert(cqs.contains(c + qlen),
+        s"id ${r.getLong(0)}: cut $c of s lost after prefixing"))
+    }
+  }
+
+  test("BPE training is invariant to uniform corpus replication") {
+    val once = Seq((1L, "banana banana bandana")).toDF("doc_id", "text")
+    val thrice = (1L to 3L).map(i => (i, "banana banana bandana")).toDF("doc_id", "text")
+    val m1 = ops.TextOps.bpeMerges(once, "doc_id", "text", merges = 3)
+      .select(col("iter"), col("merged"), col("pair_weight"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    val m3 = ops.TextOps.bpeMerges(thrice, "doc_id", "text", merges = 3)
+      .select(col("iter"), col("merged"), col("pair_weight"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m1.map(x => (x._1, x._2)) == m3.map(x => (x._1, x._2)),
+      "replication must not change the learned merges")
+    assert(m3.map(_._3) == m1.map(_._3).map(_ * 3), "weights scale with the corpus")
+  }
+
   test("snapshot diff: emits I/U/D only, suppresses unchanged keys, compares null state null-safely") {
     val oldSnap = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (5L, None: Option[String]))
       .toDF("k", "v")
