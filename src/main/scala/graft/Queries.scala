@@ -4344,6 +4344,28 @@ object Queries {
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 
+  /** X3 — Unicode canonicalization ([[graft.functions.NfcNormalize]] /
+    * [[graft.functions.StripAccents]] codegen kernels): NFC before
+    * fingerprinting (composed vs decomposed encodings of the same text
+    * are different bytes until normalized — a real dedup-miss class) and
+    * accent-stripped fingerprints for fold-insensitive matching. The
+    * driver corpus is ASCII, where both kernels short-circuit to the
+    * input buffer — the oracle still pins the full (flag, fp, fp) row
+    * shape; the non-ASCII semantics are kernel-unit-tested against
+    * java.text.Normalizer (TextKernelSpec). */
+  private val x3Nfc = Q("x3_unicode_normalize",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir).select(col("doc_id"),
+        (expr("graft_nfc(text)") =!= col("text")).as("nfc_changed"),
+        md5(expr("graft_nfc(text)")).as("nfc_fp"),
+        md5(expr("graft_strip_accents(text)")).as("ascii_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, nfc_normalize(text) <> text AS nfc_changed,
+      md5(nfc_normalize(text)) AS nfc_fp, md5(strip_accents(text)) AS ascii_fp
+      FROM documents ORDER BY doc_id"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4467,7 +4489,7 @@ object Queries {
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
-    e2eTrain2)
+    e2eTrain2, x3Nfc)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

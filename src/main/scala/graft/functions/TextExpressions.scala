@@ -203,6 +203,63 @@ case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** `graft_tokens(text)` — codegen tokenizer (see [[TextKernels]]). */
+/** Unicode normalization kernels — the canonicalization every multilingual
+  * pipeline runs BEFORE fingerprinting/dedup: the composed ("é") and
+  * decomposed ("e"+U+0301) encodings of the same text are different byte
+  * strings (different md5, different exact-dedup keys) until normalized.
+  * ASCII input short-circuits without allocating: at 100 TB the common
+  * case is a pure byte scan. */
+object UnicodeKernels {
+  def nfc(text: UTF8String): UTF8String = {
+    // ASCII fast path: NFC is identity on ASCII; numBytes == numChars
+    // iff every byte is single-byte (ASCII)
+    if (text.numBytes == text.numChars) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  /** NFD + strip combining marks — DuckDB's `strip_accents` semantics. */
+  def stripAccents(text: UTF8String): UTF8String = {
+    if (text.numBytes == text.numChars) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", ""))
+  }
+}
+
+/** `graft_nfc(text)` — Unicode NFC canonicalization (codegen; ASCII
+  * short-circuits to the input buffer). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override def nullSafeEval(t: Any): Any =
+    UnicodeKernels.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.UnicodeKernels.nfc($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_strip_accents(text)` — NFD + combining-mark removal. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_accents expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+  override def nullSafeEval(t: Any): Any =
+    UnicodeKernels.stripAccents(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.UnicodeKernels.stripAccents($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TokenizeWords(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

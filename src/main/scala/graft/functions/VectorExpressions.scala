@@ -225,6 +225,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_lsh", exprs => SignLshBucket(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_strip_accents", exprs => StripAccents(exprs(0)), "scala_udf")
   }
 }
 
@@ -266,6 +270,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SignLshBucket].getName, "graft_sign_lsh"),
       (exprs: Seq[Expression]) => SignLshBucket(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (exprs: Seq[Expression]) => StripAccents(exprs(0))))
     ext.injectOptimizerRule(_ => NormRewrite)
   }
 }

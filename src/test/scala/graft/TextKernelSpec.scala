@@ -140,4 +140,27 @@ class TextKernelSpec extends SparkSpec {
     // single-pass) but must NOT contain the interpreted split/transform chain
     assert(!plan.contains("split("), plan.take(500))
   }
+
+  test("unicode kernels: NFC unifies composed/decomposed, accents strip, ASCII short-circuits") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.UnicodeKernels
+    val composed = "caf\u00e9"       // e-acute as one codepoint
+    val decomposed = "cafe\u0301"    // e + combining acute
+    assert(composed != decomposed, "the two encodings differ as strings")
+    assert(UnicodeKernels.nfc(UTF8String.fromString(decomposed)).toString == composed,
+      "NFC must compose")
+    assert(UnicodeKernels.nfc(UTF8String.fromString(composed)).toString == composed)
+    assert(UnicodeKernels.stripAccents(UTF8String.fromString(composed)).toString == "cafe")
+    assert(UnicodeKernels.stripAccents(UTF8String.fromString(decomposed)).toString == "cafe")
+    // ASCII fast path returns the input buffer itself — no allocation
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(UnicodeKernels.nfc(ascii) eq ascii)
+    assert(UnicodeKernels.stripAccents(ascii) eq ascii)
+    // and through SQL: the two encodings fingerprint identically post-NFC
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val fps = Seq((1L, composed), (2L, decomposed)).toDF("id", "t")
+      .selectExpr("md5(graft_nfc(t)) AS fp").distinct().count()
+    assert(fps == 1L, "NFC must unify the dedup fingerprints")
+  }
 }
