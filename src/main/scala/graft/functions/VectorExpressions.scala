@@ -197,12 +197,15 @@ object NormRewrite extends org.apache.spark.sql.catalyst.rules.Rule[
   * `expr(...)` once registered; idempotent per session. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    // All six functions register together, so one existence probe suffices.
+    // All functions register together, so one existence probe suffices.
     // Skipping the re-register keeps repeated calls (one per operator
     // invocation) from spamming "replaced a previously registered function"
-    // warnings on every query.
+    // warnings on every query. The probe MUST target the NEWEST function:
+    // probing an older one would skip registration for a session that
+    // registered an earlier surface and leave the new functions
+    // unresolved (exactly the graft_nfc regression this line fixed).
     val already = spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sign_lsh"))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_strip_accents"))
     if (!already) registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
