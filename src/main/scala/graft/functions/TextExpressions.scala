@@ -52,6 +52,35 @@ object TextKernels {
     out.toArray
   }
 
+  /** One-pass rolling-hash cut positions (see [[graft.functions.CdcCuts]]).
+    * Iterates CODE POINTS so positions match Spark's character-indexed
+    * `length`/`substr` on any input; exact long arithmetic throughout. */
+  def cdcCutsArray(text: UTF8String, w: Int, p: Long, m: Long): ArrayData = {
+    val s = text.toString
+    val nChars = s.codePointCount(0, s.length)
+    if (nChars < w) return new GenericArrayData(Array.empty[Any])
+    var pw1 = 1L // p^(w-1)
+    var k = 1
+    while (k < w) { pw1 *= p; k += 1 }
+    val win = new Array[Long](w) // circular buffer of code points
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var h = 0L // hash of the last ≤w chars, newest at p^0
+    var ci = 0 // 0-based count of processed characters
+    var si = 0 // string (UTF-16) offset
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      // drop the outgoing char c[ci-w] (still stored at ci % w), then
+      // shift the surviving terms one power up and add the newest
+      if (ci >= w) h -= win(ci % w) * pw1
+      h = h * p + cp.toLong
+      win(ci % w) = cp.toLong
+      ci += 1
+      if (ci >= w && h % m == 0L) out += Integer.valueOf(ci)
+      si += Character.charCount(cp)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def tokensArray(text: UTF8String): ArrayData = {
     val toks = tokenize(text)
     val arr = new Array[AnyRef](toks.length)
@@ -308,6 +337,38 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
 /** `graft_shingles(text, n)` — codegen word n-gram shingle set
   * (see [[TextKernels]]); n is a compile-time constant. */
+/** `graft_cdc_cuts(text)` — content-defined chunk boundaries via a
+  * Rabin-Karp rolling hash in ONE linear pass (the codegen upgrade of
+  * `TextOps.cdcCutsHof`, whose nested interpreted HOFs cost O(len·w)
+  * per row with per-position allocation — measured 26.8 s vs sub-second
+  * for 5k docs at sf0.1). Semantics are EXACTLY the HOF form's
+  * (TextKernelSpec cross-checks): position i (1-based character index,
+  * i ≥ w) is a cut when `(Σ_{k=0..w-1} cp(text[i-k])·p^k) % m == 0`,
+  * with cp = the character's code point (equals Spark's `ascii` on the
+  * ASCII corpus the oracle runs on). The rolling update
+  * `H' = (H − cp_out·p^{w−1})·p + cp_in` stays far below 2⁶³ for the
+  * shipped p/w, so it reproduces the HOF's integer sum bit-for-bit. */
+case class CdcCuts(child: Expression, w: Int, p: Long, m: Long)
+    extends UnaryExpression {
+  require(w >= 2 && p > 1 && m > 1, "degenerate rolling-hash parameters")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_cuts expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_cuts"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.cdcCutsArray(t.asInstanceOf[UTF8String], w, p, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.cdcCutsArray($t, $w, ${p}L, ${m}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -264,13 +264,21 @@ object TextOps {
   /** Content-defined chunk boundaries via a Rabin-Karp rolling hash
     * (FastCDC-style): position i (1-based, i ≥ w) is a cut when the hash
     * of the trailing w-char window divides m; expected chunk length ≈ m.
-    * All arithmetic is exact BIGINT (powers of p precomputed as integer
+    * Evaluates through the one-linear-pass codegen kernel
+    * [[graft.functions.CdcCuts]] — the declarative [[cdcCutsHof]] form
+    * is O(len·w) of nested interpreted HOFs (measured 26.8 s vs
+    * sub-second over 5k sf0.1 docs) and is kept as the cross-checked
+    * reference (TextKernelSpec), mirroring the tokens/tokensHof pair. */
+  def cdcCuts(text: Column, w: Int = 8, p: Long = 31L, m: Long = 64L): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.CdcCuts(
+        org.apache.spark.sql.GraftPlanBridge.expression(text), w, p, m))
+
+  /** Declarative reference form of [[cdcCuts]] (the DuckDB oracle mirrors
+    * this shape). All arithmetic is exact BIGINT (powers of p as integer
     * literals; max term 127·31⁷ ≈ 3.5e12 ≪ 2⁶³), so any engine replays
-    * the cut set bit-identically. Declarative HOF form — O(len·w) per
-    * row, a pure projection that pipelines into the scan; a codegen
-    * kernel (one linear pass with the rolling update) is the drop-in
-    * upgrade if profiles demand. Empty when the text is shorter than w. */
-  def cdcCuts(text: Column, w: Int = 8, p: Long = 31L, m: Long = 64L): Column = {
+    * the cut set bit-identically. Empty when shorter than w. */
+  def cdcCutsHof(text: Column, w: Int = 8, p: Long = 31L, m: Long = 64L): Column = {
     require(w >= 2 && p > 1 && m > 1, "degenerate rolling-hash parameters")
     val pows = array((0 until w).map(k => lit(BigInt(p).pow(k).toLong)): _*)
     val len = length(text)

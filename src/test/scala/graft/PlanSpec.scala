@@ -215,6 +215,31 @@ class PlanSpec extends SparkSpec {
       "a scalar aggregate needs no hash exchange, only the final single-partition gather")
   }
 
+  test("corpus drift: one corpus explode, vocab tables broadcast into the grid") {
+    val p = plan("x3_corpus_drift")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the vocab-bounded corpus table and totals must broadcast")
+    assert(!p.contains("CartesianProduct"), "the sources×vocab grid is a broadcast cross join")
+  }
+
+  test("FIM transform and frame fan-out are shuffle-free projections") {
+    Seq("x6_fim_transform" -> false, "x4_frame_resize" -> true).foreach {
+      case (name, joinAllowed) =>
+        val p = plan(name)
+        assert(!p.contains("Window"), s"$name: no window")
+        if (!joinAllowed)
+          assert(!p.contains("Exchange hashpartitioning"),
+            s"$name: a per-row transform must not shuffle")
+    }
+  }
+
+  test("BPE apply: one-row merge broadcast; the corpus side never shuffles") {
+    val p = plan("x3_bpe_apply")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the trained merge table must broadcast")
+    assert(!p.contains("Window"), "the apply step is a pure projection")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -141,6 +141,22 @@ class TextKernelSpec extends SparkSpec {
     assert(!plan.contains("split("), plan.take(500))
   }
 
+  test("graft_cdc_cuts kernel equals the declarative rolling-hash HOF form") {
+    val rnd = new scala.util.Random(7)
+    val strs = (1 to 40).map(_ =>
+      (1 to (rnd.nextInt(120) + 1)).map(_ => ('a' + rnd.nextInt(27)).toChar)
+        .mkString.replace('{', ' ')) ++
+      cases :+ "exactly8" :+ "under8"
+    val df = strs.toDF("text")
+    Seq((8, 31L, 64L), (4, 31L, 8L), (5, 7L, 13L)).foreach { case (w, p, m) =>
+      val bad = df.select(
+          TextOps.cdcCuts(col("text"), w, p, m).as("k"),
+          TextOps.cdcCutsHof(col("text"), w, p, m).as("h"))
+        .where(col("k") =!= col("h"))
+      assert(bad.count() == 0, s"kernel/HOF divergence at (w=$w, p=$p, m=$m)")
+    }
+  }
+
   test("unicode kernels: NFC unifies composed/decomposed, accents strip, ASCII short-circuits") {
     import org.apache.spark.unsafe.types.UTF8String
     import graft.functions.UnicodeKernels
