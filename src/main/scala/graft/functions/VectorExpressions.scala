@@ -205,7 +205,7 @@ object GraftFunctions {
     // registered an earlier surface and leave the new functions
     // unresolved (exactly the graft_nfc regression this line fixed).
     val already = spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_strip_accents"))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_cuts"))
     if (!already) registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
@@ -232,6 +232,11 @@ object GraftFunctions {
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_strip_accents", exprs => StripAccents(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_cuts", exprs => CdcCuts(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Number].longValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()), "scala_udf")
   }
 }
 
@@ -281,6 +286,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
       (exprs: Seq[Expression]) => StripAccents(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "graft_cdc_cuts"),
+      (exprs: Seq[Expression]) => CdcCuts(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Number].longValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue())))
     ext.injectOptimizerRule(_ => NormRewrite)
   }
 }
