@@ -4366,6 +4366,60 @@ object Queries {
       md5(nfc_normalize(text)) AS nfc_fp, md5(strip_accents(text)) AS ascii_fp
       FROM documents ORDER BY doc_id"""))
 
+  /** X3 — quality-classifier calibration: bucket the corpus by classifier
+    * score decile and report each decile's mean corpus-fit LM log-prob —
+    * the validation loop that tells you whether the cheap classifier
+    * actually orders documents by the expensive signal before you gate a
+    * 100 TB crawl on it. Composes [[graft.ops.TextOps.classifierScore]]
+    * with [[graft.ops.TextOps.lmPerplexityScore]]; one doc-keyed join of
+    * two per-doc tables, then a 10-row aggregate. */
+  private val x3Calib = Q("x3_quality_calibration",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"),
+        TextOps.classifierScore(col("text")).as("score"))
+      val lm = TextOps.lmPerplexityScore(docs, "doc_id", "text")
+      scored.join(lm, Seq("doc_id"))
+        .groupBy(least(floor(col("score") * lit(10.0)), lit(9.0))
+          .cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          (floor(sum(col("avg_logprob")) * lit(1e4) + lit(0.5)) / lit(1e4))
+            .as("sum_logprob"))
+        .orderBy(col("decile"))
+    },
+    Some(s"""WITH base AS ($docsTokSql),
+      uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(toks) AS w1 FROM base) GROUP BY w1),
+      v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      bi AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bg
+        FROM (SELECT doc_id, toks, unnest(range(greatest(len(toks) - 1, 0))) AS i
+              FROM base)),
+      bc AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+      j AS (SELECT doc_id, ln((c2 + 0.5) / (c1 + 0.5 * v)) AS lp
+        FROM bi JOIN bc USING (bg)
+        JOIN uni ON string_split(bg, ' ')[1] = uni.w1
+        CROSS JOIN v),
+      lm AS (SELECT doc_id,
+          floor(avg(lp) * 10000.0 + 0.5) / 10000.0 AS avg_logprob
+        FROM j GROUP BY doc_id),
+      ft AS (SELECT doc_id,
+          least(CAST(length(text) AS DOUBLE)/300.0, 1.0) AS f_len,
+          CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS f_punct,
+          CAST($enHitsSql AS DOUBLE) / greatest(len(toks), 1) AS f_stop,
+          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS f_digit
+        FROM base),
+      sc AS (SELECT doc_id,
+          round(1.0/(1.0 + exp(-(1.8*f_len - 2.5*f_punct + 3.0*f_stop
+            - 1.2*f_digit - 0.7))), 6) AS score
+        FROM ft)
+      SELECT CAST(least(floor(score * 10.0), 9.0) AS BIGINT) AS decile,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        floor(sum(avg_logprob) * 10000.0 + 0.5) / 10000.0 AS sum_logprob
+      FROM sc JOIN lm USING (doc_id)
+      GROUP BY 1 ORDER BY decile"""))
+
   /** CDC — snapshot differencing ([[graft.streaming.StreamingOps.snapshotDiff]]):
     * the changelog BETWEEN two keyed table versions. Old = orders outside
     * the mod-5 stripe; new = outside the mod-7 stripe with the mod-11
@@ -4489,7 +4543,7 @@ object Queries {
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
-    e2eTrain2, x3Nfc)
+    e2eTrain2, x3Nfc, x3Calib)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
