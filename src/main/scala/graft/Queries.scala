@@ -3140,6 +3140,61 @@ object Queries {
       SELECT query_id, CAST(rk AS BIGINT) AS rk, pid AS cand_id, adc_dist
       FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
 
+  /** X2 — Matryoshka (truncated-dimension) recall@5: rank by cosine over
+    * the FIRST 16 of 64 dims and measure how much of the full-dimension
+    * top-5 survives — the evaluation behind MRL-style dimension-truncated
+    * serving (4× cheaper vectors; this query quantifies the retrieval
+    * price, sibling of `x2_pq_recall` for the quantization axis). Both
+    * rankings are brute-force over the same query stripe; the truncation
+    * is a pure `slice` projection at the scan. */
+  private val x2MatRecall = Q("x2_matryoshka_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("emb16", slice(col("embedding"), 1, 16))
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val trunc = Similarity.bruteForceTopK(emb, "vec_id", "emb16", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(trunc, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      def cosine(q: String, c: String) =
+        s"""round(list_sum(list_transform(range(len($q)), i -> $q[i+1]*$c[i+1]))
+            / (sqrt(list_sum(list_transform(range(len($q)), i -> $q[i+1]*$q[i+1])))
+             * sqrt(list_sum(list_transform(range(len($c)), i -> $c[i+1]*$c[i+1])))), 6)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv, v16 AS qv16 FROM e
+          WHERE vec_id % 100 = 0),
+        fscored AS (SELECT query_id, e.vec_id AS cand_id,
+            ${cosine("qv", "v")} AS cosine
+          FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+        frk AS (SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id ASC) AS rk FROM fscored) WHERE rk <= 5),
+        tscored AS (SELECT query_id, e.vec_id AS cand_id,
+            ${cosine("qv16", "v16")} AS cosine
+          FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+        trk AS (SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id ASC) AS rk FROM tscored) WHERE rk <= 5),
+        h AS (SELECT f.query_id, count(*) AS n_hits
+          FROM frk f JOIN trk t ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+          GROUP BY f.query_id)
+        SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+          coalesce(h.n_hits, 0) / 5.0 AS recall
+        FROM (SELECT DISTINCT query_id FROM frk) q
+        LEFT JOIN h USING (query_id) ORDER BY query_id"""
+    })
+
   /** X2 — PQ recall@5 against exact L2 ranking (the compression-loss
     * measurement, sibling of x2_ann_recall/x2_ivf_recall): how much of
     * the true top-5 survives 64-dim → 2-byte quantization. Trains a
@@ -4543,7 +4598,7 @@ object Queries {
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
-    e2eTrain2, x3Nfc, x3Calib)
+    e2eTrain2, x3Nfc, x3Calib, x2MatRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
