@@ -240,6 +240,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "the apply step is a pure projection")
   }
 
+  test("cohort retention: user-keyed aggregations only — no window anywhere") {
+    val p = plan("cohort_retention")
+    assert(!p.contains("Window"), "cohorting is min-aggregate + join, not a ranking window")
+    assert(p.contains("partial"), "first-seen and distinct-activity both partial-aggregate")
+  }
+
+  test("matryoshka recall: truncation is a scan-level slice feeding the codegen dot") {
+    val p = plan("x2_matryoshka_recall")
+    assert(p.contains("slice("), "dimension truncation must be a slice projection")
+    assert(p.contains("graft_dot"), "both rankings ride the codegen kernel")
+  }
+
   test("reservoir sample is TakeOrderedAndProject, not a global sort") {
     val p = plan("x6_reservoir_sample")
     assert(p.contains("TakeOrderedAndProject"),
