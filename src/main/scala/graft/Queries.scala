@@ -4536,14 +4536,13 @@ object Queries {
     * quality deficit (1 − min(n_chars/200, 1)). The oracle chains the
     * identical iteration CTEs with the identical portable rounding, so the
     * hash-match proves the whole unrolled update agrees. */
-  private val x6Doremi = Q("x6_doremi_weights",
-    (s, dir) => Curation.doremiWeights(Tables.documents(s, dir), "source",
-      lit(1.0) - least(col("n_chars").cast("double") / lit(200.0), lit(1.0)),
-      eta = 0.5, iters = 3)
-      .orderBy(col("source")),
-    Some {
-      def pr(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
-      s"""WITH d0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  /** Shared DoReMi oracle CTE chain (d0 → n3, final weight in n3.w) —
+    * consumed by `x6_doremi_weights` and replayed verbatim by
+    * `x6_doremi_resample` so the resample oracle learns the identical
+    * weights. */
+  private val doremiCtes: String = {
+    def pr(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    s"""d0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
           ${pr("avg(1.0 - least(CAST(n_chars AS DOUBLE)/200.0, 1.0))")} AS domain_loss
         FROM documents GROUP BY source),
       e AS (SELECT *, domain_loss - (SELECT min(domain_loss) FROM d0) AS excess FROM d0),
@@ -4555,10 +4554,50 @@ object Queries {
           ${pr("wr / (SELECT sum(wr) FROM i2)")} AS w FROM i2),
       i3 AS (SELECT *, ${pr("w * exp(0.5 * excess)")} AS wr FROM n2),
       n3 AS (SELECT source, n_docs, domain_loss, excess,
-          ${pr("wr / (SELECT sum(wr) FROM i3)")} AS w FROM i3)
+          ${pr("wr / (SELECT sum(wr) FROM i3)")} AS w FROM i3)"""
+  }
+
+  private val doremiLoss: Column =
+    lit(1.0) - least(col("n_chars").cast("double") / lit(200.0), lit(1.0))
+
+  private val x6Doremi = Q("x6_doremi_weights",
+    (s, dir) => Curation.doremiWeights(Tables.documents(s, dir), "source",
+      doremiLoss, eta = 0.5, iters = 3)
+      .orderBy(col("source")),
+    Some(s"""WITH $doremiCtes
       SELECT source, n_docs, domain_loss, excess, w AS weight
-      FROM n3 ORDER BY source"""
-    })
+      FROM n3 ORDER BY source"""))
+
+  /** X6 — DoReMi-weighted resample
+    * ([[graft.ops.Curation.mixtureSampleBy]] ∘ doremiWeights): the
+    * learned domain weights drive the keep-rate table that the corpus is
+    * actually filtered with — optimize-then-apply in one DAG, the X6
+    * sibling of the bpe/pca trained-artifact chains. The oracle re-learns
+    * the identical weights (shared CTEs) and replays the same rate and
+    * id-bucket math as x6_source_mixture. */
+  private val x6DoremiResample = Q("x6_doremi_resample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = Curation.doremiWeights(docs, "source", doremiLoss,
+        eta = 0.5, iters = 3)
+      Curation.mixtureSampleBy(docs, "doc_id", "source", weights, "weight")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $doremiCtes,
+      c2 AS (SELECT d0.source, d0.n_docs, n3.w AS share
+        FROM d0 JOIN n3 USING (source) WHERE n3.w > 0),
+      t AS (SELECT min(CAST(n_docs AS DOUBLE) / share) AS tv FROM c2),
+      r AS (SELECT source,
+          CAST(floor(100.0 * share * tv / CAST(n_docs AS DOUBLE)) AS BIGINT) AS rate
+        FROM c2, t),
+      k AS (SELECT d.source, r.rate FROM documents d JOIN r USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          % 100 < r.rate)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(max(rate) AS BIGINT) AS rate
+      FROM k GROUP BY source ORDER BY source"""))
 
   // ------------------------------------------------------------------
 
@@ -4598,7 +4637,7 @@ object Queries {
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
-    e2eTrain2, x3Nfc, x3Calib, x2MatRecall)
+    e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -132,6 +132,37 @@ object Curation {
       .where(idBucket(col(idCol), 100) < col("rate"))
   }
 
+  /** X6 — mixture rates from a LEARNED shares TABLE (stratum, share) —
+    * the apply step after [[doremiWeights]] (or any upstream mixture
+    * optimizer): identical T = min(n/share) and floor-percent rate math
+    * as [[mixtureRates]], with the share column produced by a dataflow
+    * instead of a static config map. `shares` must carry the stratum
+    * column under the same name; share ≤ 0 strata drop. Aggregate-tiny
+    * both sides → broadcast joins only. */
+  def mixtureRatesBy(df: DataFrame, stratumCol: String, shares: DataFrame,
+                     shareCol: String = "weight"): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(shares.select(col(stratumCol).as("stratum"),
+        col(shareCol).cast("double").as("__share"))), Seq("stratum"))
+      .where(col("__share") > 0.0)
+    val t = counts.agg(min(col("n_docs").cast("double") / col("__share")).as("__t"))
+    counts.crossJoin(broadcast(t))
+      .withColumn("rate",
+        floor(lit(100.0) * col("__share") * col("__t") / col("n_docs").cast("double"))
+          .cast("long"))
+      .select(col("stratum"), col("n_docs"), col("rate"))
+  }
+
+  /** Apply [[mixtureRatesBy]] — same id-bucket keep as [[mixtureSample]]. */
+  def mixtureSampleBy(df: DataFrame, idCol: String, stratumCol: String,
+                      shares: DataFrame, shareCol: String = "weight"): DataFrame = {
+    val rates = mixtureRatesBy(df, stratumCol, shares, shareCol)
+      .withColumnRenamed("stratum", stratumCol).drop("n_docs")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(idBucket(col(idCol), 100) < col("rate"))
+  }
+
   /** X6 — temperature-based mixture rates (the multilingual/multi-source
     * resampling rule of mT5/XLM-R: sample stratum l with probability
     * ∝ n_l^alpha, alpha ∈ (0,1] — alpha < 1 up-weights small strata so
