@@ -3682,8 +3682,9 @@ object Queries {
       FROM r WHERE rk <= 100 ORDER BY doc_id"""))
 
   /** X3 — corpus-fit bigram LM perplexity scoring (CCNet-style quality
-    * filter; see TextOps.lmPerplexityScore). Count tables broadcast;
-    * one corpus shuffle. */
+    * filter; see TextOps.lmPerplexityScore). Count tables probe-joined
+    * unhinted (corpus-derived vocab — AQE sizes them); one corpus
+    * shuffle. */
   private val x3Lm = Q("x3_lm_perplexity",
     (s, dir) => TextOps.lmPerplexityScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id")),
@@ -4186,8 +4187,11 @@ object Queries {
 
   /** X3 — corpus drift report ([[graft.ops.TextOps.corpusDriftBySource]]):
     * per-source add-α KL against the whole corpus over the corpus
-    * vocabulary. The oracle chains the identical count CTEs and the
-    * identical smoothed ratio, `ln` per grid cell, rounded sum. */
+    * vocabulary. The oracle chains the identical count CTEs and replays
+    * the SAME present-tokens + closed-form-missing-tail split as the
+    * Spark plan (no sources×vocab grid in either engine), so the two
+    * transcendental sums range over the same terms and land on the same
+    * rounding lattice. */
   private val x3Drift = Q("x3_corpus_drift",
     (s, dir) => TextOps.corpusDriftBySource(Tables.documents(s, dir), "doc_id",
         "text", "source")
@@ -4196,22 +4200,28 @@ object Queries {
       tok AS (SELECT source, t AS tok FROM
         (SELECT source, unnest(toks) AS t FROM base)),
       corpus AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM tok GROUP BY 1),
-      tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(count(*) AS DOUBLE) AS v
-        FROM corpus),
+      tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(count(*) AS DOUBLE) AS v,
+        sum(ln(ca + 0.5)) AS sla FROM corpus),
       st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
         FROM tok GROUP BY 1, 2),
       ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM st GROUP BY 1),
-      grid AS (SELECT n.source, c.tok, c.ca, coalesce(s2.cs, 0) AS cs, n.ns,
-          t.na, t.v
-        FROM ns n CROSS JOIN corpus c
-        LEFT JOIN st s2 ON s2.source = n.source AND s2.tok = c.tok
-        CROSS JOIN tot t)
-      SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
-        CAST(sum(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_source,
-        floor(sum(((cs + 0.5) / (ns + 0.5 * v))
+      present AS (SELECT s2.source, s2.cs, c.ca, n.ns, t.na, t.v, t.sla
+        FROM st s2 JOIN corpus c USING (tok) JOIN ns n ON n.source = s2.source
+        CROSS JOIN tot t WHERE s2.cs > 0),
+      agg AS (SELECT source, max(ns) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS n_vocab_source,
+          sum(((cs + 0.5) / (ns + 0.5 * v))
             * ln(((cs + 0.5) / (ns + 0.5 * v)) / ((ca + 0.5) / (na + 0.5 * v))))
+            AS psum,
+          sum(ln((ca + 0.5) / (na + 0.5 * v))) AS lqp,
+          max(v) AS v, max(na) AS na, max(sla) AS sla
+        FROM present GROUP BY source)
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_vocab_source,
+        floor((psum + (0.5 / (n_tokens + 0.5 * v))
+            * ((v - n_vocab_source) * ln(0.5 / (n_tokens + 0.5 * v))
+               - ((sla - v * ln(na + 0.5 * v)) - lqp)))
           * 10000.0 + 0.5) / 10000.0 AS kl_vs_corpus
-      FROM grid GROUP BY source ORDER BY source"""))
+      FROM agg ORDER BY source"""))
 
   /** X2 — PCA projection chained onto the trained component
     * ([[graft.ops.Similarity.pcaProject]] ∘ pcaPowerIteration): the apply

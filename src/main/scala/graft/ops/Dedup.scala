@@ -266,6 +266,10 @@ object Dedup {
     * Exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) on the full token sets of
     * each candidate pair. Output: (doc_a, doc_b, jaccard) for pairs above
     * the threshold, doc_a < doc_b.
+    *
+    * The rare-token table is corpus-derived (hapax tokens dominate a
+    * crawl's vocabulary — it GROWS with the corpus), so its probe join is
+    * unhinted: AQE broadcasts while it fits, shuffles when it doesn't.
     */
   def jaccardNearDup(docs: DataFrame, idCol: String, textCol: String,
                      maxDf: Int = 8, threshold: Double = 0.5,
@@ -274,7 +278,7 @@ object Dedup {
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
     val rare = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2)
-    val rareTok = tok.join(broadcast(rare), "tok")
+    val rareTok = tok.join(rare, "tok")
     val cand = rareTok.as("l").join(rareTok.as("r"), col("l.tok") === col("r.tok"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))

@@ -568,6 +568,9 @@ object Similarity {
   private def assignSubCells(slices: DataFrame, codebooks: DataFrame): DataFrame = {
     val bySub = codebooks.groupBy(col("sub")).agg(
       sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    // Any extra columns on `slices` (e.g. the coarse IVF cell in
+    // [[ivfPqSearch]]) ride through the scan untouched — the fold only
+    // ADDS the winning sub-code, so the composed index needs one pass.
     slices.withColumn("pn", expr("graft_dot(pv, pv)"))
       .join(broadcast(bySub), Seq("sub"))
       .withColumn("best", expr(
@@ -578,7 +581,8 @@ object Similarity {
              named_struct('cell', CAST(-1 AS BIGINT),
                           'dist', CAST('Infinity' AS DOUBLE)),
              (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
-      .select(col("pid"), col("sub"), col("pv"), col("best.cell").as("cell"))
+      .withColumn("cell", col("best.cell"))
+      .drop("pn", "cents", "best")
   }
 
   /** X2 — PQ codebook training: [[kmeansFit]]'s Lloyd's loop run over all
@@ -657,6 +661,90 @@ object Similarity {
           + expr("graft_dot(cv, cv)")).as("d"))
     val scored = codes.join(broadcast(dt), Seq("sub", "code"))
       .where(col("pid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("pid"))
+      .agg(expr("""aggregate(
+          array_sort(collect_list(named_struct('sub', sub, 'd', d))),
+          CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)""").as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("pid").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("pid").as("cand_id"), col("adc_dist"))
+  }
+
+  /** X2 — IVF+PQ composed index search: the standard billion-vector
+    * serving shape (FAISS's IVFADC; Jégou et al. 2011 §V). A coarse IVF
+    * quantizer prunes the corpus to each query's `nprobe` nearest cells,
+    * and ADC runs ONLY over the surviving candidates — so the
+    * (query × item) term that makes flat [[pqSearch]] all-pairs is cut
+    * by the coarse partition fraction (~nprobe/√N of the corpus per
+    * query at production sizing).
+    *
+    * Scale shape — the corpus is scanned ONCE and never shuffled before
+    * the candidate aggregation:
+    *  1. coarse cell: [[assignNearestCell]]'s one-row-broadcast argmin
+    *     fold (no window, no expansion);
+    *  2. sub-codes: the same fold per subspace over the m-sliced scan,
+    *     with the coarse cell riding along the projection;
+    *  3. probe prune: the (query, probed-cell) pairs — queries·nprobe
+    *     rows, broadcast-tiny — broadcast-join the coded corpus on the
+    *     coarse cell, so pruning adds NO corpus exchange;
+    *  4. ADC: the queries·m·k distance table broadcast-joins on
+    *     (query_id, sub, code) and the per-(query, candidate) total
+    *     folds in ascending subspace order (bit-identical across
+    *     engines, as [[pqSearch]]); only candidate rows — the pruned
+    *     fraction — reach the groupBy shuffle and the final per-query
+    *     ranking window.
+    *
+    * Coarse centroids come from `centroidPred` (oracle-reproducible, as
+    * [[ivfTopK]]); codebooks in [[pqTrain]]'s (sub, cell, pos, coord)
+    * long form. Output: (query_id, rk, cand_id, adc_dist). */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+                  codebooks: DataFrame, centroidPred: Column, queryPred: Column,
+                  k: Int = 5, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, "nprobe must be at least 1")
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    GraftFunctions.register(emb.sparkSession)
+    val subd = dim / m
+    val coarse = emb.where(centroidPred)
+      .select(col(idCol).cast("long").as("cell"), asDouble(col(vecCol)).as("cv"))
+    // (1)+(2): coarse cell then sub-codes, one corpus scan, two broadcast folds
+    val assigned = assignNearestCell(
+      emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv")), coarse)
+      .select(col("pid"), col("cell").as("ivf_cell"), col("pv").as("v"))
+      .select(col("pid"), col("ivf_cell"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("sub"), col("v"))
+      .select(col("pid"), col("ivf_cell"), col("sub"),
+        expr(s"slice(v, sub * $subd + 1, $subd)").as("pv"))
+    val cb = codebooks.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+        s => s.getField("coord")).as("cv"))
+    val codes = assignSubCells(assigned, cb)
+      .select(col("pid"), col("ivf_cell"), col("sub"), col("cell").as("code"))
+    // (3): query probe list — nprobe nearest coarse cells per query
+    // (the ivfTopKProbe expansion: sorted slice of the one-row centroid
+    // frame; struct order (dist, cell) makes array_sort the tie-break)
+    val one = coarse.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val qprobe = emb.where(queryPred)
+      .select(col(idCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("pn", expr("graft_dot(qv, qv)"))
+      .join(broadcast(one))
+      .withColumn("probe", explode(expr(
+        s"""slice(array_sort(transform(cents, c -> named_struct(
+              'dist', (pn - 2 * graft_dot(qv, c.cv)) + graft_dot(c.cv, c.cv),
+              'cell', c.cell))), 1, $nprobe)""")))
+      .select(col("query_id"), col("probe.cell").as("ivf_cell"))
+    // (4): per-query distance table over the codebooks, broadcast
+    val qs = subSlices(emb.where(queryPred), idCol, vecCol, m, dim)
+      .select(col("pid").as("query_id"), col("sub"), col("pv").as("qv"))
+    val dt = qs.join(cb, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        ((expr("graft_dot(qv, qv)") - lit(2.0) * expr("graft_dot(qv, cv)"))
+          + expr("graft_dot(cv, cv)")).as("d"))
+    val scored = codes.join(broadcast(qprobe), Seq("ivf_cell"))
+      .where(col("pid") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("pid"))
       .agg(expr("""aggregate(
           array_sort(collect_list(named_struct('sub', sub, 'd', d))),

@@ -157,10 +157,13 @@ object TextOps {
     * log-probability — anomalously low scores flag scrambled, templated,
     * or wrong-language text relative to the corpus distribution.
     *
-    * Scale shape: the unigram/bigram count tables are vocabulary-sized
-    * (≪ corpus) → broadcast joins; the corpus explodes ONCE to bigram
-    * occurrences, joins the broadcast tables, and aggregates per doc —
-    * one corpus shuffle on doc_id total. `log((c2+α)/(c1+α·V))` takes an
+    * Scale shape: the unigram/bigram count tables are vocabulary-sized —
+    * smaller than the corpus but CORPUS-DERIVED (Heaps' law: the
+    * vocabulary of a web-scale crawl keeps growing), so they carry no
+    * broadcast hint; size-based selection/AQE broadcasts them while they
+    * fit and falls back to a shuffle join when they don't. The corpus
+    * explodes ONCE to bigram occurrences, joins the count tables, and
+    * aggregates per doc. `log((c2+α)/(c1+α·V))` takes an
     * exactly-representable rational (integer counts, dyadic α) into one
     * glibc `log`, the same single-transcendental parity contract as P5's
     * capped exp; the per-doc mean rounds at 4 (transcendental sums carry
@@ -183,9 +186,9 @@ object TextOps {
     val docBi = toks.where(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
     val biCounts = docBi.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-    docBi.join(broadcast(biCounts), Seq("bg"))
+    docBi.join(biCounts, Seq("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .join(broadcast(uni), Seq("w1"))
+      .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp",
         log((col("c2") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))))
@@ -300,10 +303,16 @@ object TextOps {
     *
     * Scale shape: the corpus explodes once into (source, token); both
     * count tables are vocabulary-bounded. The KL sum must range over the
-    * CORPUS vocabulary (tokens a source lacks still carry α mass), so the
-    * compute grid is sources × vocab — corpus-independent, and the only
-    * table bigger than the vocab itself. Smoothed p/q are rationals of
-    * integer counts; the single `log` per grid cell and the rounded
+    * CORPUS vocabulary (tokens a source lacks still carry α mass), but no
+    * sources × vocab grid is ever built: for tokens ABSENT from a source,
+    * p = α/(ns+αV) is a per-source constant, so the whole missing-token
+    * tail collapses to a closed form over three corpus-level scalars —
+    * see [[driftFromCounts]]. The only join is (source,tok,cs) ⋈ corpus
+    * on `tok` for the PRESENT tokens — a plain shuffle join sized by the
+    * count table itself, no vocab-cardinality broadcast anywhere (the
+    * vocabulary of a 100 TB crawl grows with the corpus per Heaps' law;
+    * broadcasting it would OOM the executors). Smoothed p/q are rationals
+    * of integer counts; the single `log` per present cell and the rounded
     * transcendental sum follow the same parity contract as
     * [[lmPerplexityScore]].
     *
@@ -322,24 +331,51 @@ object TextOps {
   /** [[corpusDriftBySource]] from an ALREADY-AGGREGATED (source, tok, cs)
     * count table — the form the streaming monitor maintains as a ledger
     * (corpus token counts are the per-source sums, so the count table is
-    * a sufficient statistic for the whole report). */
+    * a sufficient statistic for the whole report).
+    *
+    * The KL over the full corpus vocabulary splits exactly into
+    * present + absent parts. With D = ns+αV, p₀ = α/D (the constant
+    * probability every absent token gets) and q_t = (ca_t+α)/(na+αV):
+    *
+    *   KL = Σ_present p_t·ln(p_t/q_t)
+    *      + p₀·[ (V − v_s)·ln p₀ − (Lq − Lq_present) ]
+    *
+    * where Lq = Σ_vocab ln q_t = Σ_vocab ln(ca_t+α) − V·ln(na+αV) is a
+    * corpus-level scalar gathered in the SAME single aggregate as na and
+    * V, and Lq_present = Σ_present ln q_t falls out of the present-token
+    * pass. So the plan is: one groupBy(tok), one one-row corpus
+    * aggregate, one shuffle join on `tok` (count-table-sized, the only
+    * data-sized exchange), one groupBy(source) — no sources×vocab grid,
+    * no vocab-cardinality broadcast. The one-row totals frame is the
+    * only hinted broadcast. */
   def driftFromCounts(st: DataFrame, alpha: Double = 0.5,
                       roundDigits: Int = 4): DataFrame = {
     val corpus = st.groupBy(col("tok")).agg(sum(col("cs")).as("ca"))
     val tot = corpus.agg(sum(col("ca")).cast("double").as("na"),
-      count(lit(1)).cast("double").as("v"))
+      count(lit(1)).cast("double").as("v"),
+      sum(log(col("ca") + lit(alpha))).as("sla"))
     val ns = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
-    val grid = ns.crossJoin(broadcast(corpus))
-      .join(st, Seq("source", "tok"), "left")
-      .na.fill(0L, Seq("cs"))
+    val present = st.where(col("cs") > 0)
+      .join(corpus, Seq("tok"))
+      .join(ns, Seq("source"))
       .crossJoin(broadcast(tot))
     val p = (col("cs") + lit(alpha)) / (col("ns") + lit(alpha) * col("v"))
     val q = (col("ca") + lit(alpha)) / (col("na") + lit(alpha) * col("v"))
     val s = math.pow(10.0, roundDigits)
-    grid.groupBy(col("source"))
+    val p0 = lit(alpha) / (col("n_tokens") + lit(alpha) * col("v"))
+    val lqAll = col("sla") - col("v") * log(col("na") + lit(alpha) * col("v"))
+    present.groupBy(col("source"))
       .agg(max(col("ns")).as("n_tokens"),
-        sum(when(col("cs") > 0, 1L).otherwise(0L)).as("n_vocab_source"),
-        (floor(sum(p * log(p / q)) * lit(s) + lit(0.5)) / lit(s)).as("kl_vs_corpus"))
+        count(lit(1)).as("n_vocab_source"),
+        sum(p * log(p / q)).as("__psum"),
+        sum(log(q)).as("__lqp"),
+        max(col("v")).as("v"), max(col("na")).as("na"), max(col("sla")).as("sla"))
+      .withColumn("kl_vs_corpus",
+        floor((col("__psum") + p0 *
+          ((col("v") - col("n_vocab_source")) * log(p0) - (lqAll - col("__lqp"))))
+          * lit(s) + lit(0.5)) / lit(s))
+      .select(col("source"), col("n_tokens"), col("n_vocab_source"),
+        col("kl_vs_corpus"))
   }
 
   /** X3 — collocation mining: top-k adjacent token pairs by pointwise
@@ -350,8 +386,10 @@ object TextOps {
     * discovery, tokenizer-merge validation, template detection.
     *
     * Scale shape: one corpus explode into bigram occurrences; unigram and
-    * bigram count tables are vocabulary-bounded; the count filter prunes
-    * the pair table BEFORE the joins; the final top-k is an ordered
+    * bigram count tables are vocabulary-sized and corpus-derived, so the
+    * unigram probes are plain (unhinted) joins — AQE picks broadcast
+    * while the vocab fits; the count filter prunes the pair table BEFORE
+    * the joins; the final top-k is an ordered
     * `limit` (TakeOrderedAndProject). One `ln` per surviving pair,
     * portable-rounded — integer ratios inside, so parity holds to the
     * rounding lattice. Ties break on the pair text for determinism. */
@@ -369,8 +407,8 @@ object TextOps {
       .where(col("c2") >= minCount)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
-    bi.join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "ca")), Seq("w1"))
-      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cb")), Seq("w2"))
+    bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c1", "ca"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c1", "cb"), Seq("w2"))
       .crossJoin(broadcast(nTok))
       .select(col("bg"), col("c2").as("pair_count"),
         (floor(log(col("n") * col("c2") / (col("ca") * col("cb"))) * lit(s)
@@ -559,11 +597,17 @@ object TextOps {
 
   /** X3 — TF-IDF top-k terms per document: tf = in-doc term count,
     * idf = ln(N/df) with df = documents containing the term. The document
-    * frequency table is vocabulary-sized and broadcast; the rank is over
-    * the ROUNDED score with a term tie-break, so the top-k selection is
-    * engine-independent. N is a one-row aggregate cross-joined into the
-    * plan — the whole op stays lazy (no eager count() job at
-    * construction time, and the input is scanned once, not twice). */
+    * frequency table is vocabulary-sized and CORPUS-DERIVED, so it is
+    * deliberately NOT hint-broadcast — a hint forces the strategy at
+    * every scale, and a 100 TB crawl's vocabulary grows with the corpus
+    * (Heaps' law); size-based selection/AQE broadcasts it while it fits
+    * and degrades gracefully to a shuffle join when it doesn't (same
+    * policy as [[boilerplateStrip]]'s ledger and the star joins). The
+    * rank is over the ROUNDED score with a term tie-break, so the top-k
+    * selection is engine-independent. N is a one-row aggregate
+    * cross-joined into the plan — the whole op stays lazy (no eager
+    * count() job at construction time, and the input is scanned once,
+    * not twice). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -572,7 +616,7 @@ object TextOps {
       explode(tokens(col(textCol))).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__graft_n") / col("df")), 4))
       .drop("__graft_n")
     val w = Window.partitionBy(col("doc_id"))

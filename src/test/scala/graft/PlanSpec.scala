@@ -56,8 +56,15 @@ class PlanSpec extends SparkSpec {
     // relations (nation/region/bands/filtered supplier/parameter tables).
     // Any hint over a relation carrying a fact-table primary key — customer
     // included, it grows linearly with the corpus — is a 100×-scale OOM.
+    // Extended (r9) to VOCAB-DERIVED frames: a distinct-token /
+    // document-frequency / n-gram count table is smaller than the corpus
+    // but still grows with it (Heaps' law — a 100 TB crawl's vocabulary
+    // is 10⁸+ rows), so hinting one is the same class of OOM. `tok`/`bg`/
+    // `w1`/`w2` and the unigram/bigram count names only ever appear on
+    // those frames; one-row totals (na/v/n) don't carry them.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val factKeys = Set("c_custkey", "o_orderkey", "l_orderkey", "event_id", "doc_id")
+    val factKeys = Set("c_custkey", "o_orderkey", "l_orderkey", "event_id", "doc_id",
+      "tok", "bg", "w1", "w2", "c1", "c2", "ca", "cb", "df")
     val offenders = Queries.all.filterNot(_.eagerPlan).flatMap { q =>
       q.run(spark, sf001).queryExecution.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.isDefined &&
@@ -215,11 +222,22 @@ class PlanSpec extends SparkSpec {
       "a scalar aggregate needs no hash exchange, only the final single-partition gather")
   }
 
-  test("corpus drift: one corpus explode, vocab tables broadcast into the grid") {
+  test("corpus drift: no sources×vocab grid, no vocab-cardinality broadcast hint") {
+    // r9 inverts the old gate (which REQUIRED broadcasting the vocab):
+    // the missing-token KL tail is closed-form, so the only join is the
+    // count-table ⋈ corpus shuffle join on `tok` plus a one-row totals
+    // broadcast. Any hint carrying `tok` would re-introduce the
+    // vocab-broadcast OOM at crawl scale.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val q = Queries.all.find(_.name == "x3_corpus_drift").get
+    val vocabHints = q.run(spark, sf001).queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.isDefined &&
+          h.child.output.exists(a => Set("tok", "ca", "cs").contains(a.name)) => h
+    }
+    assert(vocabHints.isEmpty, "no broadcast hint on a vocab-derived frame")
     val p = plan("x3_corpus_drift")
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
-      "the vocab-bounded corpus table and totals must broadcast")
-    assert(!p.contains("CartesianProduct"), "the sources×vocab grid is a broadcast cross join")
+    assert(!p.contains("CartesianProduct"),
+      "the one-row totals frame joins via broadcast, never a cartesian grid")
   }
 
   test("FIM transform and frame fan-out are shuffle-free projections") {
