@@ -3268,6 +3268,125 @@ object Queries {
         CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
 
+  /** Shared oracle CTEs for the IVF+PQ composed index: coarse centroids
+    * (vec_id%89==1) assign every vector / probe the 2 nearest cells per
+    * query (vec_id%100==0), chained onto [[pqOracleCtes]]'s trained m=2
+    * codebooks + codes (same association order and tie-breaks as the
+    * Spark folds — all proven by the component queries). */
+  private def ivfPqOracleCtes: String = {
+    val dww = dotSql("w.v", "w.v"); val dwc = dotSql("w.v", "c.cv")
+    val dcc = dotSql("c.cv", "c.cv")
+    s"""${pqOracleCtes()},
+      m1 AS (SELECT sub, cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a1, range(32) t(i) GROUP BY sub, cell, i),
+      cb AS (SELECT sub, cell, list(m ORDER BY pos) AS cv FROM m1 GROUP BY sub, cell),
+      codes AS (SELECT pid, sub, cell AS code FROM (
+        SELECT e.pid, e.sub, c.cell,
+          row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+            ((e.pn - 2*${dotSql("pv", "cv")}) + ${dotSql("cv", "cv")}) ASC, c.cell ASC) AS rk
+        FROM e JOIN cb c USING (sub)) WHERE rk = 1),
+      cc AS (SELECT CAST(pid AS BIGINT) AS cell, v AS cv FROM v WHERE pid % 89 = 1),
+      cassign AS (SELECT pid, cell FROM (
+          SELECT w.pid, c.cell,
+            row_number() OVER (PARTITION BY w.pid ORDER BY
+              (($dww - 2*$dwc) + $dcc) ASC, c.cell ASC) AS rk
+          FROM v w CROSS JOIN cc c) WHERE rk = 1),
+      qprobe AS (SELECT pid AS query_id, cell FROM (
+          SELECT w.pid, c.cell,
+            row_number() OVER (PARTITION BY w.pid ORDER BY
+              (($dww - 2*$dwc) + $dcc) ASC, c.cell ASC) AS rk
+          FROM v w CROSS JOIN cc c WHERE w.pid % 100 = 0) WHERE rk <= 2),
+      dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
+          ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
+        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0),
+      pqscored AS (SELECT dt.query_id, codes.pid,
+          list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+        FROM codes
+        JOIN cassign ON codes.pid = cassign.pid
+        JOIN qprobe ON cassign.cell = qprobe.cell AND qprobe.query_id <> codes.pid
+        JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+          AND dt.query_id = qprobe.query_id
+        GROUP BY dt.query_id, codes.pid)"""
+  }
+
+  /** X2 — IVF+PQ composed index search
+    * ([[graft.ops.Similarity.ivfPqSearch]]): the FAISS-IVFADC serving
+    * shape — coarse cells prune each query to its 2 probed cells, ADC
+    * scores only the survivors. The oracle composes the proven component
+    * CTEs (coarse assign/probe from x2_ivf_nprobe_topk, trained
+    * codebooks/codes/distance table from x2_pq_adc_topk) with the probe
+    * restriction in the scored join. */
+  private val x2IvfPq = Q("x2_ivf_pq_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      Similarity.ivfPqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
+        codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
+        queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""$ivfPqOracleCtes,
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, pid AS cand_id, adc_dist
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  /** X2 — IVF+PQ recall@5 vs exact L2 (sibling of x2_pq_recall for the
+    * composed index): what the coarse prune + quantization jointly cost
+    * in retrieval quality. Exact side is brute-force L2 over the full
+    * corpus (always ≥ 5 candidates, so the /5 denominator is exact). */
+  private val x2IvfPqRecall = Q("x2_ivf_pq_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      val ivfpq = Similarity.ivfPqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
+        codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
+        queryPred = qp, k = 5, nprobe = 2)
+        .select(col("query_id"), col("cand_id"))
+      val e = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("cand_id").asc)
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(ivfpq, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""$ivfPqOracleCtes,
+      pqrk AS (SELECT query_id, pid AS cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 5),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      exscored AS (SELECT query_id, w.pid AS cand_id,
+          round(list_sum(list_transform(range(len(w.v)),
+            i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
+        FROM v w CROSS JOIN q2 WHERE w.pid <> query_id),
+      exrk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d ASC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
+      hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM exrk JOIN pqrk USING (query_id, cand_id) GROUP BY query_id),
+      qs AS (SELECT DISTINCT query_id FROM q2)
+      SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
+
   /** X5 — Misra–Gries heavy hitters per source (mergeable sketch
     * aggregate; see [[graft.ops.MisraGriesAggregator]]). Capacity 64 vs a
     * 31-token vocabulary puts the sketch in its exact regime, so the
@@ -4647,7 +4766,8 @@ object Queries {
     x1CrossCorpus, cdcSnapshot, x6Fim, x6Doremi, x1CrossCorpusBloom, x1ParaDedup,
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
-    e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample)
+    e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
+    x2IvfPq, x2IvfPqRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

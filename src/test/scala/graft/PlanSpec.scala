@@ -537,6 +537,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), "codebooks must broadcast to the sliced corpus")
   }
 
+  test("IVF+PQ composed search: corpus never shuffles before the candidate agg; one ranking window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Queries.all.find(_.name == "x2_ivf_pq_topk").get
+      .run(spark, sf001).queryExecution.executedPlan
+    // the coarse assignment, sub-code assignment, probe prune, and ADC
+    // lookup are ALL broadcast joins over the single corpus scan — the
+    // first corpus-carrying exchange is the (query_id, pid) candidate
+    // aggregation, which only sees the probe-pruned fraction. A
+    // SortMergeJoin anywhere means a corpus shuffle snuck in; a second
+    // window means an expand-then-rank assignment replaced a fold.
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    assert(windows.size == 1,
+      s"expected only the top-k window, saw ${windows.size}")
+    assert(windows.head.partitionSpec.map(_.toString).exists(_.contains("query_id")),
+      "the surviving window must be the per-query top-k rank")
+    val p = exec.toString
+    assert(!p.contains("SortMergeJoin"),
+      "probe prune and ADC lookups must broadcast-join the coded corpus")
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage anywhere")
+  }
+
   test("PQ ADC search: codes and distance table broadcast-join; only the final ranking windows") {
     val p = plan("x2_pq_adc_topk")
     val windows = p.linesIterator.count(_.contains("Window ["))
