@@ -459,6 +459,22 @@ object Curation {
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     val perDomain = df.groupBy(col(domainCol))
       .agg(pr(avg(lossCol)).as("domain_loss"), count(lit(1)).as("n_docs"))
+    doremiFromStats(perDomain, domainCol, eta, iters, roundDigits)
+  }
+
+  /** [[doremiWeights]] from an ALREADY-AGGREGATED per-domain stat table
+    * (domainCol, domain_loss, n_docs) — `domain_loss` must already carry
+    * the portable rounding. The streaming reweighting pipeline maintains
+    * (loss_sum, n) per source as an additive batch-stamped ledger — the
+    * sufficient statistic for the mean, exactly as the drift monitor's
+    * token counts are for the KL report — and reconstructs this table
+    * each micro-batch; the update iterations only ever touch the
+    * domains-sized frame either way. */
+  def doremiFromStats(perDomain: DataFrame, domainCol: String,
+                      eta: Double = 0.5, iters: Int = 3,
+                      roundDigits: Int = 6): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     // excess over the min-loss domain: the best domain gets zero gradient
     val floor0 = perDomain.agg(min(col("domain_loss")).as("__floor"))
     val seeded = perDomain.crossJoin(broadcast(floor0))

@@ -583,6 +583,94 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental reweighting loop — the X6 mirror of
+    * [[incrementalCurationPipeline]], closing the monitor→optimizer→
+    * resampler chain under one `foreachBatch`: the drift monitor's
+    * ledgers measure each source, DoReMi turns the measurement into
+    * domain weights, and the mixture resampler applies them to the
+    * accreted corpus. Per micro-batch:
+    *
+    *  1. *measure* — append three batch-stamped additive ledgers:
+    *     (source, tok, cs) token counts (the [[incrementalDriftMonitor]]
+    *     ledger), (source, loss_sum, n) per-source loss statistics (the
+    *     sufficient statistic for the DoReMi domain loss — a mean is
+    *     (Σloss, n)-reconstructible, exactly as the KL report is
+    *     count-reconstructible), and the raw docs themselves;
+    *  2. *optimize* — [[graft.ops.Curation.doremiFromStats]] on the
+    *     accreted per-source stats (domains-sized table, corpus-tiny);
+    *  3. *report* — the per-source drift KL joined with the learned
+    *     weights, overwritten at `reportPath`: one frame showing WHY each
+    *     source is weighted as it is (the monitor feeding the optimizer,
+    *     visible);
+    *  4. *apply* — [[graft.ops.Curation.mixtureSampleBy]] over the
+    *     accreted corpus with the learned weights, overwritten at
+    *     `resampledPath`. The resample is recomputed (not accreted):
+    *     new batches move counts AND weights, so a previously-dropped
+    *     doc can become kept — keep-rates are corpus-level state, not
+    *     per-row state.
+    *
+    * Crash/replay contract: replayed batches re-append byte-identical
+    * batch-stamped ledger rows (dropDuplicates on the stamp key at read
+    * makes re-delivery idempotent — the [[incrementalDriftMonitor]]
+    * argument), and the doc ledger dedups on `idCol`.
+    *
+    * Maintain-incrementally equals compute-once-batch: ledger sums are
+    * the same numbers the batch aggregates produce (counts exactly; the
+    * loss mean up to the portable rounding that already gates it), so
+    * the maintained resample equals batch
+    * `mixtureSampleBy(doremiWeights(corpus))` — proven in StreamingSpec
+    * against the x6_doremi_resample dataflow across ≥3 micro-batches. */
+  def incrementalReweightingPipeline(docs: DataFrame, idCol: String, textCol: String,
+                                     sourceCol: String, lossCol: Column,
+                                     countLedgerPath: String, statsLedgerPath: String,
+                                     docLedgerPath: String, reportPath: String,
+                                     resampledPath: String, checkpoint: String,
+                                     eta: Double = 0.5, iters: Int = 3,
+                                     alpha: Double = 0.5, klRoundDigits: Int = 4,
+                                     wRoundDigits: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // 1. measure: three additive batch-stamped ledgers
+        batch.select(col(sourceCol).as("source"),
+            explode(graft.ops.TextOps.tokens(col(textCol))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(countLedgerPath)
+        batch.groupBy(col(sourceCol).as("source"))
+          .agg(sum(lossCol).as("loss_sum"), count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(statsLedgerPath)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(docLedgerPath)
+        // 2. optimize: weights from the accreted loss statistics
+        val s = math.pow(10.0, wRoundDigits)
+        val stats = spark.read.parquet(statsLedgerPath)
+          .dropDuplicates("batch_id", "source")
+          .groupBy(col("source").as(sourceCol))
+          .agg((floor(sum(col("loss_sum")) / sum(col("n")) * lit(s) + lit(0.5))
+            / lit(s)).as("domain_loss"),
+            sum(col("n")).as("n_docs"))
+        val weights = graft.ops.Curation.doremiFromStats(stats, sourceCol,
+          eta, iters, wRoundDigits)
+        // 3. report: drift KL beside the weight it motivates
+        val counts = spark.read.parquet(countLedgerPath)
+          .dropDuplicates("batch_id", "source", "tok")
+          .groupBy(col("source"), col("tok")).agg(sum(col("cs")).as("cs"))
+        graft.ops.TextOps.driftFromCounts(counts, alpha, klRoundDigits)
+          .join(weights.withColumnRenamed(sourceCol, "source"), Seq("source"))
+          .withColumn("as_of_batch", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(reportPath)
+        // 4. apply: resample the accreted corpus with the learned weights
+        val corpus = spark.read.parquet(docLedgerPath)
+          .dropDuplicates(idCol).drop("batch_id")
+        graft.ops.Curation.mixtureSampleBy(corpus, idCol, sourceCol, weights, "weight")
+          .write.mode("overwrite").parquet(resampledPath)
+      }
+      .start()
+
   def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
                                   benchLedgerPath: String, corpusPath: String,
                                   fpLedgerPath: String, checkpoint: String,

@@ -388,6 +388,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental reweighting loop maintains the batch DoReMi resample across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val countLedger = tmp("graft_rw_counts") + "/counts"
+    val statsLedger = tmp("graft_rw_stats") + "/stats"
+    val docLedger = tmp("graft_rw_docs") + "/docs"
+    val report = tmp("graft_rw_rep") + "/report"
+    val resampled = tmp("graft_rw_out") + "/resampled"
+    val ckpt = tmp("graft_rw_ckpt")
+    val loss = lit(1.0) - least(col("n_chars").cast("double") / lit(200.0), lit(1.0))
+    val full = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source", "n_chars")
+    val q = StreamingOps.incrementalReweightingPipeline(docs, "doc_id", "text",
+      "source", loss, countLedger, statsLedger, docLedger, report, resampled, ckpt)
+    // three micro-batches over an arbitrary split — weights and rates
+    // move every batch; only the final state must equal the batch run
+    full.grouped((full.size + 2) / 3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the maintained resample == batch mixtureSampleBy ∘ doremiWeights
+    // (the x6_doremi_resample dataflow) on the union of all batches
+    val batchDocs = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val batchWeights = ops.Curation.doremiWeights(batchDocs, "source", loss)
+    val want = ops.Curation.mixtureSampleBy(batchDocs, "doc_id", "source",
+        batchWeights, "weight")
+      .select(col("doc_id"), col("rate")).as[(Long, Long)].collect().toSet
+    val got = spark.read.parquet(resampled)
+      .select(col("doc_id"), col("rate")).as[(Long, Long)].collect().toSet
+    assert(got == want,
+      "maintained resampled corpus must equal the batch optimize-then-apply result")
+    // the report shows the monitor feeding the optimizer: per-source KL
+    // beside the learned weight, and the weights equal the batch ones
+    val gotW = spark.read.parquet(report)
+      .select(col("source"), col("weight")).as[(String, Double)].collect().toSet
+    val wantW = batchWeights.select(col("source"), col("weight"))
+      .as[(String, Double)].collect().toSet
+    assert(gotW == wantW, "reported weights must equal the batch DoReMi weights")
+    val klCols = spark.read.parquet(report).columns.toSet
+    assert(Set("kl_vs_corpus", "domain_loss", "weight", "as_of_batch").subsetOf(klCols))
+  }
+
   test("incremental drift monitor equals the batch KL report on the same rows split across batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
