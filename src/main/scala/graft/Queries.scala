@@ -3158,11 +3158,15 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val hits = exact.join(trunc, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.select(col("query_id")).distinct()
+      // denominator = the exact top-k actually available per query (≤ 5
+      // at a tiny stripe), so recall stays a true fraction of what the
+      // full-dimension ranking produced rather than of a fixed constant
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
         .orderBy(col("query_id"))
     },
     Some {
@@ -3190,8 +3194,8 @@ object Queries {
           FROM frk f JOIN trk t ON f.query_id = t.query_id AND f.cand_id = t.cand_id
           GROUP BY f.query_id)
         SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-          coalesce(h.n_hits, 0) / 5.0 AS recall
-        FROM (SELECT DISTINCT query_id FROM frk) q
+          coalesce(h.n_hits, 0) / CAST(least(q.n_exact, 5) AS DOUBLE) AS recall
+        FROM (SELECT query_id, count(*) AS n_exact FROM frk GROUP BY query_id) q
         LEFT JOIN h USING (query_id) ORDER BY query_id"""
     })
 

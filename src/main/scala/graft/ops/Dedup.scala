@@ -167,7 +167,11 @@ object Dedup {
     val bloom = BloomJoin.bloomFilterFor(refFps, col("fp"), expectedItems)
     val stamped = newDocs.withColumn("fp", TextOps.fingerprint(col(textCol)))
     val hit = BloomJoin.mightContain(bloom, col("fp"))
-    val clean = stamped.where(!hit)
+    // null text → null fp → mightContain is null, which fails BOTH a
+    // `hit` and a `!hit` filter; route null-fp rows into the clean branch
+    // explicitly so the bloom stays pure routing (the anti join keeps
+    // null-key rows, so dedupAgainstReference keeps them too)
+    val clean = stamped.where(col("fp").isNull || !hit)
     val residual = stamped.where(hit).join(refFps, Seq("fp"), "left_anti")
     clean.unionByName(residual).drop("fp")
   }

@@ -289,8 +289,13 @@ object TextOps {
       aggregate(sequence(lit(0), lit(w - 1)), lit(0L),
         (acc, k) => acc +
           ascii(text.substr(i - k, lit(1))).cast("long") * element_at(pows, k + lit(1)))
-    when(len >= lit(w),
-      filter(sequence(lit(w), len), i => pmod(hashAt(i), lit(m)) === lit(0L)))
+    // null text → null (matching the CdcCuts kernel's nullSafeEval);
+    // without the explicit branch CaseWhen would fall through to the
+    // empty-array default and the two documented-equivalent forms would
+    // diverge on null input
+    when(text.isNull, lit(null).cast("array<int>"))
+      .when(len >= lit(w),
+        filter(sequence(lit(w), len), i => pmod(hashAt(i), lit(m)) === lit(0L)))
       .otherwise(array().cast("array<int>"))
   }
 
@@ -441,12 +446,17 @@ object TextOps {
       transform(tokens(col(textCol)), t => regexp_replace(t, "(.)", "_$1_")), " ")
     val stamped = docs.select(col(idCol), enc0.as("enc"))
       .crossJoin(broadcast(mRow))
+    // each unrolled step guards i ≤ |merges|: a k beyond the trained
+    // merge count applies every available merge and passes through
+    // (element_at past the array end would error under ANSI mode)
     val encK = (1 to k).foldLeft(col("enc")) { (e, i) =>
       val m = element_at(col("ms"), i)
-      call_function("replace", e,
-        concat(lit("_"), m.getField("left_sym"), lit("__"),
-          m.getField("right_sym"), lit("_")),
-        concat(lit("_"), m.getField("left_sym"), m.getField("right_sym"), lit("_")))
+      when(lit(i) <= size(col("ms")),
+        call_function("replace", e,
+          concat(lit("_"), m.getField("left_sym"), lit("__"),
+            m.getField("right_sym"), lit("_")),
+          concat(lit("_"), m.getField("left_sym"), m.getField("right_sym"), lit("_"))))
+        .otherwise(e)
     }
     def syms(e: Column): Column =
       ((length(e) - length(call_function("replace", e, lit("_"), lit("")))) / lit(2))

@@ -539,13 +539,65 @@ object StreamingOps {
     * produce the same corpus whenever ids arrive in ascending order (the
     * batch keep-rule is min-id per fingerprint; streaming keeps
     * first-seen) — proven against the x7 program in StreamingSpec. */
+  /** Write `df` to `path` via a staging dir + rename — a concurrent
+    * reader of the previous report sees either the old dir or the new
+    * one, never a missing/partial dir (the delete-then-recompute-write
+    * window of a plain overwrite). The delete+rename pair is the
+    * practical atomicity parquet-on-a-filesystem offers; a table format
+    * with a pointer swap would close the remaining sliver. */
+  private def writeAtomic(df: DataFrame, path: String,
+                          coalesce1: Boolean = false): Unit = {
+    val staging = path + ".staging"
+    (if (coalesce1) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), hp): Unit
+  }
+
+  /** Fold every COMMITTED batch's ledger rows into one `batch_id = -1`
+    * summary row per key, keeping the in-flight batch's rows verbatim —
+    * bounds the append-only ledger at (keys + current batch) rows so the
+    * per-batch re-aggregation stays flat instead of growing linearly
+    * with batch count (O(n²) cumulative).
+    *
+    * Replay safety: only the CURRENT batch can re-deliver after a crash
+    * (earlier batches are checkpoint-committed), and its rows are
+    * excluded from the fold — a replayed append is still removed by the
+    * read-side dropDuplicates on (batch_id, key), and re-running the
+    * compaction itself re-folds the same committed rows to the same
+    * totals (idempotent). The rewrite goes through the same
+    * staging+rename as the reports; the ledger's only reader is this
+    * serial foreachBatch. */
+  private def compactLedger(spark: SparkSession, path: String,
+                            keyCols: Seq[String], sumCols: Seq[String],
+                            currentBatchId: Long): Unit = {
+    val all = spark.read.parquet(path)
+      .dropDuplicates("batch_id" +: keyCols)
+      .cache()
+    try {
+      val folded = all.where(col("batch_id") =!= currentBatchId)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .withColumn("batch_id", lit(-1L))
+      val staged = folded.unionByName(
+        all.where(col("batch_id") === currentBatchId))
+      writeAtomic(staged, path)
+    } finally all.unpersist(): Unit
+  }
+
   /** Incremental corpus-drift monitor — the CDC mirror of
     * `x3_corpus_drift`: each micro-batch's (source, token) counts append
     * to a durable ledger stamped with the batch id, and the per-source KL
-    * report is recomputed from the accreted counts and overwritten at
-    * `reportPath` (the report is sources-sized — rewriting it is the
-    * cheap, atomic-enough monitor output; the LEDGER is the durable
-    * state and is append-only).
+    * report is recomputed from the accreted counts and swapped in at
+    * `reportPath` via staging+rename (a concurrent reader never sees a
+    * missing or partial report). The ledger is append-only between
+    * compactions: every `compactEvery` batches the committed rows fold
+    * into one `batch_id = -1` summary per (source, tok) — counts are
+    * additive, so the fold is lossless and the per-batch re-aggregation
+    * cost stays flat instead of growing with batch count.
     *
     * Crash/replay contract: a replayed batch re-appends byte-identical
     * (batch_id, source, tok, cs) rows — deterministic aggregation of
@@ -563,7 +615,8 @@ object StreamingOps {
   def incrementalDriftMonitor(docs: DataFrame, textCol: String, sourceCol: String,
                               ledgerPath: String, reportPath: String,
                               checkpoint: String, alpha: Double = 0.5,
-                              roundDigits: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+                              roundDigits: Int = 4,
+                              compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -573,13 +626,18 @@ object StreamingOps {
           .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
           .withColumn("batch_id", lit(batchId))
         inc.write.mode("append").parquet(ledgerPath)
+        // counts are additive, so committed batches fold losslessly —
+        // keeps the per-batch re-aggregation flat instead of linear in
+        // batch count
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactLedger(spark, ledgerPath, Seq("source", "tok"), Seq("cs"), batchId)
         val accreted = spark.read.parquet(ledgerPath)
           .dropDuplicates("batch_id", "source", "tok")
           .groupBy(col("source"), col("tok")).agg(sum(col("cs")).as("cs"))
-        graft.ops.TextOps.driftFromCounts(accreted, alpha, roundDigits)
-          .withColumn("as_of_batch", lit(batchId))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(reportPath)
+        writeAtomic(
+          graft.ops.TextOps.driftFromCounts(accreted, alpha, roundDigits)
+            .withColumn("as_of_batch", lit(batchId)),
+          reportPath, coalesce1 = true)
       }
       .start()
 
@@ -627,7 +685,8 @@ object StreamingOps {
                                      resampledPath: String, checkpoint: String,
                                      eta: Double = 0.5, iters: Int = 3,
                                      alpha: Double = 0.5, klRoundDigits: Int = 4,
-                                     wRoundDigits: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+                                     wRoundDigits: Int = 6,
+                                     compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -644,6 +703,15 @@ object StreamingOps {
           .write.mode("append").parquet(statsLedgerPath)
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(docLedgerPath)
+        // the two stat ledgers are additive → committed batches fold
+        // losslessly (the doc ledger is raw rows, not additive — it
+        // dedups on idCol at read instead)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          compactLedger(spark, countLedgerPath, Seq("source", "tok"),
+            Seq("cs"), batchId)
+          compactLedger(spark, statsLedgerPath, Seq("source"),
+            Seq("loss_sum", "n"), batchId)
+        }
         // 2. optimize: weights from the accreted loss statistics
         val s = math.pow(10.0, wRoundDigits)
         val stats = spark.read.parquet(statsLedgerPath)
@@ -658,16 +726,17 @@ object StreamingOps {
         val counts = spark.read.parquet(countLedgerPath)
           .dropDuplicates("batch_id", "source", "tok")
           .groupBy(col("source"), col("tok")).agg(sum(col("cs")).as("cs"))
-        graft.ops.TextOps.driftFromCounts(counts, alpha, klRoundDigits)
-          .join(weights.withColumnRenamed(sourceCol, "source"), Seq("source"))
-          .withColumn("as_of_batch", lit(batchId))
-          .coalesce(1)
-          .write.mode("overwrite").parquet(reportPath)
+        writeAtomic(
+          graft.ops.TextOps.driftFromCounts(counts, alpha, klRoundDigits)
+            .join(weights.withColumnRenamed(sourceCol, "source"), Seq("source"))
+            .withColumn("as_of_batch", lit(batchId)),
+          reportPath, coalesce1 = true)
         // 4. apply: resample the accreted corpus with the learned weights
         val corpus = spark.read.parquet(docLedgerPath)
           .dropDuplicates(idCol).drop("batch_id")
-        graft.ops.Curation.mixtureSampleBy(corpus, idCol, sourceCol, weights, "weight")
-          .write.mode("overwrite").parquet(resampledPath)
+        writeAtomic(
+          graft.ops.Curation.mixtureSampleBy(corpus, idCol, sourceCol, weights, "weight"),
+          resampledPath)
       }
       .start()
 

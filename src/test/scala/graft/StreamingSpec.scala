@@ -436,6 +436,40 @@ class StreamingSpec extends SparkSpec {
     assert(Set("kl_vs_corpus", "domain_loss", "weight", "as_of_batch").subsetOf(klCols))
   }
 
+  test("drift ledger compaction folds committed batches losslessly; report unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val ledger = Files.createTempDirectory("graft_cmp").toString + "/counts"
+    val report = Files.createTempDirectory("graft_cmp_rep").toString + "/kl"
+    val ckpt = Files.createTempDirectory("graft_cmp_ckpt").toString
+    val rows = Seq(
+      (1L, "alpha beta gamma", "a"), (2L, "beta beta delta", "b"),
+      (3L, "gamma gamma alpha", "a"), (4L, "delta alpha beta", "b"),
+      (5L, "epsilon beta beta", "a"), (6L, "alpha delta delta", "b"))
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.incrementalDriftMonitor(
+      mem.toDF().toDF("doc_id", "text", "source"), "text", "source",
+      ledger, report, ckpt, compactEvery = 2)
+    rows.grouped(2).foreach { chunk => // 3 batches → compaction at batch 2
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // batches 0 and 1 folded into batch_id = -1 rows; batch 2 verbatim
+    val ledgerIds = spark.read.parquet(ledger)
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(ledgerIds == Set(-1L, 2L), s"got $ledgerIds")
+    // the report over the compacted ledger is still the exact batch report
+    val streamed = spark.read.parquet(report)
+      .select(col("source"), col("n_tokens"), col("n_vocab_source"),
+        col("kl_vs_corpus"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batch = ops.TextOps.corpusDriftBySource(
+        rows.toDF("doc_id", "text", "source"), "doc_id", "text", "source")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed == batch, "compaction must not change the report")
+  }
+
   test("incremental drift monitor equals the batch KL report on the same rows split across batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files

@@ -146,13 +146,15 @@ class TextKernelSpec extends SparkSpec {
     val strs = (1 to 40).map(_ =>
       (1 to (rnd.nextInt(120) + 1)).map(_ => ('a' + rnd.nextInt(27)).toChar)
         .mkString.replace('{', ' ')) ++
-      cases :+ "exactly8" :+ "under8"
+      cases :+ "exactly8" :+ "under8" :+ null.asInstanceOf[String]
     val df = strs.toDF("text")
     Seq((8, 31L, 64L), (4, 31L, 8L), (5, 7L, 13L)).foreach { case (w, p, m) =>
+      // null-safe comparison: both forms must agree on VALUES and on
+      // NULLNESS (null text → null in both, per the kernel's nullSafeEval)
       val bad = df.select(
           TextOps.cdcCuts(col("text"), w, p, m).as("k"),
           TextOps.cdcCutsHof(col("text"), w, p, m).as("h"))
-        .where(col("k") =!= col("h"))
+        .where(col("k") =!= col("h") || (col("k").isNull =!= col("h").isNull))
       assert(bad.count() == 0, s"kernel/HOF divergence at (w=$w, p=$p, m=$m)")
     }
   }
