@@ -2568,6 +2568,97 @@ object Queries {
         ORDER BY step"""
     })
 
+  /** The k-step training loop as a BOUNDED-LINEAGE incremental program —
+    * the property the unrolled [[e2eTrain2]] DAG cannot show past a
+    * handful of steps: each iteration's one-row coefficient frame is
+    * `localCheckpoint`ed (the cap the bpeMerges scaladoc prescribes for
+    * iterated optimize loops), so step i+1's plan references a LEAF, not
+    * step i's full nested aggregate — per-iteration plan size is CONSTANT
+    * in i instead of the O(i) (O(k²) total) growth of naive chaining.
+    * The TD-target frame computes once into a tracked cache; each step
+    * is then ONE tree aggregate over it (a k-iteration loop costs k
+    * reductions, never k corpus shuffles — the
+    * `_update_q → soft_update → next iteration` recurrence of reference
+    * fawac.py:357-373 + train_fawac_iql.py:136-140 at any k).
+    * Cross-engine parity composes stepwise: each coefficient is
+    * portable-rounded BEFORE the next step consumes it (the
+    * kmeansFit/doremi chaining rule), so drift cannot compound. */
+  private[graft] def trainKStep(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val tr = Tables.transitions(s, dir)
+    val ord = Seq(col("t"), col("state0"), col("reward"), col("cost"), col("done"))
+    val sC = col("state0"); val aC = col("cost")
+    val rC = col("reward") * lit(RewScale)
+    val vNet = element_at(ModelOps.mlp(array(sC), Seq(
+      (Seq(Seq(0.3), Seq(-0.15)), Seq(-2.0, 4.0), ModelOps.relu),
+      (Seq(Seq(0.5, -0.4)), Seq(0.05), ModelOps.identityAct))), 1)
+    val base = JoinOps.tdTarget(tr.withColumn("v", vNet), "episode_id", ord,
+      rC, col("done"), col("v"), Gamma, "q_tgt")
+      .select(sC, aC, col("v"), col("q_tgt"))
+      .cache()
+    def expectile(u: Column): Column =
+      abs(lit(IqlTau) - CoreOps.indicator(u < lit(0.0))) * u * u
+    def advWith(c: Column): Column = (sC * c + aC * lit(0.3) - lit(0.1)) - col("v")
+    def step(coef: DataFrame): DataFrame =
+      base.crossJoin(broadcast(coef))
+        .agg(round(sum(expectile(advWith(col("__c")))), 4).as("value_loss_sum"),
+          first(col("__c")).as("__cprev"),
+          sum(col("q_tgt") * sC).as("__ts"), sum(sC * sC).as("__ss"))
+        .select(col("value_loss_sum"),
+          pround(lit(1.0 - Tau) * col("__cprev")
+            + lit(Tau) * (col("__ts") / col("__ss")), 6).as("q_coef_after"))
+    try {
+      var coef = s.range(1).select(lit(0.2).as("__c"))
+      val outs = (1 to k).map { i =>
+        // eager localCheckpoint: runs this step's aggregate and truncates
+        // the one-row result to a leaf — the next iteration's plan (and
+        // the final union) never re-embeds this step's lineage
+        val out = step(coef).localCheckpoint(true)
+        coef = out.select(col("q_coef_after").as("__c"))
+        out.select(lit(i.toLong).as("step"), col("value_loss_sum"),
+          col("q_coef_after"))
+      }
+      outs.reduce(_ unionByName _).orderBy(col("step"))
+    } finally base.unpersist(): Unit
+  }
+
+  private val e2eTrainK = Q("e2e_train_kstep",
+    (s, dir) => trainKStep(s, dir, 4),
+    Some {
+      def advSql(c: String) = s"((s*$c + a*0.3 - 0.1) - v)"
+      def lossSql(c: String) =
+        s"""round(sum(abs(${d(IqlTau)} - (CASE WHEN ${advSql(c)} < 0.0
+          THEN 1.0 ELSE 0.0 END)) * ${advSql(c)} * ${advSql(c)}), 4)"""
+      def coefSql(prev: String) =
+        proundSql(d(1.0 - Tau) + s"*$prev + " + d(Tau)
+          + "*((SELECT ts FROM s0)/(SELECT ss FROM s0))", 6)
+      val stepCtes = (1 to 4).map { i =>
+        val prevC = if (i == 1) "0.2" else s"(SELECT c FROM c${i - 1})"
+        s"""l$i AS (SELECT ${lossSql(prevC)} AS loss FROM g),
+        c$i AS (SELECT ${coefSql(prevC)} AS c FROM s0)"""
+      }.mkString(",\n        ")
+      val rows = (1 to 4).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS step, (SELECT loss FROM l$i) AS value_loss_sum,
+          (SELECT c FROM c$i) AS q_coef_after"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""WITH tr AS (SELECT l_orderkey AS episode_id,
+          CAST(l_linenumber AS BIGINT) AS t, l_quantity AS s,
+          l_extendedprice*0.1 AS reward, l_discount*10.0 AS a,
+          CASE WHEN l_returnflag='R' OR l_linestatus='F' THEN 1.0 ELSE 0.0 END AS d
+        FROM lineitem),
+        f AS (SELECT *, reward*0.001 AS r,
+          0.05 + greatest(-2.0 + s*0.3, 0.0)*0.5
+            + greatest(4.0 + s*(-0.15), 0.0)*(-0.4) AS v
+        FROM tr),
+        g AS (SELECT *,
+          r + (1.0 - d) * ${d(Gamma)} * coalesce(lead(v) OVER w, 0.0) AS q_tgt
+        FROM f WINDOW w AS (PARTITION BY episode_id ORDER BY t, s, reward, a, d)),
+        s0 AS (SELECT sum(q_tgt * s) AS ts, sum(s * s) AS ss FROM g),
+        $stepCtes
+        $rows
+        ORDER BY step"""
+    },
+    eagerPlan = true) // construction runs the k per-step aggregate jobs
+
   /** The `obj_method="statewise_lagrangian"` training branch composed
     * end-to-end (fawac_configs.py:50 selects it; the paper's FAWAC-M
     * headline variant) — sibling of [[e2eTrain]], which composes the
@@ -4771,7 +4862,7 @@ object Queries {
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
-    x2IvfPq, x2IvfPqRecall)
+    x2IvfPq, x2IvfPqRecall, e2eTrainK)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

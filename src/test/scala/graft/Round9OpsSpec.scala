@@ -51,4 +51,33 @@ class Round9OpsSpec extends SparkSpec {
         s"ADC hits must be monotone in nprobe: $h1, $h2, $h3")
     } finally cb.unpersist()
   }
+
+  test("k-step training loop: per-iteration lineage truncated to leaves; plan linear in k") {
+    val df4 = Queries.trainKStep(spark, sf001, 4)
+    val plan4 = df4.queryExecution.executedPlan.toString
+    // every step's aggregate was localCheckpointed away: the final plan
+    // is a union of k one-row leaf scans — no aggregate or window left
+    assert(!plan4.contains("HashAggregate") && !plan4.contains("SortAggregate"),
+      "step lineage must be truncated, not re-embedded")
+    assert("ExistingRDD".r.findAllIn(plan4).size == 4,
+      "one checkpointed leaf per step")
+    // doubling k grows the final plan linearly (one leaf per step) —
+    // naive chaining would re-embed every prior step's aggregate (O(k²))
+    val len2 = Queries.trainKStep(spark, sf001, 2)
+      .queryExecution.executedPlan.toString.length
+    val len8 = Queries.trainKStep(spark, sf001, 8)
+      .queryExecution.executedPlan.toString.length
+    assert(len8 < len2 * 6,
+      s"plan must grow linearly in k: k=2 → $len2 chars, k=8 → $len8")
+  }
+
+  test("k-step training loop: first two steps reproduce e2e_train_2step exactly") {
+    val two = Queries.all.find(_.name == "e2e_train_2step").get
+      .run(spark, sf001).collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val kfirst = Queries.trainKStep(spark, sf001, 2).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(kfirst == two,
+      "the checkpointed loop must compute the same recurrence as the unrolled DAG")
+  }
 }
