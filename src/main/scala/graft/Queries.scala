@@ -1345,6 +1345,40 @@ object Queries {
       md5(text) AS checksum, CAST(strlen(text) AS DOUBLE) AS f0
       FROM documents ORDER BY doc_id"""))
 
+  /** X4 — the TYPED decode path ([[graft.ops.Multimodal.decodeMedia]]:
+    * Dataset[MediaRow] → mapPartitions with one codec per partition →
+    * Dataset[DecodedMedia]) oracle-checked end-to-end: the stub codec's
+    * closed form (width/height from the payload's first/last byte, the
+    * 3-dim feature vector) is DuckDB-expressible over the same synthetic
+    * UTF-8 payload, so the whole typed plumbing — encoders, partition
+    * codec lifecycle, struct schema — is verified against an independent
+    * engine, not just a spec. A real codec replaces only the closed
+    * form. */
+  private val x4Decode = Q("x4_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"), Multimodal.syntheticMedia(col("text")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeMedia(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          col("features"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        CAST(strlen(text) AS BIGINT) AS n FROM documents),
+      d AS (SELECT doc_id, n,
+          CASE WHEN n = 0 THEN 0
+            ELSE CAST(('0x' || substr(hx, 1, 2)) AS INT) END AS fb,
+          CASE WHEN n = 0 THEN 0
+            ELSE CAST(('0x' || substr(hx, -2, 2)) AS INT) END AS lb
+        FROM b)
+      SELECT doc_id, CAST(1 + fb % 64 AS BIGINT) AS width,
+        CAST(1 + lb % 64 AS BIGINT) AS height, n AS n_bytes,
+        [CAST(n AS DOUBLE), CAST(fb AS DOUBLE), CAST(lb AS DOUBLE)] AS features
+      FROM d ORDER BY doc_id"""))
+
   /** The same as-of semantics through the CUSTOM OPERATOR stack
     * (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): its oracle is the
     * identical window-composed SQL, so the physical operator's merge is
@@ -4862,7 +4896,7 @@ object Queries {
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
-    x2IvfPq, x2IvfPqRecall, e2eTrainK)
+    x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
