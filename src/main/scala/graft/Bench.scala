@@ -39,7 +39,11 @@ object Bench {
     "x3_bpe_merges",             // BPE training loop (vocab iterations)
     "x1_paragraph_dedup",        // sub-document keep-first dedup
     "x2_pca_project",            // power iteration + whitening apply chain
-    "x3_corpus_drift")           // per-source KL drift report
+    "x3_corpus_drift",           // per-source KL drift report
+    "x1_cdc_chunk_dedup",        // content-defined chunk dedup (rolling hash)
+    "x2_ivf_nprobe_topk",        // multi-probe IVF ANN
+    "x2_ivf_pq_topk",            // IVF+PQ composed index (IVFADC)
+    "e2e_train_kstep")           // k-step bounded-lineage training loop
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

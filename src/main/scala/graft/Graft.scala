@@ -263,6 +263,16 @@ object Graft {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Similarity.ivfTopKProbe(emb, idCol, vecCol, centroidPred, queryPred, k, nprobe)
 
+  /** X2: IVF+PQ composed index search (the FAISS-IVFADC serving shape) —
+    * coarse cells prune each query to `nprobe` cells, asymmetric-distance
+    * scoring runs only over the survivors; codebooks from `pqTrain`. */
+  def searchIvfPq(emb: DataFrame, m: Int, dim: Int, codebooks: DataFrame,
+                  centroidPred: Column, queryPred: Column,
+                  k: Int = 5, nprobe: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfPqSearch(emb, idCol, vecCol, m, dim, codebooks,
+      centroidPred, queryPred, k, nprobe)
+
   /** X6: size-balanced output shards — round-robin over (size DESC, id)
     * order; doc counts differ ≤ 1, token totals ≤ one largest doc. */
   def shardManifest(docs: DataFrame, sizeCol: Column, shards: Int,
@@ -408,4 +418,19 @@ object Graft {
                     build: DataFrame, buildKey: String,
                     expectedItems: Long = 1000000L): DataFrame =
     ops.BloomJoin.bloomSemiJoin(probe, probeKey, build, buildKey, expectedItems)
+
+  /** Incremental reweighting loop (monitor → DoReMi → resampler under one
+    * foreachBatch): additive per-source ledgers accrete, weights recompute
+    * from the accreted stats, and the corpus resample is maintained at
+    * `resampledPath`; the report joins each source's drift KL beside its
+    * learned weight. */
+  def reweightIncremental(docs: DataFrame, lossCol: Column,
+                          countLedgerPath: String, statsLedgerPath: String,
+                          docLedgerPath: String, reportPath: String,
+                          resampledPath: String, checkpoint: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          sourceCol: String = "source") =
+    StreamingOps.incrementalReweightingPipeline(docs, idCol, textCol, sourceCol,
+      lossCol, countLedgerPath, statsLedgerPath, docLedgerPath, reportPath,
+      resampledPath, checkpoint)
 }

@@ -327,6 +327,48 @@ object ScaleProbe {
           .groupBy(col("cw"), (col("week") - col("cw")).as("off"))
           .agg(count_distinct(col("user_id")).as("n"))
       }))
+    // round-9 batch. PQ ADC: query stripe held CONSTANT (the ann-lsh
+    // convention: %100 at 1x, %(100·scale) at Nx) so the probe isolates
+    // the N-side of the N·Q candidate term — flat ADC must grow ~linear
+    // in N; the IVF+PQ composition probes 2 of ~N/89 cells, so its
+    // per-query candidate set is ~constant and the growth should track
+    // the (linear) assignment scans instead. Dup-span fraction: gram
+    // explode + gh-keyed window + doc rollup — ~linear. Codebooks are
+    // trained at 1x both sides to isolate the search stage.
+    val cb1 = Similarity.pqTrain(emb1, "vec_id", "embedding", m = 2, dim = 64,
+      seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2).cache()
+    cb1.count()
+    probe("pq adc search (trained at 1x)",
+      cnt(Similarity.pqSearch(emb1, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(100)) === 0, 5)),
+      cnt(Similarity.pqSearch(embN, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(100L * scale)) === 0, 5)))
+    probe("ivf+pq search (trained at 1x)",
+      cnt(Similarity.ivfPqSearch(emb1, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(89)) === 1,
+        pmod(col("vec_id"), lit(100)) === 0, 5, nprobe = 2)),
+      cnt(Similarity.ivfPqSearch(embN, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(89)) === 1,
+        pmod(col("vec_id"), lit(100L * scale)) === 0, 5, nprobe = 2)))
+    probe("dup span fraction (8-gram)",
+      cnt(TextOps.duplicatedSpans(docs1, "doc_id", "text", n = 8)),
+      cnt(TextOps.duplicatedSpans(docsN, "doc_id", "text", n = 8)))
+    // BPE merge-count axis: FIXED data, growing k — the unrolled vocab
+    // loop's lineage grows with k, measuring where the bpeMerges
+    // scaladoc's "checkpoint beyond a handful of merges" advice binds.
+    // Time per merge should stay roughly flat while the analysis cost of
+    // the deeper plan creeps; a superlinear blow-up would mean the
+    // unrolled form needs the e2e_train_kstep localCheckpoint treatment
+    // sooner than documented.
+    if (only.forall(_.exists("bpe merge-count".startsWith)))
+      Seq(2, 4, 8).foreach { k =>
+        val t = Seq(
+          time(s"bpe merge-count k=$k warm")(
+            cnt(TextOps.bpeMerges(docs1, "doc_id", "text", merges = k)))._2,
+          time(s"bpe merge-count k=$k")(
+            cnt(TextOps.bpeMerges(docs1, "doc_id", "text", merges = k)))._2).min
+        println(f"[probe] bpe merge-count k=$k%-22d $t%8.2f s (${t / k}%.2f s/merge)")
+      }
     spark.stop()
   }
 }
