@@ -3324,6 +3324,87 @@ object Queries {
         LEFT JOIN h USING (query_id) ORDER BY query_id"""
     })
 
+  /** X1 — edit-distance similarity join on a normalized 40-char key
+    * ([[Dedup.editDistanceJoin]], the Ed-Join prefix-filter shape). The
+    * oracle is BRUTE FORCE all-pairs Levenshtein, so this gate verifies
+    * the prefix/length filter chain is lossless on real data — the
+    * Spark side must find exactly the pairs the quadratic scan finds. */
+  private val x1EditJoin = Q("x1_edit_distance_join",
+    (s, dir) => Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2),
+    Some("""WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 40)) AS key
+        FROM documents)
+      SELECT a.id AS a_id, b.id AS b_id,
+        CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+      FROM k a JOIN k b ON a.id < b.id
+      WHERE levenshtein(a.key, b.key) <= 2
+      ORDER BY a_id, b_id"""))
+
+  /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
+    * used by the labeled-neighbor oracles below. */
+  private def cosSql(q: String, c: String): String =
+    s"""round(list_sum(list_transform(range(len($q)), i -> $q[i+1]*$c[i+1]))
+        / (sqrt(list_sum(list_transform(range(len($q)), i -> $q[i+1]*$q[i+1])))
+         * sqrt(list_sum(list_transform(range(len($c)), i -> $c[i+1]*$c[i+1])))), 6)"""
+
+  /** X2 — kNN label vote over the labeled embedding table: the standard
+    * embedding-space quality probe (do cosine neighborhoods predict
+    * labels?) doubling as a weak-labeler for unlabeled slices. Majority
+    * of the 10 nearest labels; ties broken by strongest supporting
+    * cosine then lowest label — all explicit, so both engines rank
+    * identically. */
+  private val x2Knn = Q("x2_knn_classify",
+    (s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(7)) === 0, k = 10)
+      .orderBy(col("query_id")),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+        WHERE vec_id % 7 = 0),
+      scored AS (SELECT query_id, qlabel, e.vec_id AS cand_id,
+          e.label AS clabel, ${cosSql("qv", "v")} AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+      topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored) WHERE rk <= 10),
+      votes AS (SELECT query_id, qlabel, clabel, count(*) AS n_votes,
+          max(cosine) AS best_cos
+        FROM topk GROUP BY query_id, qlabel, clabel),
+      win AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY n_votes DESC, best_cos DESC, clabel ASC) AS vr FROM votes)
+        WHERE vr = 1)
+      SELECT query_id, qlabel AS true_label, clabel AS pred_label,
+        CAST(n_votes AS BIGINT) AS n_votes,
+        CAST(clabel = qlabel AS BIGINT) AS correct
+      FROM win ORDER BY query_id"""))
+
+  /** X2 — hard-triplet mining (anchor, nearest same-label positive,
+    * nearest wrong-label hard negative) — the candidate generator for
+    * contrastive embedding training; negative `margin` = an active
+    * triplet (imposter outranks the positive). One scored frame, one
+    * window over (anchor, same-label?). */
+  private val x2Triplet = Q("x2_triplet_mining",
+    (s, dir) => Similarity.tripletMine(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", pmod(col("vec_id"), lit(7)) === 3)
+      .orderBy(col("query_id")),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+        WHERE vec_id % 7 = 3),
+      scored AS (SELECT query_id, qlabel, e.vec_id AS cand_id,
+          e.label AS clabel, (e.label = qlabel) AS same,
+          ${cosSql("qv", "v")} AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+      best AS (SELECT * FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id, same
+          ORDER BY cosine DESC, cand_id ASC) AS rk FROM scored) WHERE rk = 1),
+      p AS (SELECT query_id, qlabel AS anchor_label, cand_id AS pos_id,
+          cosine AS pos_cos FROM best WHERE same),
+      n AS (SELECT query_id, cand_id AS neg_id, clabel AS neg_label,
+          cosine AS neg_cos FROM best WHERE NOT same)
+      SELECT p.query_id, anchor_label, pos_id, pos_cos, neg_id, neg_label,
+        neg_cos, pos_cos - neg_cos AS margin
+      FROM p JOIN n USING (query_id) ORDER BY p.query_id"""))
+
   /** X2 — PQ recall@5 against exact L2 ranking (the compression-loss
     * measurement, sibling of x2_ann_recall/x2_ivf_recall): how much of
     * the true top-5 survives 64-dim → 2-byte quantization. Trains a
@@ -4896,7 +4977,8 @@ object Queries {
     x3Bpe, profSkew, x4Frames, x3Drift, x2PcaProject, x3SemDecon,
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
-    x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode)
+    x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
+    x2Knn, x2Triplet, x1EditJoin)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

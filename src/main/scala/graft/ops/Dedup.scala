@@ -686,4 +686,87 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** X1 — edit-distance similarity join (Ed-Join shape): every id pair
+    * whose KEY is within Levenshtein distance ≤ `maxDist`, found WITHOUT
+    * an all-pairs join. The filter chain is provably LOSSLESS, so the
+    * output is identical to brute force (the DuckDB oracle IS brute
+    * force — the correctness gate checks losslessness on real data, and
+    * PropertySpec fuzzes it on random edit scripts):
+    *
+    *  1. length filter — ed ≤ d forces |len(a) − len(b)| ≤ d;
+    *  2. prefix filter — with positional q-grams tokenized as
+    *     (gram, occurrence#) so repeated grams stay distinct tokens, an
+    *     edit destroys ≤ q tokens, so ed ≤ d pairs share a token among
+    *     each side's q·d+1 globally-rarest tokens (rarity = corpus token
+    *     frequency, the All-Pairs/Ed-Join prefix principle — valid when
+    *     max(len) ≥ q·(d+1), i.e. t = max(len)−q+1−q·d ≥ 1);
+    *  3. exact Levenshtein verify on the surviving candidates only.
+    *
+    * Pairs whose shorter side has fewer than q·(d+1) chars fall outside
+    * the prefix principle's guarantee; they route to a short-string pool
+    * joined length-banded all-pairs — bounded, because the pool holds
+    * only near-empty keys (< q·(d+1)+d chars), a corpus-independent
+    * sliver.
+    *
+    * Scale shape: the candidate join keys on PREFIX tokens only —
+    * q·d+1 per string, chosen rarest-first, so the frequent-gram skew
+    * that makes naive gram joins quadratic lands in the positions the
+    * prefix never keeps. Shuffles: token-frequency agg, prefix self-join,
+    * verify joins — all keyed, no broadcast of anything corpus-sized.
+    * Output: (a_id, b_id, dist), a_id < b_id. */
+  def editDistanceJoin(docs: DataFrame, idCol: String, key: Column,
+                       maxDist: Int = 2, q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
+    val d = maxDist
+    val longMin = q * (d + 1) // both >= longMin → prefix principle holds
+    val keys = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
+      .withColumn("len", length(col("key")))
+    def verified(cand: DataFrame): DataFrame =
+      cand.join(keys.select(col("id").as("a_id"), col("key").as("ka")), Seq("a_id"))
+        .join(keys.select(col("id").as("b_id"), col("key").as("kb")), Seq("b_id"))
+        .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+        .where(col("dist") <= d)
+        .select(col("a_id"), col("b_id"), col("dist"))
+
+    // short pool: any pair whose min side is < longMin has max side
+    // < longMin + d (length filter), so both live in `t`
+    val sPool = keys.where(col("len") < longMin)
+      .select(col("id").as("sa"), col("len").as("la"))
+    val tPool = keys.where(col("len") < longMin + d)
+      .select(col("id").as("sb"), col("len").as("lb"))
+    val shortCand = sPool.join(tPool,
+        col("sa") =!= col("sb") && abs(col("la") - col("lb")) <= d)
+      .select(least(col("sa"), col("sb")).as("a_id"),
+        greatest(col("sa"), col("sb")).as("b_id"))
+      .distinct()
+
+    // long branch: positional q-grams → (gram, occ) tokens → global
+    // rarity order → q·d+1 prefix → token-equality candidates
+    val longs = keys.where(col("len") >= longMin)
+    val toks = longs.select(col("id"), col("len"), col("key"),
+        explode(sequence(lit(0), col("len") - lit(q))).as("p"))
+      .withColumn("gram", expr(s"substring(key, p + 1, $q)"))
+    val occ = Window.partitionBy(col("id"), col("gram")).orderBy(col("p"))
+    val tokens = toks
+      .withColumn("occ", row_number().over(occ))
+      .select(col("id"), col("len"), col("gram"), col("occ"))
+    val freq = tokens.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("tf"))
+    val rarity = Window.partitionBy(col("id"))
+      .orderBy(col("tf").asc, col("gram").asc, col("occ").asc)
+    val prefix = tokens.join(freq, Seq("gram", "occ"))
+      .withColumn("pr", row_number().over(rarity))
+      .where(col("pr") <= q * d + 1)
+      .select(col("id"), col("len"), col("gram"), col("occ"))
+    val longCand = prefix.as("l").join(prefix.as("r"),
+        col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
+          && col("l.id") < col("r.id")
+          && abs(col("l.len") - col("r.len")) <= d)
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+      .distinct()
+
+    verified(shortCand.union(longCand).distinct())
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

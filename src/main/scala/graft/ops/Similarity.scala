@@ -755,4 +755,87 @@ object Similarity {
       .select(col("query_id"), col("rk").cast("long").as("rk"),
         col("pid").as("cand_id"), col("adc_dist"))
   }
+
+  /** Label-aware (query, candidate) cosine scoring shared by
+    * [[knnClassify]] and [[tripletMine]]: the [[bruteForceTopK]] frame
+    * with both sides' labels carried through. Same scale shape — the
+    * query stripe broadcasts, the corpus scans once and never shuffles;
+    * per-pair cost is one fused `graft_dot` loop. The brute scan is the
+    * evaluation baseline; at index scale the same downstream logic runs
+    * on [[ivfTopKProbe]] candidates instead. */
+  private def labeledScored(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, queryPred: Column): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("cvec"),
+        col(labelCol).cast("long").as("cand_label"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"),
+        col(labelCol).cast("long").as("query_label"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    corpus.crossJoin(broadcast(queries))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+  }
+
+  /** X2 — k-nearest-neighbor classification over a labeled embedding
+    * table (the standard embedding-quality probe: if cosine neighborhoods
+    * predict held-out labels, the embedding space is organized; the same
+    * vote also serves as a weak-labeler for unlabeled corpus slices).
+    * Each query's k nearest candidates vote by label; the majority wins,
+    * ties broken by the strongest supporting cosine, then lowest label —
+    * every tie-break is explicit so any engine replaying the closed form
+    * ranks identically. Output per query: (query_id, true_label,
+    * pred_label, n_votes, correct).
+    *
+    * Scale: neighbor retrieval is the brute baseline here (query stripe
+    * broadcast, corpus unshuffled); the vote itself is Q·k rows — dust.
+    * Swap [[ivfTopKProbe]] in for the scored frame at index scale. */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryPred: Column, k: Int = 10): DataFrame = {
+    val scored = labeledScored(emb, idCol, vecCol, labelCol, queryPred)
+    val nn = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val topk = scored.withColumn("rk", row_number().over(nn)).where(col("rk") <= k)
+    val votes = topk.groupBy(col("query_id"), col("query_label"), col("cand_label"))
+      .agg(count(lit(1)).as("n_votes"), max(col("cosine")).as("best_cos"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("best_cos").desc, col("cand_label").asc)
+    votes.withColumn("vr", row_number().over(vw)).where(col("vr") === 1)
+      .select(col("query_id"), col("query_label").as("true_label"),
+        col("cand_label").as("pred_label"), col("n_votes"),
+        (col("cand_label") === col("query_label")).cast("long").as("correct"))
+  }
+
+  /** X2 — hard-triplet mining for contrastive embedding training: for
+    * each anchor in the query stripe, the nearest SAME-label candidate
+    * (the positive) and the nearest DIFFERENT-label candidate (the hard
+    * negative — the most confusable wrong-class point, the pair that
+    * carries the gradient signal in triplet/InfoNCE training). `margin`
+    * = pos_cos − neg_cos; a negative margin marks an active triplet (the
+    * imposter currently outranks the positive). Both extremes fall out
+    * of ONE scored frame with a single window partitioned by
+    * (anchor, same-label?) — no second corpus pass for the negative.
+    *
+    * Scale: identical to [[bruteForceTopK]] — the anchor stripe is
+    * broadcast, the corpus never shuffles; the window ranks Q·2
+    * partitions. At billion-row scale the scored frame is replaced by
+    * ANN candidates per anchor (mine hard negatives from the probed
+    * cells), which is exactly how production contrastive pipelines run. */
+  def tripletMine(emb: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryPred: Column): DataFrame = {
+    val scored = labeledScored(emb, idCol, vecCol, labelCol, queryPred)
+      .withColumn("same", col("cand_label") === col("query_label"))
+    val w = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    val best = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+    val pos = best.where(col("same"))
+      .select(col("query_id"), col("query_label").as("anchor_label"),
+        col("cand_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = best.where(!col("same"))
+      .select(col("query_id"), col("cand_id").as("neg_id"),
+        col("cand_label").as("neg_label"), col("cosine").as("neg_cos"))
+    pos.join(neg, Seq("query_id"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
 }

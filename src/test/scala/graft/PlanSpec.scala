@@ -364,12 +364,15 @@ class PlanSpec extends SparkSpec {
     assert(skipped.map(_.name).toSet == Set("x1_dedup_components",
       "x1_dedup_pipeline", "x1_dedup_keep_best", "s4_csv_roundtrip",
       "s4_jsonl_roundtrip", "s7_partitioned_roundtrip", "s8_orc_roundtrip",
-      "s9_bucketed_join", "s10_schema_evolution"),
+      "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
-      // tables on construction. Window shapes of the underlying building
-      // blocks are covered by the per-operator plan tests above.
+      // tables on construction; e2e_train_kstep collects k per-step scalar
+      // aggregates while unrolling the bounded-lineage loop (window-free by
+      // construction — each step is aggregates over the same grouped frame).
+      // Window shapes of the underlying building blocks are covered by the
+      // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
     val offenders = sweepable.flatMap { q =>
       val exec = q.run(spark, sf001).queryExecution.executedPlan

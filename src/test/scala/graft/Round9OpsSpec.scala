@@ -91,4 +91,109 @@ class Round9OpsSpec extends SparkSpec {
     assert(kfirst == two,
       "the checkpointed loop must compute the same recurrence as the unrolled DAG")
   }
+
+  // ---- edit-distance similarity join ------------------------------------
+
+  /** Brute-force reference: all-pairs Levenshtein via Spark's own
+    * `levenshtein` on a cross join — the quadratic plan the operator's
+    * filter chain must reproduce exactly (losslessness). */
+  private def bruteEd(rows: Seq[(Long, String)], d: Int) = {
+    import spark.implicits._
+    val k = rows.toDF("id", "key")
+    val a = k.select(col("id").as("a_id"), col("key").as("ka"))
+    val b = k.select(col("id").as("b_id"), col("key").as("kb"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
+      .where(col("dist") <= d)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def edJoin(rows: Seq[(Long, String)], d: Int, q: Int = 2) = {
+    import spark.implicits._
+    ops.Dedup.editDistanceJoin(rows.toDF("id", "key"), "id", col("key"),
+        maxDist = d, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("editDistanceJoin is lossless vs brute force on random edit scripts") {
+    // seeded generator: base strings plus mutants at 1..4 edits — the
+    // prefix/length filter chain must drop NO pair the quadratic scan finds
+    val rng = new scala.util.Random(9)
+    val alpha = "abcdefg"
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (0 until edits).foreach { _ =>
+        val p = if (cur.isEmpty) 0 else rng.nextInt(cur.length)
+        rng.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.take(p) + cur.drop(p + 1) // del
+          case 1 if cur.nonEmpty => // sub
+            cur = cur.take(p) + alpha(rng.nextInt(alpha.length)) + cur.drop(p + 1)
+          case _ => cur = cur.take(p) + alpha(rng.nextInt(alpha.length)) + cur.drop(p)
+        }
+      }
+      cur
+    }
+    val bases = (0 until 12).map(i => randStr(6 + rng.nextInt(20)))
+    val strs = bases ++ bases.flatMap(s => (1 to 4).map(e => mutate(s, e)))
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(edJoin(rows, d = 2) == bruteEd(rows, d = 2))
+    assert(edJoin(rows, d = 1) == bruteEd(rows, d = 1))
+  }
+
+  test("editDistanceJoin short-string pool: below-prefix-threshold keys still pair") {
+    // all of these are shorter than q(d+1)=6 (or straddle it) — the prefix
+    // principle gives no guarantee here, the length-banded short pool must
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> "ab", 2L -> "ac", 3L -> "abc", 4L -> "", 5L -> "a",
+      6L -> "abcde", 7L -> "abcdef", 8L -> "abcdefg", 9L -> "zzzz")
+    assert(edJoin(rows, d = 2) == bruteEd(rows, d = 2))
+  }
+
+  test("editDistanceJoin repetitive keys: gram multiplicity tokens keep losslessness") {
+    // "aaaa…" strings have ONE distinct gram — the (gram, occurrence#)
+    // tokenization is what keeps the prefix filter sound here
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> ("a" * 20), 2L -> ("a" * 19 + "b"), 3L -> ("a" * 18),
+      4L -> ("a" * 10 + "b" + "a" * 9), 5L -> ("ab" * 10), 6L -> ("ba" * 10))
+    assert(edJoin(rows, d = 2) == bruteEd(rows, d = 2))
+  }
+
+  // ---- labeled-neighbor ops (kNN classify, triplet mining) --------------
+
+  test("knnClassify: crafted clusters vote correctly; tie breaks to lowest label") {
+    import spark.implicits._
+    // two tight clusters on axes; query 0 sits in cluster A (label 1);
+    // query 10 is EQUIDISTANT between one label-2 and one label-3 point
+    // with k=2 → 1-1 vote tie, equal best cosine → lowest label wins
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1), (1L, Array(0.9f, 0.1f, 0.0f), 1),
+      (2L, Array(0.95f, 0.05f, 0.0f), 1), (3L, Array(0.0f, 1.0f, 0.0f), 2),
+      (4L, Array(0.0f, 0.9f, 0.1f), 2),
+      (10L, Array(0.0f, 1.0f, 1.0f), 9),
+      (11L, Array(0.0f, 1.0f, 0.0f), 3), (12L, Array(0.0f, 0.0f, 1.0f), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = ops.Similarity.knnClassify(df, "vec_id", "embedding", "label",
+      col("vec_id") === 0L || col("vec_id") === 10L, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(r(0L) == (1L, 2L), "query 0: both nearest neighbors are label 1")
+    // query 10: nearest two are 11 (label 3) and 12 (label 2), same cosine
+    // → 1-1 tie, equal best_cos → lowest label (2) wins
+    assert(r(10L)._1 == 2L)
+  }
+
+  test("tripletMine: positive shares the anchor label, negative never does") {
+    val r = ops.Similarity.tripletMine(emb, "vec_id", "embedding", "label",
+      pmod(col("vec_id"), lit(7)) === 3)
+    val bad = r.join(emb.select(col("vec_id").as("pos_id"),
+        col("label").cast("long").as("pl")), Seq("pos_id"))
+      .join(emb.select(col("vec_id").as("neg_id"),
+        col("label").cast("long").as("nl")), Seq("neg_id"))
+      .where(col("pl") =!= col("anchor_label") || col("nl") === col("anchor_label"))
+      .count()
+    assert(bad == 0)
+    val m = r.where(col("margin") =!= col("pos_cos") - col("neg_cos")).count()
+    assert(m == 0)
+  }
 }
