@@ -43,7 +43,10 @@ object Bench {
     "x1_cdc_chunk_dedup",        // content-defined chunk dedup (rolling hash)
     "x2_ivf_nprobe_topk",        // multi-probe IVF ANN
     "x2_ivf_pq_topk",            // IVF+PQ composed index (IVFADC)
-    "e2e_train_kstep")           // k-step bounded-lineage training loop
+    "e2e_train_kstep",           // k-step bounded-lineage training loop
+    "x1_edit_distance_join",     // lossless Ed-Join prefix-filter chain
+    "x6_dsir_select",            // DSIR hashed-ngram importance selection
+    "x8_pagerank_states")        // 5-iteration weighted PageRank
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3340,6 +3340,140 @@ object Queries {
       WHERE levenshtein(a.key, b.key) <= 2
       ORDER BY a_id, b_id"""))
 
+  /** X6 — DSIR-style target-domain data selection
+    * ([[Curation.dsirWeights]]): hashed-token importance weights toward
+    * the English slice, top-100 raw docs kept. The feature space is a
+    * fixed 128-bucket hash range (corpus-independent — never a
+    * vocabulary), the λ table one broadcast map row; the oracle replays
+    * the identical closed form with the per-doc fold in token order. */
+  private val x6Dsir = Q("x6_dsir_select",
+    (s, dir) => Curation.dsirWeights(Tables.documents(s, dir), "text",
+        col("lang") === "en", buckets = 128, alpha = 0.5, roundDigits = 4)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
+        col("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(100),
+    Some("""WITH toks AS (SELECT doc_id, lang,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      tok AS (SELECT doc_id, lang, i AS pos,
+          CAST(('0x' || substr(md5(t[i+1]), 1, 15)) AS BIGINT) % 128 AS bucket
+        FROM (SELECT doc_id, lang, t, unnest(range(len(t))) AS i FROM toks)),
+      raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY bucket),
+      tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM tok
+        WHERE lang = 'en' GROUP BY bucket),
+      tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt),
+      lam AS (SELECT raw.bucket,
+          ln((coalesce(ct, 0) + 0.5) / (tt + 64.0))
+            - ln((cr + 0.5) / (tr + 64.0)) AS lam
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+      dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+          list_sum(list(lam ORDER BY pos)) AS wsum
+        FROM tok JOIN lam USING (bucket) GROUP BY doc_id)
+      SELECT d.doc_id, d.source, d.lang, n_toks,
+        floor(wsum / n_toks * 10000.0 + 0.5) / 10000.0 AS weight
+      FROM dw JOIN documents d USING (doc_id)
+      ORDER BY weight DESC, d.doc_id LIMIT 100"""))
+
+  /** X3 — per-source Zipf exponent ([[TextOps.zipfFit]]): OLS power-law
+    * fit of the top-30 rank-size curve, every regression sum folded in
+    * rank order on both engines; slope/intercept/r² round at 4 (log
+    * values — irrational). */
+  private val x3Zipf = Q("x3_zipf_fit", {
+    (s, dir) =>
+      TextOps.zipfFit(Tables.documents(s, dir), "doc_id", "source", "text",
+          maxRank = 30, roundDigits = 4)
+        .orderBy(col("source"))
+  },
+    Some {
+      val n = "CAST(n_ranks AS DOUBLE)"
+      val cov = s"($n*sxy - sx*sy)"
+      val varx = s"($n*sxx - sx*sx)"
+      val vary = s"($n*syy - sy*sy)"
+      s"""WITH c AS (SELECT source, doc_id, CAST(len(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS BIGINT)
+            AS n_toks FROM documents),
+        r AS (SELECT source, doc_id, n_toks, row_number() OVER (
+            PARTITION BY source ORDER BY n_toks DESC, doc_id ASC) AS rank
+          FROM c WHERE n_toks > 0),
+        k AS (SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS lx,
+            ln(CAST(n_toks AS DOUBLE)) AS ly
+          FROM r WHERE rank <= 30),
+        sums AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+            list_sum(list(lx ORDER BY rank)) AS sx,
+            list_sum(list(ly ORDER BY rank)) AS sy,
+            list_sum(list(lx*lx ORDER BY rank)) AS sxx,
+            list_sum(list(lx*ly ORDER BY rank)) AS sxy,
+            list_sum(list(ly*ly ORDER BY rank)) AS syy
+          FROM k GROUP BY source HAVING count(*) >= 3)
+        SELECT source, n_ranks,
+          ${proundSql(s"$cov / $varx", 4)} AS slope,
+          ${proundSql(s"(sy - ($cov / $varx) * sx) / $n", 4)} AS intercept,
+          ${proundSql(s"($cov * $cov) / ($varx * $vary)", 4)} AS r2
+        FROM sums ORDER BY source"""
+    })
+
+  /** Shared oracle CTEs: the per-user state-transition graph over the
+    * events table (state = the `props.k` catalog item, successor by
+    * (ts, event_id) within user). */
+  private val x8EdgeCtes =
+    """s AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        epoch_ns(ts) AS tns, event_id FROM events),
+      t AS (SELECT user_id, k AS src, lead(k) OVER (PARTITION BY user_id
+          ORDER BY tns, event_id) AS dst FROM s)"""
+
+  private def x8Edges(s: SparkSession, dir: String): DataFrame =
+    GraphOps.transitionEdges(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")),
+      get_json_object(col("props"), "$.k").cast("long"))
+
+  /** X8 — the transition graph itself ([[GraphOps.transitionEdges]]):
+    * consecutive per-user states paired by a lead window, multiplicity
+    * counted — the edge list the graph family consumes. */
+  private val x8Graph = Q("x8_transition_graph",
+    (s, dir) => x8Edges(s, dir).orderBy(col("src"), col("dst")),
+    Some(s"""WITH $x8EdgeCtes
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM t
+      WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst"""))
+
+  /** X8 — weighted PageRank over the transition graph
+    * ([[GraphOps.pagerank]]), 5 unrolled iterations with uniform teleport
+    * and dangling-mass redistribution; ranks re-round at 8 digits every
+    * iteration so engine-ordered in-sums re-synchronize (the PCA
+    * power-iteration determinism contract). The oracle unrolls the same
+    * recurrence as chained CTEs. */
+  private val x8Pagerank = Q("x8_pagerank_states",
+    (s, dir) => GraphOps.pagerank(x8Edges(s, dir), beta = 0.85, iters = 5,
+        roundDigits = 8)
+      .orderBy(col("rank").desc, col("node")),
+    Some {
+      val beta = 0.85
+      val oneMinus = d(1.0 - beta)
+      val steps = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""dm$i AS (SELECT coalesce(sum(r), 0.0) / (SELECT n FROM nn) AS dm
+            FROM $p WHERE node NOT IN (SELECT src FROM e)),
+          ins$i AS (SELECT e.dst AS node, sum(e.w / o.ow * p.r) AS insum
+            FROM e JOIN outw o ON o.src = e.src JOIN $p p ON p.node = e.src
+            GROUP BY e.dst),
+          r$i AS (SELECT nodes.node, ${proundSql(
+            s"$oneMinus / (SELECT n FROM nn) + ${d(beta)} * " +
+              s"(coalesce(i.insum, 0.0) + (SELECT dm FROM dm$i))", 8)} AS r
+            FROM nodes LEFT JOIN ins$i i ON i.node = nodes.node)"""
+      }.mkString(",\n        ")
+      s"""WITH $x8EdgeCtes,
+        e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
+          WHERE dst IS NOT NULL GROUP BY src, dst),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+        $steps
+        SELECT node, r AS rank FROM r5 ORDER BY rank DESC, node"""
+    },
+    eagerPlan = true) // construction materializes each iteration's ranks
+
   /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
     * used by the labeled-neighbor oracles below. */
   private def cosSql(q: String, c: String): String =
@@ -4978,7 +5112,7 @@ object Queries {
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
-    x2Knn, x2Triplet, x1EditJoin)
+    x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -488,4 +488,62 @@ object Curation {
     converged.select(col(domainCol), col("n_docs"), col("domain_loss"),
       col("excess"), col("w").as("weight"))
   }
+
+  /** X6 — DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how much
+    * it resembles a TARGET slice under hashed-n-gram bag-of-words models.
+    * Per hash bucket b, λ_b = ln p_target(b) − ln p_raw(b) with add-α
+    * smoothing; a document's weight is the length-normalized sum of its
+    * tokens' λ values. Selecting the top-weighted raw docs tilts the
+    * training mix toward the target domain without a trained classifier.
+    *
+    * Scale shape — the part that matters at 100 TB: the feature space is
+    * a FIXED `buckets`-sized hash range, so unlike a vocabulary it does
+    * not grow with the corpus (the exact broadcast-killer the drift op
+    * had to engineer away). Both count aggregates are map-side-partial
+    * groupBys on ≤ `buckets` keys; the λ table collapses to ONE map row
+    * broadcast onto the corpus; scoring is then a pure projection — the
+    * corpus is never shuffled, and the per-doc fold runs in token order
+    * (deterministic, engine-reproducible). Tokens hash through the same
+    * portable md5→60-bit form as [[idBucket]].
+    *
+    * Output: (idCol…, every input column, n_toks, weight) for docs with
+    * ≥ 1 token; weight carries the portable rounding at `roundDigits`
+    * (λ is log-valued — irrational sums round coarsely per the house
+    * parity rules). */
+  def dsirWeights(docs: DataFrame, textCol: String, targetPred: Column,
+                  buckets: Int = 128, alpha: Double = 0.5,
+                  roundDigits: Int = 4): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    val b = buckets.toLong
+    val tok = docs.select(col("*"), explode(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"), lit(b)))
+    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = tok.where(targetPred).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+    val lam = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha))
+            / (col("tt") + lit(alpha * buckets)))
+          - log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * buckets))))
+          .as("lam"))
+    val lamMap = lam.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("lam")))).as("lm"))
+    docs.crossJoin(broadcast(lamMap))
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("n_toks", size(col("__toks")).cast("long"))
+      .where(col("n_toks") > 0)
+      .withColumn("weight",
+        floor(aggregate(
+          transform(col("__toks"), t => coalesce(
+            element_at(col("lm"), pmod(
+              conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(b))),
+            lit(0.0))),
+          lit(0.0), (acc, x) => acc + x) / col("n_toks") * lit(s) + lit(0.5))
+          / lit(s))
+      .drop("__toks", "lm")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph operators over event-derived transition graphs (X8): the
+  * importance-ranking pass a large-scale data pipeline runs over its
+  * domain/link/interaction graph — here PageRank over the per-user
+  * state-transition graph (the ItemRank shape: rank catalog states by
+  * session flows), with the iteration loop expressed as k unrolled
+  * join+aggregate rounds, the same bounded-lineage discipline as the
+  * k-step training loop.
+  *
+  * Scale design: the per-node frames (ranks, out-weights, dangling set)
+  * are NODE-cardinality — they shuffle on node id and are never collected
+  * or broadcast (nodes can be web-scale). The only broadcasts are
+  * one-row scalars (node count, dangling mass). Each iteration is one
+  * keyed join (edges ⋈ ranks on src, shuffle on src) and one groupBy
+  * (dst) with map-side partials; each iteration's rank vector is
+  * materialized via eager localCheckpoint, so plan size and execution
+  * stay linear in k (a lazy unroll would double both per iteration —
+  * rₜ feeds the dangling-mass scalar AND the contribution join).
+  *
+  * Determinism: per-node in-sums are engine-order-dependent float
+  * aggregates, so every iteration RE-SYNCHRONIZES by rounding ranks at
+  * `roundDigits` (the PCA power-iteration contract — after each round
+  * both engines hold bit-identical rank vectors, so divergence cannot
+  * compound; boundary risk per node·iteration ~1e−16/1e−`roundDigits`). */
+object GraphOps {
+
+  /** Consecutive-state transition edges per session key: order each
+    * user's events by `orderCols`, pair each state with its successor
+    * (`lead` window), count multiplicity. Output: (src, dst, weight) —
+    * the weighted directed graph. Self-loops are real transitions and
+    * are kept. One window partitioned by user (bounded per-user rows),
+    * one counting groupBy — both shuffles keyed, nothing broadcast. */
+  def transitionEdges(events: DataFrame, userCol: String,
+                      orderCols: Seq[Column], state: Column): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    events.select(Seq(col(userCol), state.as("src")) ++ orderCols: _*)
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** Weighted PageRank with uniform teleport and dangling-mass
+    * redistribution, k unrolled iterations:
+    *
+    *   r₀(v)    = 1/N
+    *   dmₜ      = Σ_{dangling u} rₜ(u) / N
+    *   rₜ₊₁(v) = round( (1−β)/N + β·(Σ_{u→v} w(u,v)/out(u)·rₜ(u) + dmₜ) )
+    *
+    * Edges: (src, dst, weight). Output: (node, rank); rank values carry
+    * the per-iteration rounding, so ordering by (rank desc, node) is
+    * engine-stable. */
+  def pagerank(edges: DataFrame, beta: Double = 0.85, iters: Int = 5,
+               roundDigits: Int = 8, materialize: Boolean = true): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    // the static graph frames are read every iteration — cache once
+    // (session-lifetime, the dedup-family default; a long-lived service
+    // unpersists after materializing)
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
+    val dangling = nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti")
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    (1 to iters).foldLeft(r0) { (ranks, _) =>
+      val dm = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dsum"))
+        .crossJoin(broadcast(nn))
+        .select((col("dsum") / col("n")).as("dm"))
+      val contrib = e.join(outw, Seq("src")).join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") / col("ow") * col("r")).as("insum"))
+      // eager localCheckpoint: each iteration references rₜ TWICE
+      // (dangling mass + contributions), so a lazy unroll doubles the
+      // plan per iteration (2^k subtrees — the blow-up the BPE scaladoc
+      // warns about); materializing rₜ₊₁ keeps plan size and execution
+      // linear in k — the GraphX iteration discipline and the
+      // e2e_train_kstep bounded-lineage contract
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm)).crossJoin(broadcast(nn))
+        .select(col("node"),
+          pr(lit(1.0 - beta) / col("n")
+            + lit(beta) * (coalesce(col("insum"), lit(0.0)) + col("dm"))).as("r"))
+      // materialize=false keeps the unrolled lazy plan — ONLY for plan
+      // inspection / few-iteration runs (the unroll doubles per iteration)
+      if (materialize) next.localCheckpoint(true) else next
+    }.select(col("node"), col("r").as("rank"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (SURVEY.md
@@ -791,5 +792,64 @@ object TextOps {
     val z = lit(1.8) * fLen - lit(2.5) * fPunct + lit(3.0) * fStop -
       lit(1.2) * fDigit - lit(0.7)
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** X3 — Zipf/power-law fit of the per-group rank-size curve: rank each
+    * group's documents by token count (desc, ties by id), keep the top
+    * `maxRank`, and fit ln(size) = intercept + slope·ln(rank) by
+    * closed-form OLS. The slope is the group's Zipf exponent — the
+    * scaling-law-style corpus diagnostic (a source whose exponent drifts
+    * is changing shape, not just volume), and the same fit applied to
+    * (tokens seen, eval loss) pairs is the data-scaling-law estimator.
+    *
+    * Determinism: every OLS sum folds in RANK order over the ≤ `maxRank`
+    * retained points (`aggregate` over `sort_array(collect_list(...))`),
+    * so both engines add identical doubles in an identical sequence; only
+    * the final slope/intercept/r² round (log values — irrational — at
+    * `roundDigits`, the house rule for transcendental-valued outputs).
+    *
+    * Scale shape: one map-side-combined token count per doc, one window
+    * capped at `maxRank` rows per group, then a per-group fold over a
+    * bounded (≤ maxRank) list — collect_list here is CONSTANT-bounded,
+    * never corpus-bounded, so the fit costs O(groups·maxRank) after the
+    * count pass regardless of corpus size.
+    *
+    * Output per group: (groupCol, n_ranks, slope, intercept, r2). */
+  def zipfFit(docs: DataFrame, idCol: String, groupCol: String, textCol: String,
+              maxRank: Int = 30, roundDigits: Int = 4): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val counts = docs
+      .select(col(groupCol), col(idCol).as("__id"),
+        size(tokens(col(textCol))).cast("long").as("n_toks"))
+      .where(col("n_toks") > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_toks").desc, col("__id").asc)
+    val ranked = counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= maxRank)
+      .withColumn("lx", log(col("rank").cast("double")))
+      .withColumn("ly", log(col("n_toks").cast("double")))
+    // rank-ordered folds: sort_array orders the (rank, v) structs by rank,
+    // so each sum is a left fold over the same sequence on any engine
+    def osum(v: Column): Column = aggregate(
+      sort_array(collect_list(struct(col("rank").as("r"), v.as("v")))),
+      lit(0.0), (acc, x) => acc + x.getField("v"))
+    val sums = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("n_ranks"),
+      osum(col("lx")).as("sx"), osum(col("ly")).as("sy"),
+      osum(col("lx") * col("lx")).as("sxx"),
+      osum(col("lx") * col("ly")).as("sxy"),
+      osum(col("ly") * col("ly")).as("syy"))
+    val n = col("n_ranks").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    sums
+      .where(col("n_ranks") >= 3) // degenerate fits (varx = 0) excluded
+      .withColumn("slope", pr(cov / varx))
+      .withColumn("intercept", pr((col("sy") - (cov / varx) * col("sx")) / n))
+      .withColumn("r2", pr((cov * cov) / (varx * vary)))
+      .select(col(groupCol), col("n_ranks"), col("slope"),
+        col("intercept"), col("r2"))
   }
 }

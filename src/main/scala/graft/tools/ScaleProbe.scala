@@ -360,6 +360,23 @@ object ScaleProbe {
     // the deeper plan creeps; a superlinear blow-up would mean the
     // unrolled form needs the e2e_train_kstep localCheckpoint treatment
     // sooner than documented.
+    probe("edit distance join (d=2, q=2)",
+      cnt(Dedup.editDistanceJoin(docs1, "doc_id",
+        lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2)),
+      cnt(Dedup.editDistanceJoin(docsN, "doc_id",
+        lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2)))
+    probe("dsir weights (128 buckets)",
+      cnt(Curation.dsirWeights(docs1, "text", col("lang") === "en")),
+      cnt(Curation.dsirWeights(docsN, "text", col("lang") === "en")))
+    probe("zipf fit (top 30 per source)",
+      cnt(TextOps.zipfFit(docs1, "doc_id", "source", "text")),
+      cnt(TextOps.zipfFit(docsN, "doc_id", "source", "text")))
+    def prEdges(ev: DataFrame) = GraphOps.transitionEdges(ev, "user_id",
+      Seq(col("ts"), col("event_id")),
+      get_json_object(col("props"), "$.k").cast("long"))
+    probe("pagerank (5 iters, 100 states)",
+      cnt(GraphOps.pagerank(prEdges(ev1))),
+      cnt(GraphOps.pagerank(prEdges(evN))))
     if (only.forall(_.exists("bpe merge-count".startsWith)))
       Seq(2, 4, 8).foreach { k =>
         val t = Seq(

@@ -364,13 +364,16 @@ class PlanSpec extends SparkSpec {
     assert(skipped.map(_.name).toSet == Set("x1_dedup_components",
       "x1_dedup_pipeline", "x1_dedup_keep_best", "s4_csv_roundtrip",
       "s4_jsonl_roundtrip", "s7_partitioned_roundtrip", "s8_orc_roundtrip",
-      "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep"),
+      "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep",
+      "x8_pagerank_states"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
       // tables on construction; e2e_train_kstep collects k per-step scalar
       // aggregates while unrolling the bounded-lineage loop (window-free by
-      // construction — each step is aggregates over the same grouped frame).
+      // construction — each step is aggregates over the same grouped frame);
+      // x8_pagerank_states localCheckpoints each iteration's rank vector
+      // (its window shape is gated by the dedicated pagerank plan test).
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
@@ -593,6 +596,43 @@ class PlanSpec extends SparkSpec {
     assert(!scanLine.contains("action#") && !scanLine.contains("cost#") &&
       !scanLine.contains("i#"),
       "unused generator columns must be pruned at the connector")
+  }
+
+  test("dsir: bounded λ map broadcasts; top-k is TakeOrdered, not a global sort") {
+    val p = plan("x6_dsir_select")
+    // the 128-entry λ map is the ONLY broadcast of derived data — a
+    // fixed-size hash range, never a vocabulary (the drift-op lesson)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row λ map must broadcast onto the corpus")
+    assert(!p.contains("Window"), "scoring is a projection — no window")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 selection must be TakeOrdered (per-partition heaps), not Sort+Limit")
+  }
+
+  test("pagerank: iteration joins are keyed, never cartesian on node frames") {
+    // one LAZY iteration (materialize=false) so the executed plan shows the
+    // iteration's join shapes instead of the checkpointed leaf
+    val edges = graft.ops.GraphOps.transitionEdges(
+      graft.sources.Tables.events(spark, sf001), "user_id",
+      Seq(col("ts"), col("event_id")),
+      get_json_object(col("props"), "$.k").cast("long"))
+    val p = graft.ops.GraphOps.pagerank(edges, iters = 1, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "only one-row scalars may cross-join (they plan as BroadcastNestedLoop)")
+    // contrib joins key on src; rank update left-joins on node
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("BroadcastHashJoin"), "edge⋈rank joins must be keyed")
+  }
+
+  test("edit-distance join: candidates come from keyed prefix-token joins") {
+    val p = plan("x1_edit_distance_join")
+    assert(!p.contains("CartesianProduct"),
+      "the short pool is a bounded non-equi join (BNLJ), never a full cartesian")
+    // the long-branch candidate join keys on (gram, occ); verify joins key
+    // on a_id/b_id — at least one keyed join family must be present
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
   }
 
   test("graft_dot registered function evaluates the fused kernel") {

@@ -196,4 +196,94 @@ class Round9OpsSpec extends SparkSpec {
     val m = r.where(col("margin") =!= col("pos_cos") - col("neg_cos")).count()
     assert(m == 0)
   }
+
+  // ---- DSIR importance weights ------------------------------------------
+
+  test("dsirWeights: target-vocabulary docs outweigh off-target docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "t"), (2L, "alpha beta beta alpha", "t"),
+      (3L, "gamma delta gamma delta", "r"), (4L, "delta gamma delta", "r"),
+      (5L, "alpha beta alpha", "r"), // raw doc that LOOKS like the target
+      (6L, "gamma delta epsilon", "r")).toDF("doc_id", "text", "kind")
+    val w = ops.Curation.dsirWeights(docs, "text", col("kind") === "t")
+      .select(col("doc_id"), col("weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 5 is drawn from the target distribution, 6 from the off-target
+    // one; orderings are the meaningful property at spec scale (the add-α
+    // mass αB dwarfs these tiny corpora, shifting absolute levels)
+    assert(w(5L) > w(6L))
+    assert(w(1L) > w(3L), "target-mix docs must outweigh off-target docs")
+  }
+
+  test("dsirWeights: weight is invariant to doc length at fixed token mix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta", "t"), (2L, "alpha beta " * 10, "r"),
+      (3L, "alpha beta", "r")).toDF("doc_id", "text", "kind")
+    val w = ops.Curation.dsirWeights(docs, "text", col("kind") === "t")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    assert(w(2L) == w(3L), "length-normalized: same mix, same weight")
+  }
+
+  // ---- Zipf fit ---------------------------------------------------------
+
+  test("zipfFit recovers an exact power law") {
+    import spark.implicits._
+    // n_toks = round(1000 * rank^-0.7): docs with token counts on the curve
+    val rows = (1 to 20).map { rk =>
+      val n = math.round(1000.0 * math.pow(rk, -0.7)).toInt
+      (rk.toLong, ("w " * n).trim, "g")
+    }
+    val fit = ops.TextOps.zipfFit(rows.toDF("doc_id", "text", "src"),
+      "doc_id", "src", "text", maxRank = 20).collect().head
+    val slope = fit.getAs[Double]("slope")
+    val r2 = fit.getAs[Double]("r2")
+    assert(math.abs(slope - (-0.7)) < 0.02, s"slope $slope should be ~ -0.7")
+    assert(r2 > 0.999, s"r2 $r2 should be ~ 1 on exact power-law data")
+  }
+
+  test("zipfFit drops groups with fewer than 3 ranked docs") {
+    import spark.implicits._
+    val rows = Seq((1L, "a b c", "tiny"), (2L, "a b", "tiny"),
+      (3L, "a b c d", "ok"), (4L, "a b c", "ok"), (5L, "a b", "ok"))
+    val fit = ops.TextOps.zipfFit(rows.toDF("doc_id", "text", "src"),
+      "doc_id", "src", "text")
+    assert(fit.select(col("src")).collect().map(_.getString(0)).toSeq == Seq("ok"))
+  }
+
+  // ---- transition graph + PageRank --------------------------------------
+
+  test("transitionEdges pairs consecutive per-user states with multiplicity") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 1L, 30L), (1L, 2L, 40L),
+      (2L, 3L, 10L), (2L, 3L, 20L)).toDF("user_id", "state", "ts")
+    val e = ops.GraphOps.transitionEdges(ev, "user_id", Seq(col("ts")),
+        col("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(e == Set((1L, 2L, 2L), (2L, 1L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("pagerank: symmetric cycle is uniform; ranks sum to ~1") {
+    import spark.implicits._
+    val cycle = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    val r = ops.GraphOps.pagerank(cycle, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.values.toSet.size == 1, "cycle symmetry ⇒ identical ranks")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
+  test("pagerank: dangling-node mass is redistributed, hub outranks leaf") {
+    import spark.implicits._
+    // star into node 9 (dangling): 9 must outrank its sources, and total
+    // mass must stay ~1 (the dangling term re-injects 9's rank)
+    val star = Seq((1L, 9L, 1L), (2L, 9L, 1L), (3L, 9L, 1L))
+      .toDF("src", "dst", "weight")
+    val r = ops.GraphOps.pagerank(star, iters = 8).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(9L) > r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
 }
