@@ -513,21 +513,39 @@ object Curation {
     * parity rules). */
   def dsirWeights(docs: DataFrame, textCol: String, targetPred: Column,
                   buckets: Int = 128, alpha: Double = 0.5,
-                  roundDigits: Int = 4): DataFrame = {
+                  roundDigits: Int = 4): DataFrame =
+    dsirWeightsFromCounts(docs, textCol,
+      dsirBucketCounts(docs, textCol, targetPred, buckets),
+      buckets, alpha, roundDigits)
+
+  /** The portable token-hash bucket shared by the DSIR forms. */
+  def dsirBucket(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Per-bucket (raw, target) token counts — the ADDITIVE sufficient
+    * statistic for the λ table: integer counts fold losslessly across
+    * shards or micro-batches, which is what makes the streaming
+    * incremental DSIR selector exactly equal to the batch op. */
+  def dsirBucketCounts(docs: DataFrame, textCol: String, targetPred: Column,
+                       buckets: Int = 128): DataFrame =
+    docs.select(col("*"), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .withColumn("bucket", dsirBucket(col("__w"), buckets))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(targetPred, lit(1L)).otherwise(lit(0L))).as("ct"))
+
+  /** [[dsirWeights]] from an ALREADY-AGGREGATED per-bucket count table
+    * (bucket, cr, ct) — the entry point for maintained/accreted counts. */
+  def dsirWeightsFromCounts(docs: DataFrame, textCol: String, counts: DataFrame,
+                            buckets: Int = 128, alpha: Double = 0.5,
+                            roundDigits: Int = 4): DataFrame = {
     val s = math.pow(10.0, roundDigits)
     val b = buckets.toLong
-    val tok = docs.select(col("*"), explode(TextOps.tokens(col(textCol))).as("w"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"), lit(b)))
-    val raw = tok.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-    val tgt = tok.where(targetPred).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-    val totals = raw.agg(sum(col("cr")).as("tr"))
-      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
-    val lam = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    val totals = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lam = counts.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(alpha))
-            / (col("tt") + lit(alpha * buckets)))
+        (log((col("ct") + lit(alpha)) / (col("tt") + lit(alpha * buckets)))
           - log((col("cr") + lit(alpha)) / (col("tr") + lit(alpha * buckets))))
           .as("lam"))
     val lamMap = lam.agg(

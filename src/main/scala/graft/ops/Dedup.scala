@@ -709,19 +709,35 @@ object Dedup {
     * only near-empty keys (< q·(d+1)+d chars), a corpus-independent
     * sliver.
     *
-    * Scale shape: the candidate join keys on PREFIX tokens only —
-    * q·d+1 per string, chosen rarest-first, so the frequent-gram skew
-    * that makes naive gram joins quadratic lands in the positions the
-    * prefix never keeps. Shuffles: token-frequency agg, prefix self-join,
-    * verify joins — all keyed, no broadcast of anything corpus-sized.
+    * Scale shape — two layers:
+    *
+    *  - EXACT-KEY COLLAPSE first: all candidate machinery runs on
+    *    DISTINCT keys (lowest-id member as representative), because
+    *    identical keys are the dominant mass on boilerplate-heavy
+    *    corpora and every within-group pair is trivially dist 0. Member
+    *    expansion at the end is OUTPUT-bounded (each expanded row is a
+    *    result row), so the quadratic-looking step can't exceed the
+    *    answer size. Without this, N copies of one template key create
+    *    N² candidate rows through the prefix join — measured 60× worse
+    *    on the replicated-corpus probe.
+    *  - the candidate join keys on PREFIX tokens only — q·d+1 per
+    *    distinct key, chosen rarest-first, so frequent-gram skew lands
+    *    in positions the prefix never keeps. Shuffles: token-frequency
+    *    agg, prefix self-join, verify joins — all keyed, no broadcast of
+    *    anything corpus-sized.
+    *
     * Output: (a_id, b_id, dist), a_id < b_id. */
   def editDistanceJoin(docs: DataFrame, idCol: String, key: Column,
-                       maxDist: Int = 2, q: Int = 2): DataFrame = {
+                       maxDist: Int = 2, q: Int = 2,
+                       caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
     val d = maxDist
     val longMin = q * (d + 1) // both >= longMin → prefix principle holds
-    val keys = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
-      .withColumn("len", length(col("key")))
+    val keysAll = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
+    // one representative per distinct key (lowest member id)
+    val keys = caches.track(keysAll.groupBy(col("key"))
+      .agg(min(col("id")).as("id"))
+      .withColumn("len", length(col("key"))))
     def verified(cand: DataFrame): DataFrame =
       cand.join(keys.select(col("id").as("a_id"), col("key").as("ka")), Seq("a_id"))
         .join(keys.select(col("id").as("b_id"), col("key").as("kb")), Seq("b_id"))
@@ -755,10 +771,10 @@ object Dedup {
       .agg(count(lit(1)).as("tf"))
     val rarity = Window.partitionBy(col("id"))
       .orderBy(col("tf").asc, col("gram").asc, col("occ").asc)
-    val prefix = tokens.join(freq, Seq("gram", "occ"))
+    val prefix = caches.track(tokens.join(freq, Seq("gram", "occ"))
       .withColumn("pr", row_number().over(rarity))
       .where(col("pr") <= q * d + 1)
-      .select(col("id"), col("len"), col("gram"), col("occ"))
+      .select(col("id"), col("len"), col("gram"), col("occ")))
     val longCand = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
           && col("l.id") < col("r.id")
@@ -766,7 +782,22 @@ object Dedup {
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
       .distinct()
 
-    verified(shortCand.union(longCand).distinct())
-      .orderBy(col("a_id"), col("b_id"))
+    // representative-level matches (distinct keys ⇒ dist ≥ 1 here) …
+    val repPairs = verified(shortCand.union(longCand).distinct())
+    // … expanded to member pairs (output-bounded), plus the dist-0
+    // within-group pairs the collapse absorbed
+    val members = keysAll
+      .join(keys.select(col("key"), col("id").as("rep")), Seq("key"))
+      .select(col("rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("a_id"), col("id").as("ma")), Seq("a_id"))
+      .join(members.select(col("rep").as("b_id"), col("id").as("mb")), Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("dist"))
+    val within = members.as("l").join(members.as("r"),
+        col("l.rep") === col("r.rep") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        lit(0L).as("dist"))
+    within.union(cross).orderBy(col("a_id"), col("b_id"))
   }
 }

@@ -740,6 +740,61 @@ object StreamingOps {
       }
       .start()
 
+  /** Incremental DSIR selection — the streaming mirror of
+    * [[graft.ops.Curation.dsirWeights]] + top-k: maintain the per-bucket
+    * (raw, target) token counts as ONE additive batch-stamped ledger
+    * (the λ table's sufficient statistic — a fixed `buckets`-sized key
+    * space, so the ledger is corpus-independent), accrete the raw docs,
+    * and per micro-batch re-score the accreted corpus against the λ map
+    * rebuilt from the accreted counts, overwriting the top-`topK`
+    * selection at `selectedPath`.
+    *
+    * Maintain-incrementally equals compute-once-batch EXACTLY: bucket
+    * counts are integers (ledger sums reproduce the batch aggregates
+    * bit-for-bit), so λ, every doc weight, and the selection are the
+    * identical doubles [[graft.ops.Curation.dsirWeights]] produces on
+    * the union of all batches — proven in StreamingSpec across ≥3
+    * micro-batches. Re-scoring is recomputed, not accreted: new batches
+    * move BOTH count tables, so every stored weight can shift (weights
+    * are corpus-level state, the mixture-resample argument).
+    *
+    * Crash/replay contract: replayed batches re-append byte-identical
+    * batch-stamped count rows (dropDuplicates on the stamp key at read),
+    * and the doc ledger dedups on `idCol`. */
+  def incrementalDsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                            targetPred: Column,
+                            countLedgerPath: String, docLedgerPath: String,
+                            selectedPath: String, checkpoint: String,
+                            buckets: Int = 128, alpha: Double = 0.5,
+                            topK: Int = 100, roundDigits: Int = 4,
+                            compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Curation.dsirBucketCounts(batch, textCol, targetPred, buckets)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(countLedgerPath)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(docLedgerPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactLedger(spark, countLedgerPath, Seq("bucket"),
+            Seq("cr", "ct"), batchId)
+        val counts = spark.read.parquet(countLedgerPath)
+          .dropDuplicates("batch_id", "bucket")
+          .groupBy(col("bucket"))
+          .agg(sum(col("cr")).as("cr"), sum(col("ct")).as("ct"))
+        val corpus = spark.read.parquet(docLedgerPath)
+          .dropDuplicates(idCol).drop("batch_id")
+        writeAtomic(
+          graft.ops.Curation.dsirWeightsFromCounts(corpus, textCol, counts,
+              buckets, alpha, roundDigits)
+            .orderBy(col("weight").desc, col(idCol))
+            .limit(topK),
+          selectedPath, coalesce1 = true)
+      }
+      .start()
+
   def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
                                   benchLedgerPath: String, corpusPath: String,
                                   fpLedgerPath: String, checkpoint: String,

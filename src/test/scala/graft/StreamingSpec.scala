@@ -436,6 +436,39 @@ class StreamingSpec extends SparkSpec {
     assert(Set("kl_vs_corpus", "domain_loss", "weight", "as_of_batch").subsetOf(klCols))
   }
 
+  test("incremental DSIR selection maintains the batch top-k across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val countLedger = tmp("graft_dsir_counts") + "/counts"
+    val docLedger = tmp("graft_dsir_docs") + "/docs"
+    val selected = tmp("graft_dsir_out") + "/selected"
+    val ckpt = tmp("graft_dsir_ckpt")
+    val full = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang")
+    val q = StreamingOps.incrementalDsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", countLedger, docLedger, selected, ckpt, topK = 50)
+    full.grouped((full.size + 2) / 3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // counts are integers → the accreted λ table and every weight are the
+    // IDENTICAL doubles the batch op computes on the union of all batches
+    val batchDocs = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val want = ops.Curation.dsirWeights(batchDocs, "text", col("lang") === "en")
+      .orderBy(col("weight").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), col("weight")).as[(Long, Double)].collect().toSet
+    val got = spark.read.parquet(selected)
+      .select(col("doc_id"), col("weight")).as[(Long, Double)].collect().toSet
+    assert(got == want,
+      "maintained DSIR selection must equal the batch weights bit-for-bit")
+  }
+
   test("drift ledger compaction folds committed batches losslessly; report unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
