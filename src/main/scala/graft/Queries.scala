@@ -3413,6 +3413,71 @@ object Queries {
         FROM sums ORDER BY source"""
     })
 
+  /** X5 — HyperLogLog distinct-token estimate per source + the merged
+    * union sketch ([[HyperLogLog]]): engine-exact by construction
+    * (integer register maxes, dyadic 2^−m sums, generated comparison
+    * chain instead of float log2), checked against the exact distinct
+    * count with the relative error in the output. */
+  private val x5Hll = Q("x5_hll_distinct",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val regs = HyperLogLog.registers(toks, "source", col("tok"))
+      val est = HyperLogLog.estimate(
+        regs.unionAll(HyperLogLog.unionRegisters(regs, "source")), "source")
+      val exact = toks.groupBy(col("source"))
+        .agg(count_distinct(col("tok")).as("n_exact"))
+        .unionAll(toks.agg(count_distinct(col("tok")).as("n_exact"))
+          .select(lit("__all__").as("source"), col("n_exact")))
+      est.join(exact, Seq("source"))
+        .withColumn("rel_err",
+          pround((col("estimate") - col("n_exact")) / col("n_exact"), 4))
+        .orderBy(col("source"))
+    },
+    Some {
+      val m = 256.0
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      // DuckDB parses bare float literals as DECIMAL; the sketch math has
+      // no DOUBLE column to promote against, so cast the anchors explicitly
+      val mD = s"CAST(${d(m)} AS DOUBLE)"
+      val rank = (1 to 20).map(r =>
+        s"WHEN w >= ${1L << (20 - r)} THEN ${r}").mkString(
+        "CASE ", " ", " ELSE 21 END")
+      s"""WITH toks AS (SELECT source, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS tok
+          FROM documents),
+        h AS (SELECT source, tok,
+            CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+          FROM toks),
+        rk AS (SELECT source, hv % 256 AS bucket, $rank AS rank
+          FROM (SELECT source, tok, hv, (hv // 256) % 1048576 AS w FROM h)),
+        regs0 AS (SELECT source, bucket, max(rank) AS m_j FROM rk
+          GROUP BY source, bucket),
+        regs AS (SELECT * FROM regs0 UNION ALL
+          SELECT '__all__' AS source, bucket, max(m_j) AS m_j FROM regs0
+          GROUP BY bucket),
+        agg AS (SELECT source, count(*) AS observed,
+            sum(CAST(1.0 AS DOUBLE) / (1 << m_j)) AS zsum
+          FROM regs GROUP BY source),
+        est AS (SELECT source,
+            CAST($mD - observed AS BIGINT) AS v_zero,
+            CASE WHEN ((CAST(${d(alpha)} AS DOUBLE) * $mD) * $mD)
+                / (($mD - observed) + zsum) <= $mD * CAST(2.5 AS DOUBLE)
+                AND ($mD - observed) > 0
+              THEN ${proundSql(s"$mD * ln($mD / ($mD - observed))", 4)}
+              ELSE ${proundSql(
+                s"((CAST(${d(alpha)} AS DOUBLE) * $mD) * $mD) / (($mD - observed) + zsum)", 4)}
+            END AS estimate
+          FROM agg),
+        ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+          FROM toks GROUP BY source UNION ALL
+          SELECT '__all__', CAST(count(DISTINCT tok) AS BIGINT) FROM toks)
+        SELECT est.source, v_zero, estimate, n_exact,
+          ${proundSql("(estimate - n_exact) / CAST(n_exact AS DOUBLE)", 4)} AS rel_err
+        FROM est JOIN ex ON est.source = ex.source
+        ORDER BY est.source"""
+    })
+
   /** Shared oracle CTEs: the per-user state-transition graph over the
     * events table (state = the `props.k` catalog item, successor by
     * (ts, event_id) within user). */
@@ -5112,7 +5177,8 @@ object Queries {
     q6Revenue, jsonVariant, x1CdcChunks, x3Colloc, cohortRet, x3BpeApply,
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
-    x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank)
+    x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
+    x5Hll)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

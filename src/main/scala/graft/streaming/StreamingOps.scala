@@ -572,15 +572,19 @@ object StreamingOps {
     * serial foreachBatch. */
   private def compactLedger(spark: SparkSession, path: String,
                             keyCols: Seq[String], sumCols: Seq[String],
-                            currentBatchId: Long): Unit = {
+                            currentBatchId: Long,
+                            fold: String => org.apache.spark.sql.Column =
+                              c => sum(col(c))): Unit = {
     val all = spark.read.parquet(path)
       .dropDuplicates("batch_id" +: keyCols)
       .cache()
     try {
+      // `fold` must be associative+commutative over committed rows (the
+      // default additive sum; HLL registers fold by max — idempotent too)
       val folded = all.where(col("batch_id") =!= currentBatchId)
         .groupBy(keyCols.map(col): _*)
-        .agg(sum(col(sumCols.head)).as(sumCols.head),
-          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .agg(fold(sumCols.head).as(sumCols.head),
+          sumCols.tail.map(c => fold(c).as(c)): _*)
         .withColumn("batch_id", lit(-1L))
       val staged = folded.unionByName(
         all.where(col("batch_id") === currentBatchId))
@@ -792,6 +796,49 @@ object StreamingOps {
             .orderBy(col("weight").desc, col(idCol))
             .limit(topK),
           selectedPath, coalesce1 = true)
+      }
+      .start()
+
+  /** Incremental HyperLogLog cardinality monitor — the CDC mirror of
+    * `x5_hll_distinct`: each micro-batch's register table
+    * ([[graft.ops.HyperLogLog.registers]]) appends batch-stamped to a
+    * durable ledger, and the per-group estimate report is rebuilt from
+    * the accreted bucket-wise MAX and atomically swapped at `reportPath`.
+    * The ledger is bounded at groups·2^p rows after each compaction
+    * (register maxes fold by max — associative, commutative AND
+    * idempotent, so replayed appends can't even double-count), making
+    * this the cheapest possible distinct-count state: no raw items, no
+    * fingerprint ledger, just the sketch.
+    *
+    * Maintain-incrementally equals compute-once-batch EXACTLY: registers
+    * are integer maxes, so the accreted sketch — and therefore every
+    * estimate double — is identical to the batch op on the union of all
+    * batches (StreamingSpec, ≥3 micro-batches).
+    *
+    * `items` must carry one row per item occurrence (pre-exploded): a
+    * generator can't nest inside the hash expression. */
+  def incrementalHllDistinct(items: DataFrame, groupCol: String, item: Column,
+                             regLedgerPath: String, reportPath: String,
+                             checkpoint: String, p: Int = 8, window: Int = 20,
+                             compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.HyperLogLog.registers(batch, groupCol, item, p, window)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(regLedgerPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactLedger(spark, regLedgerPath, Seq(groupCol, "bucket"),
+            Seq("m_j"), batchId, c => max(col(c)))
+        val regs = spark.read.parquet(regLedgerPath)
+          .dropDuplicates("batch_id", groupCol, "bucket")
+          .groupBy(col(groupCol), col("bucket"))
+          .agg(max(col("m_j")).as("m_j"))
+        writeAtomic(
+          graft.ops.HyperLogLog.estimate(regs, groupCol, p)
+            .withColumn("as_of_batch", lit(batchId)),
+          reportPath, coalesce1 = true)
       }
       .start()
 

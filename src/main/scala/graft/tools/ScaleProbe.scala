@@ -371,6 +371,11 @@ object ScaleProbe {
     probe("zipf fit (top 30 per source)",
       cnt(TextOps.zipfFit(docs1, "doc_id", "source", "text")),
       cnt(TextOps.zipfFit(docsN, "doc_id", "source", "text")))
+    def hll(docs: DataFrame) = HyperLogLog.estimate(
+      HyperLogLog.registers(
+        docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")),
+        "source", col("tok")), "source")
+    probe("hll distinct (p=8)", cnt(hll(docs1)), cnt(hll(docsN)))
     def prEdges(ev: DataFrame) = GraphOps.transitionEdges(ev, "user_id",
       Seq(col("ts"), col("event_id")),
       get_json_object(col("props"), "$.k").cast("long"))

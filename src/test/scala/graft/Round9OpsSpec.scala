@@ -275,6 +275,44 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  // ---- HyperLogLog ------------------------------------------------------
+
+  test("hll estimate lands within the sketch's error bound on 10k distinct items") {
+    import spark.implicits._
+    val items = (1 to 10000).map(i => ("g", s"item_$i")).toDF("g", "item")
+    val est = ops.HyperLogLog.estimate(
+      ops.HyperLogLog.registers(items, "g", col("item")), "g")
+      .collect().head.getAs[Double]("estimate")
+    // σ ≈ 1.04/√256 = 6.5%; 3σ bound with margin
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.2, s"estimate $est")
+  }
+
+  test("hll small-range correction: tiny cardinalities are near-exact") {
+    import spark.implicits._
+    val items = (1 to 12).map(i => ("g", s"x$i")).toDF("g", "item")
+    val est = ops.HyperLogLog.estimate(
+      ops.HyperLogLog.registers(items, "g", col("item")), "g")
+      .collect().head.getAs[Double]("estimate")
+    assert(math.abs(est - 12.0) < 2.0, s"estimate $est")
+  }
+
+  test("hll merge: bucket-wise max of group sketches equals the sketch of the union") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => ("a", s"k$i"))
+    val b = (200 to 600).map(i => ("b", s"k$i")) // overlapping ranges
+    val split = (a ++ b).toDF("g", "item")
+    val merged = ops.HyperLogLog.unionRegisters(
+      ops.HyperLogLog.registers(split, "g", col("item")), "g")
+      .select(col("bucket"), col("m_j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = ops.HyperLogLog.registers(
+      (a ++ b).map { case (_, k) => ("__all__", k) }.toDF("g", "item"),
+      "g", col("item"))
+      .select(col("bucket"), col("m_j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == direct, "HLL merge must be lossless (register maxes)")
+  }
+
   test("pagerank: dangling-node mass is redistributed, hub outranks leaf") {
     import spark.implicits._
     // star into node 9 (dangling): 9 must outrank its sources, and total

@@ -469,6 +469,38 @@ class StreamingSpec extends SparkSpec {
       "maintained DSIR selection must equal the batch weights bit-for-bit")
   }
 
+  test("incremental HLL registers maintain the batch estimate exactly across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val ledger = tmp("graft_hll_regs") + "/regs"
+    val report = tmp("graft_hll_rep") + "/report"
+    val ckpt = tmp("graft_hll_ckpt")
+    val full = sources.Tables.documents(spark, sf001)
+      .select(col("source"), explode(ops.TextOps.tokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingOps.incrementalHllDistinct(
+      mem.toDF().toDF("source", "tok"), "source", col("tok"),
+      ledger, report, ckpt, compactEvery = 2) // force a compaction mid-run
+    full.grouped((full.size + 3) / 4).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // registers are integer maxes → the maintained estimate is the
+    // IDENTICAL double the batch sketch computes on the union
+    val batchToks = sources.Tables.documents(spark, sf001)
+      .select(col("source"), explode(ops.TextOps.tokens(col("text"))).as("tok"))
+    val want = ops.HyperLogLog.estimate(
+        ops.HyperLogLog.registers(batchToks, "source", col("tok")), "source")
+      .select(col("source"), col("estimate")).as[(String, Double)].collect().toSet
+    val got = spark.read.parquet(report)
+      .select(col("source"), col("estimate")).as[(String, Double)].collect().toSet
+    assert(got == want,
+      "maintained HLL estimates must equal the batch sketch bit-for-bit")
+  }
+
   test("drift ledger compaction folds committed batches losslessly; report unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
