@@ -3478,6 +3478,39 @@ object Queries {
         ORDER BY est.source"""
     })
 
+  /** X6 — weighted sampling without replacement
+    * ([[Curation.weightedSample]], Efraimidis–Spirakis): 100 docs drawn
+    * ∝ n_chars with deterministic md5 uniforms; the ln(u)/w draw key
+    * rounds at 6 BEFORE ranking so both engines rank identically. */
+  private val x6Weighted = Q("x6_weighted_sample",
+    (s, dir) => Curation.weightedSample(Tables.documents(s, dir), "doc_id",
+        col("n_chars").cast("double"), k = 100)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("draw_key"))
+      .orderBy(col("draw_key").desc, col("doc_id")),
+    Some(s"""WITH k AS (SELECT doc_id, source, n_chars,
+        floor(ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws1'), 1, 15))
+              AS BIGINT) AS DOUBLE) + 1.0) / ${d(math.pow(2.0, 60))})
+            / CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS draw_key
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, source, n_chars, draw_key FROM k
+      ORDER BY draw_key DESC, doc_id LIMIT 100"""))
+
+  /** X8 — top-20 three-step session paths ([[GraphOps.topPaths]]): the
+    * funnel/path-mining n-gram view of the event stream; incomplete
+    * tails dropped. */
+  private val x8Paths = Q("x8_session_paths",
+    (s, dir) => GraphOps.topPaths(Tables.events(s, dir), "user_id",
+      Seq(col("ts"), col("event_id")), col("event_type"), n = 3, topK = 20),
+    Some("""WITH s AS (SELECT user_id, event_type, epoch_ns(ts) AS tns,
+          event_id FROM events),
+      t AS (SELECT event_type AS s0,
+          lead(event_type, 1) OVER w AS s1, lead(event_type, 2) OVER w AS s2
+        FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+      SELECT s0 || '>' || s1 || '>' || s2 AS path,
+        CAST(count(*) AS BIGINT) AS n_paths
+      FROM t WHERE s2 IS NOT NULL
+      GROUP BY path ORDER BY n_paths DESC, path LIMIT 20"""))
+
   /** Shared oracle CTEs: the per-user state-transition graph over the
     * events table (state = the `props.k` catalog item, successor by
     * (ts, event_id) within user). */
@@ -5178,7 +5211,7 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll)
+    x5Hll, x6Weighted, x8Paths)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -535,6 +535,34 @@ object Curation {
       .agg(count(lit(1)).as("cr"),
         sum(when(targetPred, lit(1L)).otherwise(lit(0L))).as("ct"))
 
+  /** X6 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006): draw `k` rows with inclusion probability proportional
+    * to `weight` by ranking on ln(uᵢ)/wᵢ (the log form of the uᵢ^(1/wᵢ)
+    * key — same order, one transcendental) with uᵢ a DETERMINISTIC
+    * md5-derived uniform in (0,1], so the same row draws the same key on
+    * every run and every engine (the `idBucket` reproducibility
+    * contract, extended to continuous uniforms). Keys round at 6 BEFORE
+    * ranking — the cosine-recall trade: a 1-ulp libm difference in
+    * ln/division can never flip a rank across engines, ties break by id.
+    *
+    * Scale: pure projection + TakeOrdered top-k (per-partition heaps,
+    * no global sort, no window) — the same plan shape as reservoir
+    * sampling, with the weight tilt. Rows with weight ≤ 0 are excluded
+    * (A-ES requires positive weights). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+                     seed: String = "ws1"): DataFrame = {
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    // (h + 1) / 2^60 ∈ (0, 1] — exact int → nearest double → exact
+    // power-of-two division, identical bits on any IEEE engine
+    val u = (h.cast("double") + lit(1.0)) / lit(math.pow(2.0, 60))
+    val key = floor(log(u) / weight * lit(1e6) + lit(0.5)) / lit(1e6)
+    df.where(weight > 0)
+      .withColumn("draw_key", key)
+      .orderBy(col("draw_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** [[dsirWeights]] from an ALREADY-AGGREGATED per-bucket count table
     * (bucket, cr, ct) — the entry point for maintained/accreted counts. */
   def dsirWeightsFromCounts(docs: DataFrame, textCol: String, counts: DataFrame,

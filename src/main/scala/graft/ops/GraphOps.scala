@@ -45,6 +45,28 @@ object GraphOps {
       .agg(count(lit(1)).as("weight"))
   }
 
+  /** X8 — top-k session paths: the most frequent n-step state sequences
+    * (funnel/path mining, the event-analytics sibling of the transition
+    * graph — where [[transitionEdges]] keeps 1-step pairs, this keeps
+    * the full n-gram of the journey). One user-partitioned window
+    * produces all n−1 leads; incomplete tails (fewer than n further
+    * events) are dropped, not padded. Top-k via TakeOrdered (count desc,
+    * path asc) — no global sort. */
+  def topPaths(events: DataFrame, userCol: String, orderCols: Seq[Column],
+               state: Column, n: Int = 3, topK: Int = 20): DataFrame = {
+    require(n >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val base = events.select(Seq(col(userCol), state.cast("string").as("s0"))
+      ++ orderCols: _*)
+    val steps = (1 until n).map(i => lead(col("s0"), i).over(w))
+    base.select(concat_ws(">", col("s0") +: steps: _*).as("path"),
+        steps.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Weighted PageRank with uniform teleport and dangling-mass
     * redistribution, k unrolled iterations:
     *

@@ -275,6 +275,47 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  // ---- weighted sampling (A-ES) -----------------------------------------
+
+  test("weightedSample tilts selection toward heavy weights; excludes non-positive") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, 10.0)) ++
+      (101 to 200).map(i => (i.toLong, 1.0)) ++
+      Seq((201L, 0.0), (202L, -5.0))
+    val got = ops.Curation.weightedSample(rows.toDF("id", "w"), "id",
+      col("w"), k = 50).select(col("id")).as[Long].collect()
+    assert(got.length == 50)
+    assert(!got.contains(201L) && !got.contains(202L),
+      "non-positive weights must be excluded")
+    val heavy = got.count(_ <= 100)
+    // E[heavy] ≈ 45 of 50 at a 10:1 tilt; demand a clear majority
+    assert(heavy > 35, s"only $heavy of 50 draws from the heavy half")
+  }
+
+  test("weightedSample is deterministic per seed and moves with the seed") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, 1.0 + i % 7)).toDF("id", "w")
+    def draw(seed: String) = ops.Curation.weightedSample(df, "id", col("w"),
+      k = 30, seed = seed).select(col("id")).as[Long].collect().toSeq
+    assert(draw("a") == draw("a"), "same seed ⇒ identical sample and order")
+    assert(draw("a") != draw("b"), "different seed ⇒ different draw")
+  }
+
+  // ---- session paths ----------------------------------------------------
+
+  test("topPaths counts complete n-grams only, ordered by frequency then path") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "b"), (1L, 5L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"),
+      (3L, 1L, "x"), (3L, 2L, "y")) // too short for n=3 — contributes nothing
+      .toDF("user_id", "ts", "event_type")
+    val got = ops.GraphOps.topPaths(ev, "user_id", Seq(col("ts")),
+        col("event_type"), n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>b", 1L), ("c>b>c", 1L)))
+  }
+
   // ---- HyperLogLog ------------------------------------------------------
 
   test("hll estimate lands within the sketch's error bound on 10k distinct items") {
