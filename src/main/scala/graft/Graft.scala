@@ -433,4 +433,71 @@ object Graft {
     StreamingOps.incrementalReweightingPipeline(docs, idCol, textCol, sourceCol,
       lossCol, countLedgerPath, statsLedgerPath, docLedgerPath, reportPath,
       resampledPath, checkpoint)
+
+  /** All id pairs whose key is within Levenshtein `maxDist` — lossless
+    * Ed-Join (exact-key collapse + rarest-prefix filter + verify). */
+  def fuzzyJoin(docs: DataFrame, key: Column, maxDist: Int = 2,
+                idCol: String = "doc_id"): DataFrame =
+    ops.Dedup.editDistanceJoin(docs, idCol, key, maxDist)
+
+  /** DSIR-style selection: top-k raw docs by hashed-n-gram importance
+    * toward the target slice. */
+  def selectLikeTarget(docs: DataFrame, targetPred: Column, k: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    ops.Curation.dsirWeights(docs, textCol, targetPred)
+      .orderBy(col("weight").desc, col(idCol)).limit(k)
+
+  /** Weighted sample without replacement (deterministic A-ES draw). */
+  def sampleWeighted(df: DataFrame, weight: Column, k: Int,
+                     idCol: String = "doc_id", seed: String = "ws1"): DataFrame =
+    ops.Curation.weightedSample(df, idCol, weight, k, seed)
+
+  /** kNN label vote over a labeled embedding table (embedding-quality
+    * probe / weak labeler). */
+  def knnClassify(emb: DataFrame, queryPred: Column, k: Int = 10,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame =
+    ops.Similarity.knnClassify(emb, idCol, vecCol, labelCol, queryPred, k)
+
+  /** Hard triplets (anchor, nearest positive, nearest wrong-label
+    * negative) for contrastive training. */
+  def mineTriplets(emb: DataFrame, queryPred: Column,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame =
+    ops.Similarity.tripletMine(emb, idCol, vecCol, labelCol, queryPred)
+
+  /** HyperLogLog distinct-count estimate per group over an item column. */
+  def approxDistinctSketch(items: DataFrame, groupCol: String, item: Column,
+                           p: Int = 8): DataFrame =
+    ops.HyperLogLog.estimate(
+      ops.HyperLogLog.registers(items, groupCol, item, p), groupCol, p)
+
+  /** PageRank over the per-session state-transition graph. */
+  def rankStates(events: DataFrame, state: Column, iters: Int = 5,
+                 userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.pagerank(ops.GraphOps.transitionEdges(events, userCol,
+      Seq(col("ts"), col("event_id")), state), iters = iters)
+
+  /** Top-k n-step session paths (funnel mining). */
+  def topPaths(events: DataFrame, state: Column, n: Int = 3, topK: Int = 20,
+               userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.topPaths(events, userCol, Seq(col("ts"), col("event_id")),
+      state, n, topK)
+
+  /** Incremental HLL cardinality monitor (register ledger + report). */
+  def approxDistinctIncremental(items: DataFrame, groupCol: String, item: Column,
+                                regLedgerPath: String, reportPath: String,
+                                checkpoint: String) =
+    StreamingOps.incrementalHllDistinct(items, groupCol, item, regLedgerPath,
+      reportPath, checkpoint)
+
+  /** Incremental DSIR selection (count ledger + maintained top-k). */
+  def selectLikeTargetIncremental(docs: DataFrame, targetPred: Column,
+                                  countLedgerPath: String, docLedgerPath: String,
+                                  selectedPath: String, checkpoint: String,
+                                  topK: Int = 100, idCol: String = "doc_id",
+                                  textCol: String = "text") =
+    StreamingOps.incrementalDsirSelect(docs, idCol, textCol, targetPred,
+      countLedgerPath, docLedgerPath, selectedPath, checkpoint, topK = topK)
 }

@@ -81,5 +81,22 @@ class FacadeSpec extends SparkSpec {
     val kept = Graft.selectByTokenBudget(docs, budget = 2000L)
     assert(kept.count() > 0 && kept.count() < 500)
     assert(Graft.mixToTargets(docs, Map("src0" -> 50, "src1" -> 50)).count() > 0)
+    // round-9 surfaces
+    assert(Graft.fuzzyJoin(docs, lower(substring(col("text"), 1, 40)))
+      .columns.toSeq == Seq("a_id", "b_id", "dist"))
+    assert(Graft.selectLikeTarget(docs, col("lang") === "en", k = 20).count() == 20)
+    assert(Graft.sampleWeighted(docs, col("n_chars").cast("double"), k = 25)
+      .count() == 25)
+    val emb = Graft.embeddings(spark, sf001)
+    assert(Graft.knnClassify(emb, col("vec_id") % 50 === 0)
+      .columns.contains("pred_label"))
+    assert(Graft.mineTriplets(emb, col("vec_id") % 50 === 0)
+      .columns.contains("margin"))
+    assert(Graft.approxDistinctSketch(
+      docs.select(col("source"), explode(ops.TextOps.tokens(col("text"))).as("t")),
+      "source", col("t")).count() == 20)
+    assert(Graft.rankStates(ev, get_json_object(col("props"), "$.k").cast("long"),
+      iters = 2).count() > 0)
+    assert(Graft.topPaths(ev, col("event_type")).count() > 0)
   }
 }
