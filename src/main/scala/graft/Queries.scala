@@ -3572,6 +3572,46 @@ object Queries {
     },
     eagerPlan = true) // construction materializes each iteration's ranks
 
+  /** X8 — PERSONALIZED PageRank ([[GraphOps.pagerankPersonalized]]):
+    * teleport and dangling mass restricted to the seed items 0..9, so
+    * ranks measure random-walk-with-restart proximity to the seeds.
+    * Same unrolled-CTE oracle discipline as the uniform query. */
+  private val x8Ppr = Q("x8_personalized_pagerank",
+    (s, dir) => GraphOps.pagerankPersonalized(x8Edges(s, dir),
+        s.range(0, 10).select(col("id").as("node")),
+        beta = 0.85, iters = 5, roundDigits = 8)
+      .orderBy(col("rank").desc, col("node")),
+    Some {
+      val beta = 0.85
+      val steps = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""dm$i AS (SELECT coalesce(sum(r), 0.0) AS dmt FROM $p
+            WHERE node NOT IN (SELECT src FROM e)),
+          ins$i AS (SELECT e.dst AS node, sum(e.w / o.ow * p.r) AS insum
+            FROM e JOIN outw o ON o.src = e.src JOIN $p p ON p.node = e.src
+            GROUP BY e.dst),
+          r$i AS (SELECT tp.node, ${proundSql(
+            s"${d(1.0 - beta)} * tp.tp + ${d(beta)} * " +
+              s"(coalesce(i.insum, 0.0) + (SELECT dmt FROM dm$i) * tp.tp)", 8)} AS r
+            FROM tp LEFT JOIN ins$i i ON i.node = tp.node)"""
+      }.mkString(",\n        ")
+      s"""WITH $x8EdgeCtes,
+        e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
+          WHERE dst IS NOT NULL GROUP BY src, dst),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+        sn AS (SELECT CAST(count(*) AS DOUBLE) AS nseeds FROM nodes
+          WHERE node < 10),
+        tp AS (SELECT node, CASE WHEN node < 10
+            THEN 1.0 / (SELECT nseeds FROM sn) ELSE CAST(0.0 AS DOUBLE) END AS tp
+          FROM nodes),
+        r0 AS (SELECT node, tp AS r FROM tp),
+        $steps
+        SELECT node, r AS rank FROM r5 ORDER BY rank DESC, node"""
+    },
+    eagerPlan = true) // construction materializes each iteration's ranks
+
   /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
     * used by the labeled-neighbor oracles below. */
   private def cosSql(q: String, c: String): String =
@@ -5211,7 +5251,7 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll, x6Weighted, x8Paths)
+    x5Hll, x6Weighted, x8Paths, x8Ppr)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -118,4 +118,57 @@ object GraphOps {
       if (materialize) next.localCheckpoint(true) else next
     }.select(col("node"), col("r").as("rank"))
   }
+
+  /** X8 — PERSONALIZED PageRank: teleport (and dangling mass) flow to a
+    * seed set instead of uniformly, so ranks measure proximity to the
+    * seeds — the related-items / topic-affinity ranking
+    * (random-walk-with-restart). Recurrence per iteration:
+    *
+    *   tp(v)   = 1/|S| if v ∈ S else 0        (the teleport vector)
+    *   r₀      = tp
+    *   rₜ₊₁(v) = round( (1−β)·tp(v) + β·(Σ_{u→v} w/out·rₜ(u) + dmₜ·tp(v)) )
+    *
+    * Same scale/lineage discipline as [[pagerank]]: node-keyed frames,
+    * one-row scalar broadcasts, eager per-iteration localCheckpoint,
+    * per-iteration rounding for engine re-synchronization. `seeds` is a
+    * one-column (node) frame; it joins the node table (never collected),
+    * so web-scale seed sets are fine. */
+  def pagerankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           beta: Double = 0.85, iters: Int = 5,
+                           roundDigits: Int = 8,
+                           materialize: Boolean = true): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
+    val dangling = nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti")
+    val seedNodes = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
+    val ns = seedNodes.agg(count(lit(1)).cast("double").as("n_seeds"))
+    val tp = nodes
+      .join(seedNodes.select(col("node"), lit(true).as("__s")), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"),
+        when(col("__s"), lit(1.0) / col("n_seeds")).otherwise(lit(0.0)).as("tp"))
+      .cache()
+    val r0 = tp.select(col("node"), col("tp").as("r"))
+    (1 to iters).foldLeft(r0) { (ranks, _) =>
+      val dm = dangling.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dmt"))
+      val contrib = e.join(outw, Seq("src"))
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") / col("ow") * col("r")).as("insum"))
+      val next = tp.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("node"),
+          pr(lit(1.0 - beta) * col("tp")
+            + lit(beta) * (coalesce(col("insum"), lit(0.0))
+              + col("dmt") * col("tp"))).as("r"))
+      if (materialize) next.localCheckpoint(true) else next
+    }.select(col("node"), col("r").as("rank"))
+  }
 }

@@ -365,4 +365,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(r(9L) > r(1L))
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
+
+  test("personalized pagerank: mass stays in the seed's reachable set") {
+    import spark.implicits._
+    // cycle 1→2→3→1 reachable from seed 1; branch 4→5 is not. With
+    // teleport pinned to {1}, the branch must stay at exactly 0 rank and
+    // total mass must remain ~1 (dangling mass re-injects at the seed).
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "weight")
+    val seeds = Seq(1L).toDF("node")
+    val r = ops.GraphOps.pagerankPersonalized(edges, seeds, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(4L) == 0.0 && r(5L) == 0.0,
+      "no teleport, no in-edges from the seed component ⇒ zero rank")
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
+  }
+
+  test("personalized pagerank: rank decays with distance from the seed") {
+    import spark.implicits._
+    // chain 1→2→3→4: each hop only multiplies upstream rank by β, so
+    // ranks are strictly monotone in seed distance at any iteration count
+    // (the cycle case oscillates pre-convergence; the chain never does).
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight")
+    val r = ops.GraphOps.pagerankPersonalized(chain, Seq(1L).toDF("node"),
+        iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L),
+      "restart at the seed ⇒ rank strictly decays along the chain")
+  }
 }
