@@ -1939,6 +1939,50 @@ object Queries {
       SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
       FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** X3 BM25 ([[TextOps.bm25TopDocs]]): top-20 documents for a 4-term
+    * query. idf rounds at 6 (transcendental), the saturation factor is
+    * rational per-row IEEE, contributions fold in term order, final
+    * score portable-rounds at 4 — the [[x6Dsir]] fold discipline applied
+    * to retrieval. Output re-sorted by doc_id for a deterministic dump. */
+  private val x3Bm25 = Q("x3_bm25_topdocs", {
+    (s, dir) =>
+      import s.implicits._
+      TextOps.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "vector", "merge", "stream").toDF("term"),
+          k1 = 1.2, b = 0.75, topK = 20, roundDigits = 4)
+        .orderBy(col("doc_id"))
+  },
+    Some {
+      // the identical Scala doubles the DataFrame side folds in (1.2+1.0
+      // is a round-to-even tie — a parsed "2.2" literal may differ by an
+      // ulp from the computed sum, so both engines get the printed sum)
+      val k1p1 = d(1.2 + 1.0); val k1 = d(1.2)
+      val oneMb = d(1.0 - 0.75); val b = d(0.75)
+      s"""WITH q(term) AS (VALUES ('spark'), ('vector'), ('merge'), ('stream')),
+      toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN q ON tok = q.term GROUP BY doc_id, tok),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      c AS (SELECT tf.doc_id, tf.tok,
+          (floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
+            * (tf * $k1p1) / (tf + $k1 * ($oneMb + $b * dl.dl / avgdl)) AS contrib
+        FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          list_sum(list(contrib ORDER BY tok)) AS raw
+        FROM c GROUP BY doc_id),
+      top AS (SELECT doc_id, n_terms,
+          floor(raw * 10000.0 + 0.5) / 10000.0 AS score
+        FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+      SELECT doc_id, n_terms, score FROM top ORDER BY doc_id"""
+    })
+
   /** X3 — benchmark decontamination: docs with doc_id ≡ 7 (mod 10) play
     * the eval set; the report lists every training doc sharing a word
     * 8-gram with it. Spark joins on the fused kernel's 64-bit gram hashes (the scale
@@ -3612,6 +3656,47 @@ object Queries {
     },
     eagerPlan = true) // construction materializes each iteration's ranks
 
+  /** X8 — HITS hubs & authorities ([[GraphOps.hits]]) on the state
+    * transition graph: max-normalized so the per-iteration normalizer is
+    * order-exact on both engines; same unrolled-CTE oracle discipline as
+    * the PageRank queries. */
+  private val x8Hits = Q("x8_hits_states",
+    (s, dir) => GraphOps.hits(x8Edges(s, dir), iters = 5, roundDigits = 8)
+      .orderBy(col("authority").desc, col("node")),
+    Some {
+      // every iteration CTE is MATERIALIZED: unlike the pagerank unroll
+      // (2 refs/level → 2^5, tolerable inlined), HITS references each
+      // level 4× (araw → max + normalize, authority → hub sum + output),
+      // so DuckDB's default CTE inlining expands the events scan 4^5
+      // times and the oracle never finishes
+      val steps = (1 to 5).map { i =>
+        val p = s"h${i - 1}"
+        s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(e.w * p.h) AS araw
+            FROM e JOIN $p p ON p.node = e.src GROUP BY e.dst),
+          am$i AS MATERIALIZED (SELECT max(araw) AS m FROM ar$i),
+          a$i AS MATERIALIZED (SELECT n.node, ${proundSql(
+            s"coalesce(ar.araw, 0.0) / (SELECT m FROM am$i)", 8)} AS a
+            FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+          hr$i AS MATERIALIZED (SELECT e.src AS node, sum(e.w * a.a) AS hraw
+            FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+          hm$i AS MATERIALIZED (SELECT max(hraw) AS m FROM hr$i),
+          h$i AS MATERIALIZED (SELECT n.node, ${proundSql(
+            s"coalesce(hr.hraw, 0.0) / (SELECT m FROM hm$i)", 8)} AS h
+            FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node)"""
+      }.mkString(",\n        ")
+      s"""WITH $x8EdgeCtes,
+        e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
+          WHERE dst IS NOT NULL GROUP BY src, dst),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+        $steps
+        SELECT h5.node, h5.h AS hub, a5.a AS authority
+        FROM h5 JOIN a5 ON a5.node = h5.node
+        ORDER BY authority DESC, h5.node"""
+    },
+    eagerPlan = true) // construction materializes each iteration's scores
+
   /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
     * used by the labeled-neighbor oracles below. */
   private def cosSql(q: String, c: String): String =
@@ -5251,7 +5336,7 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll, x6Weighted, x8Paths, x8Ppr)
+    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -119,6 +119,60 @@ object GraphOps {
     }.select(col("node"), col("r").as("rank"))
   }
 
+  /** X8 — HITS hubs & authorities (Kleinberg 1999), k unrolled
+    * iterations, max-normalized:
+    *
+    *   h₀(v)    = 1
+    *   aₜ(v)    = round( (Σ_{u→v} w·hₜ₋₁(u)) / max_v Σ w·hₜ₋₁ )
+    *   hₜ(u)    = round( (Σ_{u→v} w·aₜ(v)) / max_u Σ w·aₜ )
+    *
+    * Max normalization instead of the textbook L2/L1: the max of a
+    * column is ORDER-EXACT (no float-sum reassociation), so the
+    * normalizer is the identical double on any engine, and the scores it
+    * yields are scale-equivalent to the normalized fixed point (HITS
+    * ranks are invariant to the normalizer choice). Nodes with no
+    * in-edges hold authority 0; no out-edges ⇒ hub 0.
+    *
+    * Same scale/lineage discipline as [[pagerank]]: edge-keyed shuffled
+    * aggregations, one-row max broadcasts, per-iteration rounding +
+    * eager localCheckpoint (each iteration reads hₜ₋₁ once and aₜ twice
+    * — normalization and the hub step — so a lazy unroll compounds).
+    * Output: (node, hub, authority). */
+  def hits(edges: DataFrame, iters: Int = 5, roundDigits: Int = 8,
+           materialize: Boolean = true): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val h0 = nodes.select(col("node"), lit(1.0).as("h"))
+    def ck(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val (hK, aK) = (1 to iters).foldLeft((h0, h0.select(col("node"),
+        lit(0.0).as("a")))) { case ((h, _), _) =>
+      val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("h")).as("araw"))
+      val amax = araw.agg(max(col("araw")).as("am"))
+      val a = ck(nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(amax))
+        .select(col("node"),
+          pr(coalesce(col("araw"), lit(0.0)) / col("am")).as("a")))
+      val hraw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("a")).as("hraw"))
+      val hmax = hraw.agg(max(col("hraw")).as("hm"))
+      val hNext = ck(nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(hmax))
+        .select(col("node"),
+          pr(coalesce(col("hraw"), lit(0.0)) / col("hm")).as("h")))
+      (hNext, a)
+    }
+    hK.join(aK, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** X8 — PERSONALIZED PageRank: teleport (and dangling mass) flow to a
     * seed set instead of uniformly, so ranks measure proximity to the
     * seeds — the related-items / topic-affinity ranking

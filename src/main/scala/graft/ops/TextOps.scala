@@ -646,6 +646,74 @@ object TextOps {
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
   }
 
+  /** X3 — BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
+    * `(k1, b)` practical form): per document D and query term set Q,
+    *
+    *   score(D) = Σ_{t ∈ Q∩D} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    *
+    * The retrieval sibling of [[tfidfTopTerms]] — used in curation to
+    * pull topic slices out of a crawl (query-relevance selection) rather
+    * than to describe single documents.
+    *
+    * Scale shape: `terms` is a QUERY — inherently bounded, unlike the
+    * corpus-derived df table [[tfidfTopTerms]] refuses to hint — so it IS
+    * hint-broadcast, and the token stream is pruned to query terms
+    * BEFORE any aggregation (tf, df and the per-doc fold all run on the
+    * matched subset; the only corpus-wide work is the one tokenizing scan
+    * that also feeds N/avgdl). df here is document frequency AMONG the
+    * scored corpus, derived from the already-pruned tf table
+    * (term-cardinality rows). Top-k lands as TakeOrdered (per-partition
+    * heaps), not a global sort.
+    *
+    * Parity: idf is a transcendental → rounded at 6 before use (the
+    * cosine-recall trade); the tf-saturation factor is rational per-row
+    * IEEE from identical integers (avgdl = Σdl/N kept RAW — both sides
+    * derive it from the same exact integers); per-doc contributions fold
+    * in term order; final score portable-rounds at `roundDigits`. Only
+    * documents matching ≥ 1 query term appear. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  terms: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 20, roundDigits: Int = 4): DataFrame = {
+    val s = math.pow(10.0, roundDigits)
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tok = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("tok"))
+    // both broadcast frames keep query-derived column names (`term`,
+    // `term_df`), NOT the corpus-vocab names (`tok`, `df`): the PlanSpec
+    // corpus-broadcast gate flags hints by attribute name, and these
+    // frames are bounded by the QUERY size (tf is already term-pruned
+    // when term_df is counted), not by the corpus vocabulary
+    val tf = tok.join(broadcast(terms.select(col("term"))),
+        col("tok") === col("term"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val tdf = tf.groupBy(col("tok")).agg(count(lit(1)).as("term_df"))
+      .select(col("tok").as("term"), col("term_df"))
+    val contrib = tf.join(broadcast(tdf), col("tok") === col("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        ((floor(log(lit(1.0) + (col("n") - col("term_df") + lit(0.5))
+            / (col("term_df") + lit(0.5))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl")))).as("contrib"))
+    contrib.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        collect_list(struct(col("tok"), col("contrib"))).as("__cs"))
+      .select(col("doc_id"), col("n_terms"),
+        (floor(aggregate(array_sort(col("__cs")), lit(0.0),
+          (acc, x) => acc + x.getField("contrib")) * lit(s) + lit(0.5))
+          / lit(s)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** X3 — cross-document boilerplate stripping (the C4/RefinedWeb rule,
     * re-expressed for unstructured text: a unit of text that recurs
     * across ≥ `minDf` distinct documents is template boilerplate —

@@ -365,16 +365,17 @@ class PlanSpec extends SparkSpec {
       "x1_dedup_pipeline", "x1_dedup_keep_best", "s4_csv_roundtrip",
       "s4_jsonl_roundtrip", "s7_partitioned_roundtrip", "s8_orc_roundtrip",
       "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep",
-      "x8_pagerank_states", "x8_personalized_pagerank"),
+      "x8_pagerank_states", "x8_personalized_pagerank", "x8_hits_states"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
       // tables on construction; e2e_train_kstep collects k per-step scalar
       // aggregates while unrolling the bounded-lineage loop (window-free by
       // construction — each step is aggregates over the same grouped frame);
-      // x8_pagerank_states / x8_personalized_pagerank localCheckpoint each
-      // iteration's rank vector (window shape gated by the dedicated
-      // pagerank plan test — both share the iteration building blocks).
+      // x8_pagerank_states / x8_personalized_pagerank / x8_hits_states
+      // localCheckpoint each iteration's rank vector (window shape gated
+      // by the dedicated pagerank plan test — all share the iteration
+      // building blocks).
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
@@ -608,6 +609,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "scoring is a projection — no window")
     assert(p.contains("TakeOrderedAndProject"),
       "top-100 selection must be TakeOrdered (per-partition heaps), not Sort+Limit")
+  }
+
+  test("bm25: query terms broadcast-prune the token stream; top-k is TakeOrdered") {
+    val p = plan("x3_bm25_topdocs")
+    // the term set is a QUERY (inherently bounded) — the one frame the
+    // vocab-broadcast policy explicitly allows a hint for
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "query terms + one-row stats must broadcast onto the token stream")
+    assert(!p.contains("Window"), "scoring folds per doc — no window anywhere")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k selection must be TakeOrdered (per-partition heaps), not Sort+Limit")
   }
 
   test("pagerank: iteration joins are keyed, never cartesian on node frames") {

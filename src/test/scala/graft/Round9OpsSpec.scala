@@ -381,6 +381,44 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "rank mass conserved")
   }
 
+  test("hits: hubs point at authorities, max-normalized to 1") {
+    import spark.implicits._
+    // 1 and 2 both link to 4; 2 and 3 also link to 5; node 2 links to
+    // both targets so it is the best hub; 4 and 5 split authority with 4
+    // ahead (fed by the stronger hub pair 1,2 vs 2,3 — symmetric here, so
+    // equal; break symmetry with a second edge weight)
+    val g = Seq((1L, 4L, 1L), (2L, 4L, 2L), (2L, 5L, 1L), (3L, 5L, 1L))
+      .toDF("src", "dst", "weight")
+    val r = ops.GraphOps.hits(g, iters = 8).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(2L)._1 == 1.0, "the two-target hub holds the max hub score")
+    assert(r(4L)._2 == 1.0, "the heavier-linked target holds max authority")
+    assert(r(4L)._2 > r(5L)._2 && r(2L)._1 > r(1L)._1 && r(2L)._1 > r(3L)._1)
+    assert(r(4L)._1 == 0.0 && r(5L)._1 == 0.0, "sinks have zero hub score")
+    assert(r(1L)._2 == 0.0 && r(2L)._2 == 0.0 && r(3L)._2 == 0.0,
+      "sources with no in-edges have zero authority")
+  }
+
+  test("bm25: rare query terms dominate and length normalization bites") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma gamma gamma gamma gamma"), // tf(beta)=1, long
+      (2L, "zeta alpha"),                               // rare term, short
+      (3L, "beta"),                                     // tf(beta)=1, short
+      (4L, "gamma gamma gamma")                         // no query terms
+    ).toDF("doc_id", "text")
+    val q = Seq("zeta", "beta").toDF("term")
+    val r = ops.TextOps.bm25TopDocs(docs, "doc_id", "text", q, topK = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val byId = r.map(t => t._1 -> t).toMap
+    assert(!byId.contains(4L), "docs matching no query term are absent")
+    assert(byId(2L)._3 > byId(1L)._3,
+      "one hit on the rare term beats one hit on the everywhere term")
+    assert(byId(3L)._3 > byId(1L)._3,
+      "equal tf, shorter doc ⇒ higher score (dl/avgdl normalization)")
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L, "n_terms counts matched query terms")
+  }
+
   test("personalized pagerank: rank decays with distance from the seed") {
     import spark.implicits._
     // chain 1→2→3→4: each hop only multiplies upstream rank by β, so
