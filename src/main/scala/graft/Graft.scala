@@ -485,6 +485,31 @@ object Graft {
     ops.GraphOps.topPaths(events, userCol, Seq(col("ts"), col("event_id")),
       state, n, topK)
 
+  /** Personalized PageRank: random-walk-with-restart proximity to a
+    * one-column (node) seed frame over the state-transition graph. */
+  def rankStatesNear(events: DataFrame, state: Column, seeds: DataFrame,
+                     iters: Int = 5, userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.pagerankPersonalized(ops.GraphOps.transitionEdges(events,
+      userCol, Seq(col("ts"), col("event_id")), state), seeds, iters = iters)
+
+  /** HITS hubs & authorities over the state-transition graph. */
+  def hubsAndAuthorities(events: DataFrame, state: Column, iters: Int = 5,
+                         userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.hits(ops.GraphOps.transitionEdges(events, userCol,
+      Seq(col("ts"), col("event_id")), state), iters = iters)
+
+  /** Per-node triangle counts over the state-transition graph (skew-safe
+    * degree-ordered orientation; exact integer counts). */
+  def triangleCounts(events: DataFrame, state: Column,
+                     userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.triangleCounts(ops.GraphOps.transitionEdges(events, userCol,
+      Seq(col("ts"), col("event_id")), state))
+
+  /** BM25 top-k document retrieval for a one-column (term) query frame. */
+  def searchBm25(docs: DataFrame, terms: DataFrame, topK: Int = 20,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ops.TextOps.bm25TopDocs(docs, idCol, textCol, terms, topK = topK)
+
   /** Incremental HLL cardinality monitor (register ledger + report). */
   def approxDistinctIncremental(items: DataFrame, groupCol: String, item: Column,
                                 regLedgerPath: String, reportPath: String,

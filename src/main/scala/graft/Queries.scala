@@ -3697,6 +3697,31 @@ object Queries {
     },
     eagerPlan = true) // construction materializes each iteration's scores
 
+  /** X8 — per-node triangle counts ([[GraphOps.triangleCounts]]) on the
+    * undirected state graph. Spark pivots each triangle at its
+    * (degree, id)-minimal node (skew-safe orientation); the oracle
+    * enumerates canonical a<b<c id-ordered triangles — same triangle
+    * set, so the integer counts agree exactly. */
+  private val x8Tri = Q("x8_triangle_counts",
+    (s, dir) => GraphOps.triangleCounts(x8Edges(s, dir))
+      .orderBy(col("n_triangles").desc, col("node")),
+    Some(s"""WITH $x8EdgeCtes,
+        e AS (SELECT src, dst FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+        c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM e WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT a AS node FROM c UNION ALL SELECT b FROM c)),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM c e1 JOIN c e2 ON e2.a = e1.b
+          JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT x AS node FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM corners GROUP BY node)
+        SELECT n.node, coalesce(cnt.n_triangles, 0) AS n_triangles
+        FROM nodes n LEFT JOIN cnt ON cnt.node = n.node
+        ORDER BY n_triangles DESC, n.node"""))
+
   /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
     * used by the labeled-neighbor oracles below. */
   private def cosSql(q: String, c: String): String =
@@ -5336,7 +5361,7 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits)
+    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -173,6 +173,57 @@ object GraphOps {
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
 
+  /** X8 — per-node triangle counts over the undirected simple graph
+    * (self-loops dropped, parallel edges collapsed, weights ignored).
+    * The local clustering signal: how interlinked a node's neighborhood
+    * is.
+    *
+    * Scale shape — the degree-ordered orientation (Schank/Wagner; the
+    * standard MapReduce/GraphX formulation): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, making the graph a DAG
+    * where every node's OUT-degree is O(√m) regardless of its real
+    * degree. Wedges are generated only between out-neighbors of a common
+    * pivot, so a degree-10⁷ hub (every crawl graph has one) contributes
+    * wedges bounded by its out-degree, not its degree squared — without
+    * the orientation, the wedge self-join on a skewed key is the
+    * quadratic blow-up. Each triangle has exactly one pivot (its
+    * order-minimal node) and survives the closing-edge join exactly once
+    * — so the count is exact, not sampled. All-integer arithmetic: no
+    * rounding discipline needed for engine parity. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().cache()
+    val nodes = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(col("da") < col("db")
+          || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).cache()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    // both (u,v,w) and (u,w,v) wedges are generated; only the one whose
+    // (y,z) matches the closing edge's orientation joins — each triangle
+    // lands exactly once, no double-count filter needed
+    val tris = wedges.join(oriented.select(col("u").as("y"), col("v").as("z")),
+      Seq("y", "z"))
+    val corners = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(corners, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** X8 — PERSONALIZED PageRank: teleport (and dangling mass) flow to a
     * seed set instead of uniformly, so ranks measure proximity to the
     * seeds — the related-items / topic-affinity ranking

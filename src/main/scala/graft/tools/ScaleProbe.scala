@@ -382,6 +382,42 @@ object ScaleProbe {
     probe("pagerank (5 iters, 100 states)",
       cnt(GraphOps.pagerank(prEdges(ev1))),
       cnt(GraphOps.pagerank(prEdges(evN))))
+    // round-9 third batch. Weighted sample: k fixed (a sample size is a
+    // recipe choice) → projection + TakeOrdered, expect ~linear scan
+    // cost. Session paths: one user-keyed window + TakeOrdered over a
+    // state-bounded n-gram table — ~linear. PPR/HITS: same node-bounded
+    // iteration state as pagerank (the probed graph keeps 100 states at
+    // any event scale), so like pagerank they should be iteration-
+    // overhead-bound, ratio ≪ scale. BM25: the term-pruned token stream
+    // is the only corpus-sized frame; query fixed at 4 terms → ~linear.
+    probe("weighted sample (k=1000)",
+      cnt(Curation.weightedSample(docs1, "doc_id",
+        col("n_chars").cast("double"), 1000)),
+      cnt(Curation.weightedSample(docsN, "doc_id",
+        col("n_chars").cast("double"), 1000)))
+    probe("session paths (3-step top 20)",
+      cnt(GraphOps.topPaths(ev1, "user_id", Seq(col("ts"), col("event_id")),
+        get_json_object(col("props"), "$.k").cast("long"))),
+      cnt(GraphOps.topPaths(evN, "user_id", Seq(col("ts"), col("event_id")),
+        get_json_object(col("props"), "$.k").cast("long"))))
+    val seeds10 = spark.range(0, 10).select(col("id").as("node"))
+    probe("personalized pagerank (10 seeds)",
+      cnt(GraphOps.pagerankPersonalized(prEdges(ev1), seeds10)),
+      cnt(GraphOps.pagerankPersonalized(prEdges(evN), seeds10)))
+    probe("hits (5 iters, 100 states)",
+      cnt(GraphOps.hits(prEdges(ev1))),
+      cnt(GraphOps.hits(prEdges(evN))))
+    val bmTerms = Seq("spark", "vector", "merge", "stream").toDF("term")
+    probe("bm25 (4-term query)",
+      cnt(TextOps.bm25TopDocs(docs1, "doc_id", "text", bmTerms)),
+      cnt(TextOps.bm25TopDocs(docsN, "doc_id", "text", bmTerms)))
+    // triangle counts: the probed graph saturates (100 states → the
+    // distinct-edge set stops growing), so the ratio measures the
+    // canonicalize+distinct scan; the wedge join itself is bounded by
+    // the degree-ordered orientation (out-degree O(√m)) either way
+    probe("triangle counts (100 states)",
+      cnt(GraphOps.triangleCounts(prEdges(ev1))),
+      cnt(GraphOps.triangleCounts(prEdges(evN))))
     if (only.forall(_.exists("bpe merge-count".startsWith)))
       Seq(2, 4, 8).foreach { k =>
         val t = Seq(

@@ -399,6 +399,19 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("triangle counts: exact per-node counts; loops/parallel edges ignored") {
+    import spark.implicits._
+    // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Pendant node 5.
+    // Noise: duplicate (1,2), reversed (2,1), self-loop (3,3) — all
+    // collapsed by canonicalization, so counts are unchanged by them.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L),
+        (1L, 2L), (2L, 1L), (3L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1L))
+    val r = ops.GraphOps.triangleCounts(g).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("bm25: rare query terms dominate and length normalization bites") {
     import spark.implicits._
     val docs = Seq(
