@@ -510,12 +510,26 @@ object Graft {
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     ops.TextOps.bm25TopDocs(docs, idCol, textCol, terms, topK = topK)
 
+  /** Hybrid retrieval: reciprocal-rank-fuse two (id, rank) pages —
+    * typically a BM25 page and a dense ANN page. */
+  def fuseRankings(lexical: DataFrame, dense: DataFrame, c: Int = 60,
+                   topK: Int = 10): DataFrame =
+    ops.Similarity.rrfFuse(lexical, dense, c, topK)
+
   /** Incremental HLL cardinality monitor (register ledger + report). */
   def approxDistinctIncremental(items: DataFrame, groupCol: String, item: Column,
                                 regLedgerPath: String, reportPath: String,
                                 checkpoint: String) =
     StreamingOps.incrementalHllDistinct(items, groupCol, item, regLedgerPath,
       reportPath, checkpoint)
+
+  /** Incrementally maintained PageRank: stateful cross-batch edge
+    * pairing + additive edge ledger + per-batch rank recompute. */
+  def rankStatesIncremental(events: org.apache.spark.sql.Dataset[StreamingOps.StateEvent],
+                            edgeLedgerPath: String, ranksPath: String,
+                            checkpoint: String, iters: Int = 5) =
+    StreamingOps.incrementalPagerank(events, edgeLedgerPath, ranksPath,
+      checkpoint, iters)
 
   /** Incremental DSIR selection (count ledger + maintained top-k). */
   def selectLikeTargetIncremental(docs: DataFrame, targetPred: Column,

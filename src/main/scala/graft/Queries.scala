@@ -1944,6 +1944,40 @@ object Queries {
     * rational per-row IEEE, contributions fold in term order, final
     * score portable-rounds at 4 — the [[x6Dsir]] fold discipline applied
     * to retrieval. Output re-sorted by doc_id for a deterministic dump. */
+  /** Shared BM25 oracle CTE chain (terms spark/vector/merge/stream,
+    * k1 = 1.2, b = 0.75) ending at `bm_top(doc_id, n_terms, score)` with
+    * the given page size — used by the standalone query and the hybrid
+    * RRF fusion. Constants are the identical Scala doubles the DataFrame
+    * side folds in (1.2+1.0 is a round-to-even tie — a parsed "2.2"
+    * literal may differ by an ulp from the computed sum, so both engines
+    * get the printed sum). */
+  private def bm25Ctes(topK: Int): String = {
+    val k1p1 = d(1.2 + 1.0); val k1 = d(1.2)
+    val oneMb = d(1.0 - 0.75); val b = d(0.75)
+    s"""bm_q(term) AS (VALUES ('spark'), ('vector'), ('merge'), ('stream')),
+      bm_toks AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      bm_dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM bm_toks),
+      bm_stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM bm_dl),
+      bm_tok AS (SELECT doc_id, unnest(t) AS tok FROM bm_toks),
+      bm_tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM bm_tok JOIN bm_q ON tok = bm_q.term GROUP BY doc_id, tok),
+      bm_df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY tok),
+      bm_c AS (SELECT bm_tf.doc_id, bm_tf.tok,
+          (floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
+            * (tf * $k1p1) / (tf + $k1 * ($oneMb + $b * bm_dl.dl / avgdl)) AS contrib
+        FROM bm_tf JOIN bm_df USING (tok) JOIN bm_dl ON bm_dl.doc_id = bm_tf.doc_id
+        CROSS JOIN bm_stats),
+      bm_sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+          list_sum(list(contrib ORDER BY tok)) AS raw
+        FROM bm_c GROUP BY doc_id),
+      bm_top AS (SELECT doc_id, n_terms,
+          floor(raw * 10000.0 + 0.5) / 10000.0 AS score
+        FROM bm_sc ORDER BY score DESC, doc_id LIMIT $topK)"""
+  }
+
   private val x3Bm25 = Q("x3_bm25_topdocs", {
     (s, dir) =>
       import s.implicits._
@@ -1952,36 +1986,61 @@ object Queries {
           k1 = 1.2, b = 0.75, topK = 20, roundDigits = 4)
         .orderBy(col("doc_id"))
   },
-    Some {
-      // the identical Scala doubles the DataFrame side folds in (1.2+1.0
-      // is a round-to-even tie — a parsed "2.2" literal may differ by an
-      // ulp from the computed sum, so both engines get the printed sum)
-      val k1p1 = d(1.2 + 1.0); val k1 = d(1.2)
-      val oneMb = d(1.0 - 0.75); val b = d(0.75)
-      s"""WITH q(term) AS (VALUES ('spark'), ('vector'), ('merge'), ('stream')),
-      toks AS (SELECT doc_id,
-          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
-        FROM documents),
-      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-          CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
-      tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-        FROM tok JOIN q ON tok = q.term GROUP BY doc_id, tok),
-      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-      c AS (SELECT tf.doc_id, tf.tok,
-          (floor(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0)
-            * (tf * $k1p1) / (tf + $k1 * ($oneMb + $b * dl.dl / avgdl)) AS contrib
-        FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats),
-      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-          list_sum(list(contrib ORDER BY tok)) AS raw
-        FROM c GROUP BY doc_id),
-      top AS (SELECT doc_id, n_terms,
-          floor(raw * 10000.0 + 0.5) / 10000.0 AS score
-        FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-      SELECT doc_id, n_terms, score FROM top ORDER BY doc_id"""
-    })
+    Some(s"""WITH ${bm25Ctes(20)}
+      SELECT doc_id, n_terms, score FROM bm_top ORDER BY doc_id"""))
+
+  /** X2 — hybrid retrieval ([[Similarity.rrfFuse]]): BM25 page (lexical)
+    * ⊕ brute-cosine page for query vector 0 (dense), fused by reciprocal
+    * rank at c = 60. Ranks derive from already-rounded scores with id
+    * tie-breaks; the fused score is a fixed-order two-term reciprocal
+    * sum — exact on both engines, no further rounding. */
+  private val x2Rrf = Q("x2_hybrid_rrf", {
+    (s, dir) =>
+      import s.implicits._
+      val bm = TextOps.bm25TopDocs(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "vector", "merge", "stream").toDF("term"), topK = 50)
+      // rank within the 50-row retrieval page WITHOUT a window: an
+      // unpartitioned row_number is the single-partition-funnel class the
+      // PlanSpec gate closes, so the bounded page ranks by a count-ahead
+      // self-join instead (k² comparisons on a k-row page; AQE broadcasts
+      // it by size — no hint, the page carries a fact key)
+      val page = bm.select(col("doc_id"), col("score"))
+      val ahead = page.select(col("doc_id").as("b_id"), col("score").as("b_score"))
+      val bmr = page.join(ahead,
+          col("b_score") > col("score")
+            || (col("b_score") === col("score") && col("b_id") < col("doc_id")),
+          "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("b_id")) + lit(1L)).as("rank"))
+        .select(col("doc_id").as("id"), col("rank"))
+      val cos = Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+        "vec_id", "embedding", col("vec_id") === 0, k = 50)
+      val cr = cos.select(col("cand_id").as("id"), col("rk").as("rank"))
+      Similarity.rrfFuse(bmr, cr, c = 60, topK = 10).orderBy(col("id"))
+  },
+    Some(s"""WITH ${bm25Ctes(50)},
+      bmr AS (SELECT doc_id AS id,
+          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM bm_top),
+      ce AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cq AS (SELECT v AS qv FROM ce WHERE vec_id = 0),
+      csc AS (SELECT ce.vec_id AS cand_id,
+          round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*qv[i+1])))
+             * sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6) AS cosine
+        FROM ce CROSS JOIN cq WHERE ce.vec_id <> 0),
+      cranked AS (SELECT cand_id, row_number() OVER (
+          ORDER BY cosine DESC, cand_id ASC) AS rk FROM csc),
+      cr AS (SELECT cand_id AS id, CAST(rk AS BIGINT) AS rank
+        FROM cranked WHERE rk <= 50),
+      fused AS (SELECT coalesce(b.id, c2.id) AS id,
+          b.rank AS rank_a, c2.rank AS rank_b,
+          coalesce(1.0 / (60 + b.rank), 0.0)
+            + coalesce(1.0 / (60 + c2.rank), 0.0) AS rrf
+        FROM bmr b FULL OUTER JOIN cr c2 ON b.id = c2.id),
+      page AS (SELECT id, rank_a, rank_b, rrf FROM fused
+        ORDER BY rrf DESC, id LIMIT 10)
+      SELECT id, rank_a, rank_b, rrf FROM page ORDER BY id"""))
 
   /** X3 — benchmark decontamination: docs with doc_id ≡ 7 (mod 10) play
     * the eval set; the report lists every training doc sharing a word
@@ -5361,7 +5420,7 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri)
+    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

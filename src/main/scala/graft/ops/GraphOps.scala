@@ -78,18 +78,19 @@ object GraphOps {
     * the per-iteration rounding, so ordering by (rank desc, node) is
     * engine-stable. */
   def pagerank(edges: DataFrame, beta: Double = 0.85, iters: Int = 5,
-               roundDigits: Int = 8, materialize: Boolean = true): DataFrame = {
+               roundDigits: Int = 8, materialize: Boolean = true,
+               caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val s = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     // the static graph frames are read every iteration — cache once
     // (session-lifetime, the dedup-family default; a long-lived service
     // unpersists after materializing)
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val e = caches.track(edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")))
+    val nodes = caches.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
+    val outw = caches.track(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
     val dangling = nodes.join(outw.select(col("src").as("node")),
       Seq("node"), "left_anti")
     val r0 = nodes.crossJoin(broadcast(nn))

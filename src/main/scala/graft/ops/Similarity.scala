@@ -129,6 +129,29 @@ object Similarity {
         col("cand_id"), col("cosine"))
   }
 
+  /** X2 — reciprocal rank fusion (Cormack/Clarke/Büttcher 2009): fuse
+    * two ranked candidate lists (lexical + dense retrieval, the hybrid
+    * search standard) by score(d) = Σ_lists 1/(c + rank_i(d)).
+    *
+    * Inputs are (id, rank) frames with 1-based ranks — retrieval PAGES,
+    * k-bounded by construction, so the full-outer fuse joins two tiny
+    * frames regardless of corpus size (the corpus-scale work already
+    * happened inside each retriever). Parity: the score is a fixed-order
+    * two-term sum of exact integer-reciprocal divisions — bit-identical
+    * across engines, no rounding needed. Ties break by id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60,
+              topK: Int = 10): DataFrame = {
+    val fa = a.select(col("id"), col("rank").cast("long").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").cast("long").as("rank_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(c.toLong) + col("rank_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c.toLong) + col("rank_b")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Sign-LSH bucket id: b deterministic hyperplanes, hyperplane j's
     * weight for dimension i = ((i·(j+3)) mod 11)/10 − 0.5 — a fixed closed
     * form reproducible in SQL. Bucket = Σ_j 2^j·[w_j·x ≥ 0]. Evaluates

@@ -842,6 +842,76 @@ object StreamingOps {
       }
       .start()
 
+  case class StateEvent(user: Long, order: Long, tie: Long, state: Long)
+  case class EdgeOut(user: Long, src: Long, dst: Long)
+  case class LastState(state: Long)
+
+  /** Streaming mirror of [[graft.ops.GraphOps.transitionEdges]]: each
+    * user's LAST seen state is one long of `flatMapGroupsWithState`
+    * state, so a session that spans micro-batches still yields its
+    * boundary edge — the piece a per-batch window cannot see. Rows
+    * within a batch fold in (order, tie) order (the statefulEma
+    * determinism rule). Emits one (user, src, dst) row per consecutive
+    * pair; multiplicity is downstream aggregation's job. */
+  def statefulTransitionEdges(ds: Dataset[StateEvent]): Dataset[EdgeOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user)
+      .flatMapGroupsWithState[LastState, EdgeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[StateEvent], state: GroupState[LastState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.order, r.tie))
+          var prev = state.getOption.map(_.state)
+          val out = Vector.newBuilder[EdgeOut]
+          sorted.foreach { r =>
+            prev.foreach(p => out += EdgeOut(user, p, r.state))
+            prev = Some(r.state)
+          }
+          prev.foreach(p => state.update(LastState(p)))
+          out.result().iterator
+      }
+  }
+
+  /** X8 — incrementally maintained PageRank: stateful cross-batch edge
+    * pairing → additive (src, dst) count ledger → rank recompute on the
+    * compacted edge table each batch, atomically swapped at `ranksPath`.
+    *
+    * The split of work is the scale design: the per-batch cost of the
+    * PAIRING is O(batch) with one long of state per live user, the
+    * ledger append is O(distinct batch edges), and only the RECOMPUTE
+    * touches the full (edge-cardinality, corpus-independent-per-batch)
+    * compacted graph — the same recompute-on-compact shape as the DSIR
+    * and drift monitors. Edge counts are additive integers, so the
+    * accreted graph equals the batch [[graft.ops.GraphOps
+    * .transitionEdges]] weights exactly, and the recomputed ranks are
+    * the batch [[graft.ops.GraphOps.pagerank]] doubles bit-for-bit
+    * (StreamingSpec, ≥3 micro-batches). */
+  def incrementalPagerank(events: Dataset[StateEvent], edgeLedgerPath: String,
+                          ranksPath: String, checkpoint: String,
+                          iters: Int = 5, compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    statefulTransitionEdges(events).writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[EdgeOut], batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(edgeLedgerPath)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compactLedger(spark, edgeLedgerPath, Seq("src", "dst"), Seq("n"), batchId)
+        val edges = spark.read.parquet(edgeLedgerPath)
+          .dropDuplicates("batch_id", "src", "dst")
+          .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("weight"))
+        // scoped cache handle: the recompute re-caches the graph frames
+        // every batch, so the unmanaged session-lifetime default would
+        // accrete CacheManager entries forever on a long-lived stream
+        val caches = new graft.ops.DedupCaches
+        try writeAtomic(
+          graft.ops.GraphOps.pagerank(edges, iters = iters, caches = caches)
+            .withColumn("as_of_batch", lit(batchId)), ranksPath, coalesce1 = true)
+        finally caches.unpersistAll()
+      }
+      .start()
+
   def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
                                   benchLedgerPath: String, corpusPath: String,
                                   fpLedgerPath: String, checkpoint: String,

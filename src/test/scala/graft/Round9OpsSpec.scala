@@ -399,6 +399,24 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("rrf fusion: consensus beats a single first place; singletons kept") {
+    import spark.implicits._
+    // doc 7 is mid-ranked on BOTH lists (2nd + 2nd); docs 1 and 9 each
+    // top one list but miss the other. RRF's point: 2/(60+2) > 1/(60+1),
+    // so the consensus doc must win the fused page.
+    val lex = Seq((1L, 1L), (7L, 2L), (3L, 3L)).toDF("id", "rank")
+    val den = Seq((9L, 1L), (7L, 2L), (5L, 3L)).toDF("id", "rank")
+    val r = ops.Similarity.rrfFuse(lex, den, c = 60, topK = 10).collect()
+    assert(r.head.getLong(0) == 7L, "both-list doc fuses to the top")
+    val ids = r.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L, 7L, 9L), "single-list docs are kept")
+    val d7 = r.find(_.getLong(0) == 7L).get
+    assert(d7.getDouble(3) == 1.0 / 62 + 1.0 / 62, "score is Σ 1/(c+rank)")
+    val d9 = r.find(_.getLong(0) == 9L).get
+    assert(d9.isNullAt(1) && d9.getLong(2) == 1L,
+      "missing-list rank stays null, not zero")
+  }
+
   test("triangle counts: exact per-node counts; loops/parallel edges ignored") {
     import spark.implicits._
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Pendant node 5.

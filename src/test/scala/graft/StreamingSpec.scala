@@ -501,6 +501,39 @@ class StreamingSpec extends SparkSpec {
       "maintained HLL estimates must equal the batch sketch bit-for-bit")
   }
 
+  test("incremental pagerank pairs edges across batch boundaries and matches batch ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import StreamingOps.StateEvent
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val ledger = tmp("graft_pr_edges") + "/edges"
+    val ranks = tmp("graft_pr_ranks") + "/ranks"
+    val ckpt = tmp("graft_pr_ckpt")
+    // three users walking a small state machine; the batch splits land
+    // MID-SESSION so several consecutive pairs straddle batch boundaries
+    // — exactly what the stateful last-state carry must recover
+    val events = (0 until 30).map { i =>
+      StateEvent(user = i % 3, order = i, tie = 0, state = (i * 7 % 5).toLong)
+    }
+    val mem = MemoryStream[StateEvent]
+    val q = StreamingOps.incrementalPagerank(mem.toDS(), ledger, ranks, ckpt,
+      iters = 5, compactEvery = 2) // force a compaction mid-run
+    events.grouped(10).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    import spark.implicits._
+    val batchEdges = ops.GraphOps.transitionEdges(
+      events.toDF(), "user", Seq(col("order"), col("tie")), col("state"))
+    val want = ops.GraphOps.pagerank(batchEdges, iters = 5)
+      .as[(Long, Double)].collect().toSet
+    val got = spark.read.parquet(ranks)
+      .select(col("node"), col("rank")).as[(Long, Double)].collect().toSet
+    assert(got == want,
+      "edge counts are additive integers → maintained ranks equal batch bit-for-bit")
+  }
+
   test("drift ledger compaction folds committed batches losslessly; report unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
