@@ -46,7 +46,10 @@ object Bench {
     "e2e_train_kstep",           // k-step bounded-lineage training loop
     "x1_edit_distance_join",     // lossless Ed-Join prefix-filter chain
     "x6_dsir_select",            // DSIR hashed-ngram importance selection
-    "x8_pagerank_states")        // 5-iteration weighted PageRank
+    "x8_pagerank_states",        // 5-iteration weighted PageRank
+    "x3_bm25_topdocs",           // BM25 lexical retrieval page
+    "x2_hybrid_rrf",             // BM25 ⊕ dense page RRF fusion
+    "x8_triangle_counts")        // degree-oriented exact triangles
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
