@@ -505,6 +505,13 @@ object Graft {
     ops.GraphOps.triangleCounts(ops.GraphOps.transitionEdges(events, userCol,
       Seq(col("ts"), col("event_id")), state))
 
+  /** Multi-source BFS hop distance from a (node) seed frame over the
+    * state-transition graph (exact within maxHops; beyond → null). */
+  def hopsFromStates(events: DataFrame, state: Column, seeds: DataFrame,
+                     maxHops: Int = 5, userCol: String = "user_id"): DataFrame =
+    ops.GraphOps.hopDistances(ops.GraphOps.transitionEdges(events, userCol,
+      Seq(col("ts"), col("event_id")), state), seeds, maxHops)
+
   /** BM25 top-k document retrieval for a one-column (term) query frame. */
   def searchBm25(docs: DataFrame, terms: DataFrame, topK: Int = 20,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =

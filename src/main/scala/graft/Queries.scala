@@ -3781,6 +3781,38 @@ object Queries {
         FROM nodes n LEFT JOIN cnt ON cnt.node = n.node
         ORDER BY n_triangles DESC, n.node"""))
 
+  /** X8 — hop distances from the seed states 0..9
+    * ([[GraphOps.hopDistances]]): 5 unrolled Bellman-Ford rounds,
+    * all-integer, nodes beyond 5 hops stay NULL. Iteration CTEs are
+    * MATERIALIZED (each round is referenced twice — keep + relax). */
+  private val x8Hops = Q("x8_hop_distances",
+    (s, dir) => GraphOps.hopDistances(x8Edges(s, dir),
+        s.range(0, 10).select(col("id").as("node")), maxHops = 5)
+      .orderBy(col("hops").asc_nulls_last, col("node")),
+    Some {
+      val steps = (1 to 5).map { i =>
+        val p = s"d${i - 1}"
+        s"""rx$i AS MATERIALIZED (SELECT e.dst AS node,
+            min(p.hops) + 1 AS relax
+            FROM e JOIN $p p ON p.node = e.src GROUP BY e.dst),
+          d$i AS MATERIALIZED (SELECT coalesce(d.node, r.node) AS node,
+            least(coalesce(d.hops, r.relax), coalesce(r.relax, d.hops)) AS hops
+            FROM $p d FULL OUTER JOIN rx$i r ON r.node = d.node)"""
+      }.mkString(",\n        ")
+      s"""WITH $x8EdgeCtes,
+        e AS MATERIALIZED (SELECT src, dst FROM t WHERE dst IS NOT NULL
+          GROUP BY src, dst),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM nodes
+          WHERE node < 10),
+        $steps
+        SELECT n.node, CAST(d.hops AS BIGINT) AS hops
+        FROM nodes n LEFT JOIN d5 d ON d.node = n.node
+        ORDER BY hops ASC NULLS LAST, n.node"""
+    },
+    eagerPlan = true) // construction materializes each round's frontier
+
   /** Shared DuckDB cosine closed form (same fold order as `graft_dot`):
     * used by the labeled-neighbor oracles below. */
   private def cosSql(q: String, c: String): String =
@@ -5420,7 +5452,8 @@ object Queries {
     e2eTrain2, x3Nfc, x3Calib, x2MatRecall, x6DoremiResample,
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
-    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf)
+    x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
+    x8Hops)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -174,6 +174,40 @@ object GraphOps {
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
 
+  /** X8 — multi-source BFS hop distance: the minimum number of directed
+    * edges from ANY seed node to each node (distance-to/from-conversion
+    * analyses; seeds is a one-column (node) frame, joined, never
+    * collected). k unrolled Bellman-Ford rounds with unit edge cost:
+    *
+    *   d₀(v)    = 0 if v ∈ S else ∞ (absent)
+    *   dₜ₊₁(v) = min(dₜ(v), 1 + min_{u→v} dₜ(u))
+    *
+    * After k rounds dₜ(v) is exact for every node within k hops;
+    * unreachable-within-k nodes report NULL. All-integer arithmetic —
+    * exact engine parity, no rounding discipline. Same bounded-lineage
+    * iteration as [[pagerank]] (per-round localCheckpoint: each round
+    * reads dₜ twice — keep + relax). Output: (node, hops). */
+  def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5,
+                   materialize: Boolean = true): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val d0 = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
+      .select(col("node"), lit(0L).as("hops"))
+    val dK = (1 to maxHops).foldLeft(d0) { (d, _) =>
+      val relaxed = e.join(d.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("hops")) + lit(1L)).as("relax"))
+      val next = d.join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("hops"), col("relax")),
+            coalesce(col("relax"), col("hops"))).as("hops"))
+      if (materialize) next.localCheckpoint(true) else next
+    }
+    nodes.join(dK, Seq("node"), "left")
+      .select(col("node"), col("hops"))
+  }
+
   /** X8 — per-node triangle counts over the undirected simple graph
     * (self-loops dropped, parallel edges collapsed, weights ignored).
     * The local clustering signal: how interlinked a node's neighborhood

@@ -418,6 +418,9 @@ object ScaleProbe {
     probe("triangle counts (100 states)",
       cnt(GraphOps.triangleCounts(prEdges(ev1))),
       cnt(GraphOps.triangleCounts(prEdges(evN))))
+    probe("hop distances (10 seeds, 5 rounds)",
+      cnt(GraphOps.hopDistances(prEdges(ev1), seeds10)),
+      cnt(GraphOps.hopDistances(prEdges(evN), seeds10)))
     if (only.forall(_.exists("bpe merge-count".startsWith)))
       Seq(2, 4, 8).foreach { k =>
         val t = Seq(

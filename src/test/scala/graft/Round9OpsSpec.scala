@@ -399,6 +399,25 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("hop distances: multi-source BFS, directed, cutoff leaves null") {
+    import spark.implicits._
+    // seeds {1, 20}: chain 1→2→…→8 (node k at k−1 hops), shortcut 20→4
+    // caps node 4 at 1 hop (multi-source min), 9 sits 8 hops out — past
+    // the maxHops=5 horizon → null; upstream 0→1 is wrong-direction.
+    val g = (1L to 8L).map(k => (k, k + 1)) ++ Seq((20L, 4L), (0L, 1L))
+    val r = ops.GraphOps.hopDistances(g.toDF("src", "dst"),
+        Seq(1L, 20L).toDF("node"), maxHops = 5)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(r(1L) == Some(0L) && r(20L) == Some(0L), "seeds at 0 hops")
+    assert(r(2L) == Some(1L) && r(3L) == Some(2L))
+    assert(r(4L) == Some(1L), "shortcut wins the multi-source min")
+    assert(r(5L) == Some(2L) && r(6L) == Some(3L) && r(7L) == Some(4L)
+      && r(8L) == Some(5L), "relaxation flows through the shortcut")
+    assert(r(9L) == None, "past the k-hop horizon stays null")
+    assert(r(0L) == None, "edges are directed — upstream is unreachable")
+  }
+
   test("rrf fusion: consensus beats a single first place; singletons kept") {
     import spark.implicits._
     // doc 7 is mid-ranked on BOTH lists (2nd + 2nd); docs 1 and 9 each
