@@ -305,6 +305,14 @@ object Graft {
   def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))
 
+  /** X6: per-stratum epoch factors (integer percent, 250 = 2.5 epochs):
+    * whole copies + a stable fractional id-bucket slice; < 100 is the
+    * keep-rate downsample. */
+  def upsampleEpochs(df: DataFrame, epochsPct: Map[String, Int],
+                     stratumCol: String = "source", idCol: String = "doc_id",
+                     defaultPct: Int = 100): DataFrame =
+    ops.Curation.upsampleBy(df, idCol, stratumCol, epochsPct, defaultPct)
+
   /** X6: downsample each stratum so the kept corpus hits the target mix. */
   def mixToTargets(df: DataFrame, targets: Map[String, Int],
                    idCol: String = "doc_id", stratumCol: String = "source"): DataFrame =

@@ -3581,6 +3581,26 @@ object Queries {
         ORDER BY est.source"""
     })
 
+  /** X6 — per-source epoch upsampling ([[Curation.upsampleBy]]):
+    * src0 runs 2.5 epochs, src1 1.3, src2 is downsampled to 40% —
+    * whole-copy explode + stable id-bucket slice for the remainder,
+    * all-integer replayable rate math. */
+  private val x6Upsample = Q("x6_upsample_epochs",
+    (s, dir) => Curation.upsampleBy(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 250, "src1" -> 130, "src2" -> 40))
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy")),
+    Some("""WITH p AS (SELECT doc_id, source,
+          CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 130
+            WHEN 'src2' THEN 40 ELSE 100 END AS pct
+        FROM documents),
+      c AS (SELECT doc_id, source, pct // 100
+          + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 < pct % 100 THEN 1 ELSE 0 END AS n
+        FROM p)
+      SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+      FROM c WHERE n > 0 ORDER BY doc_id, copy"""))
+
   /** X6 — weighted sampling without replacement
     * ([[Curation.weightedSample]], Efraimidis–Spirakis): 100 docs drawn
     * ∝ n_chars with deterministic md5 uniforms; the ln(u)/w draw key
@@ -5453,7 +5473,7 @@ object Queries {
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
-    x8Hops)
+    x8Hops, x6Upsample)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

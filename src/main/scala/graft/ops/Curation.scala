@@ -119,6 +119,39 @@ object Curation {
       .select(col("stratum"), col("n_docs"), col("rate"))
   }
 
+  /** X6 — deterministic per-stratum UP-sampling ("epochs per dataset"):
+    * each stratum repeats `epochsPct/100` times, with the fractional
+    * remainder landing on a stable id-bucket slice — e.g. 250 ⇒ every
+    * doc appears twice and the stable 50% slice a third time. The
+    * pretraining mixture lever [[mixtureSample]] cannot express: rates
+    * ABOVE 100 (underrepresented high-quality sources run multiple
+    * epochs — the Llama/Gopher recipe), while pct < 100 degenerates to
+    * exactly the keep-rate downsample (0 whole copies + a pct% slice),
+    * so one integer-percent table drives the whole mixture.
+    *
+    * Scale shape: the pct table is stratum-cardinality → broadcast; the
+    * corpus is repeated in place by an explode over a ≤ ⌈pct/100⌉-element
+    * sequence — map-only, no shuffle, output-bounded. All-integer rate
+    * math (the [[idBucket]] replay contract): re-running on any engine
+    * reproduces the same copies. Output rows carry `copy` (1-based) so
+    * downstream epoch shuffles can key on (id, copy). */
+  def upsampleBy(df: DataFrame, idCol: String, stratumCol: String,
+                 epochsPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require(epochsPct.values.forall(_ >= 0) && defaultPct >= 0,
+      "epoch percentages must be non-negative")
+    val withPct = df.withColumn("__pct",
+      epochsPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+        when(col(stratumCol) === k, lit(v)).otherwise(acc)
+      })
+    withPct
+      .withColumn("__n", (col("__pct") - pmod(col("__pct"), lit(100))) / lit(100)
+        + when(idBucket(col(idCol), 100) < pmod(col("__pct"), lit(100)), lit(1))
+          .otherwise(lit(0)))
+      .where(col("__n") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("__n").cast("long"))).as("copy"): _*)
+  }
+
   /** X6 — apply [[mixtureRates]]: id-bucket-keyed keep of `rate`% per
     * stratum. The rate table is stratum-cardinality → broadcast; the
     * corpus is filtered in place with no shuffle (strata absent from the

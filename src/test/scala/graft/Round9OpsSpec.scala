@@ -399,6 +399,31 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("upsampleBy: whole copies + stable fractional slice; pct<100 downsamples") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, if (i < 100) "hot" else "cold")).toDF("doc_id", "src")
+    val up = ops.Curation.upsampleBy(docs, "doc_id", "src",
+      Map("hot" -> 250, "cold" -> 40))
+    val counts = up.groupBy(col("doc_id"), col("src"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hot = counts.filter(_._2 == "hot")
+    assert(hot.length == 100 && hot.forall(c => c._3 == 2L || c._3 == 3L),
+      "2.5 epochs ⇒ every hot doc twice, a slice three times")
+    val nThree = hot.count(_._3 == 3L)
+    assert(nThree > 25 && nThree < 75, s"~50% slice gets the extra copy ($nThree)")
+    val cold = counts.filter(_._2 == "cold")
+    assert(cold.forall(_._3 == 1L) && cold.length < 100,
+      "pct<100 ⇒ no doc repeats and only the bucket slice survives")
+    val again = ops.Curation.upsampleBy(docs, "doc_id", "src",
+      Map("hot" -> 250, "cold" -> 40))
+      .select(col("doc_id"), col("copy")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = up.select(col("doc_id"), col("copy")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first, "id-bucket rates replay identically")
+  }
+
   test("hop distances: multi-source BFS, directed, cutoff leaves null") {
     import spark.implicits._
     // seeds {1, 20}: chain 1→2→…→8 (node k at k−1 hops), shortcut 20→4
