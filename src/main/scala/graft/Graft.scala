@@ -286,6 +286,10 @@ object Graft {
     Curation.epochShuffle(docs, idCol, epochs, seed)
 
   /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
+  /** X3: strip HTML/markup to plain text in place (map-only pass). */
+  def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, ops.TextOps.stripMarkup(col(textCol)))
+
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, TextOps.redactPii(col(textCol)))
 

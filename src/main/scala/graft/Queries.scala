@@ -3581,6 +3581,42 @@ object Queries {
         ORDER BY est.source"""
     })
 
+  /** X3 — markup stripping ([[TextOps.stripMarkup]]): each document is
+    * deterministically wrapped in HTML scaffolding (tags + a script
+    * block + entities) and the strip must recover exactly the original
+    * text — fingerprint-compared so the dump stays narrow. Both engines
+    * build the same wrapped string and replay the same regex chain. */
+  private val x3Strip = Q("x3_strip_markup", {
+    (s, dir) =>
+      val html = concat(lit("<html><body><p class=\"x\">"), col("text"),
+        lit("</p><script type=\"text/javascript\">var a = 1 < 2;</script>" +
+          "&amp;&#169; tail</body></html>"))
+      Tables.documents(s, dir).select(col("doc_id"),
+          length(html).cast("long").as("n_raw"),
+          TextOps.stripMarkup(html).as("clean"))
+        .select(col("doc_id"), col("n_raw"),
+          length(col("clean")).cast("long").as("n_clean"),
+          md5(col("clean")).as("fp"))
+        .orderBy(col("doc_id"))
+  },
+    Some("""WITH h AS (SELECT doc_id,
+          '<html><body><p class="x">' || text ||
+          '</p><script type="text/javascript">var a = 1 < 2;</script>' ||
+          '&amp;&#169; tail</body></html>' AS html
+        FROM documents),
+      s1 AS (SELECT doc_id, html, regexp_replace(html,
+          '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t1
+        FROM h),
+      s2 AS (SELECT doc_id, html,
+          regexp_replace(t1, '<[^>]*>', ' ', 'g') AS t2 FROM s1),
+      s3 AS (SELECT doc_id, html,
+          regexp_replace(t2, '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g') AS t3 FROM s2),
+      s4 AS (SELECT doc_id, html,
+          trim(regexp_replace(t3, '\s+', ' ', 'g')) AS clean FROM s3)
+      SELECT doc_id, CAST(length(html) AS BIGINT) AS n_raw,
+        CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS fp
+      FROM s4 ORDER BY doc_id"""))
+
   /** X6 — per-source epoch upsampling ([[Curation.upsampleBy]]):
     * src0 runs 2.5 epochs, src1 1.3, src2 is downsampled to 40% —
     * whole-copy explode + stable id-bucket slice for the remainder,
@@ -5473,7 +5509,7 @@ object Queries {
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
-    x8Hops, x6Upsample)
+    x8Hops, x6Upsample, x3Strip)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

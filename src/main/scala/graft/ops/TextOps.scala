@@ -646,6 +646,24 @@ object TextOps {
       .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"), col("tfidf"))
   }
 
+  /** X3 — markup stripping (the crawl→text step ahead of every other
+    * text op): drop script/style blocks wholesale, replace remaining
+    * tags and HTML entities with spaces, collapse whitespace. A
+    * three-regex codegen'd projection — map-only, no shuffle, the
+    * cheapest possible pass over 100 TB of raw HTML. Regex syntax is
+    * kept to the Java-regex ∩ RE2 subset ((?s) dotall + lazy `.*?`),
+    * so the DuckDB oracle replays it verbatim (with the explicit 'g'
+    * flag — DuckDB replaces only the first match by default where Spark
+    * replaces all). Not a sanitizer: malformed nesting degrades to
+    * leftover text, never to retained tags. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(text,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val noEnts = regexp_replace(noTags, "&[a-zA-Z]+;|&#[0-9]+;", " ")
+    trim(regexp_replace(noEnts, "\\s+", " "))
+  }
+
   /** X3 — BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene
     * `(k1, b)` practical form): per document D and query term set Q,
     *

@@ -399,6 +399,21 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("stripMarkup: blocks die whole, tags and entities become spaces") {
+    import spark.implicits._
+    val rows = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>if (a < b) { x(); }</script>rest", "rest"),
+      ("<style type=\"css\">p { color: red }</style>text", "text"),
+      ("a&amp;b &#169; c", "a b c"),
+      ("  already   plain  ", "already plain"),
+      ("<div attr=\"<x>\">keep</div>", "\">keep")) // malformed: degrade, never retain tags
+    val got = rows.map(_._1).toDF("t")
+      .select(ops.TextOps.stripMarkup(col("t"))).as[String].collect()
+    assert(got.toSeq == rows.map(_._2),
+      "strip must match the documented per-case expectations")
+  }
+
   test("upsampleBy: whole copies + stable fractional slice; pct<100 downsamples") {
     import spark.implicits._
     val docs = (0L until 200L).map(i =>
