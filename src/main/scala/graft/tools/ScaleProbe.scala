@@ -421,6 +421,19 @@ object ScaleProbe {
     probe("hop distances (10 seeds, 5 rounds)",
       cnt(GraphOps.hopDistances(prEdges(ev1), seeds10)),
       cnt(GraphOps.hopDistances(prEdges(evN), seeds10)))
+    // open-graph triangle probe: the transition graph saturates at 100
+    // states, so this one grows the NODE set with scale at fixed degree
+    // (the crawl-graph regime). Expected ~linear in m: bounded degree ⇒
+    // wedge volume m·d, and the degree orientation caps the worst node
+    def synthGraph(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("src"),
+          explode(sequence(lit(1), lit(8))).as("k"))
+        .select(col("src"),
+          pmod(col("src") + col("k") * lit(7919L), lit(n)).as("dst"),
+          lit(1L).as("weight"))
+    probe("triangle counts (open graph, d=8)",
+      cnt(GraphOps.triangleCounts(synthGraph(20000L))),
+      cnt(GraphOps.triangleCounts(synthGraph(20000L * scale))))
     if (only.forall(_.exists("bpe merge-count".startsWith)))
       Seq(2, 4, 8).foreach { k =>
         val t = Seq(

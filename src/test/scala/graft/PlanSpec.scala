@@ -474,6 +474,24 @@ class PlanSpec extends SparkSpec {
       "the manifest is a projection+explode — any exchange is a regression")
   }
 
+  test("epoch upsample is map-only: no exchange, no window in the operator's plan") {
+    val exec = ops.Curation.upsampleBy(
+      graft.sources.Tables.documents(spark, sf001), "doc_id", "source",
+      Map("src0" -> 250, "src1" -> 40))
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("Exchange"),
+      "rate fold + explode is a projection — any exchange is a regression")
+    assert(!exec.toString.contains("Window"))
+  }
+
+  test("strip markup stays inside one projection over the scan") {
+    val exec = graft.sources.Tables.documents(spark, sf001)
+      .select(ops.TextOps.stripMarkup(col("text")).as("clean"))
+      .queryExecution.executedPlan
+    assert(!exec.toString.contains("Exchange"),
+      "three chained regex replaces are map-only")
+  }
+
   test("shard manifest windows only within a size level; prefix is the broadcast self-join") {
     import org.apache.spark.sql.execution.window.WindowExec
     val exec = Queries.all.find(_.name == "x6_shard_manifest").get
