@@ -741,8 +741,11 @@ object Dedup {
     def verified(cand: DataFrame): DataFrame =
       cand.join(keys.select(col("id").as("a_id"), col("key").as("ka")), Seq("a_id"))
         .join(keys.select(col("id").as("b_id"), col("key").as("kb")), Seq("b_id"))
-        .withColumn("dist", levenshtein(col("ka"), col("kb")).cast("long"))
-        .where(col("dist") <= d)
+        // banded verify: the 3-arg threshold form early-exits once a row
+        // of the DP band exceeds d (O(len·d) per pair vs O(len²)) and
+        // returns −1 past the bound — kept pairs carry the exact distance
+        .withColumn("dist", levenshtein(col("ka"), col("kb"), d).cast("long"))
+        .where(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
 
     // short pool: any pair whose min side is < longMin has max side
