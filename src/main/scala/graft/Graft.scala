@@ -193,6 +193,13 @@ object Graft {
     JoinOps.gatherSample(df, posCol, nDraws, seed)
 
   /** X1: SimHash near-dup pairs (wide-band blocking + Hamming verify). */
+  /** X1: asymmetric containment pairs — truncated/subset copies that
+    * symmetric Jaccard misses (doc_a contained-in doc_b, ordered). */
+  def containmentDups(docs: DataFrame, threshold: Double = 0.5,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    ops.Dedup.containmentPairs(docs, idCol, textCol, threshold = threshold)
+
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(docs, idCol, textCol, maxHamming = maxHamming)

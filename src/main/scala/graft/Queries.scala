@@ -715,6 +715,30 @@ object Queries {
       FROM j WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.5
       ORDER BY doc_a, doc_b"""))
 
+  /** X1 — asymmetric containment pairs ([[Dedup.containmentPairs]]):
+    * doc_a's shingles ≥50% contained in doc_b's — the truncated-copy
+    * signal; same rare-shingle candidate pruning, exact measure on full
+    * sets, both directions emitted. */
+  private val x1Containment = Q("x1_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDf = 8, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH sets AS ($shingleSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) BETWEEN 2 AND 8),
+      rt AS (SELECT doc_id, tok FROM tok JOIN rare USING (tok)),
+      cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+               FROM rt l JOIN rt r ON l.tok = r.tok AND l.doc_id <> r.doc_id),
+      j AS (SELECT doc_a, doc_b,
+              len(list_intersect(a.toks, b.toks)) AS inter, len(a.toks) AS na
+            FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+            JOIN sets b ON cand.doc_b = b.doc_id
+            WHERE len(a.toks) > 0)
+      SELECT doc_a, doc_b,
+        round(CAST(inter AS DOUBLE) / na, 6) AS containment
+      FROM j WHERE CAST(inter AS DOUBLE) / na >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
   private val x1Minhash = Q("x1_minhash_signatures",
     (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", k = 8)
       .orderBy(col("doc_id")),
@@ -5509,7 +5533,7 @@ object Queries {
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
-    x8Hops, x6Upsample, x3Strip)
+    x8Hops, x6Upsample, x3Strip, x1Containment)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

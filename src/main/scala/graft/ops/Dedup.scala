@@ -298,6 +298,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** X1 near-dup — CONTAINMENT detection (Broder's c(A,B) =
+    * |S(A)∩S(B)| / |S(A)| over word-shingle sets): the asymmetric
+    * duplicate class symmetric Jaccard misses — a truncated/prefix/
+    * subset copy A ⊆ B has c(A,B) ≈ 1 while Jaccard |A∩B|/|A∪B|
+    * collapses toward |A|/|B|. The production use: drop articles that
+    * are clipped re-posts of a longer original.
+    *
+    * Output: ORDERED pairs (doc_a contained-in doc_b) above `threshold`,
+    * doc_a ≠ doc_b; near-identical docs emit both directions. Same
+    * candidate machinery as [[jaccardNearDup]] (pairs sharing a rare
+    * shingle, df ∈ [2, maxDf]; exact measure on full sets only for
+    * candidates; rare table unhinted — corpus-derived). Zero-shingle
+    * docs emit nothing (containment undefined). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDf: Int = 8, threshold: Double = 0.5, n: Int = 3,
+                       caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val sets = caches.track(docShingleSets(docs, idCol, textCol, n))
+    val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val rare = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2)
+    val rareTok = tok.join(rare, "tok")
+    val cand = rareTok.as("l").join(rareTok.as("r"), col("l.tok") === col("r.tok"))
+      .where(col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      col("n_toks").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .where(col("na") > 0)
+      .withColumn("containment",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
+          / col("na").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Word n-gram shingles of the ordered token stream, deduplicated.
     * Shingling (not unigram sets) is what makes MinHash discriminative:
     * on a small vocabulary every document contains the globally-minimal

@@ -399,6 +399,28 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("containment: truncated copy is caught one-way; jaccard misses it") {
+    import spark.implicits._
+    // alphabetic tokens — the tokenizer strips digits, so "w1" would
+    // collapse every token to "w"
+    def tk(i: Int) = "tok" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val long = (0 until 40).map(tk).mkString(" ")                // 40 tokens
+    val clip = (0 until 12).map(tk).mkString(" ")                // its prefix
+    val docs = Seq((1L, long), (2L, clip), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val c = ops.Dedup.containmentPairs(docs, "doc_id", "text",
+        maxDf = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(c.exists(p => p._1 == 2L && p._2 == 1L && p._3 == 1.0),
+      "the clip's shingles are fully contained in the original")
+    assert(!c.exists(p => p._1 == 1L && p._2 == 2L),
+      "containment is asymmetric — the original is NOT inside the clip")
+    val j = ops.Dedup.jaccardNearDup(docs, "doc_id", "text",
+        maxDf = 8, threshold = 0.8)
+      .collect()
+    assert(j.isEmpty, "symmetric jaccard (10/38) misses the truncated copy")
+  }
+
   test("stripMarkup: blocks die whole, tags and entities become spaces") {
     import spark.implicits._
     val rows = Seq(
