@@ -313,6 +313,14 @@ object Graft {
     TextOps.boilerplateStrip(docs, idCol, textCol, unitTokens, minDf)
 
   /** X3: logistic quality-classifier score in [0,1] (literal weights). */
+  /** X3: train the hashed-bag-of-words logistic classifier in-engine
+    * (k full-batch GD steps; returns the (bucket, weight) table). */
+  def trainClassifier(docs: DataFrame, labelPred: Column, buckets: Int = 32,
+                      iters: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    ops.TextOps.trainHashClassifier(docs, idCol, textCol, labelPred,
+      buckets, iters)
+
   def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))
 

@@ -880,6 +880,81 @@ object TextOps {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** X3 — TRAIN a hashed-bag-of-words logistic classifier in the engine
+    * (the fastText shape: token → hash bucket, count/len features,
+    * linear model + sigmoid — the trained complement of the
+    * literal-weight [[classifierScore]]): k unrolled full-batch
+    * gradient-descent steps, weights as a `buckets`-row table.
+    *
+    *   x(doc)  = { bucket → count/n_toks }          (normalized counts)
+    *   s       = Σ_b w_b·x_b                        (fold in bucket order)
+    *   resid   = round₆( σ(s) − y )                 (kills exp ulps)
+    *   g_b     = round₆( Σ_docs resid·x_b / N )     (kills sum-order ulps)
+    *   w'_b    = w_b − η·ĝ_b                        (η dyadic ⇒ exact)
+    *
+    * Scale shape: the corpus is featurized ONCE into two cached frames —
+    * per-doc sorted feature arrays (map-only scoring) and the exploded
+    * (doc, bucket, x) table (gradient). Per iteration: one broadcast of
+    * the `buckets`-row weight map, one map-only score/residual pass, one
+    * doc-keyed join + bucket-sized gradient aggregate — the
+    * [[graft.ops.Curation.dsirWeights]] fixed-feature-space discipline
+    * applied to a training LOOP, with the e2e_train_kstep bounded-lineage
+    * contract (per-iteration localCheckpoint of the tiny weight table).
+    *
+    * Parity: scores fold in bucket order; the residual and mean gradient
+    * round at 6 before use, and η is dyadic, so the weight update is
+    * exact arithmetic on identical doubles — both engines hold
+    * bit-identical weight tables after every step (same
+    * re-synchronization argument as [[graft.ops.GraphOps.pagerank]]).
+    * Output: (bucket, weight), `buckets` rows. */
+  def trainHashClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          labelPred: Column, buckets: Int = 32,
+                          iters: Int = 3, eta: Double = 0.5,
+                          caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    require(iters >= 1 && buckets >= 2, "need iters >= 1 and buckets >= 2")
+    require(eta == 0.5 || eta == 0.25 || eta == 1.0 || eta == 0.125,
+      "eta must be dyadic so the weight update stays exact")
+    val spark = docs.sparkSession
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val b = buckets.toLong
+    val tok = docs.select(col(idCol).as("doc_id"),
+        when(labelPred, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        tokens(col(textCol)).as("__toks"))
+      .withColumn("n_toks", size(col("__toks")).cast("double"))
+      .where(col("n_toks") > 0)
+      .select(col("doc_id"), col("y"), col("n_toks"),
+        explode(col("__toks")).as("__w"))
+      .withColumn("bucket", Curation.dsirBucket(col("__w"), buckets))
+    val xt = caches.track(tok.groupBy(col("doc_id"), col("y"), col("n_toks"),
+        col("bucket"))
+      .agg((count(lit(1)).cast("double") / col("n_toks")).as("x"))
+      .select(col("doc_id"), col("y"), col("bucket"), col("x")))
+    val xs = caches.track(xt.groupBy(col("doc_id"), col("y"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("xarr")))
+    val nRow = xt.agg(count_distinct(col("doc_id")).cast("double").as("n"))
+    val w0 = spark.range(buckets).select(col("id").as("bucket"),
+      lit(0.0).as("w"))
+    (1 to iters).foldLeft(w0) { (w, _) =>
+      val wMap = w.agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("w")))).as("wm"))
+      val resid = xs.crossJoin(broadcast(wMap))
+        .withColumn("s", aggregate(col("xarr"), lit(0.0), (acc, e) =>
+          acc + coalesce(element_at(col("wm"), e.getField("bucket")), lit(0.0))
+            * e.getField("x")))
+        .select(col("doc_id"),
+          pr6(lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("r"))
+      val grad = xt.join(resid, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("r") * col("x")).as("gsum"))
+        .crossJoin(broadcast(nRow))
+        .select(col("bucket"), pr6(col("gsum") / col("n")).as("g"))
+      w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("w") - lit(eta) * coalesce(col("g"), lit(0.0))).as("w"))
+        .localCheckpoint(true)
+    }.select(col("bucket"), col("w").as("weight"))
+  }
+
   /** X3 — Zipf/power-law fit of the per-group rank-size curve: rank each
     * group's documents by token count (desc, ties by id), keep the top
     * `maxRank`, and fit ln(size) = intercept + slope·ln(rank) by

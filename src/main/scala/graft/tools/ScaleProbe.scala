@@ -434,6 +434,20 @@ object ScaleProbe {
     probe("triangle counts (open graph, d=8)",
       cnt(GraphOps.triangleCounts(synthGraph(20000L))),
       cnt(GraphOps.triangleCounts(synthGraph(20000L * scale))))
+    // containment shares jaccard's candidate machinery — the probe
+    // measures the rare-shingle pair fan-out under replication (exact
+    // copies share EVERY shingle, so df of their shingles grows with
+    // scale and leaves the [2, maxDf] rare band — candidates shrink)
+    probe("containment pairs (rare shingles)",
+      cnt(Dedup.containmentPairs(docs1, "doc_id", "text")),
+      cnt(Dedup.containmentPairs(docsN, "doc_id", "text")))
+    // trainer: k=2 steps; corpus featurized once, iterations touch the
+    // feature tables — expect ~linear in the corpus scan
+    probe("train classifier (32 buckets, 2 steps)",
+      cnt(TextOps.trainHashClassifier(docs1, "doc_id", "text",
+        col("lang") === "en", buckets = 32, iters = 2)),
+      cnt(TextOps.trainHashClassifier(docsN, "doc_id", "text",
+        col("lang") === "en", buckets = 32, iters = 2)))
     if (only.forall(_.exists("bpe merge-count".startsWith)))
       Seq(2, 4, 8).foreach { k =>
         val t = Seq(

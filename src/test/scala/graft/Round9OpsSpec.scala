@@ -399,6 +399,30 @@ class Round9OpsSpec extends SparkSpec {
       "sources with no in-edges have zero authority")
   }
 
+  test("trainHashClassifier learns signed weights that separate the labels") {
+    import spark.implicits._
+    // positives say "good great", negatives say "terrible awful" — tokens
+    // chosen to land in DISTINCT hash buckets (25/1/23/14 of 32; e.g.
+    // "wonderful" and "bad" collide in bucket 3, which would cancel).
+    // After a few GD steps the positive-token buckets must carry positive
+    // weight and the negative-token buckets negative weight.
+    val docs = ((1L to 20L).map(i => (i, "good great good", 1))
+      ++ (21L to 40L).map(i => (i, "terrible awful terrible", 0)))
+      .toDF("doc_id", "text", "lab")
+    val w = ops.TextOps.trainHashClassifier(docs, "doc_id", "text",
+        col("lab") === 1, buckets = 32, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bkt = Seq("good", "great", "terrible", "awful").toDF("t")
+      .select(col("t"), ops.Curation.dsirBucket(col("t"), 32).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bkt.values.toSet.size == 4, "fixture tokens must not collide")
+    assert(w(bkt("good")) > 0 && w(bkt("great")) > 0,
+      "positive-class token buckets gain positive weight")
+    assert(w(bkt("terrible")) < 0 && w(bkt("awful")) < 0,
+      "negative-class token buckets gain negative weight")
+    assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
+  }
+
   test("containment: truncated copy is caught one-way; jaccard misses it") {
     import spark.implicits._
     // alphabetic tokens — the tokenizer strips digits, so "w1" would
