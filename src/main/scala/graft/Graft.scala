@@ -321,6 +321,13 @@ object Graft {
     ops.TextOps.trainHashClassifier(docs, idCol, textCol, labelPred,
       buckets, iters)
 
+  /** X3: score docs with a trained (bucket, weight) table — the apply
+    * half of [[trainClassifier]]. */
+  def scoreWithClassifier(docs: DataFrame, weights: DataFrame,
+                          buckets: Int = 32, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    ops.TextOps.applyHashClassifier(docs, idCol, textCol, weights, buckets)
+
   def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))
 

@@ -3647,43 +3647,68 @@ object Queries {
     * η = 0.5 is dyadic, so both engines hold bit-identical weights after
     * every step; iteration CTEs MATERIALIZED (each level referenced by
     * score + gradient + update). */
+  /** Shared trainer oracle CTE chain (32 buckets, lang='en' label,
+    * η = 0.5): featurization + `iters` unrolled GD steps ending at
+    * `w<iters>(bucket, w)` — used by the weight dump and the
+    * train-then-apply scoring query. */
+  private def trainCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = s"w${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT doc_id, y,
+          list_sum(list(w.w * xt.x ORDER BY xt.bucket)) AS s
+          FROM xt JOIN $p w USING (bucket) GROUP BY doc_id, y),
+        r$i AS MATERIALIZED (SELECT doc_id,
+          floor((1.0 / (1.0 + exp(-s)) - y) * 1000000.0 + 0.5) / 1000000.0 AS r
+          FROM s$i),
+        g$i AS MATERIALIZED (SELECT bucket,
+          floor(sum(r * x) / (SELECT n FROM nn) * 1000000.0 + 0.5) / 1000000.0 AS g
+          FROM xt JOIN r$i USING (doc_id) GROUP BY bucket),
+        w$i AS MATERIALIZED (SELECT w.bucket,
+          w.w - 0.5 * coalesce(g.g, 0.0) AS w
+          FROM $p w LEFT JOIN g$i g USING (bucket))"""
+    }.mkString(",\n        ")
+    s"""toks AS (SELECT doc_id,
+        CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+      FROM documents),
+      tok AS MATERIALIZED (SELECT doc_id, y, CAST(len(t) AS DOUBLE) AS n_toks,
+        CAST(('0x' || substr(md5(t[i+1]), 1, 15)) AS BIGINT) % 32 AS bucket
+        FROM (SELECT doc_id, y, t, unnest(range(len(t))) AS i FROM toks)
+        WHERE len(t) > 0),
+      xt AS MATERIALIZED (SELECT doc_id, y, bucket,
+        CAST(count(*) AS DOUBLE) / n_toks AS x
+        FROM tok GROUP BY doc_id, y, n_toks, bucket),
+      nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM xt),
+      w0 AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS bucket, 0.0 AS w),
+      $steps"""
+  }
+
   private val x3Train = Q("x3_train_classifier",
     (s, dir) => TextOps.trainHashClassifier(Tables.documents(s, dir),
         "doc_id", "text", col("lang") === "en", buckets = 32, iters = 3)
       .orderBy(col("bucket")),
-    Some {
-      val steps = (1 to 3).map { i =>
-        val p = s"w${i - 1}"
-        s"""s$i AS MATERIALIZED (SELECT doc_id, y,
-            list_sum(list(w.w * xt.x ORDER BY xt.bucket)) AS s
-            FROM xt JOIN $p w USING (bucket) GROUP BY doc_id, y),
-          r$i AS MATERIALIZED (SELECT doc_id,
-            floor((1.0 / (1.0 + exp(-s)) - y) * 1000000.0 + 0.5) / 1000000.0 AS r
-            FROM s$i),
-          g$i AS MATERIALIZED (SELECT bucket,
-            floor(sum(r * x) / (SELECT n FROM nn) * 1000000.0 + 0.5) / 1000000.0 AS g
-            FROM xt JOIN r$i USING (doc_id) GROUP BY bucket),
-          w$i AS MATERIALIZED (SELECT w.bucket,
-            w.w - 0.5 * coalesce(g.g, 0.0) AS w
-            FROM $p w LEFT JOIN g$i g USING (bucket))"""
-      }.mkString(",\n        ")
-      s"""WITH toks AS (SELECT doc_id,
-          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
-        FROM documents),
-        tok AS MATERIALIZED (SELECT doc_id, y, CAST(len(t) AS DOUBLE) AS n_toks,
-          CAST(('0x' || substr(md5(t[i+1]), 1, 15)) AS BIGINT) % 32 AS bucket
-          FROM (SELECT doc_id, y, t, unnest(range(len(t))) AS i FROM toks)
-          WHERE len(t) > 0),
-        xt AS MATERIALIZED (SELECT doc_id, y, bucket,
-          CAST(count(*) AS DOUBLE) / n_toks AS x
-          FROM tok GROUP BY doc_id, y, n_toks, bucket),
-        nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM xt),
-        w0 AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS bucket, 0.0 AS w),
-        $steps
-        SELECT bucket, w AS weight FROM w3 ORDER BY bucket"""
-    },
+    Some(s"""WITH ${trainCtes(3)}
+        SELECT bucket, w AS weight FROM w3 ORDER BY bucket"""),
     eagerPlan = true) // construction materializes each step's weight table
+
+  /** X3 — train-then-apply ([[TextOps.applyHashClassifier]]): the
+    * 3-step-trained weights score every document (optimize-then-apply,
+    * the DoReMi pattern on the classifier); scores round at 6. */
+  private val x3Apply = Q("x3_classifier_scores",
+    (s, dir) => {
+      val w = TextOps.trainHashClassifier(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", buckets = 32, iters = 3)
+      TextOps.applyHashClassifier(Tables.documents(s, dir), "doc_id", "text",
+          w, buckets = 32)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${trainCtes(3)},
+        sc AS (SELECT doc_id, list_sum(list(w.w * xt.x ORDER BY xt.bucket)) AS s
+          FROM xt JOIN w3 w USING (bucket) GROUP BY doc_id)
+        SELECT doc_id,
+          floor((1.0 / (1.0 + exp(-s))) * 1000000.0 + 0.5) / 1000000.0 AS score
+        FROM sc ORDER BY doc_id"""),
+    eagerPlan = true) // training inside runs the per-step materialization
 
   /** X6 — per-source epoch upsampling ([[Curation.upsampleBy]]):
     * src0 runs 2.5 epochs, src1 1.3, src2 is downsampled to 40% —
@@ -5577,7 +5602,7 @@ object Queries {
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
-    x8Hops, x6Upsample, x3Strip, x1Containment, x3Train)
+    x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

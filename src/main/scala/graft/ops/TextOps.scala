@@ -955,6 +955,34 @@ object TextOps {
     }.select(col("bucket"), col("w").as("weight"))
   }
 
+  /** X3 — APPLY a trained hashed-classifier weight table
+    * ([[trainHashClassifier]]'s output, or any (bucket, weight) frame)
+    * to score documents: σ(Σ_b w_b·x_b) per doc, the optimize-then-apply
+    * pattern (train on a labeled slice, score the whole corpus).
+    * Weight table is bucket-cardinality → broadcast as a map; scoring is
+    * a map-only fold in bucket order; the score rounds at 6 (one exp).
+    * Docs with zero tokens are absent (no features ⇒ no score). */
+  def applyHashClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          weights: DataFrame, buckets: Int = 32): DataFrame = {
+    val wMap = weights.agg(map_from_entries(
+      collect_list(struct(col("bucket"), col("weight")))).as("wm"))
+    val xt = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_toks", size(col("__toks")).cast("double"))
+      .where(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), explode(col("__toks")).as("__w"))
+      .withColumn("bucket", Curation.dsirBucket(col("__w"), buckets))
+      .groupBy(col("doc_id"), col("n_toks"), col("bucket"))
+      .agg((count(lit(1)).cast("double") / col("n_toks")).as("x"))
+    xt.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("xarr"))
+      .crossJoin(broadcast(wMap))
+      .select(col("doc_id"),
+        (floor((lit(1.0) / (lit(1.0) + exp(-aggregate(col("xarr"), lit(0.0),
+          (acc, e) => acc + coalesce(element_at(col("wm"), e.getField("bucket")),
+            lit(0.0)) * e.getField("x"))))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("score"))
+  }
+
   /** X3 — Zipf/power-law fit of the per-group rank-size curve: rank each
     * group's documents by token count (desc, ties by id), keep the top
     * `maxRank`, and fit ln(size) = intercept + slope·ln(rank) by

@@ -423,6 +423,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
   }
 
+  test("applyHashClassifier: trained weights separate held-out docs") {
+    import spark.implicits._
+    val train = ((1L to 20L).map(i => (i, "good great good", 1))
+      ++ (21L to 40L).map(i => (i, "terrible awful terrible", 0)))
+      .toDF("doc_id", "text", "lab")
+    val w = ops.TextOps.trainHashClassifier(train, "doc_id", "text",
+      col("lab") === 1, buckets = 32, iters = 4)
+    val holdout = Seq((100L, "good great stuff"), (101L, "awful terrible day"),
+      (102L, "")).toDF("doc_id", "text")
+    val s = ops.TextOps.applyHashClassifier(holdout, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(100L) > 0.5 && s(101L) < 0.5,
+      "positive-vocabulary doc scores above 0.5, negative below")
+    assert(!s.contains(102L), "zero-token docs have no features, no score")
+  }
+
   test("containment: truncated copy is caught one-way; jaccard misses it") {
     import spark.implicits._
     // alphabetic tokens — the tokenizer strips digits, so "w1" would
