@@ -49,7 +49,8 @@ object Bench {
     "x8_pagerank_states",        // 5-iteration weighted PageRank
     "x3_bm25_topdocs",           // BM25 lexical retrieval page
     "x2_hybrid_rrf",             // BM25 ⊕ dense page RRF fusion
-    "x8_triangle_counts")        // degree-oriented exact triangles
+    "x8_triangle_counts",        // degree-oriented exact triangles
+    "x3_train_classifier")       // in-engine GD training loop
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
