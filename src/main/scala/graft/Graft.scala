@@ -572,6 +572,16 @@ object Graft {
     StreamingOps.incrementalPagerank(events, edgeLedgerPath, ranksPath,
       checkpoint, iters)
 
+  /** Incrementally maintained classifier: feature ledger + per-batch
+    * GD retrain (equals batch training on the union, bit-for-bit). */
+  def trainClassifierIncremental(docs: DataFrame, labelPred: Column,
+                                 featLedgerPath: String, weightsPath: String,
+                                 checkpoint: String, buckets: Int = 32,
+                                 iters: Int = 3, idCol: String = "doc_id",
+                                 textCol: String = "text") =
+    StreamingOps.incrementalClassifier(docs, idCol, textCol, labelPred,
+      featLedgerPath, weightsPath, checkpoint, buckets, iters)
+
   /** Incremental DSIR selection (count ledger + maintained top-k). */
   def selectLikeTargetIncremental(docs: DataFrame, targetPred: Column,
                                   countLedgerPath: String, docLedgerPath: String,

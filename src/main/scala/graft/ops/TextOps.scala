@@ -910,14 +910,19 @@ object TextOps {
   def trainHashClassifier(docs: DataFrame, idCol: String, textCol: String,
                           labelPred: Column, buckets: Int = 32,
                           iters: Int = 3, eta: Double = 0.5,
-                          caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    require(iters >= 1 && buckets >= 2, "need iters >= 1 and buckets >= 2")
-    require(eta == 0.5 || eta == 0.25 || eta == 1.0 || eta == 0.125,
-      "eta must be dyadic so the weight update stays exact")
-    val spark = docs.sparkSession
-    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val b = buckets.toLong
-    val tok = docs.select(col(idCol).as("doc_id"),
+                          caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
+    trainFromFeatures(
+      classifierFeatures(docs, idCol, textCol, labelPred, buckets),
+      buckets, iters, eta, caches)
+
+  /** The trainer's normalized feature table: (doc_id, y, bucket,
+    * x = count/n_toks) — one row per (doc, bucket), zero-token docs
+    * absent. Per-doc rows are REPLAY-IDEMPOTENT (re-featurizing a doc
+    * yields identical rows), which is what lets the incremental trainer
+    * ledger features and dedup by (doc_id, bucket). */
+  def classifierFeatures(docs: DataFrame, idCol: String, textCol: String,
+                         labelPred: Column, buckets: Int = 32): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         when(labelPred, lit(1.0)).otherwise(lit(0.0)).as("y"),
         tokens(col(textCol)).as("__toks"))
       .withColumn("n_toks", size(col("__toks")).cast("double"))
@@ -925,10 +930,22 @@ object TextOps {
       .select(col("doc_id"), col("y"), col("n_toks"),
         explode(col("__toks")).as("__w"))
       .withColumn("bucket", Curation.dsirBucket(col("__w"), buckets))
-    val xt = caches.track(tok.groupBy(col("doc_id"), col("y"), col("n_toks"),
-        col("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("n_toks"), col("bucket"))
       .agg((count(lit(1)).cast("double") / col("n_toks")).as("x"))
-      .select(col("doc_id"), col("y"), col("bucket"), col("x")))
+      .select(col("doc_id"), col("y"), col("bucket"), col("x"))
+
+  /** GD steps over an already-featurized table — see
+    * [[trainHashClassifier]] for the recurrence and parity argument. */
+  def trainFromFeatures(features: DataFrame, buckets: Int = 32,
+                        iters: Int = 3, eta: Double = 0.5,
+                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    require(iters >= 1 && buckets >= 2, "need iters >= 1 and buckets >= 2")
+    require(eta == 0.5 || eta == 0.25 || eta == 1.0 || eta == 0.125,
+      "eta must be dyadic so the weight update stays exact")
+    val spark = features.sparkSession
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val xt = caches.track(
+      features.select(col("doc_id"), col("y"), col("bucket"), col("x")))
     val xs = caches.track(xt.groupBy(col("doc_id"), col("y"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("xarr")))
     val nRow = xt.agg(count_distinct(col("doc_id")).cast("double").as("n"))

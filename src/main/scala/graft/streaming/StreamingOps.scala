@@ -912,6 +912,41 @@ object StreamingOps {
       }
       .start()
 
+  /** X3 — incrementally maintained classifier: streamed docs featurize
+    * ONCE into an append-only (doc_id, y, bucket, x) feature ledger
+    * (per-doc rows are replay-idempotent — dedup by (doc_id, bucket)
+    * suppresses re-delivery), and the k-step GD retrain runs on the
+    * accreted features per batch, atomically swapped at `weightsPath`.
+    * Featurization (the tokenizing scan — the expensive part at 100 TB)
+    * is paid once per document; only the bucket-table-sized training
+    * loop re-runs. Because [[graft.ops.TextOps.trainFromFeatures]] is a
+    * deterministic function of the feature SET, the maintained weights
+    * equal batch [[graft.ops.TextOps.trainHashClassifier]] on the union
+    * of all batches bit-for-bit (StreamingSpec, ≥3 micro-batches). */
+  def incrementalClassifier(docs: DataFrame, idCol: String, textCol: String,
+                            labelPred: Column, featLedgerPath: String,
+                            weightsPath: String, checkpoint: String,
+                            buckets: Int = 32, iters: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.TextOps.classifierFeatures(batch, idCol, textCol,
+            labelPred, buckets)
+          .write.mode("append").parquet(featLedgerPath)
+        val feats = spark.read.parquet(featLedgerPath)
+          .dropDuplicates("doc_id", "bucket")
+        val caches = new graft.ops.DedupCaches
+        try writeAtomic(
+          graft.ops.TextOps.trainFromFeatures(feats, buckets, iters,
+              caches = caches)
+            .withColumn("as_of_batch", lit(batchId)),
+          weightsPath, coalesce1 = true)
+        finally caches.unpersistAll()
+      }
+      .start()
+
   def incrementalCurationPipeline(docs: DataFrame, idCol: String, textCol: String,
                                   benchLedgerPath: String, corpusPath: String,
                                   fpLedgerPath: String, checkpoint: String,

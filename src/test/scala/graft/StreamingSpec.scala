@@ -534,6 +534,36 @@ class StreamingSpec extends SparkSpec {
       "edge counts are additive integers → maintained ranks equal batch bit-for-bit")
   }
 
+  test("incremental classifier retrains on accreted features to the batch weights") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val ledger = tmp("graft_clf_feat") + "/features"
+    val weights = tmp("graft_clf_w") + "/weights"
+    val ckpt = tmp("graft_clf_ckpt")
+    val full = sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingOps.incrementalClassifier(
+      mem.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text",
+      col("lang") === "en", ledger, weights, ckpt, iters = 3)
+    full.grouped((full.size + 2) / 3).foreach { chunk =>
+      mem.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    import spark.implicits._
+    val want = ops.TextOps.trainHashClassifier(
+        sources.Tables.documents(spark, sf001), "doc_id", "text",
+        col("lang") === "en", buckets = 32, iters = 3)
+      .as[(Long, Double)].collect().toSet
+    val got = spark.read.parquet(weights)
+      .select(col("bucket"), col("weight")).as[(Long, Double)].collect().toSet
+    assert(got == want,
+      "retrain on the accreted feature set must equal batch training bit-for-bit")
+  }
+
   test("drift ledger compaction folds committed batches losslessly; report unchanged") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
