@@ -423,6 +423,24 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
   }
 
+  test("null/empty text rows are inert across the round-9 text ops") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String, "a"), (2L, "", "a"),
+      (3L, "solid gold content here", "b")).toDF("doc_id", "text", "src")
+    val bm = ops.TextOps.bm25TopDocs(docs, "doc_id", "text",
+      Seq("gold").toDF("term")).collect()
+    assert(bm.map(_.getLong(0)).toSeq == Seq(3L),
+      "bm25 scores only docs with tokens; null/empty rows are inert")
+    val w = ops.TextOps.trainHashClassifier(docs, "doc_id", "text",
+      col("src") === "b", buckets = 16, iters = 1)
+    assert(w.count() == 16, "trainer emits the full weight table regardless")
+    val cp = ops.Dedup.containmentPairs(docs, "doc_id", "text").collect()
+    assert(cp.isEmpty, "no shingle-bearing pair ⇒ no containment rows, no throw")
+    val strip = docs.select(ops.TextOps.stripMarkup(col("text"))).collect()
+    assert(strip(0).isNullAt(0) && strip(1).getString(0) == "",
+      "stripMarkup passes null through and keeps empty empty")
+  }
+
   test("applyHashClassifier: trained weights separate held-out docs") {
     import spark.implicits._
     val train = ((1L to 20L).map(i => (i, "good great good", 1))
