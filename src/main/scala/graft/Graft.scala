@@ -293,6 +293,13 @@ object Graft {
     Curation.epochShuffle(docs, idCol, epochs, seed)
 
   /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
+  /** X4: media near-dup pairs (checksum collapse → LSH bucket over
+    * decoded features → exact verify; decode stubbed, dataflow real). */
+  def mediaNearDups(docs: DataFrame, bits: Int = 6, maxDist: Double = 5.0,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    ops.Multimodal.mediaNearDupPairs(docs, idCol, textCol, bits, maxDist)
+
   /** X3: strip HTML/markup to plain text in place (map-only pass). */
   def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, ops.TextOps.stripMarkup(col(textCol)))

@@ -1403,6 +1403,36 @@ object Queries {
         [CAST(n AS DOUBLE), CAST(fb AS DOUBLE), CAST(lb AS DOUBLE)] AS features
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
+    * checksum-collapse → sign-LSH bucket over decoded features → exact
+    * L2 verify; the L2 fold runs in dimension order on both engines and
+    * rounds at 6. */
+  private val x4MediaDedup = Q("x4_media_dedup",
+    (s, dir) => Multimodal.mediaNearDupPairs(Tables.documents(s, dir),
+        "doc_id", "text", bits = 6, maxDist = 5.0)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH b AS (SELECT doc_id, text, encode(text) AS bin FROM documents),
+      h AS (SELECT doc_id, md5(text) AS ck, hex(bin) AS hx,
+          CAST(octet_length(bin) AS DOUBLE) AS n FROM b),
+      f0 AS (SELECT doc_id, ck, [n,
+          CASE WHEN n = 0 THEN 0.0
+            ELSE CAST(CAST(('0x' || substr(hx, 1, 2)) AS INT) AS DOUBLE) END,
+          CASE WHEN n = 0 THEN 0.0
+            ELSE CAST(CAST(('0x' || substr(hx, -2, 2)) AS INT) AS DOUBLE) END,
+          CAST(CAST(('0x' || substr(ck, 1, 1)) AS INT) AS DOUBLE)] AS feats
+        FROM h),
+      reps AS (SELECT ck, min(doc_id) AS doc_id FROM f0 GROUP BY ck),
+      f AS (SELECT f0.doc_id, feats, ${lshBucketSql("feats", 6)} AS bucket
+        FROM f0 JOIN reps ON reps.ck = f0.ck AND reps.doc_id = f0.doc_id),
+      pairs AS (SELECT l.doc_a, l.doc_b, sqrt(list_sum(list_transform(
+            range(4), i -> (l.fa[i+1] - l.fb[i+1]) * (l.fa[i+1] - l.fb[i+1]))))
+          AS dist
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.feats AS fa, b.feats AS fb
+          FROM f a JOIN f b ON a.bucket = b.bucket AND a.doc_id < b.doc_id) l)
+      SELECT doc_a, doc_b, round(dist, 6) AS dist
+      FROM pairs WHERE dist <= 5.0 ORDER BY doc_a, doc_b"""))
+
   /** The same as-of semantics through the CUSTOM OPERATOR stack
     * (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): its oracle is the
     * identical window-composed SQL, so the physical operator's merge is
@@ -5602,7 +5632,8 @@ object Queries {
     x2IvfPq, x2IvfPqRecall, e2eTrainK, x4Decode,
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
-    x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply)
+    x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
+    x4MediaDedup)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -129,4 +129,40 @@ object Multimodal {
       mediaMeta(bin, "text/fake").as("meta"),
       fakeDecodeFeatures(bin).as("features"))
   }
+
+  /** X4 — media near-duplicate pairs (the image-dedup shape: pHash →
+    * band → verify, with the decode stubbed): byte-identical payloads
+    * collapse by checksum FIRST (exact dups never reach the pair stage —
+    * the edit-join lesson), the surviving representatives bucket by
+    * sign-LSH over their decoded feature vectors, and candidates verify
+    * with exact L2 in feature space. A real pipeline swaps
+    * [[fakeDecodeFeatures]] for a CNN/pHash embedding; the
+    * collapse→bucket→verify dataflow, plan shape, and output contract
+    * stay identical.
+    *
+    * Scale: checksum collapse is one keyed groupBy; buckets are
+    * content-derived so the pair join shuffles on bucket (never
+    * all-pairs); verify cost is candidate-bounded. Output:
+    * (doc_a, doc_b, dist), doc_a < doc_b, dist ≤ maxDist rounded at 6
+    * (the L2 fold runs in dimension order on both engines). */
+  def mediaNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 4, maxDist: Double = 25.0): DataFrame = {
+    val e = enrich(docs, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("meta.checksum").as("checksum"),
+        col("features"))
+    val reps = e.groupBy(col("checksum")).agg(min(col("doc_id")).as("doc_id"))
+    val f = e.join(reps, Seq("checksum", "doc_id"), "left_semi")
+      .withColumn("bucket", Similarity.signLshBucket(col("features"), bits))
+    val l = f.select(col("doc_id").as("doc_a"), col("features").as("fa"),
+      col("bucket"))
+    val r = f.select(col("doc_id").as("doc_b"), col("features").as("fb"),
+      col("bucket"))
+    l.join(r, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)))
+      .where(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), round(col("dist"), 6).as("dist"))
+  }
 }

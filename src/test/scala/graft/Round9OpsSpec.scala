@@ -423,6 +423,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
   }
 
+  test("media near-dup: exact copies collapse, feature-identical payloads pair") {
+    import spark.implicits._
+    def md5Nibble(s: String): Char =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    // two byte-DIFFERENT payloads with IDENTICAL decoded features: same
+    // length, first and last byte, and matching md5 first nibble (found
+    // by search — the fake decode reads nothing else)
+    val base = "qm"
+    val pool = ('a' to 'z').map(c => s"q${c}m")
+    val (p1, p2) = {
+      val byNib = pool.groupBy(md5Nibble)
+      val g = byNib.values.find(_.size >= 2).get
+      (g(0), g(1))
+    }
+    val docs = Seq((1L, p1), (2L, p2),          // feature-identical near-dups
+      (3L, p1), (4L, p1),                        // exact copies of doc 1
+      (5L, "a completely different much longer payload string"))
+      .toDF("doc_id", "text")
+    val pairs = ops.Multimodal.mediaNearDupPairs(docs, "doc_id", "text",
+        bits = 6, maxDist = 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.contains((1L, 2L, 0.0)),
+      "byte-different, feature-identical payloads pair at distance 0")
+    assert(!pairs.exists(p => Set(p._1, p._2).subsetOf(Set(1L, 3L, 4L))),
+      "exact copies collapsed to one representative — no self-pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      "the far payload exceeds maxDist (or lands in another bucket)")
+    assert(base.nonEmpty) // keep the search fixture honest
+  }
+
   test("null/empty text rows are inert across the round-9 text ops") {
     import spark.implicits._
     val docs = Seq((1L, null: String, "a"), (2L, "", "a"),
