@@ -300,6 +300,12 @@ object Graft {
                     textCol: String = "text"): DataFrame =
     ops.Multimodal.mediaNearDupPairs(docs, idCol, textCol, bits, maxDist)
 
+  /** X3: per-group unigram/bigram type-token ratios — the mode-collapse
+    * diagnostic for synthetic corpora. */
+  def ngramDiversity(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    ops.TextOps.ngramDiversity(docs, groupCol, textCol)
+
   /** X3: strip HTML/markup to plain text in place (map-only pass). */
   def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, ops.TextOps.stripMarkup(col(textCol)))

@@ -3635,6 +3635,33 @@ object Queries {
         ORDER BY est.source"""
     })
 
+  /** X3 — n-gram diversity ([[TextOps.ngramDiversity]]): per-source
+    * unigram/bigram type-token ratios — the mode-collapse diagnostic;
+    * exact-integer divisions rounded portably at 6. */
+  private val x3Diversity = Q("x3_ngram_diversity",
+    (s, dir) => TextOps.ngramDiversity(Tables.documents(s, dir), "source", "text")
+      .orderBy(col("source")),
+    Some("""WITH toks AS (SELECT source,
+          list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t
+        FROM documents),
+      uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+          CAST(count(DISTINCT g) AS BIGINT) AS d_unigrams
+        FROM (SELECT source, unnest(t) AS g FROM toks) GROUP BY source),
+      bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(count(DISTINCT g) AS BIGINT) AS d_bigrams
+        FROM (SELECT source, unnest(list_transform(range(len(t) - 1),
+            i -> t[i+1] || ' ' || t[i+2])) AS g
+          FROM toks WHERE len(t) >= 2) GROUP BY source)
+      SELECT uni.source, n_unigrams, d_unigrams,
+        floor(CAST(d_unigrams AS DOUBLE) / n_unigrams * 1000000.0 + 0.5)
+          / 1000000.0 AS ttr,
+        coalesce(n_bigrams, 0) AS n_bigrams,
+        coalesce(d_bigrams, 0) AS d_bigrams,
+        floor(coalesce(CAST(d_bigrams AS DOUBLE) / n_bigrams, 0.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS bigram_ttr
+      FROM uni LEFT JOIN bi ON bi.source = uni.source
+      ORDER BY uni.source"""))
+
   /** X3 — markup stripping ([[TextOps.stripMarkup]]): each document is
     * deterministically wrapped in HTML scaffolding (tags + a script
     * block + entities) and the strip must recover exactly the original
@@ -5633,7 +5660,7 @@ object Queries {
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
-    x4MediaDedup)
+    x4MediaDedup, x3Diversity)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -1000,6 +1000,39 @@ object TextOps {
           .as("score"))
   }
 
+  /** X3 — per-group n-gram diversity: type-token ratio of unigrams and
+    * bigrams (distinct/total), the cheap mode-collapse diagnostic for
+    * synthetic or model-generated corpora — a source whose generated
+    * text loops templates keeps its token count but its distinct-bigram
+    * ratio craters, long before perplexity or the Zipf slope move.
+    *
+    * Scale: two map-side-combined count_distinct/count aggregates per
+    * group over the exploded gram stream — the same shuffle a word-count
+    * pays; nothing corpus-sized is collected or broadcast. Ratios are
+    * rational (exact-integer divisions) rounded portably at 6. */
+  def ngramDiversity(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    def pr6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val toks = docs.select(col(groupCol), tokens(col(textCol)).as("__toks"))
+    val uni = toks.select(col(groupCol), explode(col("__toks")).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_unigrams"),
+        count_distinct(col("g")).as("d_unigrams"))
+    val bi = toks.where(size(col("__toks")) >= 2)
+      .select(col(groupCol), explode(wordNgrams(col("__toks"), 2)).as("g"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("g")).as("d_bigrams"))
+    uni.join(bi, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_unigrams"), col("d_unigrams"),
+        pr6(col("d_unigrams").cast("double") / col("n_unigrams").cast("double"))
+          .as("ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("d_bigrams"), lit(0L)).as("d_bigrams"),
+        pr6(coalesce(col("d_bigrams").cast("double")
+          / col("n_bigrams").cast("double"), lit(0.0))).as("bigram_ttr"))
+  }
+
   /** X3 — Zipf/power-law fit of the per-group rank-size curve: rank each
     * group's documents by token count (desc, ties by id), keep the top
     * `maxRank`, and fit ln(size) = intercept + slope·ln(rank) by

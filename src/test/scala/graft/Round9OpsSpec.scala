@@ -423,6 +423,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
   }
 
+  test("ngram diversity: looping text craters the bigram ratio first") {
+    import spark.implicits._
+    val varied = "alpha beta gamma delta epsilon zeta eta theta"
+    val looped = "spam spam spam spam spam spam spam spam"
+    val docs = Seq(("fresh", varied), ("fresh", varied.split(" ").reverse.mkString(" ")),
+      ("loopy", looped), ("loopy", looped)).toDF("source", "text")
+    val r = ops.TextOps.ngramDiversity(docs, "source", "text")
+      .collect().map(x => x.getString(0) -> (x.getDouble(3), x.getDouble(6))).toMap
+    assert(r("fresh")._1 > r("loopy")._1, "unigram TTR separates")
+    assert(r("loopy")._2 < 0.1 && r("fresh")._2 > 0.5,
+      "the looped source's bigram ratio collapses far harder")
+  }
+
   test("media near-dup: exact copies collapse, feature-identical payloads pair") {
     import spark.implicits._
     def md5Nibble(s: String): Char =
