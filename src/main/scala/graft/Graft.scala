@@ -293,12 +293,12 @@ object Graft {
     Curation.epochShuffle(docs, idCol, epochs, seed)
 
   /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
-  /** X4: media near-dup pairs (checksum collapse → LSH bucket over
-    * decoded features → exact verify; decode stubbed, dataflow real). */
-  def mediaNearDups(docs: DataFrame, bits: Int = 6, maxDist: Double = 5.0,
-                    idCol: String = "doc_id",
+  /** X4: media near-dup pairs (checksum collapse → quantized-feature
+    * band → exact verify; decode stubbed, dataflow real). */
+  def mediaNearDups(docs: DataFrame, lenBand: Int = 16,
+                    maxDist: Double = 5.0, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame =
-    ops.Multimodal.mediaNearDupPairs(docs, idCol, textCol, bits, maxDist)
+    ops.Multimodal.mediaNearDupPairs(docs, idCol, textCol, lenBand, maxDist)
 
   /** X3: per-group unigram/bigram type-token ratios — the mode-collapse
     * diagnostic for synthetic corpora. */

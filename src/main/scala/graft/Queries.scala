@@ -1404,14 +1404,13 @@ object Queries {
       FROM d ORDER BY doc_id"""))
 
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
-    * checksum-collapse → sign-LSH bucket over decoded features → exact
-    * L2 verify; the L2 fold runs in dimension order on both engines and
-    * rounds at 6. */
+    * checksum-collapse → quantized-feature band → exact L2 verify; the
+    * L2 fold runs in dimension order on both engines and rounds at 6. */
   private val x4MediaDedup = Q("x4_media_dedup",
     (s, dir) => Multimodal.mediaNearDupPairs(Tables.documents(s, dir),
-        "doc_id", "text", bits = 6, maxDist = 5.0)
+        "doc_id", "text", lenBand = 16, maxDist = 5.0)
       .orderBy(col("doc_a"), col("doc_b")),
-    Some(s"""WITH b AS (SELECT doc_id, text, encode(text) AS bin FROM documents),
+    Some("""WITH b AS (SELECT doc_id, text, encode(text) AS bin FROM documents),
       h AS (SELECT doc_id, md5(text) AS ck, hex(bin) AS hx,
           CAST(octet_length(bin) AS DOUBLE) AS n FROM b),
       f0 AS (SELECT doc_id, ck, [n,
@@ -1422,14 +1421,17 @@ object Queries {
           CAST(CAST(('0x' || substr(ck, 1, 1)) AS INT) AS DOUBLE)] AS feats
         FROM h),
       reps AS (SELECT ck, min(doc_id) AS doc_id FROM f0 GROUP BY ck),
-      f AS (SELECT f0.doc_id, feats, ${lshBucketSql("feats", 6)} AS bucket
+      f AS (SELECT f0.doc_id, feats,
+          CAST(CAST(floor(feats[1] / 16.0) AS BIGINT) AS VARCHAR) || ':' ||
+          CAST(CAST(feats[2] AS BIGINT) AS VARCHAR) || ':' ||
+          CAST(CAST(feats[3] AS BIGINT) AS VARCHAR) AS band
         FROM f0 JOIN reps ON reps.ck = f0.ck AND reps.doc_id = f0.doc_id),
       pairs AS (SELECT l.doc_a, l.doc_b, sqrt(list_sum(list_transform(
             range(4), i -> (l.fa[i+1] - l.fb[i+1]) * (l.fa[i+1] - l.fb[i+1]))))
           AS dist
         FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.feats AS fa, b.feats AS fb
-          FROM f a JOIN f b ON a.bucket = b.bucket AND a.doc_id < b.doc_id) l)
+          FROM f a JOIN f b ON a.band = b.band AND a.doc_id < b.doc_id) l)
       SELECT doc_a, doc_b, round(dist, 6) AS dist
       FROM pairs WHERE dist <= 5.0 ORDER BY doc_a, doc_b"""))
 

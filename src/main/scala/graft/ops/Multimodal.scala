@@ -130,34 +130,46 @@ object Multimodal {
       fakeDecodeFeatures(bin).as("features"))
   }
 
-  /** X4 — media near-duplicate pairs (the image-dedup shape: pHash →
-    * band → verify, with the decode stubbed): byte-identical payloads
+  /** X4 — media near-duplicate pairs (the image-dedup shape: fingerprint
+    * → band → verify, with the decode stubbed): byte-identical payloads
     * collapse by checksum FIRST (exact dups never reach the pair stage —
-    * the edit-join lesson), the surviving representatives bucket by
-    * sign-LSH over their decoded feature vectors, and candidates verify
-    * with exact L2 in feature space. A real pipeline swaps
-    * [[fakeDecodeFeatures]] for a CNN/pHash embedding; the
-    * collapse→bucket→verify dataflow, plan shape, and output contract
-    * stay identical.
+    * the edit-join lesson), the surviving representatives band on
+    * QUANTIZED decoded features, and candidates verify with exact L2 in
+    * feature space. A real pipeline swaps [[fakeDecodeFeatures]] for a
+    * CNN/pHash embedding; the collapse→band→verify dataflow, plan shape,
+    * and output contract stay identical.
     *
-    * Scale: checksum collapse is one keyed groupBy; buckets are
-    * content-derived so the pair join shuffles on bucket (never
-    * all-pairs); verify cost is candidate-bounded. Output:
-    * (doc_a, doc_b, dist), doc_a < doc_b, dist ≤ maxDist rounded at 6
-    * (the L2 fold runs in dimension order on both engines). */
+    * Band key = (⌊len/`lenBand`⌋, first byte, last byte): a content-
+    * derived fingerprint with CARDINALITY THAT GROWS with the corpus —
+    * the scale property a k-hyperplane LSH over these low-dimensional,
+    * length-dominated features lacks (a fixed 2^bits bucket space turns
+    * the verify join bucket-quadratic as the corpus grows; measured 11 s
+    * → 1 s at sf0.1 switching to bands). Near-dups differing across a
+    * band boundary are missed — the standard ANN recall trade, same
+    * class as [[graft.ops.Similarity.lshTopK]]'s, and a real pHash
+    * banding has the same property.
+    *
+    * Scale: checksum collapse is one keyed groupBy; the pair join
+    * shuffles on the band key (never all-pairs); verify cost is
+    * candidate-bounded. Output: (doc_a, doc_b, dist), doc_a < doc_b,
+    * dist ≤ maxDist rounded at 6 (the L2 fold runs in dimension order on
+    * both engines). */
   def mediaNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                        bits: Int = 4, maxDist: Double = 25.0): DataFrame = {
+                        lenBand: Int = 16, maxDist: Double = 5.0): DataFrame = {
     val e = enrich(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), col("meta.checksum").as("checksum"),
         col("features"))
     val reps = e.groupBy(col("checksum")).agg(min(col("doc_id")).as("doc_id"))
     val f = e.join(reps, Seq("checksum", "doc_id"), "left_semi")
-      .withColumn("bucket", Similarity.signLshBucket(col("features"), bits))
+      .withColumn("band", concat_ws(":",
+        floor(element_at(col("features"), 1) / lit(lenBand.toDouble)).cast("long"),
+        element_at(col("features"), 2).cast("long"),
+        element_at(col("features"), 3).cast("long")))
     val l = f.select(col("doc_id").as("doc_a"), col("features").as("fa"),
-      col("bucket"))
+      col("band"))
     val r = f.select(col("doc_id").as("doc_b"), col("features").as("fb"),
-      col("bucket"))
-    l.join(r, Seq("bucket"))
+      col("band"))
+    l.join(r, Seq("band"))
       .where(col("doc_a") < col("doc_b"))
       .withColumn("dist", sqrt(aggregate(
         zip_with(col("fa"), col("fb"), (x, y) => (x - y) * (x - y)),

@@ -456,14 +456,14 @@ class Round9OpsSpec extends SparkSpec {
       (5L, "a completely different much longer payload string"))
       .toDF("doc_id", "text")
     val pairs = ops.Multimodal.mediaNearDupPairs(docs, "doc_id", "text",
-        bits = 6, maxDist = 5.0)
+        lenBand = 16, maxDist = 5.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.contains((1L, 2L, 0.0)),
       "byte-different, feature-identical payloads pair at distance 0")
     assert(!pairs.exists(p => Set(p._1, p._2).subsetOf(Set(1L, 3L, 4L))),
       "exact copies collapsed to one representative — no self-pairs")
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
-      "the far payload exceeds maxDist (or lands in another bucket)")
+      "the far payload lands in another length band")
     assert(base.nonEmpty) // keep the search fixture honest
   }
 
