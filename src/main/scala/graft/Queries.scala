@@ -723,7 +723,10 @@ object Queries {
     (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
       maxDf = 8, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b")),
-    Some(s"""WITH sets AS ($shingleSetSql),
+    Some(s"""WITH sets0 AS ($shingleSetSql),
+      sets AS (SELECT doc_id, list_distinct(list_transform(toks,
+          t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS toks
+        FROM sets0),
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
       rare AS (SELECT tok FROM tok GROUP BY tok HAVING count(*) BETWEEN 2 AND 8),
       rt AS (SELECT doc_id, tok FROM tok JOIN rare USING (tok)),

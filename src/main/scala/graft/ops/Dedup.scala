@@ -314,23 +314,40 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        maxDf: Int = 8, threshold: Double = 0.5, n: Int = 3,
                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val sets = caches.track(docShingleSets(docs, idCol, textCol, n))
+    // shingle sets are HASHED to 60-bit longs before any set algebra
+    // (the house featureHash rule): the verify stage intersects
+    // |candidates| pairs of ~100-element arrays, and long equality beats
+    // string hashing there by an order of magnitude — measured 8.3 s →
+    // ~1 s at sf0.1 on ~380k candidate pairs. n_toks is recomputed from
+    // the hashed-distinct set, so a (negligible, 2^-60-class) hash
+    // collision shrinks numerator AND denominator consistently.
+    val sets = caches.track(docShingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        array_distinct(transform(col("toks"), t => featureHash(t))).as("toks"))
+      .withColumn("n_toks", size(col("toks"))))
     val tok = sets.select(col("doc_id"), explode(col("toks")).as("tok"))
     val rare = tok.groupBy("tok").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2)
     val rareTok = tok.join(rare, "tok")
+    // candidates are UNORDERED (a < b): |A∩B| is symmetric, so each
+    // intersection is computed once and both directed containments are
+    // projected from it — half the verify work of directed candidates
     val cand = rareTok.as("l").join(rareTok.as("r"), col("l.tok") === col("r.tok"))
-      .where(col("l.doc_id") =!= col("r.doc_id"))
+      .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     val a = sets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
       col("n_toks").as("na"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .where(col("na") > 0)
-      .withColumn("containment",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double")
-          / col("na").cast("double"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      col("n_toks").as("nb"))
+    val j = cand.join(a, "doc_a").join(b, "doc_b")
+      .where(col("na") > 0 && col("nb") > 0)
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+    j.select(col("doc_a"), col("doc_b"),
+        (col("inter") / col("na").cast("double")).as("containment"))
+      .unionAll(j.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+        (col("inter") / col("nb").cast("double")).as("containment")))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
