@@ -229,6 +229,12 @@ object Graft {
 
   /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
     * (appends `<col>_w`); distributed rank quantiles, broadcast bounds. */
+  /** Robust per-group outlier flags: |x − median| > k·MAD — survives
+    * the spike-inflated σ that blinds a 3σ z-score. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Double = 4.45): DataFrame =
+    ops.AggOps.madOutliers(df, groupCols, valueCol, k)
+
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)

@@ -3640,6 +3640,37 @@ object Queries {
         ORDER BY est.source"""
     })
 
+  /** A-family — robust MAD outliers ([[AggOps.madOutliers]]): per
+    * event-type |x − median| > k·MAD flags; rank-picked med/MAD are data
+    * values (exact), every comparison rational — no rounding anywhere. */
+  private val aMad = Q("a_mad_outliers",
+    (s, dir) => AggOps.madOutliers(
+        Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), "value", k = 4.45)
+      .where(col("is_outlier"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        col("med"), col("mad"))
+      .orderBy(col("event_type"), col("event_id")),
+    Some("""WITH v AS (SELECT event_type, event_id, value FROM events
+        WHERE value IS NOT NULL),
+      m AS (SELECT event_type, med FROM (
+        SELECT event_type, value AS med,
+          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v)
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+      d AS (SELECT v.event_type, v.event_id, v.value, m.med,
+          abs(v.value - m.med) AS dev
+        FROM v JOIN m USING (event_type)),
+      md AS (SELECT event_type, mad FROM (
+        SELECT event_type, dev AS mad,
+          row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+      SELECT d.event_type, event_id, value, med, mad
+      FROM d JOIN md USING (event_type)
+      WHERE dev > 4.45 * mad ORDER BY d.event_type, event_id"""))
+
   /** X3 — n-gram diversity ([[TextOps.ngramDiversity]]): per-source
     * unigram/bigram type-token ratios — the mode-collapse diagnostic;
     * exact-integer divisions rounded portably at 6. */
@@ -5665,7 +5696,7 @@ object Queries {
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
-    x4MediaDedup, x3Diversity)
+    x4MediaDedup, x3Diversity, aMad)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -193,6 +193,55 @@ object AggOps {
       .drop(groupCols.map(c => s"__g_$c") :+ "__lo": _*)
   }
 
+  /** A-family extension — per-group ROBUST outlier flags via median/MAD:
+    * a row is an outlier when |x − median| > k·MAD, the estimator that
+    * survives what 3σ z-scores cannot — the outliers themselves
+    * inflating the mean and stddev (one 10⁶× telemetry spike widens σ
+    * until nothing else flags; the median and MAD barely move).
+    *
+    * Median is the torch lower-median convention (value at sorted rank
+    * ⌈n/2⌉ — A3's exact form); MAD is the same rank statistic over
+    * |x − med|, kept RAW (no 1.4826 gaussian consistency factor — fold
+    * it into `k`: k = 4.45 ≈ the classic 3σ). All arithmetic after the
+    * rank picks is rational per-row IEEE — engine-exact. Groups where
+    * MAD = 0 (a majority-constant column) flag every deviating row —
+    * the documented behavior of the estimator, not a bug.
+    *
+    * Scale: two rank passes (value, then deviation), each one keyed
+    * window + group-bounds aggregate joined back small — the winsorize
+    * plan shape twice. Rows with NULL value take no part in the ranks
+    * and flag false. Output: input columns + (med, mad, is_outlier). */
+  def madOutliers(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                  valueCol: String, k: Double = 4.45): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val gs = groupCols.map(col)
+    def rankStat(in: org.apache.spark.sql.DataFrame, c: String,
+                 out: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(gs: _*).orderBy(col(c))
+      val wn = Window.partitionBy(gs: _*)
+      in.where(col(c).isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .groupBy(gs: _*)
+        .agg(min(when(col("__rn") ===
+          ceil(col("__n") / lit(2.0)).cast("long"), col(c))).as(out))
+        .select(groupCols.map(c0 => col(c0).as(s"__g_$c0")) :+ col(out): _*)
+    }
+    def backJoin(in: org.apache.spark.sql.DataFrame,
+                 bounds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cond = groupCols.map(c0 => in(c0) <=> col(s"__g_$c0")).reduce(_ && _)
+      in.join(broadcast(bounds), cond, "left")
+        .drop(groupCols.map(c0 => s"__g_$c0"): _*)
+    }
+    val withMed = backJoin(df, rankStat(df, valueCol, "med"))
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    backJoin(withMed, rankStat(withMed, "__dev", "mad"))
+      .withColumn("is_outlier",
+        coalesce(col("__dev") > lit(k) * col("mad"), lit(false)))
+      .drop("__dev")
+  }
+
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                 valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")

@@ -423,6 +423,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(w(bkt("good")) > w(bkt("terrible")) + 0.1, "separation is material")
   }
 
+  test("mad outliers: spike flagged while it would drown a 3-sigma z-score") {
+    import spark.implicits._
+    // 9 values near 10 plus one 10^6 spike: a single point's z-score is
+    // bounded by (n−1)/√n ≈ 2.85 < 3 at n = 10 — the spike inflates σ
+    // enough to hide ITSELF from the 3σ rule; med/MAD barely move and
+    // flag it immediately. Also: a majority-constant group has MAD 0
+    // and flags every deviating row (documented estimator behavior).
+    val vals = (1 to 9).map(i => ("a", i.toLong, 10.0 + (i % 5))) :+
+      ("a", 99L, 1e6) :+ ("b", 1L, 5.0) :+ ("b", 2L, 5.0) :+
+      ("b", 3L, 5.0) :+ ("b", 4L, 7.0)
+    val df = vals.toDF("g", "id", "v")
+    val r = ops.AggOps.madOutliers(df, Seq("g"), "v")
+      .where(col("is_outlier")).select(col("g"), col("id"))
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(r.contains(("a", 99L)), "the spike is a MAD outlier")
+    assert(!r.exists(p => p._1 == "a" && p._2 <= 9L),
+      "the ordinary cluster stays unflagged")
+    assert(r.contains(("b", 4L)), "MAD = 0 ⇒ any deviation flags")
+    // the naive 3σ rule misses the same spike (σ is spike-inflated)
+    val stats = df.where(col("g") === "a")
+      .agg(avg(col("v")).as("mu"), stddev_pop(col("v")).as("sd"))
+      .collect()(0)
+    assert(math.abs(1e6 - stats.getDouble(0)) < 3 * stats.getDouble(1),
+      "fixture sanity: the z-score rule is blind to its own spike")
+  }
+
   test("ngram diversity: looping text craters the bigram ratio first") {
     import spark.implicits._
     val varied = "alpha beta gamma delta epsilon zeta eta theta"
