@@ -1015,11 +1015,15 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val hits = exact.join(ann, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.select(col("query_id")).distinct()
+      // Denominator is the MEASURED exact-candidate count per query
+      // (capped at k) rather than a literal k: a query stripe with
+      // fewer than k exact candidates must not understate recall.
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
         .orderBy(col("query_id"))
     },
     Some {
@@ -1041,9 +1045,10 @@ object Queries {
             ORDER BY cosine DESC, cand_id ASC) AS rk FROM ascored) WHERE rk <= 5),
       hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM brk JOIN ark USING (query_id, cand_id) GROUP BY query_id),
-      qs AS (SELECT DISTINCT query_id FROM q)
+      qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM brk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+        coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
     })
 
@@ -1390,7 +1395,9 @@ object Queries {
       Multimodal.decodeMedia(rows).toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("n_bytes"),
-          col("features"))
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
@@ -1403,7 +1410,8 @@ object Queries {
         FROM b)
       SELECT doc_id, CAST(1 + fb % 64 AS BIGINT) AS width,
         CAST(1 + lb % 64 AS BIGINT) AS height, n AS n_bytes,
-        [CAST(n AS DOUBLE), CAST(fb AS DOUBLE), CAST(lb AS DOUBLE)] AS features
+        round(CAST(n AS DOUBLE), 6) AS f0, round(CAST(fb AS DOUBLE), 6) AS f1,
+        round(CAST(lb AS DOUBLE), 6) AS f2
       FROM d ORDER BY doc_id"""))
 
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
@@ -1590,11 +1598,12 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val hits = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.select(col("query_id")).distinct()
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
         .orderBy(col("query_id"))
     },
     Some {
@@ -1626,9 +1635,10 @@ object Queries {
             ORDER BY cosine DESC, cand_id ASC) AS rk FROM bscored) WHERE rk <= 5),
       hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM brk JOIN irk USING (query_id, cand_id) GROUP BY query_id),
-      qs AS (SELECT DISTINCT query_id FROM q)
+      qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM brk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+        coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
     })
 
@@ -4151,11 +4161,12 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val hits = exact.join(pq, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.select(col("query_id")).distinct()
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
         .orderBy(col("query_id"))
     },
     Some(s"""${pqOracleCtes(23, 8)},
@@ -4188,9 +4199,10 @@ object Queries {
             ORDER BY d ASC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
       hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM exrk JOIN pqrk USING (query_id, cand_id) GROUP BY query_id),
-      qs AS (SELECT DISTINCT query_id FROM q2)
+      qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM exrk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+        coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
 
   /** Shared oracle CTEs for the IVF+PQ composed index: coarse centroids
@@ -4286,11 +4298,12 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val hits = exact.join(ivfpq, Seq("query_id", "cand_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.select(col("query_id")).distinct()
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall"))
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
         .orderBy(col("query_id"))
     },
     Some(s"""$ivfPqOracleCtes,
@@ -4307,9 +4320,10 @@ object Queries {
             ORDER BY d ASC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
       hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM exrk JOIN pqrk USING (query_id, cand_id) GROUP BY query_id),
-      qs AS (SELECT DISTINCT query_id FROM q2)
+      qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM exrk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-        CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0 AS recall
+        coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
 
   /** X5 — Misra–Gries heavy hitters per source (mergeable sketch
