@@ -192,7 +192,6 @@ object Graft {
   def gatherSample(df: DataFrame, posCol: String, nDraws: Long, seed: Long): DataFrame =
     JoinOps.gatherSample(df, posCol, nDraws, seed)
 
-  /** X1: SimHash near-dup pairs (wide-band blocking + Hamming verify). */
   /** X1: asymmetric containment pairs — truncated/subset copies that
     * symmetric Jaccard misses (doc_a contained-in doc_b, ordered). */
   def containmentDups(docs: DataFrame, threshold: Double = 0.5,
@@ -200,6 +199,7 @@ object Graft {
                       textCol: String = "text"): DataFrame =
     ops.Dedup.containmentPairs(docs, idCol, textCol, threshold = threshold)
 
+  /** X1: SimHash near-dup pairs (wide-band blocking + Hamming verify). */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", maxHamming: Int = 3): DataFrame =
     Dedup.simhashPairs(docs, idCol, textCol, maxHamming = maxHamming)
@@ -227,14 +227,14 @@ object Graft {
                           trainPct: Int = 90, valPct: Int = 5): DataFrame =
     Curation.splitAssignBy(df, groupKey, trainPct, valPct)
 
-  /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
-    * (appends `<col>_w`); distributed rank quantiles, broadcast bounds. */
   /** Robust per-group outlier flags: |x − median| > k·MAD — survives
     * the spike-inflated σ that blinds a 3σ z-score. */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Double = 4.45): DataFrame =
     ops.AggOps.madOutliers(df, groupCols, valueCol, k)
 
+  /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
+    * (appends `<col>_w`); distributed rank quantiles, broadcast bounds. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
@@ -286,6 +286,16 @@ object Graft {
     Similarity.ivfPqSearch(emb, idCol, vecCol, m, dim, codebooks,
       centroidPred, queryPred, k, nprobe)
 
+  /** X2: two-stage retrieval — IVFADC shortlist of `shortlist`
+    * candidates per query, exact-cosine re-rank to top-k (the FAISS
+    * refine serving shape). */
+  def searchTwoStage(emb: DataFrame, m: Int, dim: Int, codebooks: DataFrame,
+                     centroidPred: Column, queryPred: Column,
+                     k: Int = 5, nprobe: Int = 2, shortlist: Int = 20,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfPqRerank(emb, idCol, vecCol, m, dim, codebooks,
+      centroidPred, queryPred, k, nprobe, shortlist)
+
   /** X6: size-balanced output shards — round-robin over (size DESC, id)
     * order; doc counts differ ≤ 1, token totals ≤ one largest doc. */
   def shardManifest(docs: DataFrame, sizeCol: Column, shards: Int,
@@ -298,7 +308,6 @@ object Graft {
                    idCol: String = "doc_id"): DataFrame =
     Curation.epochShuffle(docs, idCol, epochs, seed)
 
-  /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
   /** X4: media near-dup pairs (checksum collapse → quantized-feature
     * band → exact verify; decode stubbed, dataflow real). */
   def mediaNearDups(docs: DataFrame, lenBand: Int = 16,
@@ -316,6 +325,7 @@ object Graft {
   def stripMarkup(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, ops.TextOps.stripMarkup(col(textCol)))
 
+  /** X3: mask emails / IPv4s / phone-shaped digit groups in place. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(textCol, TextOps.redactPii(col(textCol)))
 
@@ -331,7 +341,6 @@ object Graft {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     TextOps.boilerplateStrip(docs, idCol, textCol, unitTokens, minDf)
 
-  /** X3: logistic quality-classifier score in [0,1] (literal weights). */
   /** X3: train the hashed-bag-of-words logistic classifier in-engine
     * (k full-batch GD steps; returns the (bucket, weight) table). */
   def trainClassifier(docs: DataFrame, labelPred: Column, buckets: Int = 32,
@@ -347,6 +356,7 @@ object Graft {
                           textCol: String = "text"): DataFrame =
     ops.TextOps.applyHashClassifier(docs, idCol, textCol, weights, buckets)
 
+  /** X3: logistic quality-classifier score in [0,1] (literal weights). */
   def classifyQuality(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("clf_score", TextOps.classifierScore(col(textCol)))
 

@@ -679,7 +679,7 @@ object Queries {
   private val x1Exact = Q("x1_exact_dedup",
     (s, dir) => Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("fp")),
-    Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+    Some("""SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_count
       FROM documents GROUP BY fp ORDER BY fp"""))
 
@@ -804,7 +804,7 @@ object Queries {
       SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,
         CAST(coalesce(list_sum(list_transform(toks, t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0)
-          + length(regexp_replace(text, '[a-zA-Z\\s]', '', 'g')) AS BIGINT) AS n_subwords,
+          + length(regexp_replace(text, '[a-zA-Z \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_subwords,
         CAST(length(text) AS BIGINT) AS n_chars_m,
         CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_punct,
         round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
@@ -816,7 +816,7 @@ object Queries {
              WHEN hes >= hf AND hes > 0 THEN 'es'
              WHEN hf > 0 THEN 'fr'
              ELSE 'und' END AS lang_pred,
-        md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
       FROM h ORDER BY doc_id"""
     })
 
@@ -918,7 +918,7 @@ object Queries {
       nonreps AS (SELECT src AS doc_id FROM reach
                   GROUP BY src HAVING least(src, min(dst)) <> src),
       exact AS (SELECT min(doc_id) AS keep_id FROM documents
-                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                GROUP BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
       SELECT doc_id FROM documents
       WHERE doc_id IN (SELECT keep_id FROM exact)
         AND doc_id NOT IN (SELECT doc_id FROM nonreps)
@@ -945,7 +945,7 @@ object Queries {
                 SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
       comp AS (SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src),
       exact AS (SELECT min(doc_id) AS keep_id FROM documents
-                GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+                GROUP BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))),
       base AS (SELECT d.doc_id, d.n_chars AS q FROM documents d
                WHERE d.doc_id IN (SELECT keep_id FROM exact)),
       m AS (SELECT b.doc_id, b.q, c.component FROM base b
@@ -1003,8 +1003,10 @@ object Queries {
     * real ANN deployment ships with — index parameters (bits, cells) are
     * tuned against MEASURED recall, not guessed. Exact and LSH top-k run
     * side-by-side over one corpus scan; hits are the (query, cand)
-    * intersection via a semi-join. n_hits/k divides two exact small
-    * integers in IEEE double — bit-identical in both engines. */
+    * intersection via a semi-join. recall = n_hits / min(k, n_exact) —
+    * the denominator is the MEASURED per-query exact-candidate count
+    * capped at k, and the division takes two exact small integers in
+    * IEEE double — bit-identical in both engines. */
   private val x2AnnRecall = Q("x2_ann_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1395,6 +1397,9 @@ object Queries {
       Multimodal.decodeMedia(rows).toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("n_bytes"),
+          // shape assertion: the oracle hard-codes 3, so a codec emitting
+          // a wrong-length feature vector fails the gate, not just f0–f2
+          size(col("features")).cast("long").as("n_features"),
           round(element_at(col("features"), 1), 6).as("f0"),
           round(element_at(col("features"), 2), 6).as("f1"),
           round(element_at(col("features"), 3), 6).as("f2"))
@@ -1410,8 +1415,47 @@ object Queries {
         FROM b)
       SELECT doc_id, CAST(1 + fb % 64 AS BIGINT) AS width,
         CAST(1 + lb % 64 AS BIGINT) AS height, n AS n_bytes,
+        CAST(3 AS BIGINT) AS n_features,
         round(CAST(n AS DOUBLE), 6) AS f0, round(CAST(fb AS DOUBLE), 6) AS f1,
         round(CAST(lb AS DOUBLE), 6) AS f2
+      FROM d ORDER BY doc_id"""))
+
+  /** X4 — REAL format decode ([[Multimodal.decodeBmp]]): each document
+    * is wrapped in a genuine 54-byte BMP container
+    * ([[Multimodal.syntheticBmp]]) with width/height written as
+    * little-endian int32 header fields, and the codec PARSES those bytes
+    * back (magic check + offset-18/22 extraction — actual format
+    * decoding, pure JVM). The oracle replays the closed-form
+    * width/height/byte-count, so the gate proves the builder→parser
+    * byte round-trip against an independent engine: a codec that
+    * misread endianness, offsets, or the magic would hash-diverge. Same
+    * mapPartitions plan shape as the stub path. */
+  private val x4DecodeReal = Q("x4_decode_real",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(64)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 7, lit(48)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticBmp(w, h, encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeBmp(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+        CAST((doc_id * 7) % 48 + 1 AS BIGINT) AS h,
+        CAST(54 + strlen(text) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, w AS width, h AS height, n AS n_bytes,
+        CAST(3 AS BIGINT) AS n_features,
+        round(CAST(w AS DOUBLE), 6) AS f0, round(CAST(h AS DOUBLE), 6) AS f1,
+        round(CAST(w AS DOUBLE) * h, 6) AS f2
       FROM d ORDER BY doc_id"""))
 
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
@@ -3739,7 +3783,7 @@ object Queries {
       s3 AS (SELECT doc_id, html,
           regexp_replace(t2, '&[a-zA-Z]+;|&#[0-9]+;', ' ', 'g') AS t3 FROM s2),
       s4 AS (SELECT doc_id, html,
-          trim(regexp_replace(t3, '\s+', ' ', 'g')) AS clean FROM s3)
+          trim(regexp_replace(t3, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean FROM s3)
       SELECT doc_id, CAST(length(html) AS BIGINT) AS n_raw,
         CAST(length(clean) AS BIGINT) AS n_clean, md5(clean) AS fp
       FROM s4 ORDER BY doc_id"""))
@@ -3905,7 +3949,7 @@ object Queries {
       val steps = (1 to 5).map { i =>
         val p = s"r${i - 1}"
         s"""dm$i AS (SELECT coalesce(sum(r), 0.0) / (SELECT n FROM nn) AS dm
-            FROM $p WHERE node NOT IN (SELECT src FROM e)),
+            FROM $p WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = $p.node)),
           ins$i AS (SELECT e.dst AS node, sum(e.w / o.ow * p.r) AS insum
             FROM e JOIN outw o ON o.src = e.src JOIN $p p ON p.node = e.src
             GROUP BY e.dst),
@@ -3916,7 +3960,7 @@ object Queries {
       }.mkString(",\n        ")
       s"""WITH $x8EdgeCtes,
         e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
-          WHERE dst IS NOT NULL GROUP BY src, dst),
+          WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
         nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
@@ -3941,7 +3985,7 @@ object Queries {
       val steps = (1 to 5).map { i =>
         val p = s"r${i - 1}"
         s"""dm$i AS (SELECT coalesce(sum(r), 0.0) AS dmt FROM $p
-            WHERE node NOT IN (SELECT src FROM e)),
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = $p.node)),
           ins$i AS (SELECT e.dst AS node, sum(e.w / o.ow * p.r) AS insum
             FROM e JOIN outw o ON o.src = e.src JOIN $p p ON p.node = e.src
             GROUP BY e.dst),
@@ -3952,7 +3996,7 @@ object Queries {
       }.mkString(",\n        ")
       s"""WITH $x8EdgeCtes,
         e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
-          WHERE dst IS NOT NULL GROUP BY src, dst),
+          WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
         nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
@@ -3997,7 +4041,7 @@ object Queries {
       }.mkString(",\n        ")
       s"""WITH $x8EdgeCtes,
         e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM t
-          WHERE dst IS NOT NULL GROUP BY src, dst),
+          WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
@@ -4017,7 +4061,8 @@ object Queries {
     (s, dir) => GraphOps.triangleCounts(x8Edges(s, dir))
       .orderBy(col("n_triangles").desc, col("node")),
     Some(s"""WITH $x8EdgeCtes,
-        e AS (SELECT src, dst FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+        e AS (SELECT src, dst FROM t
+          WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
         c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
           FROM e WHERE src <> dst),
         nodes AS (SELECT DISTINCT node FROM
@@ -4052,8 +4097,8 @@ object Queries {
             FROM $p d FULL OUTER JOIN rx$i r ON r.node = d.node)"""
       }.mkString(",\n        ")
       s"""WITH $x8EdgeCtes,
-        e AS MATERIALIZED (SELECT src, dst FROM t WHERE dst IS NOT NULL
-          GROUP BY src, dst),
+        e AS MATERIALIZED (SELECT src, dst FROM t
+          WHERE dst IS NOT NULL AND src IS NOT NULL GROUP BY src, dst),
         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
           (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
         d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM nodes
@@ -4273,7 +4318,9 @@ object Queries {
   /** X2 — IVF+PQ recall@5 vs exact L2 (sibling of x2_pq_recall for the
     * composed index): what the coarse prune + quantization jointly cost
     * in retrieval quality. Exact side is brute-force L2 over the full
-    * corpus (always ≥ 5 candidates, so the /5 denominator is exact). */
+    * corpus; recall divides by the MEASURED per-query exact-candidate
+    * count capped at k (min(k, n_exact)), so a thin query stripe never
+    * understates recall. */
   private val x2IvfPqRecall = Q("x2_ivf_pq_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -4320,6 +4367,90 @@ object Queries {
             ORDER BY d ASC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
       hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
         FROM exrk JOIN pqrk USING (query_id, cand_id) GROUP BY query_id),
+      qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+        FROM exrk GROUP BY query_id)
+      SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
+
+  /** X2 — two-stage retrieval ([[graft.ops.Similarity.ivfPqRerank]]):
+    * IVFADC shortlist of 20 candidates per query, exact-cosine re-rank
+    * to the top 5 — the FAISS refine serving shape. The oracle chains
+    * the proven IVF+PQ CTEs with the same shortlist cut and replays the
+    * exact cosine only over shortlist rows. */
+  private val x2IvfRerank = Q("x2_ivf_rerank_topk",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      Similarity.ivfPqRerank(emb, "vec_id", "embedding", m = 2, dim = 64,
+        codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
+        queryPred = pmod(col("vec_id"), lit(100)) === 0,
+        k = 5, nprobe = 2, shortlist = 20)
+        .orderBy(col("query_id"), col("rk"))
+    },
+    Some(s"""$ivfPqOracleCtes,
+      sl AS (SELECT query_id, pid AS cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 20),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      ex AS (SELECT sl.query_id, sl.cand_id,
+          ${cosSql("qv", "w.v")} AS cosine
+        FROM sl JOIN v w ON w.pid = sl.cand_id
+        JOIN q2 ON q2.query_id = sl.query_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, cand_id ASC) AS rk FROM ex)
+      SELECT query_id, CAST(rk AS BIGINT) AS rk, cand_id, cosine
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk"""))
+
+  /** X2 — two-stage recall@5 vs exact cosine (the refine payoff the
+    * recall harness measures): with the exact re-rank on top, the index
+    * can only miss a true neighbor that fell OUTSIDE the 20-candidate
+    * shortlist — ordering errors inside the shortlist are repaired, so
+    * this reads ≥ x2_ivf_pq_recall by construction. Measured
+    * min(k, n_exact) denominator, as every recall eval. */
+  private val x2IvfRerankRecall = Q("x2_ivf_rerank_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+        seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+      val rr = Similarity.ivfPqRerank(emb, "vec_id", "embedding", m = 2, dim = 64,
+        codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
+        queryPred = qp, k = 5, nprobe = 2, shortlist = 20)
+        .select(col("query_id"), col("cand_id"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val hits = exact.join(rr, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L))
+            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""$ivfPqOracleCtes,
+      sl AS (SELECT query_id, pid AS cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 20),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      rrex AS (SELECT sl.query_id, sl.cand_id,
+          ${cosSql("qv", "w.v")} AS cosine
+        FROM sl JOIN v w ON w.pid = sl.cand_id
+        JOIN q2 ON q2.query_id = sl.query_id),
+      rrk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM rrex) WHERE rk <= 5),
+      exscored AS (SELECT q2.query_id, w.pid AS cand_id,
+          ${cosSql("qv", "w.v")} AS cosine
+        FROM v w CROSS JOIN q2 WHERE w.pid <> q2.query_id),
+      exrk AS (SELECT query_id, cand_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id ASC) AS rk FROM exscored) WHERE rk <= 5),
+      hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM exrk JOIN rrk USING (query_id, cand_id) GROUP BY query_id),
       qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
         FROM exrk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
@@ -4584,7 +4715,7 @@ object Queries {
     },
     Some("""WITH corpus AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
       keep AS (SELECT min(doc_id) AS doc_id FROM corpus
-        GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        GROUP BY md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))),
       d1 AS (SELECT c.doc_id, c.lang, c.text FROM corpus c JOIN keep USING (doc_id)),
       t1 AS (SELECT doc_id, lang,
         list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS t FROM d1),
@@ -5051,8 +5182,8 @@ object Queries {
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE doc_id % 3 = 0
-        AND md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN (
-          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        AND md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
           FROM documents WHERE doc_id % 3 <> 0)
       ORDER BY doc_id"""))
 
@@ -5071,8 +5202,8 @@ object Queries {
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE doc_id % 4 = 0
-        AND md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) NOT IN (
-          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        AND md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) NOT IN (
+          SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
           FROM documents WHERE doc_id % 4 <> 0)
       ORDER BY doc_id"""))
 
@@ -5406,7 +5537,7 @@ object Queries {
             bs[j] - CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) AS unit
         FROM (SELECT *, unnest(range(1, len(bs) + 1)) AS j FROM b)),
       mk AS (SELECT *, row_number() OVER (PARTITION BY
-          md5(regexp_replace(trim(lower(unit)), '\s+', ' ', 'g'))
+          md5(regexp_replace(trim(lower(unit)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
           ORDER BY doc_id, idx) AS rk FROM ch)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
         CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -5710,7 +5841,8 @@ object Queries {
     x2Knn, x2Triplet, x1EditJoin, x6Dsir, x3Zipf, x8Graph, x8Pagerank,
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
-    x4MediaDedup, x3Diversity, aMad)
+    x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
+    x2IvfRerankRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

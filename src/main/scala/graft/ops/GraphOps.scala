@@ -29,6 +29,19 @@ import org.apache.spark.sql.functions._
   * compound; boundary risk per node·iteration ~1e−16/1e−`roundDigits`). */
 object GraphOps {
 
+  /** Shared edge prep for the iterative ops: project (src, dst, w) and
+    * DROP null-endpoint edges — a NULL state is an ingest gap (e.g. a
+    * `props` payload missing the key), not a graph node. Dropping them
+    * here is also the engine-parity guard: the DuckDB oracles filter
+    * `src IS NOT NULL` in their edge CTE and compute the dangling set
+    * with `NOT EXISTS`, so neither engine ever runs a three-valued
+    * `NOT IN` membership test over a NULL src (which silently empties
+    * the dangling set while the anti-join side still treats the NULL
+    * node as dangling). */
+  private def prepEdges(edges: DataFrame): DataFrame =
+    edges.where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
+
   /** Consecutive-state transition edges per session key: order each
     * user's events by `orderCols`, pair each state with its successor
     * (`lead` window), count multiplicity. Output: (src, dst, weight) —
@@ -79,14 +92,15 @@ object GraphOps {
     * engine-stable. */
   def pagerank(edges: DataFrame, beta: Double = 0.85, iters: Int = 5,
                roundDigits: Int = 8, materialize: Boolean = true,
-               caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+               caches: DedupCaches = DedupCaches.unmanaged,
+               checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val s = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     // the static graph frames are read every iteration — cache once
     // (session-lifetime, the dedup-family default; a long-lived service
     // unpersists after materializing)
-    val e = caches.track(edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")))
+    val e = caches.track(prepEdges(edges))
     val nodes = caches.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
@@ -95,7 +109,7 @@ object GraphOps {
       Seq("node"), "left_anti")
     val r0 = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
-    (1 to iters).foldLeft(r0) { (ranks, _) =>
+    (1 to iters).foldLeft(r0) { (ranks, i) =>
       val dm = dangling.join(ranks, Seq("node"))
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dsum"))
         .crossJoin(broadcast(nn))
@@ -115,8 +129,16 @@ object GraphOps {
           pr(lit(1.0 - beta) / col("n")
             + lit(beta) * (coalesce(col("insum"), lit(0.0)) + col("dm"))).as("r"))
       // materialize=false keeps the unrolled lazy plan — ONLY for plan
-      // inspection / few-iteration runs (the unroll doubles per iteration)
-      if (materialize) next.localCheckpoint(true) else next
+      // inspection / few-iteration runs (the unroll doubles per iteration).
+      // checkpointEvery=n materializes every nth iteration instead of all:
+      // lineage doubles only across the ≤ n−1 unmaterialized steps
+      // (bounded 2^(n−1) subtree growth between cuts), trading that
+      // re-execution for n× fewer materializations — measured A/B in
+      // SCALING.md; identical ranks either way (rounding is per-iteration
+      // arithmetic, not a materialization effect).
+      if (materialize && (i % checkpointEvery == 0 || i == iters))
+        next.localCheckpoint(true)
+      else next
     }.select(col("node"), col("r").as("rank"))
   }
 
@@ -140,18 +162,24 @@ object GraphOps {
     * — normalization and the hub step — so a lazy unroll compounds).
     * Output: (node, hub, authority). */
   def hits(edges: DataFrame, iters: Int = 5, roundDigits: Int = 8,
-           materialize: Boolean = true): DataFrame = {
+           materialize: Boolean = true,
+           caches: DedupCaches = DedupCaches.unmanaged,
+           checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val s = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val e = caches.track(prepEdges(edges))
+    val nodes = caches.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val h0 = nodes.select(col("node"), lit(1.0).as("h"))
-    def ck(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(true) else df
     val (hK, aK) = (1 to iters).foldLeft((h0, h0.select(col("node"),
-        lit(0.0).as("a")))) { case ((h, _), _) =>
+        lit(0.0).as("a")))) { case ((h, _), i) =>
+      // see pagerank's checkpointEvery note; the final iteration always
+      // materializes so the returned join reads two cut frames
+      def ck(df: DataFrame): DataFrame =
+        if (materialize && (i % checkpointEvery == 0 || i == iters))
+          df.localCheckpoint(true)
+        else df
       val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("h")).as("araw"))
@@ -188,10 +216,13 @@ object GraphOps {
     * iteration as [[pagerank]] (per-round localCheckpoint: each round
     * reads dₜ twice — keep + relax). Output: (node, hops). */
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5,
-                   materialize: Boolean = true): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
+                   materialize: Boolean = true,
+                   caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val e = caches.track(edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst")).distinct())
+    val nodes = caches.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val d0 = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("hops"))
     val dK = (1 to maxHops).foldLeft(d0) { (d, _) =>
@@ -225,23 +256,26 @@ object GraphOps {
     * order-minimal node) and survives the closing-edge join exactly once
     * — so the count is exact, not sampled. All-integer arithmetic: no
     * rounding discipline needed for engine parity. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
+  def triangleCounts(edges: DataFrame,
+                     caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val und = caches.track(edges
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct().cache()
+      .where(col("a") =!= col("b")).distinct())
     val nodes = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node"))).distinct()
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val oriented = und
+    val oriented = caches.track(und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .select(when(col("da") < col("db")
           || (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")).cache()
+      .select(col("e.u").as("u"), col("e.v").as("v")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") =!= col("e2.v"))
@@ -276,24 +310,23 @@ object GraphOps {
   def pagerankPersonalized(edges: DataFrame, seeds: DataFrame,
                            beta: Double = 0.85, iters: Int = 5,
                            roundDigits: Int = 8,
-                           materialize: Boolean = true): DataFrame = {
+                           materialize: Boolean = true,
+                           caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val s = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
-    val e = edges.select(col("src"), col("dst"),
-      col("weight").cast("double").as("w")).cache()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().cache()
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow")).cache()
+    val e = caches.track(prepEdges(edges))
+    val nodes = caches.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outw = caches.track(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
     val dangling = nodes.join(outw.select(col("src").as("node")),
       Seq("node"), "left_anti")
     val seedNodes = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
     val ns = seedNodes.agg(count(lit(1)).cast("double").as("n_seeds"))
-    val tp = nodes
+    val tp = caches.track(nodes
       .join(seedNodes.select(col("node"), lit(true).as("__s")), Seq("node"), "left")
       .crossJoin(broadcast(ns))
       .select(col("node"),
-        when(col("__s"), lit(1.0) / col("n_seeds")).otherwise(lit(0.0)).as("tp"))
-      .cache()
+        when(col("__s"), lit(1.0) / col("n_seeds")).otherwise(lit(0.0)).as("tp")))
     val r0 = tp.select(col("node"), col("tp").as("r"))
     (1 to iters).foldLeft(r0) { (ranks, _) =>
       val dm = dangling.join(ranks, Seq("node"))

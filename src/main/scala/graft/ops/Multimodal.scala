@@ -120,6 +120,70 @@ object Multimodal {
     }
   }
 
+  /** Build a minimal VALID 54-byte BMP header (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER) from width/height columns and append `pixels`
+    * bytes as the payload. The builder half of [[BmpCodec]]: the codec
+    * re-reads width/height from the little-endian header fields at
+    * offsets 18/22, so a gate over build→decode proves a REAL byte-format
+    * parse (magic check + LE int32 extraction), not an echo of the
+    * inputs. Widths/heights are assumed < 256 (one LE byte + three zero
+    * bytes) — fixture-scale images; a full writer would format all four
+    * bytes. Pure codegen expressions: hex-format + unhex + binary concat,
+    * map-only over the scan. */
+  def syntheticBmp(w: Column, h: Column, pixels: Column): Column = {
+    def le32(v: Column): Column = concat(lpad(hex(v), 2, "0"), lit("000000"))
+    concat(unhex(concat(
+      lit("424D"),                       // "BM" magic
+      lit("00000000"), lit("00000000"),  // file size, reserved (unused)
+      lit("36000000"),                   // pixel-array offset = 54
+      lit("28000000"),                   // DIB header size = 40
+      le32(w), le32(h),                  // the fields the codec parses
+      lit("0100"), lit("1800"),          // planes = 1, 24 bpp
+      lit("00000000"), lit("00000000"),  // BI_RGB, image size 0
+      lit("130B0000"), lit("130B0000"),  // 2835 ppm x/y
+      lit("00000000"), lit("00000000")   // palette counts
+    )), pixels)
+  }
+
+  /** REAL codec for the BMP container: validates the "BM" magic and
+    * parses width/height as little-endian int32 at byte offsets 18/22
+    * (BITMAPINFOHEADER) — actual bytes, pure JVM, no external library.
+    * Same lifecycle contract as [[StubCodec]] (one instance per
+    * partition via [[decodeBmp]]); a malformed payload throws rather
+    * than fabricating dimensions. Features are the closed-form
+    * (width, height, pixel count) so the oracle can replay them. */
+  final class BmpCodec {
+    BmpCodec.constructions.incrementAndGet(): Unit
+    private def le32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def decode(r: MediaRow): DecodedMedia = {
+      val b = r.media
+      require(b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte,
+        s"not a BMP payload (doc ${r.doc_id})")
+      val w = le32(b, 18)
+      val h = le32(b, 22)
+      DecodedMedia(r.doc_id, w, h, b.length.toLong,
+        Array(w.toDouble, h.toDouble, w.toDouble * h))
+    }
+  }
+  object BmpCodec {
+    /** Test hook: constructions ≈ one per partition via [[decodeBmp]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[BmpCodec]] — identical plan shape
+    * (mapPartitions, iterator-to-iterator, one codec per partition);
+    * only the codec body differs, which is exactly the swap the stub's
+    * contract promises. */
+  def decodeBmp(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new BmpCodec
+      it.map(codec.decode)
+    }
+  }
+
   /** Attach media payload + metadata + decoded features to a documents
     * table — the canonical multimodal enrichment pipeline. */
   def enrich(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

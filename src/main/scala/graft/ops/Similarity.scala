@@ -779,6 +779,47 @@ object Similarity {
         col("pid").as("cand_id"), col("adc_dist"))
   }
 
+  /** X2 — TWO-STAGE retrieval: coarse shortlist → exact re-rank — the
+    * most common production serving shape (FAISS's IVFADC + refine;
+    * Jégou et al. 2011 §V.D). Stage 1 is [[ivfPqSearch]] run for a
+    * `shortlist` ≥ k candidates per query — cheap approximate ADC
+    * distances over PQ codes, coarse-pruned to `nprobe` cells. Stage 2
+    * re-scores ONLY the shortlist rows with exact cosine over the
+    * original vectors and re-ranks to the final top-k, recovering the
+    * ordering quality quantization costs while touching `shortlist`
+    * full vectors per query instead of the corpus.
+    *
+    * Scale shape: stage 1 is [[ivfPqSearch]]'s (corpus scanned once,
+    * pruned candidates only through the shuffle); stage 2's candidate
+    * frame is queries·shortlist rows — broadcast-tiny — so the exact
+    * pass is one more corpus scan with a broadcast semi-join-shaped
+    * prune and NO corpus shuffle; the final window ranks ≤ shortlist
+    * rows per query. Output: (query_id, rk, cand_id, cosine). */
+  def ivfPqRerank(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+                  codebooks: DataFrame, centroidPred: Column, queryPred: Column,
+                  k: Int = 5, nprobe: Int = 2, shortlist: Int = 20): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover the final top-$k")
+    GraftFunctions.register(emb.sparkSession)
+    val cand = ivfPqSearch(emb, idCol, vecCol, m, dim, codebooks,
+      centroidPred, queryPred, k = shortlist, nprobe = nprobe)
+      .select(col("query_id"), col("cand_id"))
+    val corp = emb.select(col(idCol).cast("long").as("cand_id"),
+      asDouble(col(vecCol)).as("cvec"))
+    val qs = emb.where(queryPred)
+      .select(col(idCol).cast("long").as("query_id"),
+        asDouble(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val scored = corp.join(broadcast(cand), Seq("cand_id"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+      .join(broadcast(qs), Seq("query_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col("cand_id"), col("cosine"))
+  }
+
   /** Label-aware (query, candidate) cosine scoring shared by
     * [[knnClassify]] and [[tripletMine]]: the [[bruteForceTopK]] frame
     * with both sides' labels carried through. Same scale shape — the

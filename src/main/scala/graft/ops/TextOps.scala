@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Engine-portable whitespace characters, spelled out (for use inside a
+    * regex character class): Java `\s` is `[ \t\n\x0B\f\r]` but
+    * RE2/DuckDB `\s` is `[ \t\n\f\r]` — NO vertical tab — so every
+    * whitespace collapse or strip that feeds a hash gate writes the class
+    * explicitly and the oracle SQL carries the identical literal. A
+    * document containing U+000B would otherwise hash-diverge between the
+    * engines. */
+  private[graft] val WsChars = " \\t\\n\\x0B\\f\\r"
+
   /** Lowercased alpha tokens; empty strings dropped. Evaluates through the
     * single-pass codegen kernel [[graft.functions.TokenizeWords]] — same
     * result set as [[tokensHof]] (cross-checked in TextKernelSpec), one
@@ -40,7 +49,7 @@ object TextOps {
     * stand-in for a tokenizer vocabulary (no external model in-container). */
   def subwordCountEstimate(text: Column): Column = {
     val alphaRuns = tokens(text)
-    val nonSpace = length(regexp_replace(text, "[a-zA-Z\\s]", ""))
+    val nonSpace = length(regexp_replace(text, "[a-zA-Z" + WsChars + "]", ""))
     aggregate(alphaRuns, lit(0L),
       (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long")) + nonSpace.cast("long")
   }
@@ -101,7 +110,7 @@ object TextOps {
   /** [[subwordCountEstimate]] derived from a [[textStats]] struct. */
   def subwordCountFromStats(st: Column, text: Column): Column =
     st.getField("n_subwords_alpha") +
-      length(regexp_replace(text, "[a-zA-Z\\s]", "")).cast("long")
+      length(regexp_replace(text, "[a-zA-Z" + WsChars + "]", "")).cast("long")
 
   /** Stopword hit count for one language (counts occurrences, not distinct). */
   def stopwordHits(toks: Column, lang: String): Column =
@@ -139,7 +148,7 @@ object TextOps {
     * text. md5 hex is identical across engines → the canonical exact-dedup
     * and grouping key. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(regexp_replace(trim(lower(text)), "[" + WsChars + "]+", " "))
 
   /** Word n-grams of a token-array column: positions 0..L−n joined with
     * single spaces; empty array when the doc is shorter than n. Takes the
@@ -661,7 +670,7 @@ object TextOps {
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val noEnts = regexp_replace(noTags, "&[a-zA-Z]+;|&#[0-9]+;", " ")
-    trim(regexp_replace(noEnts, "\\s+", " "))
+    trim(regexp_replace(noEnts, "[" + WsChars + "]+", " "))
   }
 
   /** X3 — BM25 retrieval scoring (Robertson/Spärck Jones; the Lucene

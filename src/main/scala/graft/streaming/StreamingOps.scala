@@ -431,16 +431,21 @@ object StreamingOps {
     * MinHash-LSH pipeline: each micro-batch computes signatures for the
     * new documents, drops (a) the higher-id member of every within-batch
     * near-pair (exact-verified, same as the batch pipeline) and (b) any
-    * new document whose signature lands in a ledger bucket with
-    * signature-estimated Jaccard ≥ estMin, then appends survivors to the
-    * corpus and their SIGNATURES to the ledger.
+    * new document EXACT-VERIFIED as a near-dup of a ledger survivor,
+    * then appends survivors to the corpus and their SIGNATURES to the
+    * ledger.
     *
     * The ledger holds k longs per surviving document — signatures only,
-    * never shingle sets, so cross-batch checks are candidate-bounded
-    * bucket joins against a compact table. That makes the cross-batch
-    * decision signature-estimated (not exact-verified) — the documented
-    * trade for an O(k·survivors) durable state; the batch pipeline
-    * remains the exact-verify form. */
+    * never shingle sets, so the cross-batch PREFILTER is a
+    * candidate-bounded bucket join against a compact table. The
+    * positives it yields are then exact-verified: every ledger survivor's
+    * full text lives in the corpus, so the verify fetches ONLY candidate
+    * refs (a keyed semi-join prune — candidate-bounded, never a corpus
+    * scan per batch beyond the pruned read) and compares true shingle
+    * Jaccard at `threshold`, the same verify the within-batch path and
+    * the batch pipeline run. A bare signature collision (est ≥ estMin
+    * but true Jaccard < threshold) therefore KEEPS the document — no
+    * false cross-batch drops, matching batch-pipeline semantics. */
   def incrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
                            corpusPath: String, ledgerPath: String, checkpoint: String,
                            k: Int = 8, r: Int = 4, estMin: Double = 0.75,
@@ -468,11 +473,30 @@ object StreamingOps {
           hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
         val crossLosers = if (ledgerExists) {
           val seen = spark.read.parquet(ledgerPath)
-          Dedup.lshBands(sig, k, r).as("l")
+          val cands = Dedup.lshBands(sig, k, r).as("l")
             .join(Dedup.lshBands(seen, k, r).as("r"),
               col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
             .where(Dedup.signatureEstJaccard(k) >= lit(estMin))
-            .select(col("l.doc_id").as("__loser")).distinct()
+            .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("ref_id"))
+            .distinct()
+          // exact verify of the prefilter positives against the corpus
+          // text (candidate-bounded; see scaladoc)
+          val refSets = Dedup.docShingleSets(
+            spark.read.parquet(corpusPath).join(
+              cands.select(col("ref_id").as(idCol)).distinct(),
+              Seq(idCol), "left_semi"),
+            idCol, textCol)
+            .select(col("doc_id").as("ref_id"),
+              col("toks").as("toks_r"), col("n_toks").as("nr"))
+          val newSets = sets.select(col("doc_id"),
+            col("toks").as("toks_n"), col("n_toks").as("nn"))
+          cands.join(newSets, Seq("doc_id")).join(refSets, Seq("ref_id"))
+            .withColumn("inter",
+              size(array_intersect(col("toks_n"), col("toks_r"))))
+            .where(col("inter").cast("double") /
+              (col("nn") + col("nr") - col("inter")).cast("double")
+              >= lit(threshold))
+            .select(col("doc_id").as("__loser")).distinct()
         } else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(

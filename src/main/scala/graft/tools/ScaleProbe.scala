@@ -434,6 +434,42 @@ object ScaleProbe {
     probe("triangle counts (open graph, d=8)",
       cnt(GraphOps.triangleCounts(synthGraph(20000L))),
       cnt(GraphOps.triangleCounts(synthGraph(20000L * scale))))
+    // round-11: the same NODE-GROWING protocol for the iterative ops —
+    // the 100-state probes above measure iteration overhead only; these
+    // grow the node/edge set at fixed degree (the crawl-graph regime).
+    // Per-iteration cost is one edge-keyed join + one dst groupBy, both
+    // linear in m, plus node-cardinality scalar aggregates → expect
+    // ratio ≪ scale at small n (overhead-bound) trending to ~linear.
+    probe("pagerank (open graph, d=8)",
+      cnt(GraphOps.pagerank(synthGraph(20000L))),
+      cnt(GraphOps.pagerank(synthGraph(20000L * scale))))
+    probe("personalized pagerank (open graph)",
+      cnt(GraphOps.pagerankPersonalized(synthGraph(20000L), seeds10)),
+      cnt(GraphOps.pagerankPersonalized(synthGraph(20000L * scale), seeds10)))
+    probe("hits (open graph, d=8)",
+      cnt(GraphOps.hits(synthGraph(20000L))),
+      cnt(GraphOps.hits(synthGraph(20000L * scale))))
+    probe("hop distances (open graph)",
+      cnt(GraphOps.hopDistances(synthGraph(20000L), seeds10)),
+      cnt(GraphOps.hopDistances(synthGraph(20000L * scale), seeds10)))
+    // round-11 checkpoint-cadence A/B (not a 1x-vs-Nx probe): materialize
+    // every iteration vs every 2nd on the x8-shaped event graph —
+    // lineage doubles only per unmaterialized step, so ckpt=2 halves the
+    // materializations for one extra re-execution per cut
+    if (only.forall(_.exists("checkpoint cadence".startsWith))) {
+      Seq(("pagerank", 1), ("pagerank", 2), ("hits", 1), ("hits", 2))
+        .foreach { case (op, every) =>
+          val run: () => Long = op match {
+            case "pagerank" => () =>
+              cnt(GraphOps.pagerank(prEdges(evN), checkpointEvery = every))
+            case _ => () =>
+              cnt(GraphOps.hits(prEdges(evN), checkpointEvery = every))
+          }
+          val t = Seq(time(s"$op ckpt=$every warm")(run())._2,
+            time(s"$op ckpt=$every")(run())._2).min
+          println(f"[probe] checkpoint cadence $op every=$every $t%8.2f s")
+        }
+    }
     // containment shares jaccard's candidate machinery — the probe
     // measures the rare-shingle pair fan-out under replication (exact
     // copies share EVERY shingle, so df of their shingles grows with

@@ -287,6 +287,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(r1.width == 1 + 'p' % 64)
   }
 
+  test("X4 BmpCodec: parses real little-endian header bytes, rejects non-BMP") {
+    import graft.ops.Multimodal.{BmpCodec, MediaRow}
+    // hand-built header, independent of syntheticBmp: width 300 = 0x012C
+    // exercises a SECOND little-endian byte (the builder stays < 256)
+    val b = new Array[Byte](54)
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    b(18) = 0x2c.toByte; b(19) = 0x01.toByte // width 300 LE
+    b(22) = 17.toByte                        // height 17
+    val d = new BmpCodec().decode(MediaRow(7L, b))
+    assert(d.width == 300 && d.height == 17 && d.n_bytes == 54L)
+    assert(d.features.toSeq == Seq(300.0, 17.0, 5100.0))
+    // malformed payloads throw — no fabricated dimensions
+    intercept[IllegalArgumentException] {
+      new BmpCodec().decode(MediaRow(8L, "notabmp-but-long-enough-payload".getBytes))
+    }
+    intercept[IllegalArgumentException] {
+      new BmpCodec().decode(MediaRow(9L, Array[Byte]('B', 'M', 0, 0)))
+    }
+  }
+
+  test("X4 decodeBmp: syntheticBmp build → BmpCodec parse round-trips, one codec per partition") {
+    import graft.ops.Multimodal.{BmpCodec, MediaRow}
+    val src = (1L to 60L).map(i => (i, s"pixels-$i")).toDF("doc_id", "text")
+    val rows = src.select(col("doc_id"), Multimodal.syntheticBmp(
+        (pmod(col("doc_id"), lit(64)) + 1).cast("int"),
+        (pmod(col("doc_id") * 7, lit(48)) + 1).cast("int"),
+        encode(col("text"), "UTF-8")).as("media"))
+      .repartition(4).as[Multimodal.MediaRow]
+    BmpCodec.constructions.set(0L)
+    val out = Multimodal.decodeBmp(rows).collect()
+    assert(out.length == 60)
+    assert(BmpCodec.constructions.get() == 4L) // per partition, not per row
+    out.foreach { d =>
+      assert(d.width == (d.doc_id % 64 + 1).toInt, s"doc ${d.doc_id}")
+      assert(d.height == (d.doc_id * 7 % 48 + 1).toInt)
+      assert(d.n_bytes == 54L + s"pixels-${d.doc_id}".length)
+    }
+  }
+
   test("X4 multimodal plumbing: payload, metadata, stub decode are deterministic") {
     val d = Seq((1L, "hello world")).toDF("doc_id", "text")
     val e = Multimodal.enrich(d, "doc_id", "text")

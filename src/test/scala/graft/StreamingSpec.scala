@@ -654,6 +654,72 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental near-dedup: cross-batch sig-prefilter positives are exact-verified") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    // premise: find a variant of `base` whose SIGNATURE estimate clears
+    // the estMin prefilter while its TRUE shingle Jaccard is below the
+    // 0.8 drop threshold — the bare-collision case. Pre-round-11 the
+    // prefilter alone dropped such a doc; now the exact verify keeps it.
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen")
+    val tails = Seq(
+      "ten london madrid paris berlin",
+      "crimson eleven nevada ridge gorge",
+      "tern umbra xylo yonder zephyr",
+      "umbrella vice whisk xenon yak",
+      "pebble stone rock cliff ledge",
+      "maple oak birch cedar willow")
+    val variants = tails.map(t => base.split(" ").dropRight(5).mkString(" ") + " " + t)
+    // (band-collides?, est, true-jaccard) for a (base, variant) pair —
+    // band-collision is the prefilter's actual gate (a FULL r=4 band
+    // must agree), est feeds its >= estMin cut
+    def sigStats(a: String, b: String): (Boolean, Double, Double) = {
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val sets = ops.Dedup.docShingleSets(docs, "doc_id", "text")
+      val sig = ops.Dedup.minhashSignaturesFromSets(sets, 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+      val agree = sig(1L).zip(sig(2L)).map { case (x, y) => x == y }
+      val band = agree.take(4).forall(identity) || agree.drop(4).forall(identity)
+      val est = agree.count(identity) / 8.0
+      val tk = sets.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val jac = tk(1L).intersect(tk(2L)).size.toDouble / tk(1L).union(tk(2L)).size
+      (band, est, jac)
+    }
+    val collision = variants.find { v =>
+      val (band, est, jac) = sigStats(base, v)
+      band && est >= 0.75 && jac < 0.8
+    }
+    assert(collision.nonEmpty,
+      "fixture premise: need a variant that band-collides with sig-est >= estMin but true Jaccard < threshold")
+    val corpus = Files.createTempDirectory("graft_nd2_corpus").toString
+    val ledger = Files.createTempDirectory("graft_nd2_ledger").toString + "/sig"
+    val ckpt = Files.createTempDirectory("graft_nd2_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalNearDedup(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", corpus, ledger, ckpt)
+    mem.addData((1L, base))
+    q.processAllAvailable()
+    // batch 2: a true near-copy of base (one word changed → J ≥ 0.8,
+    // drops) and the bare-collision variant (est clears, exact fails →
+    // SURVIVES under the documented policy)
+    val nearCopy = base.replace("oscar", "oskar")
+    locally {
+      val (band, est, jac) = sigStats(base, nearCopy)
+      assert(band && est >= 0.75 && jac >= 0.8,
+        s"fixture premise: near-copy must clear prefilter AND threshold (band=$band est=$est jac=$jac)")
+    }
+    mem.addData((2L, nearCopy), (3L, collision.get))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"got $ids")
+    assert(spark.read.parquet(ledger).select("doc_id").distinct().count() == 2)
+  }
+
   test("incremental decontamination: bench gram ledger drops leaked docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
