@@ -350,6 +350,17 @@ object ScaleProbe {
       cnt(Similarity.ivfPqSearch(embN, "vec_id", "embedding", 2, 64, cb1,
         pmod(col("vec_id"), lit(89)) === 1,
         pmod(col("vec_id"), lit(100L * scale)) === 0, 5, nprobe = 2)))
+    // round-11 two-stage: IVFADC shortlist (20) → exact re-rank; the
+    // exact stage adds one un-shuffled corpus scan + a broadcast
+    // candidate prune, so the ratio should track ivf+pq search
+    probe("two-stage rerank (trained at 1x)",
+      cnt(Similarity.ivfPqRerank(emb1, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(89)) === 1,
+        pmod(col("vec_id"), lit(100)) === 0, 5, nprobe = 2, shortlist = 20)),
+      cnt(Similarity.ivfPqRerank(embN, "vec_id", "embedding", 2, 64, cb1,
+        pmod(col("vec_id"), lit(89)) === 1,
+        pmod(col("vec_id"), lit(100L * scale)) === 0, 5, nprobe = 2,
+        shortlist = 20)))
     probe("dup span fraction (8-gram)",
       cnt(TextOps.duplicatedSpans(docs1, "doc_id", "text", n = 8)),
       cnt(TextOps.duplicatedSpans(docsN, "doc_id", "text", n = 8)))

@@ -587,6 +587,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no all-pairs stage anywhere")
   }
 
+  test("two-stage rerank: shortlist + final rank are the only windows; exact stage broadcast-joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val exec = Queries.all.find(_.name == "x2_ivf_rerank_topk").get
+      .run(spark, sf001).queryExecution.executedPlan
+    // exactly two per-query ranking windows: the ADC shortlist cut and
+    // the exact-cosine re-rank — anything else means an expand-then-rank
+    // snuck into an assignment fold
+    val windows = allNodes(exec).collect { case w: WindowExec => w }
+    assert(windows.size == 2,
+      s"expected shortlist + re-rank windows only, saw ${windows.size}")
+    windows.foreach(w =>
+      assert(w.partitionSpec.map(_.toString).exists(_.contains("query_id")),
+        "both windows must partition by query_id"))
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), "no all-pairs stage anywhere")
+    assert(!p.contains("SortMergeJoin"),
+      "the queries-x-shortlist candidate frame and the query stripe must broadcast-join the corpus scan")
+  }
+
   test("PQ ADC search: codes and distance table broadcast-join; only the final ranking windows") {
     val p = plan("x2_pq_adc_topk")
     val windows = p.linesIterator.count(_.contains("Window ["))

@@ -91,6 +91,21 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint cadence is a pure materialization knob — identical ranks") {
+    // per-iteration rounding is arithmetic, not a materialization effect,
+    // so every cadence must produce bit-identical ranks/scores
+    val e = cleanEdges
+    val pr1 = GraphOps.pagerank(e, iters = 5).as[(Long, Double)].collect().toMap
+    val pr2 = GraphOps.pagerank(e, iters = 5, checkpointEvery = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(pr1 == pr2)
+    val h1 = GraphOps.hits(e, iters = 5)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val h2 = GraphOps.hits(e, iters = 5, checkpointEvery = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(h1 == h2)
+  }
+
   test("x8 iterative ops release their working set through the cache handle") {
     val e = cleanEdges
     def assertReleased(run: DedupCaches => org.apache.spark.sql.DataFrame): Unit = {
