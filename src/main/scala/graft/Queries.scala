@@ -1458,6 +1458,40 @@ object Queries {
         round(CAST(w AS DOUBLE) * h, 6) AS f2
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — PNG decode ([[Multimodal.decodePng]]): the BIG-endian mirror
+    * of `x4_decode_real` — each document wrapped in a valid PNG
+    * signature + IHDR chunk ([[Multimodal.syntheticPng]]) whose
+    * network-order width/height the codec parses back at offsets 16/20.
+    * Together the two gates pin BOTH byte orders: a parser that
+    * conflated them would pass one and hash-diverge on the other. */
+  private val x4DecodePng = Q("x4_decode_png",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(48)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 5, lit(64)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticPng(w, h, encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodePng(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          size(col("features")).cast("long").as("n_features"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 2), 6).as("f1"),
+          round(element_at(col("features"), 3), 6).as("f2"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(doc_id % 48 + 1 AS BIGINT) AS w,
+        CAST((doc_id * 5) % 64 + 1 AS BIGINT) AS h,
+        CAST(33 + strlen(text) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, w AS width, h AS height, n AS n_bytes,
+        CAST(3 AS BIGINT) AS n_features,
+        round(CAST(w AS DOUBLE), 6) AS f0, round(CAST(h AS DOUBLE), 6) AS f1,
+        round(CAST(w AS DOUBLE) * h, 6) AS f2
+      FROM d ORDER BY doc_id"""))
+
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
     * checksum-collapse → quantized-feature band → exact L2 verify; the
     * L2 fold runs in dimension order on both engines and rounds at 6. */
@@ -5842,7 +5876,7 @@ object Queries {
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
-    x2IvfRerankRecall)
+    x2IvfRerankRecall, x4DecodePng)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

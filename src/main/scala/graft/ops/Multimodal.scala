@@ -184,6 +184,68 @@ object Multimodal {
     }
   }
 
+  /** Build a valid PNG container prefix — the 8-byte signature plus a
+    * correctly-formed IHDR chunk (length, type, 13 data bytes, CRC slot)
+    * — from width/height columns, with `pixels` appended where a real
+    * file carries IDAT chunks. BIG-endian counterpart of
+    * [[syntheticBmp]] (PNG chunk fields are network order where BMP is
+    * little-endian — together the two builders/codecs pin both byte
+    * orders). Width/height < 256 ⇒ three zero bytes + one value byte.
+    * The CRC slot is zeroed: [[PngCodec]] reads geometry, it does not
+    * checksum (documented non-goal — a zero CRC keeps the byte layout
+    * exact without shipping a CRC32 table through an expression). */
+  def syntheticPng(w: Column, h: Column, pixels: Column): Column = {
+    def be32(v: Column): Column = concat(lit("000000"), lpad(hex(v), 2, "0"))
+    concat(unhex(concat(
+      lit("89504E470D0A1A0A"),            // PNG signature
+      lit("0000000D"),                    // IHDR data length = 13
+      lit("49484452"),                    // "IHDR"
+      be32(w), be32(h),                   // the fields the codec parses
+      lit("08"), lit("02"),               // bit depth 8, truecolor
+      lit("000000"),                      // compression/filter/interlace
+      lit("00000000")                     // CRC slot (not validated)
+    )), pixels)
+  }
+
+  /** REAL codec for the PNG container: validates the 8-byte signature
+    * and the IHDR chunk type, then parses width/height as BIG-endian
+    * int32 at byte offsets 16/20 — the network-order mirror of
+    * [[BmpCodec]]. Same per-partition lifecycle; malformed payloads
+    * throw. */
+  final class PngCodec {
+    PngCodec.constructions.incrementAndGet(): Unit
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def decode(r: MediaRow): DecodedMedia = {
+      val b = r.media
+      require(b.length >= 24 && b.take(8).sameElements(Sig) &&
+        b(12) == 'I'.toByte && b(13) == 'H'.toByte &&
+        b(14) == 'D'.toByte && b(15) == 'R'.toByte,
+        s"not a PNG payload (doc ${r.doc_id})")
+      val w = be32(b, 16)
+      val h = be32(b, 20)
+      DecodedMedia(r.doc_id, w, h, b.length.toLong,
+        Array(w.toDouble, h.toDouble, w.toDouble * h))
+    }
+  }
+  object PngCodec {
+    /** Test hook: constructions ≈ one per partition via [[decodePng]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[PngCodec]] — same plan contract as
+    * [[decodeBmp]]. */
+  def decodePng(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new PngCodec
+      it.map(codec.decode)
+    }
+  }
+
   /** Attach media payload + metadata + decoded features to a documents
     * table — the canonical multimodal enrichment pipeline. */
   def enrich(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -326,6 +326,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("X4 PngCodec: parses big-endian IHDR bytes, rejects non-PNG") {
+    import graft.ops.Multimodal.{PngCodec, MediaRow}
+    // hand-built container: width 300 = 0x012C big-endian exercises the
+    // SECOND byte from the opposite end vs the BMP test
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val b = new Array[Byte](33)
+    sig.copyToArray(b, 0)
+    b(11) = 0x0d.toByte // IHDR length 13
+    b(12) = 'I'.toByte; b(13) = 'H'.toByte; b(14) = 'D'.toByte; b(15) = 'R'.toByte
+    b(18) = 0x01.toByte; b(19) = 0x2c.toByte // width 300 BE
+    b(23) = 17.toByte                        // height 17
+    val d = new PngCodec().decode(MediaRow(7L, b))
+    assert(d.width == 300 && d.height == 17 && d.n_bytes == 33L)
+    assert(d.features.toSeq == Seq(300.0, 17.0, 5100.0))
+    // a BMP payload must NOT decode as PNG (the endianness twin rejects)
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'.toByte; bmp(1) = 'M'.toByte; bmp(18) = 5.toByte; bmp(22) = 5.toByte
+    intercept[IllegalArgumentException] { new PngCodec().decode(MediaRow(8L, bmp)) }
+    intercept[IllegalArgumentException] { new PngCodec().decode(MediaRow(9L, sig)) }
+  }
+
+  test("X4 decodePng: syntheticPng build → PngCodec parse round-trips") {
+    import graft.ops.Multimodal.MediaRow
+    val src = (1L to 40L).map(i => (i, s"idat-$i")).toDF("doc_id", "text")
+    val rows = src.select(col("doc_id"), Multimodal.syntheticPng(
+        (pmod(col("doc_id"), lit(48)) + 1).cast("int"),
+        (pmod(col("doc_id") * 5, lit(64)) + 1).cast("int"),
+        encode(col("text"), "UTF-8")).as("media"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.decodePng(rows).collect()
+    assert(out.length == 40)
+    out.foreach { d =>
+      assert(d.width == (d.doc_id % 48 + 1).toInt, s"doc ${d.doc_id}")
+      assert(d.height == (d.doc_id * 5 % 64 + 1).toInt)
+      assert(d.n_bytes == 33L + s"idat-${d.doc_id}".length)
+    }
+  }
+
   test("X4 multimodal plumbing: payload, metadata, stub decode are deterministic") {
     val d = Seq((1L, "hello world")).toDF("doc_id", "text")
     val e = Multimodal.enrich(d, "doc_id", "text")

@@ -123,6 +123,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BMP/PNG codecs invert JDK-written headers for any dimensions") {
+    // independent oracle: java.nio.ByteBuffer writes the int fields
+    // (LITTLE_ENDIAN for BMP, BIG_ENDIAN for PNG), the codecs must read
+    // them back for ANY positive dimensions — not just the < 256 range
+    // the in-plan builders emit
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dim = Gen.choose(1, Int.MaxValue)
+    check(Prop.forAll(dim, dim, Gen.choose(0, 64)) { (w, h, pad) =>
+      val bmp = ByteBuffer.allocate(54 + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bmp.put('B'.toByte).put('M'.toByte)
+      bmp.position(18); bmp.putInt(w); bmp.putInt(h)
+      val db = new Multimodal.BmpCodec().decode(Multimodal.MediaRow(1L, bmp.array()))
+      val png = ByteBuffer.allocate(33 + pad).order(ByteOrder.BIG_ENDIAN)
+      png.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      png.position(12)
+      png.put('I'.toByte).put('H'.toByte).put('D'.toByte).put('R'.toByte)
+      png.putInt(w); png.putInt(h)
+      val dp = new Multimodal.PngCodec().decode(Multimodal.MediaRow(2L, png.array()))
+      db.width == w && db.height == h && db.n_bytes == 54L + pad &&
+        dp.width == w && dp.height == h && dp.n_bytes == 33L + pad
+    })
+  }
+
   test("minhash universal hash stays in [0, P) for any token id") {
     check(Prop.forAll(Gen.choose(0L, 10000000L), Gen.choose(0, 31)) { (id, j) =>
       val h = (Dedup.minhashA(j) * id + Dedup.minhashB(j)) % Dedup.MinhashP

@@ -106,6 +106,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("exact re-rank dominates raw ADC top-k against the same exact reference") {
+    // any true neighbor the ADC top-5 catches is in the 20-candidate
+    // shortlist, and within the shortlist at most 4 items outrank it by
+    // cosine — so per query |exact ∩ rerank5| >= |exact ∩ adc5|, always
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val qp = pmod(col("vec_id"), lit(100)) === 0
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
+      seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("cand_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5))
+    val adc = pairs(Similarity.ivfPqSearch(emb, "vec_id", "embedding", 2, 64, cb,
+      pmod(col("vec_id"), lit(89)) === 1, qp, k = 5, nprobe = 2))
+    val rr = pairs(Similarity.ivfPqRerank(emb, "vec_id", "embedding", 2, 64, cb,
+      pmod(col("vec_id"), lit(89)) === 1, qp, k = 5, nprobe = 2, shortlist = 20))
+    cb.unpersist()
+    exact.foreach { case (q, ex) =>
+      val hitsRr = ex.intersect(rr.getOrElse(q, Set.empty)).size
+      val hitsAdc = ex.intersect(adc.getOrElse(q, Set.empty)).size
+      assert(hitsRr >= hitsAdc, s"query $q: rerank $hitsRr < adc $hitsAdc")
+    }
+  }
+
   test("x8 iterative ops release their working set through the cache handle") {
     val e = cleanEdges
     def assertReleased(run: DedupCaches => org.apache.spark.sql.DataFrame): Unit = {
