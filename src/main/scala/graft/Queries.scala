@@ -1007,6 +1007,26 @@ object Queries {
     * the denominator is the MEASURED per-query exact-candidate count
     * capped at k, and the division takes two exact small integers in
     * IEEE double — bit-identical in both engines. */
+  /** Shared recall@k plumbing: ONE pass over the exact top-k — the
+    * index's candidate pairs LEFT-join in as a hit marker and a single
+    * per-query aggregate folds n_exact and n_hits together. The
+    * previous shape referenced the brute-force `exact` frame twice
+    * (semi-join hits + denominator count) with nothing cached, so its
+    * crossJoin+window subtree executed twice (verified in the r11
+    * executed plans — no ReusedExchange spans it). At eval-stripe sizes
+    * that second execution is small next to the index-build stages, so
+    * this is a plan-shape cleanup more than a headline win; at a larger
+    * query stripe the saved pass is the corpus×queries term. Values are
+    * identical: recall = n_hits / min(k, n_exact), the
+    * measured-denominator contract every recall eval carries. */
+  private def recallOf(exact: DataFrame, cand: DataFrame, k: Int): DataFrame =
+    exact.join(cand.withColumn("__hit", lit(1)), Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") / least(col("n_exact"), lit(k.toLong)).cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+
   private val x2AnnRecall = Q("x2_ann_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1015,18 +1035,7 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val ann = Similarity.lshTopK(emb, "vec_id", "embedding", qp, k = 5, bits = 4)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(ann, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      // Denominator is the MEASURED exact-candidate count per query
-      // (capped at k) rather than a literal k: a query stripe with
-      // fewer than k exact candidates must not understate recall.
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, ann, k = 5)
     },
     Some {
       val cosine = """round(list_sum(list_transform(range(len(qv)), i -> qv[i+1]*v[i+1]))
@@ -1674,15 +1683,7 @@ object Queries {
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
         centroidPred = pmod(col("vec_id"), lit(97)) === 3, queryPred = qp, k = 5)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, ivf, k = 5)
     },
     Some {
       val dvv = dotSql("v", "v"); val dvc = dotSql("v", "cv"); val dcc = dotSql("cv", "cv")
@@ -3531,18 +3532,7 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val trunc = Similarity.bruteForceTopK(emb, "vec_id", "emb16", qp, k = 5)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(trunc, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      // denominator = the exact top-k actually available per query (≤ 5
-      // at a tiny stripe), so recall stays a true fraction of what the
-      // full-dimension ranking produced rather than of a fixed constant
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, trunc, k = 5)
     },
     Some {
       def cosine(q: String, c: String) =
@@ -4238,15 +4228,7 @@ object Queries {
           "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(pq, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, pq, k = 5)
     },
     Some(s"""${pqOracleCtes(23, 8)},
       m1 AS (SELECT sub, cell, i AS pos,
@@ -4377,15 +4359,7 @@ object Queries {
           "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(ivfpq, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, ivfpq, k = 5)
     },
     Some(s"""$ivfPqOracleCtes,
       pqrk AS (SELECT query_id, pid AS cand_id FROM (
@@ -4455,15 +4429,7 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
         .select(col("query_id"), col("cand_id"))
-      val hits = exact.join(rr, Seq("query_id", "cand_id"), "left_semi")
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
-      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L))
-            / least(col("n_exact"), lit(5L)).cast("double")).as("recall"))
-        .orderBy(col("query_id"))
+      recallOf(exact, rr, k = 5)
     },
     Some(s"""$ivfPqOracleCtes,
       sl AS (SELECT query_id, pid AS cand_id FROM (
@@ -5214,11 +5180,12 @@ object Queries {
       Tables.documents(s, dir).where(pmod(col("doc_id"), lit(3)) =!= 0),
       "doc_id", "text")
       .orderBy(col("doc_id")),
-    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents d
       WHERE doc_id % 3 = 0
-        AND md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) NOT IN (
-          SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
-          FROM documents WHERE doc_id % 3 <> 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM documents r WHERE r.doc_id % 3 <> 0
+            AND md5(regexp_replace(trim(lower(r.text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+              = md5(regexp_replace(trim(lower(d.text)), '[ \t\n\x0B\f\r]+', ' ', 'g')))
       ORDER BY doc_id"""))
 
   /** X1 — bloom-prefiltered cross-corpus dedup
@@ -5226,19 +5193,21 @@ object Queries {
     * `x1_cross_corpus_dedup` on a different shard split (mod 4), with the
     * reference folded into a distributed bloom sketch so only
     * bloom-positive rows reach the exact anti join. The oracle is the
-    * plain NOT IN — the bloom is pure routing and must not change the
-    * answer. */
+    * plain NOT EXISTS (anti-join semantics, NULL-safe like the Spark
+    * side — the r11 discipline) — the bloom is pure routing and must
+    * not change the answer. */
   private val x1CrossCorpusBloom = Q("x1_cross_corpus_bloom",
     (s, dir) => Dedup.dedupAgainstReferenceBloom(
       Tables.documents(s, dir).where(pmod(col("doc_id"), lit(4)) === 0),
       Tables.documents(s, dir).where(pmod(col("doc_id"), lit(4)) =!= 0),
       "doc_id", "text", expectedItems = 4096L)
       .orderBy(col("doc_id")),
-    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents
+    Some("""SELECT doc_id, text, lang, source, n_chars FROM documents d
       WHERE doc_id % 4 = 0
-        AND md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) NOT IN (
-          SELECT md5(regexp_replace(trim(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
-          FROM documents WHERE doc_id % 4 <> 0)
+        AND NOT EXISTS (
+          SELECT 1 FROM documents r WHERE r.doc_id % 4 <> 0
+            AND md5(regexp_replace(trim(lower(r.text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+              = md5(regexp_replace(trim(lower(d.text)), '[ \t\n\x0B\f\r]+', ' ', 'g')))
       ORDER BY doc_id"""))
 
   /** X1 — sub-document (paragraph-level) dedup

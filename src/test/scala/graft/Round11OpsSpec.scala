@@ -74,6 +74,18 @@ class Round11OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cross-corpus dedup keeps a null-text document (anti-join semantics)") {
+    // the NOT EXISTS oracle discipline: a NULL fingerprint matches no
+    // reference row, so the document SURVIVES on both engines — the old
+    // NOT IN form would have three-valued it out of the oracle's result
+    val newDocs = Seq((1L, Option("shared body")), (2L, Option.empty[String]),
+      (3L, Option("fresh body"))).toDF("doc_id", "text")
+    val refDocs = Seq((10L, "shared body")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstReference(newDocs, refDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
+
   test("vertical tab: fingerprint and stripMarkup collapse U+000B like Java \\s") {
     // Java `\s` includes U+000B; RE2/DuckDB `\s` does not — the explicit
     // class keeps the Spark side on Java-`\s` semantics so the oracle can
