@@ -3950,12 +3950,18 @@ object Queries {
 
   /** X8 — the transition graph itself ([[GraphOps.transitionEdges]]):
     * consecutive per-user states paired by a lead window, multiplicity
-    * counted — the edge list the graph family consumes. */
+    * counted — the edge list the graph family consumes. NULL-src edges
+    * (an event whose props lacks the state key) are dropped here like
+    * in every downstream graph op — beyond the not-a-node semantics,
+    * keeping them would also diverge the ordered gate (Spark sorts
+    * NULLS FIRST on asc, DuckDB NULLS LAST). */
   private val x8Graph = Q("x8_transition_graph",
-    (s, dir) => x8Edges(s, dir).orderBy(col("src"), col("dst")),
+    (s, dir) => x8Edges(s, dir).where(col("src").isNotNull)
+      .orderBy(col("src"), col("dst")),
     Some(s"""WITH $x8EdgeCtes
       SELECT src, dst, CAST(count(*) AS BIGINT) AS weight FROM t
-      WHERE dst IS NOT NULL GROUP BY src, dst ORDER BY src, dst"""))
+      WHERE dst IS NOT NULL AND src IS NOT NULL
+      GROUP BY src, dst ORDER BY src, dst"""))
 
   /** X8 — weighted PageRank over the transition graph
     * ([[GraphOps.pagerank]]), 5 unrolled iterations with uniform teleport
@@ -4414,8 +4420,12 @@ object Queries {
   /** X2 — two-stage recall@5 vs exact cosine (the refine payoff the
     * recall harness measures): with the exact re-rank on top, the index
     * can only miss a true neighbor that fell OUTSIDE the 20-candidate
-    * shortlist — ordering errors inside the shortlist are repaired, so
-    * this reads ≥ x2_ivf_pq_recall by construction. Measured
+    * shortlist — ordering errors inside the shortlist are repaired.
+    * The guaranteed form of that claim is per-query hit-count dominance
+    * over the raw ADC top-k AGAINST THE SAME cosine reference
+    * (Round11OpsSpec proves it); comparing this query's number to
+    * `x2_ivf_pq_recall` is only indicative, since that eval's exact
+    * side is L2, a different reference ranking. Measured
     * min(k, n_exact) denominator, as every recall eval. */
   private val x2IvfRerankRecall = Q("x2_ivf_rerank_recall",
     (s, dir) => {

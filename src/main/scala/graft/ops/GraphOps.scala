@@ -218,8 +218,8 @@ object GraphOps {
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5,
                    materialize: Boolean = true,
                    caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val e = caches.track(edges
-      .where(col("src").isNotNull && col("dst").isNotNull)
+    // prepEdges also casts a weight column; Catalyst prunes it here
+    val e = caches.track(prepEdges(edges)
       .select(col("src"), col("dst")).distinct())
     val nodes = caches.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
@@ -258,8 +258,7 @@ object GraphOps {
     * rounding discipline needed for engine parity. */
   def triangleCounts(edges: DataFrame,
                      caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val und = caches.track(edges
-      .where(col("src").isNotNull && col("dst").isNotNull)
+    val und = caches.track(prepEdges(edges)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct())

@@ -126,12 +126,16 @@ object Multimodal {
     * re-reads width/height from the little-endian header fields at
     * offsets 18/22, so a gate over build→decode proves a REAL byte-format
     * parse (magic check + LE int32 extraction), not an echo of the
-    * inputs. Widths/heights are assumed < 256 (one LE byte + three zero
-    * bytes) — fixture-scale images; a full writer would format all four
-    * bytes. Pure codegen expressions: hex-format + unhex + binary concat,
-    * map-only over the scan. */
+    * inputs. All four bytes are formatted (8-digit hex, byte pairs
+    * reversed for the little-endian fields), so the builder is total
+    * over non-negative int32 dimensions. Pure codegen expressions:
+    * hex-format + unhex + binary concat, map-only over the scan. */
   def syntheticBmp(w: Column, h: Column, pixels: Column): Column = {
-    def le32(v: Column): Column = concat(lpad(hex(v), 2, "0"), lit("000000"))
+    def le32(v: Column): Column = {
+      val hx = lpad(hex(v), 8, "0")
+      concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2))
+    }
     concat(unhex(concat(
       lit("424D"),                       // "BM" magic
       lit("00000000"), lit("00000000"),  // file size, reserved (unused)
@@ -190,12 +194,12 @@ object Multimodal {
     * file carries IDAT chunks. BIG-endian counterpart of
     * [[syntheticBmp]] (PNG chunk fields are network order where BMP is
     * little-endian — together the two builders/codecs pin both byte
-    * orders). Width/height < 256 ⇒ three zero bytes + one value byte.
+    * orders); full 4-byte fields, total over non-negative int32 dims.
     * The CRC slot is zeroed: [[PngCodec]] reads geometry, it does not
     * checksum (documented non-goal — a zero CRC keeps the byte layout
     * exact without shipping a CRC32 table through an expression). */
   def syntheticPng(w: Column, h: Column, pixels: Column): Column = {
-    def be32(v: Column): Column = concat(lit("000000"), lpad(hex(v), 2, "0"))
+    def be32(v: Column): Column = lpad(hex(v), 8, "0")
     concat(unhex(concat(
       lit("89504E470D0A1A0A"),            // PNG signature
       lit("0000000D"),                    // IHDR data length = 13

@@ -324,6 +324,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(d.height == (d.doc_id * 7 % 48 + 1).toInt)
       assert(d.n_bytes == 54L + s"pixels-${d.doc_id}".length)
     }
+    // builders are total over int32: multi-byte dims survive both byte
+    // orders through the full build→parse round-trip
+    val wide = Seq((1L, "px")).toDF("doc_id", "text")
+    val bmpWide = Multimodal.decodeBmp(wide.select(col("doc_id"),
+        Multimodal.syntheticBmp(lit(70000), lit(300), encode(col("text"), "UTF-8"))
+          .as("media")).as[Multimodal.MediaRow]).collect()(0)
+    assert(bmpWide.width == 70000 && bmpWide.height == 300)
+    val pngWide = Multimodal.decodePng(wide.select(col("doc_id"),
+        Multimodal.syntheticPng(lit(70000), lit(300), encode(col("text"), "UTF-8"))
+          .as("media")).as[Multimodal.MediaRow]).collect()(0)
+    assert(pngWide.width == 70000 && pngWide.height == 300)
   }
 
   test("X4 PngCodec: parses big-endian IHDR bytes, rejects non-PNG") {
