@@ -1501,6 +1501,38 @@ object Queries {
         round(CAST(w AS DOUBLE) * h, 6) AS f2
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — pixel-payload statistics ([[Multimodal.bmpPayloadStats]]):
+    * feature extraction from REAL bytes end-to-end — the codec reads the
+    * pixel-array OFFSET field (LE int32 at byte 10, a header field the
+    * geometry gates never exercise) and folds mean/max over the payload
+    * from that offset; the oracle replays the fold from the hex dump of
+    * the same payload. Byte sum is exact integer arithmetic, so the
+    * mean divides identically on both engines. */
+  private val x4PixelStats = Q("x4_pixel_stats",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(64)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 7, lit(48)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticBmp(w, h, encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.bmpPayloadStats(rows).toDF()
+        .select(col("doc_id"), col("n_payload"),
+          round(col("mean_byte"), 6).as("mean_byte"), col("max_byte"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        CAST(strlen(text) AS BIGINT) AS n FROM documents),
+      e AS (SELECT doc_id, n, list_transform(range(CAST(n AS INT)),
+          i -> CAST(('0x' || substr(hx, CAST(2*i+1 AS INT), 2)) AS INT)) AS bs
+        FROM b)
+      SELECT doc_id, n AS n_payload,
+        round(CAST(coalesce(list_sum(bs), 0) AS DOUBLE)
+          / greatest(CAST(n AS DOUBLE), 1.0), 6) AS mean_byte,
+        CAST(coalesce(list_aggregate(bs, 'max'), 0) AS BIGINT) AS max_byte
+      FROM e ORDER BY doc_id"""))
+
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
     * checksum-collapse → quantized-feature band → exact L2 verify; the
     * L2 fold runs in dimension order on both engines and rounds at 6. */
@@ -5855,7 +5887,7 @@ object Queries {
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
-    x2IvfRerankRecall, x4DecodePng)
+    x2IvfRerankRecall, x4DecodePng, x4PixelStats)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -38,8 +38,11 @@ object GraphOps {
     * `NOT IN` membership test over a NULL src (which silently empties
     * the dangling set while the anti-join side still treats the NULL
     * node as dangling). */
-  private def prepEdges(edges: DataFrame): DataFrame =
+  private def dropNullEdges(edges: DataFrame): DataFrame =
     edges.where(col("src").isNotNull && col("dst").isNotNull)
+
+  private def prepEdges(edges: DataFrame): DataFrame =
+    dropNullEdges(edges)
       .select(col("src"), col("dst"), col("weight").cast("double").as("w"))
 
   /** Consecutive-state transition edges per session key: order each
@@ -218,8 +221,8 @@ object GraphOps {
   def hopDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 5,
                    materialize: Boolean = true,
                    caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    // prepEdges also casts a weight column; Catalyst prunes it here
-    val e = caches.track(prepEdges(edges)
+    // unweighted op — edge frames without a weight column are legal here
+    val e = caches.track(dropNullEdges(edges)
       .select(col("src"), col("dst")).distinct())
     val nodes = caches.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
@@ -258,7 +261,7 @@ object GraphOps {
     * rounding discipline needed for engine parity. */
   def triangleCounts(edges: DataFrame,
                      caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val und = caches.track(prepEdges(edges)
+    val und = caches.track(dropNullEdges(edges)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct())

@@ -250,6 +250,238 @@ object Multimodal {
     }
   }
 
+  case class PayloadStats(doc_id: Long, n_payload: Long, mean_byte: Double,
+                          max_byte: Long)
+
+  /** Pixel-payload statistics from a BMP container — the feature-extract
+    * stage working on REAL bytes end-to-end: the codec reads the
+    * pixel-array OFFSET field (little-endian int32 at byte 10 of
+    * BITMAPFILEHEADER — a header field the geometry gate never touches),
+    * then folds mean/max over the payload from that offset. The byte sum
+    * is exact integer arithmetic, so mean = sum/n is the identical IEEE
+    * double on any engine — DuckDB replays it from the hex dump of the
+    * same payload. Same mapPartitions lifecycle as the decode paths. */
+  def bmpPayloadStats(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[PayloadStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new BmpCodec // magic validation + LE field reads
+      it.map { r =>
+        codec.decode(r): Unit // validates container + geometry fields
+        val b = r.media
+        val off = (b(10) & 0xff) | ((b(11) & 0xff) << 8) |
+          ((b(12) & 0xff) << 16) | ((b(13) & 0xff) << 24)
+        require(off >= 14 && off <= b.length,
+          s"pixel-array offset $off outside payload (doc ${r.doc_id})")
+        var i = off; var sum = 0L; var mx = 0
+        while (i < b.length) {
+          val v = b(i) & 0xff
+          sum += v; if (v > mx) mx = v; i += 1
+        }
+        val n = b.length - off
+        PayloadStats(r.doc_id, n.toLong,
+          if (n == 0) 0.0 else sum.toDouble / n, mx.toLong)
+      }
+    }
+  }
+
+  case class PngPixels(doc_id: Long, width: Int, height: Int, n_pixels: Long,
+                       mean_r: Double, mean_g: Double, mean_b: Double,
+                       max_byte: Long)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6) — shared by the filter-apply
+    * (builder) and filter-invert (codec) sides. */
+  private[ops] def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build a COMPLETE spec-valid PNG (8-bit truecolor, non-interlaced)
+    * from raw RGB bytes: each scanline is FILTERED with type `y % 5`
+    * (exercising None/Sub/Up/Average/Paeth), the filtered stream is
+    * DEFLATED into a real zlib stream (`java.util.zip.Deflater`), and the
+    * compressed bytes are split across TWO IDAT chunks — so a decoder
+    * must walk and concatenate chunks, not slice one offset — each chunk
+    * carrying its true CRC32. The builder half of [[PngPixelCodec]]: the
+    * gate over build→decode proves a genuine decompress→defilter
+    * round-trip, not a header echo. Runs per-row inside the builder
+    * `mapPartitions` (executor-side, no driver state). */
+  def buildFullPng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"rgb length ${rgb.length} != $w*$h*3")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (stride + 1)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = out.toByteArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val mid = z.length / 2
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(mid)) ++
+      chunk("IDAT", z.drop(mid)) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL pixel-level PNG codec — the full decode path, pure JVM:
+    * signature check, chunk walk with CRC32 VALIDATION on every chunk
+    * (the header-only [[PngCodec]] documents CRC as a non-goal; this one
+    * verifies it), ancillary-chunk skip, multi-IDAT concatenation, zlib
+    * INFLATE (`java.util.zip.Inflater`, adler32 verified by the
+    * inflater), and scanline DEFILTER inverting all five PNG filter
+    * types. Supports the 8-bit truecolor non-interlaced profile
+    * [[buildFullPng]] emits; anything else throws rather than guessing.
+    * Same one-instance-per-partition lifecycle as the other codecs. */
+  final class PngPixelCodec {
+    PngPixelCodec.constructions.incrementAndGet(): Unit
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    private def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    /** Chunk walk + inflate + defilter → (width, height, raw RGB). */
+    def decodeRaw(r: MediaRow): (Int, Int, Array[Byte]) = {
+      val b = r.media
+      require(b.length >= 8 && b.take(8).sameElements(Sig),
+        s"not a PNG payload (doc ${r.doc_id})")
+      var off = 8
+      var w = -1; var h = -1; var sawIhdr = false; var done = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!done) {
+        require(off + 12 <= b.length, s"truncated chunk header (doc ${r.doc_id})")
+        val len = be32(b, off)
+        require(len >= 0 && off + 12 + len <= b.length,
+          s"truncated chunk body (doc ${r.doc_id})")
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, off + 4, 4 + len)
+        require(crc.getValue.toInt == be32(b, off + 8 + len),
+          s"CRC mismatch in $typ chunk (doc ${r.doc_id})")
+        typ match {
+          case "IHDR" =>
+            w = be32(b, off + 8); h = be32(b, off + 12)
+            require(len == 13 && b(off + 16) == 8 && b(off + 17) == 2 &&
+              b(off + 18) == 0 && b(off + 19) == 0 && b(off + 20) == 0,
+              s"unsupported PNG profile (doc ${r.doc_id})")
+            sawIhdr = true
+          case "IDAT" => idat.write(b, off + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: CRC-checked above, content skipped
+        }
+        off += 12 + len
+      }
+      require(sawIhdr && w > 0 && h > 0, s"missing IHDR (doc ${r.doc_id})")
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var got = 0; var k = 1
+      while (got < raw.length && k > 0) {
+        k = inflater.inflate(raw, got, raw.length - got); got += k
+      }
+      val over = inflater.inflate(new Array[Byte](1))
+      require(got == raw.length && over == 0 && inflater.finished(),
+        s"IDAT stream inflated to $got of ${raw.length} filtered bytes " +
+          s"(doc ${r.doc_id})")
+      inflater.end()
+      val pix = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (stride + 1) + 1 + x) & 0xff
+          val a = if (x >= 3) pix(y * stride + x - 3) & 0xff else 0
+          val up = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= 3 && y > 0) pix((y - 1) * stride + x - 3) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 => paeth(a, up, c)
+            case _ => throw new IllegalArgumentException(
+              s"bad filter type $f (doc ${r.doc_id})")
+          }
+          pix(y * stride + x) = ((v + pred) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, pix)
+    }
+
+    /** Per-channel means + global max over the DECODED pixels — exact
+      * integer sums, so the mean divides identically on any engine. */
+    def decode(r: MediaRow): PngPixels = {
+      val (w, h, pix) = decodeRaw(r)
+      var sr = 0L; var sg = 0L; var sb = 0L; var mx = 0; var j = 0
+      while (j < pix.length) {
+        val v = pix(j) & 0xff
+        (j % 3: @annotation.switch) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case _ => sb += v
+        }
+        if (v > mx) mx = v
+        j += 1
+      }
+      val n = (w.toLong * h).toDouble
+      PngPixels(r.doc_id, w, h, w.toLong * h,
+        sr / n, sg / n, sb / n, mx.toLong)
+    }
+  }
+  object PngPixelCodec {
+    /** Test hook: constructions ≈ one per partition. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the pixel-level [[PngPixelCodec]] — same
+    * mapPartitions plan contract; the codec body is the full real
+    * inflate+defilter decode. */
+  def decodePngPixels(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[PngPixels] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new PngPixelCodec
+      it.map(codec.decode)
+    }
+  }
+
   /** Attach media payload + metadata + decoded features to a documents
     * table — the canonical multimodal enrichment pipeline. */
   def enrich(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

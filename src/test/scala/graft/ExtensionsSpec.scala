@@ -375,6 +375,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("X4 bmpPayloadStats: reads the pixel-array offset field, folds real bytes") {
+    import graft.ops.Multimodal.MediaRow
+    // payload "AB" after the 54-byte header: mean (65+66)/2, max 66
+    val src = Seq((1L, "AB"), (2L, "")).toDF("doc_id", "text")
+    val rows = src.select(col("doc_id"), Multimodal.syntheticBmp(
+        lit(3), lit(4), encode(col("text"), "UTF-8")).as("media"))
+      .as[Multimodal.MediaRow]
+    val out = Multimodal.bmpPayloadStats(rows).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(out(1L).n_payload == 2L && out(1L).mean_byte == 65.5 &&
+      out(1L).max_byte == 66L)
+    assert(out(2L).n_payload == 0L && out(2L).mean_byte == 0.0 &&
+      out(2L).max_byte == 0L)
+    // a corrupted offset field (points past the payload) must throw, not
+    // fold garbage
+    val bad = new Array[Byte](54)
+    bad(0) = 'B'.toByte; bad(1) = 'M'.toByte; bad(10) = 0x7f.toByte
+    // executor-side require surfaces wrapped in SparkException — assert
+    // the IllegalArgumentException is in the cause chain
+    val ex = intercept[Exception] {
+      Multimodal.bmpPayloadStats(
+        spark.createDataset(Seq(MediaRow(9L, bad)))).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      Option(t).map(x => x :: chain(x.getCause)).getOrElse(Nil)
+    assert(chain(ex).exists(_.isInstanceOf[IllegalArgumentException]))
+  }
+
   test("X4 multimodal plumbing: payload, metadata, stub decode are deterministic") {
     val d = Seq((1L, "hello world")).toDF("doc_id", "text")
     val e = Multimodal.enrich(d, "doc_id", "text")
