@@ -921,7 +921,7 @@ object Queries {
                 GROUP BY md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
       SELECT doc_id FROM documents
       WHERE doc_id IN (SELECT keep_id FROM exact)
-        AND doc_id NOT IN (SELECT doc_id FROM nonreps)
+        AND NOT EXISTS (SELECT 1 FROM nonreps n WHERE n.doc_id = documents.doc_id)
       ORDER BY doc_id"""),
     eagerPlan = true)
 
@@ -1020,7 +1020,12 @@ object Queries {
     * identical: recall = n_hits / min(k, n_exact), the
     * measured-denominator contract every recall eval carries. */
   private def recallOf(exact: DataFrame, cand: DataFrame, k: Int): DataFrame =
-    exact.join(cand.withColumn("__hit", lit(1)), Seq("query_id", "cand_id"), "left")
+    // the left join counts cand multiplicity into BOTH n_exact and n_hits,
+    // so duplicate (query_id, cand_id) candidate rows would silently
+    // inflate recall — dedup defensively (eval stripes are tiny; the
+    // distinct is noise next to the index build).
+    exact.join(cand.select(col("query_id"), col("cand_id")).distinct()
+        .withColumn("__hit", lit(1)), Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
       .select(col("query_id"), col("n_hits"),
@@ -1532,6 +1537,84 @@ object Queries {
           / greatest(CAST(n AS DOUBLE), 1.0), 6) AS mean_byte,
         CAST(coalesce(list_aggregate(bs, 'max'), 0) AS BIGINT) AS max_byte
       FROM e ORDER BY doc_id"""))
+
+  /** X4 — JPEG header decode ([[Multimodal.decodeJpeg]]): each document
+    * wrapped in a valid JFIF prefix ([[Multimodal.syntheticJpeg]]) whose
+    * SOF0 frame header the codec reaches by WALKING the marker-segment
+    * stream (an APP0 and a COM segment sit in front, each skipped by its
+    * own length field) and whose height/width are BIG-endian 16-bit —
+    * the third byte-width variant after BMP's LE32 and PNG's BE32, plus
+    * the 4:2:0 chroma-subsampling factors a photographic corpus
+    * actually carries. */
+  private val x4DecodeJpeg = Q("x4_decode_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(80)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 3, lit(60)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticJpeg(w, h, encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeJpeg(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_bytes"),
+          col("n_components").cast("long").as("n_components"),
+          col("subsampling"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(doc_id % 80 + 1 AS BIGINT) AS width,
+        CAST((doc_id * 3) % 60 + 1 AS BIGINT) AS height,
+        CAST(48 + strlen(text) AS BIGINT) AS n_bytes,
+        CAST(3 AS BIGINT) AS n_components, '4:2:0' AS subsampling
+      FROM documents ORDER BY doc_id"""))
+
+  /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
+    * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
+    * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
+    * PNG filter types, one per scanline), DEFLATED into a real zlib
+    * stream split across two IDAT chunks, and decoded back through the
+    * full chunk-walk → CRC32-validate → inflate → defilter path; the
+    * oracle replays the per-channel means and global max from the
+    * closed-form byte formula, so a codec that miscomputed ANY filter
+    * inverse, CRC, or chunk boundary hash-diverges. Exact integer sums
+    * divide identically in IEEE double on both engines. */
+  private val x4PngRoundtrip = Q("x4_png_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 24 + 1).toInt
+          val h = ((id * 5) % 16 + 2).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((id * 31 + i.toLong * 7) % 256).toByte)
+          Multimodal.MediaRow(id, Multimodal.buildFullPng(w, h, rgb))
+        })
+      Multimodal.decodePngPixels(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("n_pixels"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"),
+          col("max_byte"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(doc_id % 24 + 1 AS BIGINT) AS w,
+        CAST((doc_id * 5) % 16 + 2 AS BIGINT) AS h FROM documents),
+      px AS (SELECT doc_id, w, h,
+        list_transform(range(CAST(w * h AS INT)),
+          j -> (doc_id * 31 + (3 * j) * 7) % 256) AS rs,
+        list_transform(range(CAST(w * h AS INT)),
+          j -> (doc_id * 31 + (3 * j + 1) * 7) % 256) AS gs,
+        list_transform(range(CAST(w * h AS INT)),
+          j -> (doc_id * 31 + (3 * j + 2) * 7) % 256) AS bs FROM d)
+      SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+        round(CAST(list_sum(rs) AS DOUBLE) / (w * h), 6) AS mean_r,
+        round(CAST(list_sum(gs) AS DOUBLE) / (w * h), 6) AS mean_g,
+        round(CAST(list_sum(bs) AS DOUBLE) / (w * h), 6) AS mean_b,
+        CAST(greatest(list_aggregate(rs, 'max'), list_aggregate(gs, 'max'),
+          list_aggregate(bs, 'max')) AS BIGINT) AS max_byte
+      FROM px ORDER BY doc_id"""))
 
   /** X4 — media near-dup pairs ([[Multimodal.mediaNearDupPairs]]):
     * checksum-collapse → quantized-feature band → exact L2 verify; the
@@ -4768,7 +4851,8 @@ object Queries {
       cg AS (SELECT DISTINCT doc_id, array_to_string(t[i+1:i+8], ' ') AS g
         FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - 7, 0))) AS i FROM t1)),
       dirty AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
-      d2 AS (SELECT * FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      d2 AS (SELECT * FROM t1
+        WHERE NOT EXISTS (SELECT 1 FROM dirty WHERE dirty.doc_id = t1.doc_id)),
       gi AS (SELECT doc_id, t, unnest(range(greatest(len(t) - 1, 0))) AS i
         FROM d2 WHERE len(t) > 0),
       g AS (SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g FROM gi),
@@ -5887,7 +5971,7 @@ object Queries {
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
-    x2IvfRerankRecall, x4DecodePng, x4PixelStats)
+    x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -250,6 +250,116 @@ object Multimodal {
     }
   }
 
+  /** Build a valid baseline-JPEG (JFIF) prefix — SOI, an APP0/JFIF
+    * segment, a COM segment (so the codec must prove it SKIPS unknown
+    * segments by their length fields, not by a fixed offset), and an
+    * SOF0 frame header carrying height/width as BIG-endian **16-bit**
+    * fields — the third byte-width variant after BMP's LE32 and PNG's
+    * BE32, so the three gates together pin byte order AND field width.
+    * Components declare 4:2:0 chroma subsampling (Y 2×2, Cb/Cr 1×1),
+    * the layout photographic corpora actually ship. `payload` stands in
+    * for the entropy-coded scan and is appended AFTER SOF0, where the
+    * segment walk never reaches. Pure codegen expressions, map-only. */
+  def syntheticJpeg(w: Column, h: Column, payload: Column): Column = {
+    def be16(v: Column): Column = lpad(hex(v), 4, "0")
+    concat(unhex(concat(
+      lit("FFD8"),                        // SOI
+      lit("FFE0"), lit("0010"),           // APP0, length 16
+      lit("4A46494600"),                  // "JFIF\0"
+      lit("0101"), lit("00"),             // version 1.01, density units: none
+      lit("0001"), lit("0001"),           // x/y pixel aspect 1:1
+      lit("0000"),                        // no thumbnail
+      lit("FFFE"), lit("0007"),           // COM, length 7 (skip-by-length gate)
+      lit("6772616674"),                  // "graft"
+      lit("FFC0"), lit("0011"),           // SOF0, length 17 (3 components)
+      lit("08"),                          // sample precision 8
+      be16(h), be16(w),                   // the BE16 fields the codec parses
+      lit("03"),                          // 3 components
+      lit("012200"),                      // Y:  id 1, sampling 2x2, qtable 0
+      lit("021101"),                      // Cb: id 2, sampling 1x1, qtable 1
+      lit("031101")                       // Cr: id 3, sampling 1x1, qtable 1
+    )), payload)
+  }
+
+  case class DecodedJpeg(doc_id: Long, width: Int, height: Int, n_bytes: Long,
+                         n_components: Int, subsampling: String)
+
+  /** REAL codec for the JPEG container: validates SOI, then walks the
+    * marker-segment stream — each segment skipped by its OWN big-endian
+    * length field — until the SOF0 frame header, from which it parses
+    * sample precision, height/width (big-endian int16), component count,
+    * and the luma component's chroma-subsampling factors (2×2 → 4:2:0,
+    * 2×1 → 4:2:2, 1×1 → 4:4:4). Non-baseline SOF markers (progressive
+    * SOF2 etc.), SOS-before-SOF, standalone markers, and truncated
+    * segments all throw rather than guessing — same fail-loud contract
+    * as [[BmpCodec]]/[[PngCodec]], same one-instance-per-partition
+    * lifecycle. Entropy-coded scan decode is out of scope (that is the
+    * DCT stage a native library owns); the header walk is the part a
+    * data engine needs for geometry/layout stats and it runs on real
+    * bytes. */
+  final class JpegCodec {
+    JpegCodec.constructions.incrementAndGet(): Unit
+    private def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    def decode(r: MediaRow): DecodedJpeg = {
+      val b = r.media
+      require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+        s"not a JPEG payload (doc ${r.doc_id})")
+      var off = 2
+      while (off + 4 <= b.length) {
+        require((b(off) & 0xff) == 0xff,
+          s"bad marker alignment at byte $off (doc ${r.doc_id})")
+        val marker = b(off + 1) & 0xff
+        require(marker != 0xd9 && marker != 0xda,
+          s"hit ${if (marker == 0xda) "SOS" else "EOI"} before SOF0 " +
+            s"(doc ${r.doc_id})")
+        require(marker != 0x01 && (marker < 0xd0 || marker > 0xd7),
+          s"standalone marker ${marker.toHexString} before SOS (doc ${r.doc_id})")
+        val len = be16(b, off + 2)
+        require(len >= 2 && off + 2 + len <= b.length,
+          s"truncated segment ${marker.toHexString} (doc ${r.doc_id})")
+        if (marker == 0xc0) {
+          val precision = b(off + 4) & 0xff
+          val h = be16(b, off + 5); val w = be16(b, off + 7)
+          val nc = b(off + 9) & 0xff
+          require(precision == 8 && nc >= 1 && len == 8 + 3 * nc,
+            s"malformed SOF0 (precision $precision, $nc components, len $len) " +
+              s"(doc ${r.doc_id})")
+          val samp = b(off + 11) & 0xff // luma sampling (component id at off+10)
+          val sub = ((samp >> 4, samp & 0x0f): @unchecked) match {
+            case (1, 1) => "4:4:4"
+            case (2, 1) => "4:2:2"
+            case (2, 2) => "4:2:0"
+            case (hs, vs) => s"${hs}x$vs"
+          }
+          return DecodedJpeg(r.doc_id, w, h, b.length.toLong, nc, sub)
+        }
+        if (marker >= 0xc1 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          throw new IllegalArgumentException(
+            s"unsupported SOF type ${marker.toHexString} — baseline (SOF0) " +
+              s"only (doc ${r.doc_id})")
+        off += 2 + len
+      }
+      throw new IllegalArgumentException(
+        s"no SOF0 before end of payload (doc ${r.doc_id})")
+    }
+  }
+  object JpegCodec {
+    /** Test hook: constructions ≈ one per partition via [[decodeJpeg]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[JpegCodec]] — same plan contract as
+    * [[decodeBmp]]/[[decodePng]]. */
+  def decodeJpeg(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedJpeg] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new JpegCodec
+      it.map(codec.decode)
+    }
+  }
+
   case class PayloadStats(doc_id: Long, n_payload: Long, mean_byte: Double,
                           max_byte: Long)
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+import graft.ops.Multimodal.MediaRow
+
+/** Round-12 gates: the full PNG pixel codec (build → decompress →
+  * defilter round-trip plus the corruption rejections its scaladoc
+  * promises) and the baseline-JPEG header codec. */
+class Round12OpsSpec extends SparkSpec {
+
+  /** Deterministic RGB fixture — w×h, bytes cycle a non-trivial pattern
+    * so every filter inverse sees varied neighbor deltas. */
+  private def rgb(w: Int, h: Int, seed: Long): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((seed * 31 + i.toLong * 7) % 256).toByte)
+
+  test("X4 buildFullPng → PngPixelCodec: exact pixel round-trip over all five filters") {
+    // h = 9 ⇒ scanlines exercise filter types 0,1,2,3,4 (y % 5) twice
+    val (w, h) = (7, 9)
+    val src = rgb(w, h, seed = 42L)
+    val png = Multimodal.buildFullPng(w, h, src)
+    val (dw, dh, pix) = new Multimodal.PngPixelCodec().decodeRaw(MediaRow(1L, png))
+    assert(dw == w && dh == h)
+    assert(pix.sameElements(src)) // byte-exact: inflate + every defilter correct
+  }
+
+  test("X4 PngPixelCodec: corrupted IDAT byte fails CRC validation") {
+    val png = Multimodal.buildFullPng(5, 6, rgb(5, 6, seed = 3L))
+    // locate the first IDAT chunk and flip one data byte inside it
+    def be32(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var off = 8
+    while (new String(png, off + 4, 4, "US-ASCII") != "IDAT")
+      off += 12 + be32(png, off)
+    val corrupt = png.clone()
+    corrupt(off + 8) = (corrupt(off + 8) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException] {
+      new Multimodal.PngPixelCodec().decodeRaw(MediaRow(2L, corrupt))
+    }
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("X4 PngPixelCodec: truncated chunk rejected, not guessed") {
+    val png = Multimodal.buildFullPng(4, 5, rgb(4, 5, seed = 9L))
+    intercept[IllegalArgumentException] {
+      new Multimodal.PngPixelCodec().decodeRaw(MediaRow(3L, png.dropRight(6)))
+    }
+    // non-PNG payload
+    intercept[IllegalArgumentException] {
+      new Multimodal.PngPixelCodec().decodeRaw(MediaRow(4L, "BMnope".getBytes))
+    }
+  }
+
+  test("X4 decodePngPixels: dataset-level stats match a hand fold; one codec per partition") {
+    import spark.implicits._
+    val before = Multimodal.PngPixelCodec.constructions.get()
+    val rows = (0L until 8L).map { id =>
+      val w = (id % 4 + 2).toInt; val h = (id % 5 + 5).toInt
+      MediaRow(id, Multimodal.buildFullPng(w, h, rgb(w, h, seed = id)))
+    }
+    val out = Multimodal.decodePngPixels(
+      spark.createDataset(rows).repartition(2)).collect().sortBy(_.doc_id)
+    assert(out.length == 8)
+    out.foreach { p =>
+      val w = (p.doc_id % 4 + 2).toInt; val h = (p.doc_id % 5 + 5).toInt
+      val src = rgb(w, h, p.doc_id)
+      val r = src.indices.filter(_ % 3 == 0).map(src(_) & 0xff)
+      assert(p.n_pixels == w.toLong * h)
+      assert(p.mean_r == r.map(_.toLong).sum.toDouble / (w * h))
+      assert(p.max_byte == src.map(_ & 0xff).max.toLong)
+    }
+    assert(Multimodal.PngPixelCodec.constructions.get() - before == 2L)
+  }
+
+  test("X4 JpegCodec: walks APP0+COM by length, parses BE16 SOF0 dims + 4:2:0") {
+    import spark.implicits._
+    val df = spark.range(1).select(lit(11L).as("doc_id"),
+      Multimodal.syntheticJpeg(lit(641), lit(479), lit("scan".getBytes)).as("media"))
+    val d = Multimodal.decodeJpeg(df.as[MediaRow]).collect().head
+    assert(d.width == 641 && d.height == 479)
+    assert(d.n_components == 3 && d.subsampling == "4:2:0")
+    assert(d.n_bytes == 48L + 4) // 2 SOI + 18 APP0 + 9 COM + 19 SOF0 + payload
+  }
+
+  test("X4 JpegCodec: rejects non-JPEG, truncation, SOS-before-SOF0, progressive SOF2") {
+    val base = {
+      import spark.implicits._
+      spark.range(1).select(lit(1L).as("doc_id"),
+          Multimodal.syntheticJpeg(lit(8), lit(8), lit(Array.emptyByteArray)).as("media"))
+        .as[MediaRow].collect().head.media
+    }
+    val codec = new Multimodal.JpegCodec()
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(1L, "notjpeg".getBytes)) }
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(2L, base.dropRight(12))) }
+    // SOS (FFDA) where SOF0 sits → fail loud
+    val sos = base.clone(); sos(base.length - 19 + 1) = 0xda.toByte
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, sos)) }
+    // progressive SOF2 → unsupported, not misparsed
+    val sof2 = base.clone(); sof2(base.length - 19 + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, sof2)) }
+    assert(e.getMessage.contains("unsupported SOF"))
+  }
+}
