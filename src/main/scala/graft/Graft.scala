@@ -406,6 +406,13 @@ object Graft {
                            textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
     StreamingOps.incrementalNearDedup(docs, idCol, textCol, corpusPath, ledgerPath, checkpoint)
 
+  /** Incremental near-dedup with batch-equivalent transitive-chain
+    * collapse (shingle ledger + per-batch connected components). */
+  def nearDedupIncrementalTransitive(docs: DataFrame, corpusPath: String, ledgerPath: String,
+                                     checkpoint: String, idCol: String = "doc_id",
+                                     textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamingOps.incrementalNearDedupTransitive(docs, idCol, textCol, corpusPath, ledgerPath, checkpoint)
+
   /** Stream-stream interval join: clicks to same-user views in a lookback. */
   def attribution(views: DataFrame, clicks: DataFrame, lookback: String = "1 hour",
                   watermark: Option[String] = None): DataFrame =

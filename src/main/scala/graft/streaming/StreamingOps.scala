@@ -445,7 +445,22 @@ object StreamingOps {
     * Jaccard at `threshold`, the same verify the within-batch path and
     * the batch pipeline run. A bare signature collision (est ≥ estMin
     * but true Jaccard < threshold) therefore KEEPS the document — no
-    * false cross-batch drops, matching batch-pipeline semantics. */
+    * false cross-batch drops.
+    *
+    * POLICY — AT-MOST-PAIRWISE, by design: matches are only ever taken
+    * against SURVIVORS (within-batch pair losers and ledger rows), so a
+    * transitive chain through a dropped doc does NOT collapse. Concretely,
+    * with a–b arriving in batch 1 (b drops against a) and c in batch 2
+    * where J(b,c) ≥ threshold but J(a,c) < threshold, c is KEPT — the
+    * batch [[graft.ops.Dedup.dedupPipeline]] over the same three docs
+    * runs connected components and keeps only a. This buys a compact
+    * ledger (k longs per SURVIVOR — dropped docs leave no state at all)
+    * at the cost of chain collapse; it never drops a doc the batch
+    * pipeline would keep, it only keeps chain tails the batch pipeline
+    * would drop. When streaming must reproduce batch survivor sets
+    * exactly, use [[incrementalNearDedupTransitive]] and pay its
+    * shingle-ledger state. The divergence is pinned by a StreamingSpec
+    * fixture (the a–b / b–c chain above) asserting both modes. */
   def incrementalNearDedup(docs: DataFrame, idCol: String, textCol: String,
                            corpusPath: String, ledgerPath: String, checkpoint: String,
                            k: Int = 8, r: Int = 4, estMin: Double = 0.75,
@@ -509,6 +524,128 @@ object StreamingOps {
         sig.join(survivors.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(ledgerPath)
         survivors.unpersist(); batchCaches.unpersistAll(); b.unpersist(): Unit
+      }
+      .start()
+
+  /** Incremental near-dedup with BATCH-EQUIVALENT transitive-chain
+    * semantics — the streaming counterpart of
+    * [[graft.ops.Dedup.dedupPipeline]] (pairs → connected components →
+    * one survivor per component), where [[incrementalNearDedup]] is the
+    * compact at-most-pairwise variant.
+    *
+    * State: the ledger keeps one row per EVER-SEEN doc (kept or dropped)
+    * — its k-long minhash signature, its DISTINCT SHINGLE SET, and
+    * `root`, the corpus survivor of its component. Storing shingles for
+    * dropped docs is precisely what makes a chain THROUGH a dropped doc
+    * verifiable with the same true-Jaccard test the batch pipeline runs;
+    * signatures alone cannot exact-verify, and survivor text alone
+    * cannot see dropped-doc links (the [[incrementalNearDedup]]
+    * tradeoff). Ledger size is therefore O(tokenized corpus) — columnar
+    * shingle arrays compress well, but this mode's state grows with
+    * everything ever ingested, which is the honest price of exact
+    * transitive equivalence.
+    *
+    * Per micro-batch, all candidate work stays bucketed and
+    * candidate-bounded: within-batch verified pairs (LSH bands → est
+    * prefilter → true Jaccard), cross-batch bands against the FULL
+    * ledger (same prefilter + exact verify on ledger shingles), then
+    * connected components over the batch-local graph with every seen doc
+    * CONTRACTED to its root — edge count ∝ batch near-dup links, never
+    * corpus-sized. A new component with no root keeps its min-id member;
+    * a component touching a root drops all its new members into that
+    * root's cluster.
+    *
+    * Equivalence contract: when doc ids arrive in non-decreasing order,
+    * the corpus equals `dedupPipeline` over the accumulated input after
+    * every batch. Two inherent append-only caveats, both deterministic
+    * and documented rather than silent: (1) if a later doc BRIDGES two
+    * previously-distinct components, both already-written survivors stay
+    * (batch would keep only the min; nothing is retracted) — the bridge
+    * doc itself is dropped and both clusters share the min root going
+    * forward; (2) if a component's global min id arrives AFTER another
+    * member, the earlier arrival stays the survivor (first-seen vs
+    * batch's min-id). */
+  def incrementalNearDedupTransitive(docs: DataFrame, idCol: String, textCol: String,
+                                     corpusPath: String, ledgerPath: String, checkpoint: String,
+                                     k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                                     threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.{Dedup, DedupCaches}
+        val spark = batch.sparkSession
+        val b = batch.cache()
+        val batchCaches = new DedupCaches
+        val sets = batchCaches.track(Dedup.docShingleSets(b, idCol, textCol))
+        val sig = Dedup.minhashSignaturesFromSets(sets, k, batchCaches)
+        val within = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin,
+            threshold, caches = batchCaches)
+          .select(col("doc_a"), col("doc_b"))
+        val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
+        val ledgerExists =
+          hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        // verified (new doc → existing component root) links, one row per
+        // distinct (doc_id, root)
+        val cross = batchCaches.track(if (ledgerExists) {
+          val seen = spark.read.parquet(ledgerPath)
+          val sigCols = col("doc_id") +: (0 until k).map(i => col(s"mh$i"))
+          val cands = Dedup.lshBands(sig, k, r).as("l")
+            .join(Dedup.lshBands(seen.select(sigCols: _*), k, r).as("r"),
+              col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+            .where(Dedup.signatureEstJaccard(k) >= lit(estMin))
+            .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("ref_id"))
+            .distinct()
+          val refSets = seen.select(col("doc_id").as("ref_id"),
+            col("toks").as("toks_r"), col("n_toks").as("nr"), col("root"))
+          val newSets = sets.select(col("doc_id"),
+            col("toks").as("toks_n"), col("n_toks").as("nn"))
+          cands.join(newSets, Seq("doc_id")).join(refSets, Seq("ref_id"))
+            .withColumn("inter",
+              size(array_intersect(col("toks_n"), col("toks_r"))))
+            .where(col("inter").cast("double") /
+              (col("nn") + col("nr") - col("inter")).cast("double")
+              >= lit(threshold))
+            .select(col("doc_id"), col("root")).distinct()
+        } else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("root",
+              org.apache.spark.sql.types.LongType)))))
+        // batch-local graph: (new,new) links + (new, contracted root)
+        val edges = within.unionAll(
+          cross.select(col("doc_id").as("doc_a"), col("root").as("doc_b")))
+        val labels = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+          caches = batchCaches)
+        // components that touch an existing cluster inherit its (min) root
+        val compRoot = labels
+          .join(cross.select(col("root").as("id")).distinct(), Seq("id"))
+          .groupBy(col("component")).agg(min(col("id")).as("comp_root"))
+        val newLabels = labels
+          .join(b.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
+          .join(compRoot, Seq("component"), "left")
+        val newOnly = newLabels.where(col("comp_root").isNull)
+        val minNew = newOnly.groupBy(col("component"))
+          .agg(min(col("id")).as("__surv"))
+        val inGraph = newOnly.join(minNew, Seq("component"))
+            .select(col("id").as("doc_id"), col("__surv").as("root"))
+          .unionAll(newLabels.where(col("comp_root").isNotNull)
+            .select(col("id").as("doc_id"), col("comp_root").as("root")))
+        val isolated = b.select(col(idCol).cast("long").as("doc_id"))
+          .join(inGraph.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("root", col("doc_id"))
+        val assignment = batchCaches.track(inGraph.unionAll(isolated))
+        val survivors = assignment.where(col("doc_id") === col("root"))
+          .select(col("doc_id"))
+        b.join(survivors, b(idCol) === survivors("doc_id"), "left_semi")
+          .write.mode("append").parquet(corpusPath)
+        // EVERY batch doc enters the ledger — dropped docs carry the
+        // state that makes future chains through them verifiable
+        sig.join(sets.select(col("doc_id"), col("toks"), col("n_toks")), Seq("doc_id"))
+          .join(assignment, Seq("doc_id"))
+          .write.mode("append").parquet(ledgerPath)
+        batchCaches.unpersistAll(); b.unpersist(): Unit
       }
       .start()
 

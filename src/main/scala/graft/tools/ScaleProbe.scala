@@ -504,6 +504,69 @@ object ScaleProbe {
             cnt(TextOps.bpeMerges(docs1, "doc_id", "text", merges = k)))._2).min
         println(f"[probe] bpe merge-count k=$k%-22d $t%8.2f s (${t / k}%.2f s/merge)")
       }
+    // streaming ANN index maintenance: per-batch cost as the MAINTAINED
+    // index grows — the assign is O(new · k·d) by design, but each batch
+    // also anti-joins the accumulated pid ledger (a one-column columnar
+    // read of the index), which is the only corpus-order term. The probe
+    // prices first/mid/last batch at 1x and Nx corpus and at a 3x batch
+    // count so that term's growth is measured, not asserted.
+    if (only.forall(_.exists("ann index maintenance".startsWith))) {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val cents = Similarity.kmeansFit(emb1, "vec_id", "embedding",
+        pmod(col("vec_id"), lit(400)) === 0, iters = 2).cache()
+      cents.count(): Unit
+      def run(label: String, src: DataFrame, batches: Int): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_annidx_ck").toString
+        val rows = src.select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val q = graft.streaming.StreamingOps.incrementalAnnIndex(
+          mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          cents, s"$dir/index", ckpt)
+        val per = rows.grouped(math.max(1, rows.length / batches)).toSeq.map { chunk =>
+          val t0 = System.nanoTime()
+          mem.addData(chunk: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q.stop()
+        println(f"[probe] ann index maintenance $label%-18s first=${per.head}%6.2f s mid=${per(per.length / 2)}%6.2f s last=${per.last}%6.2f s total=${per.sum}%7.2f s (${per.length} batches)")
+      }
+      run("1x/8", emb1, 8)
+      run(s"${scale}x/8", embN, 8)
+      run(s"${scale}x/24", embN, 24)
+    }
+    // production-vocab BPE: the sf0.1 corpus has only 31 word TYPES
+    // (synthetic lang-id text), so per-merge cost at tokenizer-training
+    // k needs a vocabulary-rich input. Derive one from doc ids — 16
+    // base-26 words per doc drawn from a 50k-type universe (conv 10→26,
+    // digits translated to letters), giving the ~real shape: vocab-sized
+    // merge loop over a corpus-sized one-off word count. Sweeps
+    // checkpointEvery at k=200 to MEASURE the replay/IO sweet spot
+    // SCALING.md previously asserted, then prices k=1000 at the winner.
+    if (only.forall(_.exists("bpe production".startsWith))) {
+      def b26(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(lower(conv(c.cast("string"), 10, 26)), "0123456789", "qrstuvwxyz")
+      val rich = docs1.select(col("doc_id"), concat_ws(" ",
+        (0 until 16).map(j =>
+          b26(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
+        .as("text")).cache()
+      println(s"[probe] bpe production vocab: ${cnt(rich.select(explode(split(col("text"), " ")).as("w")).distinct())} word types")
+      Seq(2, 4, 8, 16, 32).foreach { every =>
+        val (n, t) = time(s"bpe production k=200 ckpt=$every")(
+          cnt(TextOps.bpeMerges(rich, "doc_id", "text", merges = 200,
+            checkpointEvery = every)))
+        println(f"[probe] bpe production k=200 ckpt=$every%-3d $t%8.2f s (${t / 200}%.3f s/merge, $n merges emitted)")
+      }
+      val kBig = 1000
+      val (n, t) = time(s"bpe production k=$kBig ckpt=best")(
+        cnt(TextOps.bpeMerges(rich, "doc_id", "text", merges = kBig,
+          checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_BPE_CKPT", "8").toInt)))
+      println(f"[probe] bpe production k=$kBig $t%8.2f s (${t / kBig}%.3f s/merge, $n merges emitted)")
+      rich.unpersist(): Unit
+    }
     spark.stop()
   }
 }

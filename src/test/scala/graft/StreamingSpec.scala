@@ -720,6 +720,90 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).select("doc_id").distinct().count() == 2)
   }
 
+  test("transitive chain a-b/b-c: pairwise mode keeps the tail, transitive mode matches dedupPipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    // fixture: 3-word shingles over t0..t22 ⇒ J(a,b)=18/19, J(b,c)=17/21,
+    // J(a,c)=16/21 — a chain where only the middle link reaches c
+    // letters only — the shingle tokenizer drops digits
+    val w = (0 to 22).map(i => ('a' + i).toChar.toString * 3)
+    val a = w.slice(0, 20).mkString(" ")  // t0..t19
+    val b = w.slice(0, 21).mkString(" ")  // t0..t20
+    val c = w.slice(2, 23).mkString(" ")  // t2..t22
+    def jac(x: String, y: String): Double = {
+      val sets = ops.Dedup.docShingleSets(Seq((1L, x), (2L, y)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      sets(1L).intersect(sets(2L)).size.toDouble / sets(1L).union(sets(2L)).size
+    }
+    assert(jac(a, b) >= 0.8 && jac(b, c) >= 0.8 && jac(a, c) < 0.8,
+      s"fixture premise: chain shape (ab=${jac(a, b)} bc=${jac(b, c)} ac=${jac(a, c)})")
+    // prefilter premise: both chain links must band-collide at (k=8, r=2)
+    // with est >= 0.7 — deterministic given the fixed minhash constants
+    def prefilterFires(x: String, y: String): Boolean = {
+      val sets = ops.Dedup.docShingleSets(Seq((1L, x), (2L, y)).toDF("doc_id", "text"), "doc_id", "text")
+      val sig = ops.Dedup.minhashSignaturesFromSets(sets, 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+      val agree = sig(1L).zip(sig(2L)).map { case (p, q) => p == q }
+      val band = agree.grouped(2).exists(_.forall(identity))
+      band && agree.count(identity) / 8.0 >= 0.7
+    }
+    assert(prefilterFires(a, b) && prefilterFires(b, c),
+      "fixture premise: both chain links clear the LSH prefilter")
+    val batchSurvivors = ops.Dedup.dedupPipeline(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.8, k = 8, r = 2, estMin = 0.7)
+      .as[Long].collect().sorted.toSeq
+    assert(batchSurvivors == Seq(1L), s"batch pipeline collapses the chain: $batchSurvivors")
+    def runMode(transitive: Boolean): Seq[Long] = {
+      val corpus = Files.createTempDirectory("graft_tr_corpus").toString
+      val ledger = Files.createTempDirectory("graft_tr_ledger").toString + "/led"
+      val ckpt = Files.createTempDirectory("graft_tr_ckpt").toString
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      val q =
+        if (transitive) StreamingOps.incrementalNearDedupTransitive(docs,
+          "doc_id", "text", corpus, ledger, ckpt, k = 8, r = 2, estMin = 0.7)
+        else StreamingOps.incrementalNearDedup(docs,
+          "doc_id", "text", corpus, ledger, ckpt, k = 8, r = 2, estMin = 0.7)
+      mem.addData((1L, a), (2L, b)); q.processAllAvailable()
+      mem.addData((3L, c)); q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    // pairwise policy: b's state is gone, c only compares against a → kept
+    assert(runMode(transitive = false) == Seq(1L, 3L),
+      "at-most-pairwise mode keeps the chain tail (documented divergence)")
+    // transitive policy: ledger carries b's shingles + root → c collapses
+    assert(runMode(transitive = true) == batchSurvivors,
+      "transitive mode must reproduce the batch pipeline's survivor set")
+  }
+
+  test("transitive mode: dropped docs join the ledger with their component root") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val corpus = Files.createTempDirectory("graft_tr2_corpus").toString
+    val ledger = Files.createTempDirectory("graft_tr2_ledger").toString + "/led"
+    val ckpt = Files.createTempDirectory("graft_tr2_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalNearDedupTransitive(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus, ledger, ckpt)
+    mem.addData((1L, base), (2L, base),
+      (3L, "entirely different prose about carrots and physics " * 8))
+    q.processAllAvailable()
+    mem.addData((4L, base), (5L, "novel content regarding ships and stars " * 8))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L), s"got $ids")
+    // every seen doc has a ledger row; dropped docs point at survivor 1
+    val roots = spark.read.parquet(ledger).select("doc_id", "root")
+      .as[(Long, Long)].collect().toMap
+    assert(roots.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(roots(2L) == 1L && roots(4L) == 1L && roots(1L) == 1L)
+    assert(roots(3L) == 3L && roots(5L) == 5L)
+  }
+
   test("incremental decontamination: bench gram ledger drops leaked docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
