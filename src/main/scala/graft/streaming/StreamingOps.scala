@@ -1165,7 +1165,13 @@ object StreamingOps {
     *
     * Replays: the index itself is the ledger — a columnar read of just
     * the id column anti-joins re-delivered vectors out, so a crashed and
-    * replayed batch cannot double-insert. Centroid drift is out of scope
+    * replayed batch cannot double-insert. That anti-join is the op's
+    * only index-order term; measured FLAT at probe scale (SCALING.md
+    * round-12: last batch ≈ first batch at 3× the batch count — fixed
+    * micro-batch overhead dominates). If it ever surfaced at ~10⁹-row
+    * indexes, the written layout already carries the fix: prune the
+    * ledger read to the batch's assigned cells (partition pruning on
+    * the same cell-partitioned parquet searches use). Centroid drift is out of scope
     * by design: re-clustering is a BATCH rebuild (kmeansFit → rewrite),
     * exactly like production IVF systems that rebuild off-line and swap. */
   def incrementalAnnIndex(emb: DataFrame, idCol: String, vecCol: String,

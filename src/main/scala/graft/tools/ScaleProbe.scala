@@ -513,8 +513,13 @@ object ScaleProbe {
     if (only.forall(_.exists("ann index maintenance".startsWith))) {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
+      // kmeansFit emits long-form (cell, pos, coord, n); the index ops
+      // take dense (cell, cv) — same collapse ivfTopK's callers use
       val cents = Similarity.kmeansFit(emb1, "vec_id", "embedding",
-        pmod(col("vec_id"), lit(400)) === 0, iters = 2).cache()
+          pmod(col("vec_id"), lit(400)) === 0, iters = 2)
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          s => s.getField("coord")).as("cv")).cache()
       cents.count(): Unit
       def run(label: String, src: DataFrame, batches: Int): Unit = {
         val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
@@ -553,18 +558,21 @@ object ScaleProbe {
         (0 until 16).map(j =>
           b26(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
         .as("text")).cache()
-      println(s"[probe] bpe production vocab: ${cnt(rich.select(explode(split(col("text"), " ")).as("w")).distinct())} word types")
-      Seq(2, 4, 8, 16, 32).foreach { every =>
-        val (n, t) = time(s"bpe production k=200 ckpt=$every")(
+      println(s"[probe] bpe production vocab: ${rich.select(explode(split(col("text"), " ")).as("w")).distinct().count()} word types")
+      val cadences = sys.env.get("SPARK_GRAFT_BPE_SWEEP")
+        .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(2, 4, 8, 16, 32))
+      cadences.foreach { every =>
+        val (_, t) = time(s"bpe production k=200 ckpt=$every")(
           cnt(TextOps.bpeMerges(rich, "doc_id", "text", merges = 200,
             checkpointEvery = every)))
-        println(f"[probe] bpe production k=200 ckpt=$every%-3d $t%8.2f s (${t / 200}%.3f s/merge, $n merges emitted)")
+        println(f"[probe] bpe production k=200 ckpt=$every%-3d $t%8.2f s (${t / 200}%.3f s/merge)")
       }
-      val kBig = 1000
-      val (n, t) = time(s"bpe production k=$kBig ckpt=best")(
+      val kBig = sys.env.getOrElse("SPARK_GRAFT_BPE_K", "1000").toInt
+      val best = sys.env.getOrElse("SPARK_GRAFT_BPE_CKPT", "8").toInt
+      val (_, t) = time(s"bpe production k=$kBig ckpt=$best")(
         cnt(TextOps.bpeMerges(rich, "doc_id", "text", merges = kBig,
-          checkpointEvery = sys.env.getOrElse("SPARK_GRAFT_BPE_CKPT", "8").toInt)))
-      println(f"[probe] bpe production k=$kBig $t%8.2f s (${t / kBig}%.3f s/merge, $n merges emitted)")
+          checkpointEvery = best)))
+      println(f"[probe] bpe production k=$kBig ckpt=$best $t%8.2f s (${t / kBig}%.3f s/merge)")
       rich.unpersist(): Unit
     }
     spark.stop()
