@@ -1166,12 +1166,14 @@ object StreamingOps {
     * Replays: the index itself is the ledger — a columnar read of just
     * the id column anti-joins re-delivered vectors out, so a crashed and
     * replayed batch cannot double-insert. That anti-join is the op's
-    * only index-order term; measured FLAT at probe scale (SCALING.md
-    * round-12: last batch ≈ first batch at 3× the batch count — fixed
-    * micro-batch overhead dominates). If it ever surfaced at ~10⁹-row
-    * indexes, the written layout already carries the fix: prune the
-    * ledger read to the batch's assigned cells (partition pruning on
-    * the same cell-partitioned parquet searches use). Centroid drift is out of scope
+    * only index-order term, and it is CELL-PRUNED: assignment runs
+    * before the guard, and because frozen centroids assign
+    * deterministically, a replayed pid can only collide inside its own
+    * cell — so the guard reads just the batch's cell directories
+    * (partition pruning on the same layout searches use), keeping
+    * per-batch cost independent of total index size. Measured FLAT at
+    * probe scale even unpruned (SCALING.md round-12: last batch ≈ first
+    * at 3× the batch count). Centroid drift is out of scope
     * by design: re-clustering is a BATCH rebuild (kmeansFit → rewrite),
     * exactly like production IVF systems that rebuild off-line and swap. */
   def incrementalAnnIndex(emb: DataFrame, idCol: String, vecCol: String,
@@ -1185,13 +1187,27 @@ object StreamingOps {
         val indexExists =
           hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
         val pts = batch.select(col(idCol).cast("long").as("pid"), col(vecCol))
+        // assign FIRST (map-only broadcast argmin), so the replay-guard
+        // read prunes to the batch's cells: assignment is deterministic
+        // under frozen centroids, so a replayed pid can only collide
+        // inside its own cell's partition directory — the ledger
+        // anti-join therefore reads |batch cells| directories, not the
+        // whole index (cells are centroid-bounded, so the collected
+        // prune list is broadcast-dim sized by construction).
+        val assigned = graft.ops.Similarity
+          .assignCells(pts, "pid", vecCol, centroids).cache()
         val fresh =
-          if (indexExists)
-            pts.join(spark.read.parquet(indexPath).select(col("pid")),
+          if (indexExists) {
+            val cells = assigned.select(col("cell")).distinct()
+              .collect().map(_.getLong(0))
+            assigned.join(
+              spark.read.parquet(indexPath)
+                .where(col("cell").isin(cells.map(Long.box): _*))
+                .select(col("pid")),
               Seq("pid"), "left_anti")
-          else pts
-        graft.ops.Similarity.assignCells(fresh, "pid", vecCol, centroids)
-          .write.mode("append").partitionBy("cell").parquet(indexPath)
+          } else assigned
+        fresh.write.mode("append").partitionBy("cell").parquet(indexPath)
+        assigned.unpersist(): Unit
       }
       .start()
 
