@@ -5406,6 +5406,28 @@ object Queries {
         ORDER BY iter"""
     })
 
+  /** X3 — BPE training with the DRIVER-RESIDENT merge loop
+    * ([[graft.ops.TextOps.bpeMergesLocal]]): the production shape —
+    * corpus-sized word count distributed, vocabulary-bounded merge loop
+    * in memory (the connectedComponents driver-path contract). Gated by
+    * the SAME oracle as `x3_bpe_merges`: identical pair weights, argmax
+    * tie-break, and fuse semantics, so the two engines' merge tables
+    * must hash-match each other AND the SQL replay. */
+  private val x3BpeFast = Q("x3_bpe_merges_fast",
+    (s, dir) => TextOps.bpeMergesLocal(Tables.documents(s, dir), "doc_id", "text",
+        merges = 3)
+      .orderBy(col("iter")),
+    Some {
+      def outRow(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS iter, left_sym, right_sym,
+          left_sym || right_sym AS merged, pair_weight FROM t$i"""
+      s"""WITH base AS ($docsTokSql),
+        $bpeTrainCtes
+        ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
+        ORDER BY iter"""
+    },
+    eagerPlan = true)
+
   /** X3 — tokenizer APPLY + compression measurement
     * ([[graft.ops.TextOps.bpeApply]] ∘ bpeMerges): every document
     * re-encoded under the trained merges; symbols-before/after and the
@@ -5971,7 +5993,8 @@ object Queries {
     x5Hll, x6Weighted, x8Paths, x8Ppr, x3Bm25, x8Hits, x8Tri, x2Rrf,
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
-    x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip)
+    x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
+    x3BpeFast)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -284,6 +284,101 @@ object TextOps {
     steps.reduce(_.unionByName(_))
   }
 
+  /** [[bpeMerges]] with the merge loop DRIVER-RESIDENT — the production
+    * tokenizer-training shape at 100 TB: the corpus-sized work (one word-
+    * frequency aggregate, map-side combined) stays distributed, and the
+    * k-merge loop runs in memory over the collected (word, freq) table,
+    * which is VOCABULARY-bounded — the same driver-path contract as
+    * [[Dedup.connectedComponents]]'s union-find (guarded by `maxVocab`,
+    * fail-loud above it). This removes the per-merge Spark-job floor
+    * that caps [[bpeMerges]] at k ≈ low thousands (SCALING.md round-12:
+    * 0.86→1.46 s/merge), replacing it with the classic incremental
+    * pair-count algorithm: an inverted pair→words index, and per merge
+    * only the words CONTAINING the fused pair are rescanned.
+    *
+    * Result-identical to [[bpeMerges]] by construction, spec-gated on
+    * real corpora: same pair weighting (every adjacent occurrence,
+    * weighted by word frequency), same argmax tie-break (weight desc,
+    * then lexicographic (left, right) — plain String ordering equals
+    * Spark's binary UTF8 ordering on the [a-z]+ symbol alphabet), and
+    * the same left-to-right non-overlapping fuse `replace` performs (a
+    * fuse never creates a new occurrence of its OWN pair, so one pass
+    * per word per merge is exact). When the pair table drains before k
+    * merges, emission stops — exactly like bpeMerges' empty `limit(1)`
+    * frames. */
+  def bpeMergesLocal(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Int = 3, maxVocab: Int = 2000000): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    val spark = docs.sparkSession
+    val wordRows = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .limit(maxVocab + 1).collect()
+    require(wordRows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise the bound or use " +
+        "the distributed bpeMerges")
+    val syms = wordRows.map(r =>
+      scala.collection.mutable.ArrayBuffer.from(r.getString(0).map(_.toString)))
+    val freq = wordRows.map(_.getLong(1))
+    val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+    val index = scala.collection.mutable
+      .HashMap[(String, String), scala.collection.mutable.Set[Int]]()
+    def tally(i: Int, mult: Long): Unit = {
+      val s = syms(i); var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + mult * freq(i))
+        if (mult > 0)
+          index.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(tally(_, 1L))
+    val steps = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var it = 1
+    var drained = false
+    while (it <= merges && !drained) {
+      // argmax with bpeMerges' exact tie-break: weight desc, then (l, r) asc
+      var best: ((String, String), Long) = null
+      counts.foreach { case e @ (p, c) =>
+        if (c > 0 && (best == null || c > best._2 ||
+          (c == best._2 && (p._1 < best._1._1 ||
+            (p._1 == best._1._1 && p._2 < best._1._2))))) best = e
+      }
+      if (best == null) drained = true
+      else {
+        val ((l, r), w) = best
+        steps += ((it.toLong, l, r, l + r, w))
+        // fuse only the words that contain the pair (stale index entries
+        // — words rewritten since insertion — are filtered by the scan)
+        index.getOrElse((l, r), scala.collection.mutable.Set.empty[Int])
+          .toArray.sorted.foreach { i =>
+            val s = syms(i)
+            var has = false; var j = 0
+            while (!has && j < s.length - 1) {
+              has = s(j) == l && s(j + 1) == r; j += 1
+            }
+            if (has) {
+              tally(i, -1L) // retract the word's current pair occurrences
+              val out = scala.collection.mutable.ArrayBuffer[String]()
+              var k2 = 0
+              while (k2 < s.length) {
+                if (k2 < s.length - 1 && s(k2) == l && s(k2 + 1) == r) {
+                  out += l + r; k2 += 2 // non-overlapping, left-to-right
+                } else { out += s(k2); k2 += 1 }
+              }
+              syms(i) = out
+              tally(i, 1L)
+            }
+          }
+        index.remove((l, r)): Unit // fully consumed; fuse can't recreate it
+        it += 1
+      }
+    }
+    import spark.implicits._
+    steps.toSeq.toDF("iter", "left_sym", "right_sym", "merged", "pair_weight")
+  }
+
   /** Content-defined chunk boundaries via a Rabin-Karp rolling hash
     * (FastCDC-style): position i (1-based, i ≥ w) is a cut when the hash
     * of the trailing w-char window divides m; expected chunk length ≈ m.

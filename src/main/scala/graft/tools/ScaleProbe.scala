@@ -575,6 +575,24 @@ object ScaleProbe {
       println(f"[probe] bpe production k=$kBig ckpt=$best $t%8.2f s (${t / kBig}%.3f s/merge)")
       rich.unpersist(): Unit
     }
+    // driver-resident merge loop at tokenizer scale: same derived
+    // vocabulary; the word count stays distributed, the k-merge loop is
+    // in-memory incremental pair counting
+    if (only.forall(_.exists("bpe local".startsWith))) {
+      def b26l(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(lower(conv(c.cast("string"), 10, 26)), "0123456789", "qrstuvwxyz")
+      val rich = docs1.select(col("doc_id"), concat_ws(" ",
+        (0 until 16).map(j =>
+          b26l(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
+        .as("text")).cache()
+      rich.count(): Unit
+      Seq(1000, 10000, 30000).foreach { k =>
+        val (n, t) = time(s"bpe local k=$k")(
+          TextOps.bpeMergesLocal(rich, "doc_id", "text", merges = k).count())
+        println(f"[probe] bpe local k=$k%-6d $t%8.2f s (${t * 1000 / k}%.2f ms/merge, $n merges emitted)")
+      }
+      rich.unpersist(): Unit
+    }
     spark.stop()
   }
 }

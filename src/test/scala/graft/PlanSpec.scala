@@ -366,7 +366,8 @@ class PlanSpec extends SparkSpec {
       "s4_jsonl_roundtrip", "s7_partitioned_roundtrip", "s8_orc_roundtrip",
       "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep",
       "x8_pagerank_states", "x8_personalized_pagerank", "x8_hits_states",
-      "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores"),
+      "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores",
+      "x3_bpe_merges_fast"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -379,6 +380,10 @@ class PlanSpec extends SparkSpec {
       // (window shape gated by the dedicated pagerank plan test — all
       // share the iteration building blocks; the trainer and its apply
       // step have no window at all).
+      // x3_bpe_merges_fast: constructing it COLLECTS the vocabulary-
+      // bounded word table and runs the driver-resident merge loop (that
+      // is the op — the returned frame is a local result table with no
+      // window anywhere).
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")

@@ -83,6 +83,41 @@ class Round12OpsSpec extends SparkSpec {
     assert(d.n_bytes == 48L + 4) // 2 SOI + 18 APP0 + 9 COM + 19 SOF0 + payload
   }
 
+  test("X3 bpeMergesLocal equals distributed bpeMerges on the real corpus (k=6)") {
+    val docs = sources.Tables.documents(spark, sf001)
+    def table(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, String, Long)] = {
+      import spark.implicits._
+      df.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    }
+    val dist = table(ops.TextOps.bpeMerges(docs, "doc_id", "text", merges = 6))
+    val local = table(ops.TextOps.bpeMergesLocal(docs, "doc_id", "text", merges = 6))
+    assert(local == dist, s"driver-resident loop must replicate the distributed merges\n$local\nvs\n$dist")
+  }
+
+  test("X3 bpeMergesLocal equals bpeMerges on a vocabulary-rich corpus, and drains like it") {
+    import spark.implicits._
+    // 40 docs x 6 words from a derived 200-type universe: overlapping
+    // merges, ties, and multi-char symbols all occur within k=8
+    val rich = (0L until 40L).map { id =>
+      (id, (0 until 6).map(j => ((id * 7 + j * 13) % 200).toInt)
+        .map(n => ('a' + n % 26).toChar.toString * (1 + n % 4)).mkString(" "))
+    }.toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = table(ops.TextOps.bpeMerges(rich, "doc_id", "text", merges = 8))
+    val local = table(ops.TextOps.bpeMergesLocal(rich, "doc_id", "text", merges = 8))
+    assert(local == dist)
+    // drain parity: a tiny corpus runs out of pairs before k; both stop
+    val tiny = Seq((1L, "ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val dTiny = table(ops.TextOps.bpeMerges(tiny, "doc_id", "text", merges = 5))
+    val lTiny = table(ops.TextOps.bpeMergesLocal(tiny, "doc_id", "text", merges = 5))
+    assert(lTiny == dTiny && lTiny.length < 5, s"drained tables must agree: $lTiny vs $dTiny")
+    // bounded-vocab contract fails loud
+    intercept[IllegalArgumentException] {
+      ops.TextOps.bpeMergesLocal(rich, "doc_id", "text", merges = 2, maxVocab = 3)
+    }
+  }
+
   test("X4 JpegCodec: rejects non-JPEG, truncation, SOS-before-SOF0, progressive SOF2") {
     val base = {
       import spark.implicits._
