@@ -309,6 +309,10 @@ object Multimodal {
       while (off + 4 <= b.length) {
         require((b(off) & 0xff) == 0xff,
           s"bad marker alignment at byte $off (doc ${r.doc_id})")
+        // ITU T.81 §B.1.1.2: markers may be preceded by any number of
+        // 0xFF fill bytes — skip them (real encoders emit them)
+        while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+        require(off + 4 <= b.length, s"trailing fill bytes (doc ${r.doc_id})")
         val marker = b(off + 1) & 0xff
         require(marker != 0xd9 && marker != 0xda,
           s"hit ${if (marker == 0xda) "SOS" else "EOI"} before SOF0 " +

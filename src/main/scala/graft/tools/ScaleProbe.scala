@@ -543,6 +543,43 @@ object ScaleProbe {
       run(s"${scale}x/8", embN, 8)
       run(s"${scale}x/24", embN, 24)
     }
+    // streaming near-dedup, pairwise vs transitive: same doc stream
+    // through both modes — prices the transitive mode's honest costs
+    // (shingle ledger state, cross-batch candidate join against ALL seen
+    // docs rather than survivors) per batch as the ledger accumulates.
+    if (only.forall(_.exists("near-dedup streaming".startsWith))) {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val rows = docs1.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      def run(label: String, transitive: Boolean): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ndp").toString
+        val (corpus, ledger, ckpt) = (s"$dir/corpus", s"$dir/ledger", s"$dir/ckpt")
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val docsStream = mem.toDF().toDF("doc_id", "text")
+        val q = if (transitive)
+          graft.streaming.StreamingOps.incrementalNearDedupTransitive(
+            docsStream, "doc_id", "text", corpus, ledger, ckpt)
+        else graft.streaming.StreamingOps.incrementalNearDedup(
+          docsStream, "doc_id", "text", corpus, ledger, ckpt)
+        val per = rows.grouped(math.max(1, rows.length / 10)).toSeq.map { chunk =>
+          val t0 = System.nanoTime()
+          mem.addData(chunk: _*); q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q.stop()
+        val ledgerRows = spark.read.parquet(ledger).count()
+        val ledgerBytes = {
+          val p = new org.apache.hadoop.fs.Path(ledger)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(p).getLength
+        }
+        println(f"[probe] near-dedup streaming $label%-11s first=${per.head}%6.2f s mid=${per(per.length / 2)}%6.2f s last=${per.last}%6.2f s total=${per.sum}%7.2f s ledger=$ledgerRows rows/${ledgerBytes / 1024} KiB")
+      }
+      run("pairwise", transitive = false)
+      run("transitive", transitive = true)
+    }
     // production-vocab BPE: the sf0.1 corpus has only 31 word TYPES
     // (synthetic lang-id text), so per-merge cost at tokenizer-training
     // k needs a vocabulary-rich input. Derive one from doc ids — 16

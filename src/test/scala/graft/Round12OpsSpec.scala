@@ -135,5 +135,9 @@ class Round12OpsSpec extends SparkSpec {
     val sof2 = base.clone(); sof2(base.length - 19 + 1) = 0xc2.toByte
     val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, sof2)) }
     assert(e.getMessage.contains("unsupported SOF"))
+    // ITU T.81 fill bytes: extra 0xFF padding before a marker is legal
+    val filled = base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
+    val d = codec.decode(MediaRow(5L, filled))
+    assert(d.width == 8 && d.height == 8 && d.subsampling == "4:2:0")
   }
 }
