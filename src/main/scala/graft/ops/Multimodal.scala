@@ -261,7 +261,13 @@ object Multimodal {
     * for the entropy-coded scan and is appended AFTER SOF0, where the
     * segment walk never reaches. Pure codegen expressions, map-only. */
   def syntheticJpeg(w: Column, h: Column, payload: Column): Column = {
-    def be16(v: Column): Column = lpad(hex(v), 4, "0")
+    // fail-loud builder contract (matches the codecs): SOF0 dimensions
+    // are 16-bit — lpad would silently TRUNCATE "10000" to "1000" for
+    // 65536, fabricating width 4096
+    def be16(v: Column): Column = when(
+      assert_true(v.between(0, 0xFFFF),
+        lit("syntheticJpeg: dimension exceeds the 16-bit SOF0 field")).isNull,
+      lpad(hex(v), 4, "0"))
     concat(unhex(concat(
       lit("FFD8"),                        // SOI
       lit("FFE0"), lit("0010"),           // APP0, length 16

@@ -534,16 +534,21 @@ object StreamingOps {
     * compact at-most-pairwise variant.
     *
     * State: the ledger keeps one row per EVER-SEEN doc (kept or dropped)
-    * — its k-long minhash signature, its DISTINCT SHINGLE SET, and
-    * `root`, the corpus survivor of its component. Storing shingles for
-    * dropped docs is precisely what makes a chain THROUGH a dropped doc
-    * verifiable with the same true-Jaccard test the batch pipeline runs;
-    * signatures alone cannot exact-verify, and survivor text alone
-    * cannot see dropped-doc links (the [[incrementalNearDedup]]
-    * tradeoff). Ledger size is therefore O(tokenized corpus) — columnar
-    * shingle arrays compress well, but this mode's state grows with
-    * everything ever ingested, which is the honest price of exact
-    * transitive equivalence.
+    * — its normalized-text FINGERPRINT, its k-long minhash signature
+    * (null for zero-token texts, which have no shingles), its DISTINCT
+    * SHINGLE SET, and `root`, the corpus survivor of its component.
+    * Storing shingles for dropped docs is precisely what makes a chain
+    * THROUGH a dropped doc verifiable with the same true-Jaccard test
+    * the batch pipeline runs; signatures alone cannot exact-verify, and
+    * survivor text alone cannot see dropped-doc links (the
+    * [[incrementalNearDedup]] tradeoff). The fingerprint column mirrors
+    * dedupPipeline's exactDedup stage — identical raw texts collapse
+    * even when tokenization yields nothing — and doubles as the REPLAY
+    * GUARD: a crash-replayed batch anti-joins against the ledger's doc
+    * ids to empty instead of re-appending survivors. Ledger size is
+    * O(tokenized corpus) — columnar shingle arrays compress well, but
+    * this mode's state grows with everything ever ingested, which is
+    * the honest price of exact transitive equivalence.
     *
     * Per micro-batch, all candidate work stays bucketed and
     * candidate-bounded: within-batch verified pairs (LSH bands → est
@@ -571,48 +576,81 @@ object StreamingOps {
                                      threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        import graft.ops.{Dedup, DedupCaches}
-        val spark = batch.sparkSession
-        val b = batch.cache()
-        val batchCaches = new DedupCaches
-        val sets = batchCaches.track(Dedup.docShingleSets(b, idCol, textCol))
-        val sig = Dedup.minhashSignaturesFromSets(sets, k, batchCaches)
-        val within = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin,
-            threshold, caches = batchCaches)
-          .select(col("doc_a"), col("doc_b"))
+      .foreachBatch { (batch0: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.{Dedup, DedupCaches, TextOps}
+        val spark = batch0.sparkSession
         val hPath = new org.apache.hadoop.fs.Path(ledgerPath)
         val ledgerExists =
           hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+        val seenAll =
+          if (ledgerExists) Some(spark.read.parquet(ledgerPath)) else None
+        // REPLAY GUARD: the ledger holds one row per EVER-processed doc,
+        // so it doubles as the idempotence ledger — a crash-replayed
+        // batch anti-joins to empty instead of re-appending survivors
+        // (the same self-ledger move incrementalExactDedup makes). The
+        // residual window is the corpus-append → ledger-append gap: a
+        // crash exactly between them re-appends that batch's survivors
+        // once (plain at-least-once on the corpus sink; dedupe
+        // downstream by doc id), never loses a doc.
+        val b = seenAll.map(sn => batch0.join(
+            sn.select(col("doc_id").as("__seen")),
+            batch0(idCol) === col("__seen"), "left_anti"))
+          .getOrElse(batch0).cache()
+        val batchCaches = new DedupCaches
+        val sets = batchCaches.track(Dedup.docShingleSets(b, idCol, textCol))
+        val sig = Dedup.minhashSignaturesFromSets(sets, k, batchCaches)
+        // exact-fingerprint stage (dedupPipeline's exactDedup mirror):
+        // covers docs the shingle path cannot see — zero-token texts have
+        // EMPTY shingle sets, no signature, and no LSH presence, yet
+        // identical raw texts must still collapse exactly as the batch
+        // pipeline's fingerprint stage collapses them
+        val fpB = batchCaches.track(b.select(
+          col(idCol).cast("long").as("doc_id"),
+          TextOps.fingerprint(col(textCol)).as("fp")))
+        val withinNear = Dedup.minhashLshPairs(b, idCol, textCol, k, r, estMin,
+            threshold, caches = batchCaches)
+          .select(col("doc_a"), col("doc_b"))
+        val fpMin = fpB.groupBy(col("fp")).agg(min(col("doc_id")).as("__m"))
+        val withinExact = fpB.join(fpMin, Seq("fp"))
+          .where(col("doc_id") =!= col("__m"))
+          .select(col("__m").as("doc_a"), col("doc_id").as("doc_b"))
+        val within = withinNear.unionAll(withinExact)
         // verified (new doc → existing component root) links, one row per
-        // distinct (doc_id, root)
-        val cross = batchCaches.track(if (ledgerExists) {
-          val seen = spark.read.parquet(ledgerPath)
-          val sigCols = col("doc_id") +: (0 until k).map(i => col(s"mh$i"))
-          val cands = Dedup.lshBands(sig, k, r).as("l")
-            .join(Dedup.lshBands(seen.select(sigCols: _*), k, r).as("r"),
-              col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-            .where(Dedup.signatureEstJaccard(k) >= lit(estMin))
-            .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("ref_id"))
-            .distinct()
-          val refSets = seen.select(col("doc_id").as("ref_id"),
-            col("toks").as("toks_r"), col("n_toks").as("nr"), col("root"))
-          val newSets = sets.select(col("doc_id"),
-            col("toks").as("toks_n"), col("n_toks").as("nn"))
-          cands.join(newSets, Seq("doc_id")).join(refSets, Seq("ref_id"))
-            .withColumn("inter",
-              size(array_intersect(col("toks_n"), col("toks_r"))))
-            .where(col("inter").cast("double") /
-              (col("nn") + col("nr") - col("inter")).cast("double")
-              >= lit(threshold))
-            .select(col("doc_id"), col("root")).distinct()
-        } else spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("root",
-              org.apache.spark.sql.types.LongType)))))
+        // distinct (doc_id, root): near (bands → est prefilter → exact
+        // Jaccard on ledger shingles) ∪ exact (fingerprint match)
+        val cross = batchCaches.track(seenAll match {
+          case Some(seen) =>
+            val sigCols = col("doc_id") +: (0 until k).map(i => col(s"mh$i"))
+            val cands = Dedup.lshBands(sig, k, r).as("l")
+              .join(Dedup.lshBands(
+                  seen.where(col("mh0").isNotNull).select(sigCols: _*), k, r).as("r"),
+                col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+              .where(Dedup.signatureEstJaccard(k) >= lit(estMin))
+              .select(col("l.doc_id").as("doc_id"), col("r.doc_id").as("ref_id"))
+              .distinct()
+            val refSets = seen.select(col("doc_id").as("ref_id"),
+              col("toks").as("toks_r"), col("n_toks").as("nr"), col("root"))
+            val newSets = sets.select(col("doc_id"),
+              col("toks").as("toks_n"), col("n_toks").as("nn"))
+            val crossNear = cands.join(newSets, Seq("doc_id")).join(refSets, Seq("ref_id"))
+              .withColumn("inter",
+                size(array_intersect(col("toks_n"), col("toks_r"))))
+              .where(col("inter").cast("double") /
+                (col("nn") + col("nr") - col("inter")).cast("double")
+                >= lit(threshold))
+              .select(col("doc_id"), col("root"))
+            val crossExact = fpB
+              .join(seen.select(col("fp"), col("root")), Seq("fp"))
+              .select(col("doc_id"), col("root"))
+            crossNear.unionAll(crossExact).distinct()
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("root",
+                org.apache.spark.sql.types.LongType))))
+        })
         // batch-local graph: (new,new) links + (new, contracted root)
         val edges = within.unionAll(
           cross.select(col("doc_id").as("doc_a"), col("root").as("doc_b")))
@@ -641,8 +679,11 @@ object StreamingOps {
         b.join(survivors, b(idCol) === survivors("doc_id"), "left_semi")
           .write.mode("append").parquet(corpusPath)
         // EVERY batch doc enters the ledger — dropped docs carry the
-        // state that makes future chains through them verifiable
-        sig.join(sets.select(col("doc_id"), col("toks"), col("n_toks")), Seq("doc_id"))
+        // state that makes future chains through them verifiable, and
+        // zero-token docs (no signature row) keep their fingerprint row
+        // via the LEFT join so the replay guard and exact stage see them
+        fpB.join(sets.select(col("doc_id"), col("toks"), col("n_toks")), Seq("doc_id"))
+          .join(sig, Seq("doc_id"), "left")
           .join(assignment, Seq("doc_id"))
           .write.mode("append").parquet(ledgerPath)
         batchCaches.unpersistAll(); b.unpersist(): Unit
@@ -1173,7 +1214,15 @@ object StreamingOps {
     * (partition pruning on the same layout searches use), keeping
     * per-batch cost independent of total index size. Measured FLAT at
     * probe scale even unpruned (SCALING.md round-12: last batch ≈ first
-    * at 3× the batch count). Centroid drift is out of scope
+    * at 3× the batch count). The prune's invariant, stated explicitly:
+    * replays deliver the SAME bytes (Structured Streaming re-runs the
+    * identical batch) and `centroids` is the same frozen table for the
+    * stream's lifetime — a source that re-delivers a pid with a
+    * MUTATED vector is an upsert, which this append-only index does not
+    * accept in any form (the pre-prune full-index guard silently
+    * dropped such updates; now they would land in the new cell — either
+    * way an upsert stream needs the CDC latest-state compaction in
+    * front, not this op). Centroid drift is out of scope
     * by design: re-clustering is a BATCH rebuild (kmeansFit → rewrite),
     * exactly like production IVF systems that rebuild off-line and swap. */
   def incrementalAnnIndex(emb: DataFrame, idCol: String, vecCol: String,

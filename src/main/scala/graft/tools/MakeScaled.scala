@@ -13,7 +13,16 @@ import org.apache.spark.sql.functions._
   * `span` is divisible by 33600 = lcm(64, 48, 80, 60, 100, 7, 10), the
   * small moduli the query surface derives features from (`doc_id % 64`
   * image widths, `% 10` eval stripes, …), so id-derived distributions
-  * are IDENTICAL per copy instead of drifting with the shift. */
+  * are IDENTICAL per copy instead of drifting with the shift.
+  *
+  * KNOWN SHAPE CAVEAT, by construction: non-key columns (text, vectors,
+  * payloads) replicate VERBATIM, so every document in the N× corpus is
+  * an exact N-clique of duplicates — dedup/similarity families see a
+  * (N−1)/N duplicate rate and corpus-wide LSH cliques a genuinely
+  * generated larger scale factor would not have. Bench points on this
+  * data are therefore a WORST-CASE stress for the X1/X2 families
+  * (clique mass maximal), not an organic-corpus extrapolation; record
+  * them as such (see BASELINE.md's sf0.3 note). */
 object MakeScaled {
   private val keyCols: Map[String, Seq[String]] = Map(
     "region" -> Seq("r_regionkey"),
@@ -40,6 +49,14 @@ object MakeScaled {
     spark.sparkContext.setLogLevel("WARN")
     keyCols.foreach { case (table, keys) =>
       val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      // int32 key columns: the largest shift must leave half the int
+      // range for the original ids, or the cast back silently wraps
+      keys.foreach { k =>
+        val narrow = src.schema(k).dataType == org.apache.spark.sql.types.IntegerType
+        require(!narrow || (n - 1).toLong * span <= Int.MaxValue / 2,
+          s"key shift ${(n - 1).toLong * span} would overflow int32 column $k " +
+            "— lower n or span, or widen the column")
+      }
       val shifted: DataFrame = (0 until n).map { c =>
         keys.foldLeft(src)((d, k) =>
           d.withColumn(k, (col(k).cast("long") + lit(c * span)).cast(src.schema(k).dataType)))

@@ -543,6 +543,18 @@ object ScaleProbe {
       run(s"${scale}x/8", embN, 8)
       run(s"${scale}x/24", embN, 24)
     }
+    // shared vocabulary-rich derived corpus for the BPE probes: 16
+    // base-26 words per doc from a 50k-type universe (conv 10->26,
+    // digits translated to letters) — both probe blocks MUST price the
+    // same corpus or their s/merge comparison is meaningless
+    def richCorpus(src: DataFrame): DataFrame = {
+      def b26(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        translate(lower(conv(c.cast("string"), 10, 26)), "0123456789", "qrstuvwxyz")
+      src.select(col("doc_id"), concat_ws(" ",
+        (0 until 16).map(j =>
+          b26(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
+        .as("text"))
+    }
     // streaming near-dedup, pairwise vs transitive: same doc stream
     // through both modes — prices the transitive mode's honest costs
     // (shingle ledger state, cross-batch candidate join against ALL seen
@@ -589,12 +601,7 @@ object ScaleProbe {
     // checkpointEvery at k=200 to MEASURE the replay/IO sweet spot
     // SCALING.md previously asserted, then prices k=1000 at the winner.
     if (only.forall(_.exists("bpe production".startsWith))) {
-      def b26(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        translate(lower(conv(c.cast("string"), 10, 26)), "0123456789", "qrstuvwxyz")
-      val rich = docs1.select(col("doc_id"), concat_ws(" ",
-        (0 until 16).map(j =>
-          b26(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
-        .as("text")).cache()
+      val rich = richCorpus(docs1).cache()
       println(s"[probe] bpe production vocab: ${rich.select(explode(split(col("text"), " ")).as("w")).distinct().count()} word types")
       val cadences = sys.env.get("SPARK_GRAFT_BPE_SWEEP")
         .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(2, 4, 8, 16, 32))
@@ -616,12 +623,7 @@ object ScaleProbe {
     // vocabulary; the word count stays distributed, the k-merge loop is
     // in-memory incremental pair counting
     if (only.forall(_.exists("bpe local".startsWith))) {
-      def b26l(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        translate(lower(conv(c.cast("string"), 10, 26)), "0123456789", "qrstuvwxyz")
-      val rich = docs1.select(col("doc_id"), concat_ws(" ",
-        (0 until 16).map(j =>
-          b26l(pmod(col("doc_id") * lit(7) + lit(j * 9973), lit(50000)))): _*)
-        .as("text")).cache()
+      val rich = richCorpus(docs1).cache()
       rich.count(): Unit
       Seq(1000, 10000, 30000).foreach { k =>
         val (n, t) = time(s"bpe local k=$k")(

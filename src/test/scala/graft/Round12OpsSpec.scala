@@ -140,4 +140,14 @@ class Round12OpsSpec extends SparkSpec {
     val d = codec.decode(MediaRow(5L, filled))
     assert(d.width == 8 && d.height == 8 && d.subsampling == "4:2:0")
   }
+
+  test("X4 syntheticJpeg: dimensions past the 16-bit SOF0 field fail loud, not truncate") {
+    import spark.implicits._
+    val df = spark.range(1).select(lit(1L).as("doc_id"),
+      Multimodal.syntheticJpeg(lit(65536), lit(8), lit(Array.emptyByteArray)).as("media"))
+    val e = intercept[Exception] { df.as[MediaRow].collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("16-bit SOF0")), s"got: ${messages(e)}")
+  }
 }

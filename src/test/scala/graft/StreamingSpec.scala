@@ -804,6 +804,43 @@ class StreamingSpec extends SparkSpec {
     assert(roots(3L) == 3L && roots(5L) == 5L)
   }
 
+  test("transitive mode: replayed docs are idempotent; zero-token exact dups collapse like dedupPipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val corpus = Files.createTempDirectory("graft_tr3_corpus").toString
+    val ledger = Files.createTempDirectory("graft_tr3_ledger").toString + "/led"
+    val ckpt = Files.createTempDirectory("graft_tr3_ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.incrementalNearDedupTransitive(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus, ledger, ckpt)
+    // "12345" tokenizes to NOTHING (letters-only tokenizer): no shingles,
+    // no signature — only the fingerprint stage can collapse the pair
+    mem.addData((1L, base), (2L, "12345"), (3L, "12345"))
+    q.processAllAvailable()
+    // at-least-once redelivery: the whole first batch arrives again, plus
+    // one genuinely new doc — replays must be absorbed by the ledger guard
+    mem.addData((1L, base), (2L, "12345"), (3L, "12345"),
+      (4L, "novel content regarding ships and stars " * 8))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(corpus).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 4L), s"got $got")
+    assert(spark.read.parquet(corpus).count() == 3, "no duplicate corpus rows after replay")
+    // parity with the batch pipeline over the same four docs
+    val batchSurvivors = ops.Dedup.dedupPipeline(
+        Seq((1L, base), (2L, "12345"), (3L, "12345"),
+          (4L, "novel content regarding ships and stars " * 8)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(got == batchSurvivors, s"streaming $got vs batch $batchSurvivors")
+    // ledger: one row per seen doc, zero-token docs included (null sig)
+    val led = spark.read.parquet(ledger)
+    assert(led.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(led.where(col("doc_id") === 3L).select("root").as[Long].head() == 2L)
+    assert(led.where(col("mh0").isNull).count() == 2, "zero-token docs carry null signatures")
+  }
+
   test("incremental decontamination: bench gram ledger drops leaked docs across batches") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
