@@ -1540,12 +1540,14 @@ object Queries {
 
   /** X4 — JPEG header decode ([[Multimodal.decodeJpeg]]): each document
     * wrapped in a valid JFIF prefix ([[Multimodal.syntheticJpeg]]) whose
-    * SOF0 frame header the codec reaches by WALKING the marker-segment
+    * frame header the codec reaches by WALKING the marker-segment
     * stream (an APP0 and a COM segment sit in front, each skipped by its
     * own length field) and whose height/width are BIG-endian 16-bit —
     * the third byte-width variant after BMP's LE32 and PNG's BE32, plus
     * the 4:2:0 chroma-subsampling factors a photographic corpus
-    * actually carries. */
+    * actually carries. Odd doc_ids get a PROGRESSIVE (SOF2) frame —
+    * the format most real crawl JPEGs ship — proving the codec parses
+    * geometry from both baseline and progressive headers. */
   private val x4DecodeJpeg = Q("x4_decode_jpeg",
     (s, dir) => {
       import s.implicits._
@@ -1553,19 +1555,22 @@ object Queries {
       val h = (pmod(col("doc_id") * 3, lit(60)) + 1).cast("int")
       val rows = Tables.documents(s, dir)
         .select(col("doc_id"),
-          Multimodal.syntheticJpeg(w, h, encode(col("text"), "UTF-8")).as("media"))
+          Multimodal.syntheticJpeg(w, h, encode(col("text"), "UTF-8"),
+            progressive = pmod(col("doc_id"), lit(2)) === 1).as("media"))
         .as[Multimodal.MediaRow]
       Multimodal.decodeJpeg(rows).toDF()
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("n_bytes"),
           col("n_components").cast("long").as("n_components"),
-          col("subsampling"))
+          col("subsampling"), col("sof_type"))
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, CAST(doc_id % 80 + 1 AS BIGINT) AS width,
         CAST((doc_id * 3) % 60 + 1 AS BIGINT) AS height,
         CAST(48 + strlen(text) AS BIGINT) AS n_bytes,
-        CAST(3 AS BIGINT) AS n_components, '4:2:0' AS subsampling
+        CAST(3 AS BIGINT) AS n_components, '4:2:0' AS subsampling,
+        CASE WHEN doc_id % 2 = 1 THEN 'progressive' ELSE 'baseline' END
+          AS sof_type
       FROM documents ORDER BY doc_id"""))
 
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →

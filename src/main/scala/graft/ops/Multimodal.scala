@@ -260,8 +260,17 @@ object Multimodal {
     * the layout photographic corpora actually ship. `payload` stands in
     * for the entropy-coded scan and is appended AFTER SOF0, where the
     * segment walk never reaches. Pure codegen expressions, map-only. */
-  def syntheticJpeg(w: Column, h: Column, payload: Column): Column = {
-    // fail-loud builder contract (matches the codecs): SOF0 dimensions
+  def syntheticJpeg(w: Column, h: Column, payload: Column): Column =
+    syntheticJpeg(w, h, payload, progressive = lit(false))
+
+  /** [[syntheticJpeg]] with a per-row frame-type switch: `progressive`
+    * true emits an SOF2 (progressive DCT) frame header instead of SOF0.
+    * ITU T.81 §B.2.2 gives both markers the IDENTICAL frame-header
+    * layout — only the marker byte differs — so the builder shares
+    * every other segment. */
+  def syntheticJpeg(w: Column, h: Column, payload: Column,
+                    progressive: Column): Column = {
+    // fail-loud builder contract (matches the codecs): SOF dimensions
     // are 16-bit — lpad would silently TRUNCATE "10000" to "1000" for
     // 65536, fabricating width 4096
     def be16(v: Column): Column = when(
@@ -277,7 +286,8 @@ object Multimodal {
       lit("0000"),                        // no thumbnail
       lit("FFFE"), lit("0007"),           // COM, length 7 (skip-by-length gate)
       lit("6772616674"),                  // "graft"
-      lit("FFC0"), lit("0011"),           // SOF0, length 17 (3 components)
+      when(progressive, lit("FFC2")).otherwise(lit("FFC0")), // SOF2 | SOF0
+      lit("0011"),                        // length 17 (3 components)
       lit("08"),                          // sample precision 8
       be16(h), be16(w),                   // the BE16 fields the codec parses
       lit("03"),                          // 3 components
@@ -288,21 +298,27 @@ object Multimodal {
   }
 
   case class DecodedJpeg(doc_id: Long, width: Int, height: Int, n_bytes: Long,
-                         n_components: Int, subsampling: String)
+                         n_components: Int, subsampling: String,
+                         sof_type: String)
 
   /** REAL codec for the JPEG container: validates SOI, then walks the
     * marker-segment stream — each segment skipped by its OWN big-endian
-    * length field — until the SOF0 frame header, from which it parses
-    * sample precision, height/width (big-endian int16), component count,
-    * and the luma component's chroma-subsampling factors (2×2 → 4:2:0,
-    * 2×1 → 4:2:2, 1×1 → 4:4:4). Non-baseline SOF markers (progressive
-    * SOF2 etc.), SOS-before-SOF, standalone markers, and truncated
-    * segments all throw rather than guessing — same fail-loud contract
-    * as [[BmpCodec]]/[[PngCodec]], same one-instance-per-partition
-    * lifecycle. Entropy-coded scan decode is out of scope (that is the
-    * DCT stage a native library owns); the header walk is the part a
-    * data engine needs for geometry/layout stats and it runs on real
-    * bytes. */
+    * length field — until the frame header, from which it parses sample
+    * precision, height/width (big-endian int16), component count, and
+    * the luma component's chroma-subsampling factors (2×2 → 4:2:0,
+    * 2×1 → 4:2:2, 1×1 → 4:4:4). BOTH baseline (SOF0) and progressive
+    * (SOF2) frames are accepted for geometry — ITU T.81 §B.2.2 gives
+    * them the identical frame-header layout, and a large share of real
+    * crawl JPEGs are progressive — reported via `sof_type`
+    * ("baseline"/"progressive"). Every OTHER SOF variant (extended
+    * sequential SOF1, lossless SOF3, arithmetic SOF9… — rare and
+    * untestable here), SOS-before-SOF, standalone markers, and
+    * truncated segments all throw rather than guessing — same
+    * fail-loud contract as [[BmpCodec]]/[[PngCodec]], same
+    * one-instance-per-partition lifecycle. Entropy-coded scan decode is
+    * out of scope (that is the DCT stage a native library owns); the
+    * header walk is the part a data engine needs for geometry/layout
+    * stats and it runs on real bytes. */
   final class JpegCodec {
     JpegCodec.constructions.incrementAndGet(): Unit
     private def be16(b: Array[Byte], off: Int): Int =
@@ -328,12 +344,14 @@ object Multimodal {
         val len = be16(b, off + 2)
         require(len >= 2 && off + 2 + len <= b.length,
           s"truncated segment ${marker.toHexString} (doc ${r.doc_id})")
-        if (marker == 0xc0) {
+        // SOF0 (baseline) and SOF2 (progressive) share the frame-header
+        // layout byte-for-byte (ITU T.81 §B.2.2) — only the marker differs
+        if (marker == 0xc0 || marker == 0xc2) {
           val precision = b(off + 4) & 0xff
           val h = be16(b, off + 5); val w = be16(b, off + 7)
           val nc = b(off + 9) & 0xff
           require(precision == 8 && nc >= 1 && len == 8 + 3 * nc,
-            s"malformed SOF0 (precision $precision, $nc components, len $len) " +
+            s"malformed SOF (precision $precision, $nc components, len $len) " +
               s"(doc ${r.doc_id})")
           val samp = b(off + 11) & 0xff // luma sampling (component id at off+10)
           val sub = ((samp >> 4, samp & 0x0f): @unchecked) match {
@@ -342,13 +360,14 @@ object Multimodal {
             case (2, 2) => "4:2:0"
             case (hs, vs) => s"${hs}x$vs"
           }
-          return DecodedJpeg(r.doc_id, w, h, b.length.toLong, nc, sub)
+          val sofType = if (marker == 0xc0) "baseline" else "progressive"
+          return DecodedJpeg(r.doc_id, w, h, b.length.toLong, nc, sub, sofType)
         }
         if (marker >= 0xc1 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           throw new IllegalArgumentException(
             s"unsupported SOF type ${marker.toHexString} — baseline (SOF0) " +
-              s"only (doc ${r.doc_id})")
+              s"and progressive (SOF2) only (doc ${r.doc_id})")
         off += 2 + len
       }
       throw new IllegalArgumentException(

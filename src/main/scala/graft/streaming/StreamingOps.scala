@@ -186,7 +186,12 @@ object StreamingOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("ts").desc, col("event_id").desc)
     events.withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
-      .where(!col("event_type").isInCollection(deleteTypes))
+      // null-proof membership: a NULL event_type is NOT a delete marker.
+      // A bare `!isInCollection` yields NULL for NULL input and silently
+      // drops the row — the one membership-test class that diverges
+      // between engines (three-valued logic), so it is spelled out.
+      .where(col("event_type").isNull ||
+        !col("event_type").isInCollection(deleteTypes))
       .select(col(keyCol), col("event_id").as("last_event_id"),
         col("ts").as("last_ts"), col("event_type").as("last_type"),
         col("value").as("last_value"))

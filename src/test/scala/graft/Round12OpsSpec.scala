@@ -80,6 +80,7 @@ class Round12OpsSpec extends SparkSpec {
     val d = Multimodal.decodeJpeg(df.as[MediaRow]).collect().head
     assert(d.width == 641 && d.height == 479)
     assert(d.n_components == 3 && d.subsampling == "4:2:0")
+    assert(d.sof_type == "baseline")
     assert(d.n_bytes == 48L + 4) // 2 SOI + 18 APP0 + 9 COM + 19 SOF0 + payload
   }
 
@@ -118,7 +119,7 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
-  test("X4 JpegCodec: rejects non-JPEG, truncation, SOS-before-SOF0, progressive SOF2") {
+  test("X4 JpegCodec: rejects non-JPEG, truncation, SOS-before-SOF0, extended SOF1") {
     val base = {
       import spark.implicits._
       spark.range(1).select(lit(1L).as("doc_id"),
@@ -131,9 +132,10 @@ class Round12OpsSpec extends SparkSpec {
     // SOS (FFDA) where SOF0 sits → fail loud
     val sos = base.clone(); sos(base.length - 19 + 1) = 0xda.toByte
     intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, sos)) }
-    // progressive SOF2 → unsupported, not misparsed
-    val sof2 = base.clone(); sof2(base.length - 19 + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, sof2)) }
+    // extended-sequential SOF1 → unsupported, not misparsed (SOF2 is
+    // accepted for geometry since r13 — see Round13OpsSpec)
+    val sof1 = base.clone(); sof1(base.length - 19 + 1) = 0xc1.toByte
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, sof1)) }
     assert(e.getMessage.contains("unsupported SOF"))
     // ITU T.81 fill bytes: extra 0xFF padding before a marker is legal
     val filled = base.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ base.drop(2)
