@@ -468,7 +468,8 @@ object Queries {
     Some("""SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts,
         event_type AS last_type, value AS last_value FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rk
-        FROM events) WHERE rk = 1 AND event_type NOT IN ('error') ORDER BY user_id"""))
+        FROM events) WHERE rk = 1
+        AND COALESCE(event_type NOT IN ('error'), TRUE) ORDER BY user_id"""))
 
   /** CDC at-least-once replay dedup (batch form of
     * StreamingOps.dedupEvents): the input is the event log plus a
@@ -3371,7 +3372,8 @@ object Queries {
               || '.example.com/p/' || CAST(doc_id AS VARCHAR),
             '^[a-z]+://([^/]+)/', 1) AS domain
         FROM q),
-      f AS (SELECT * FROM d WHERE domain NOT IN ('src12.example.com', 'src45.example.com')),
+      f AS (SELECT * FROM d
+        WHERE COALESCE(domain NOT IN ('src12.example.com', 'src45.example.com'), TRUE)),
       r AS (SELECT doc_id, domain, quality,
           row_number() OVER (PARTITION BY domain ORDER BY quality DESC, doc_id) AS rk FROM f)
       SELECT doc_id, domain, quality, CAST(rk AS BIGINT) AS rk

@@ -38,4 +38,36 @@ class Round13OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(2L, sof3)) }
     assert(e.getMessage.contains("unsupported SOF"))
   }
+
+  test("cdcLatestState: NULL event_type is not a delete marker (null-proof membership)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 00:00:01"), "click", 1.0),
+      (1L, 11L, Timestamp.valueOf("2024-01-01 00:00:02"), null: String, 2.0),
+      (2L, 20L, Timestamp.valueOf("2024-01-01 00:00:03"), "error", 3.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = streaming.StreamingOps.cdcLatestState(ev)
+      .select("user_id", "last_event_id").as[(Long, Long)].collect().toMap
+    // user 1's latest row has a NULL type → kept (NULL is not 'error');
+    // user 2's latest IS 'error' → dropped
+    assert(out == Map(1L -> 11L))
+  }
+
+  test("domainCap: NULL domain survives the blocklist (anti-join ≡ COALESCE(NOT IN, TRUE))") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://good.example.com/p/1", 0.9),
+      (2L, null: String, 0.8), // null url → null domain
+      (3L, "https://bad.example.com/p/3", 0.7)
+    ).toDF("doc_id", "url", "quality")
+    val blocked = Seq("bad.example.com").toDF("domain")
+    val kept = ops.TextOps.domainCap(docs, "url",
+        Seq(col("quality").desc, col("doc_id").asc),
+        maxPerDomain = 10, blocklist = blocked)
+      .select("doc_id").as[Long].collect().toSet
+    // blocklists are deny-lists: an unparseable (NULL) domain is not on
+    // the list, so it must be kept — identical to the null-proof oracle
+    assert(kept == Set(1L, 2L))
+  }
 }
