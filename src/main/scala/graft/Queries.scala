@@ -5611,6 +5611,98 @@ object Queries {
         FROM pts CROSS JOIN pc ORDER BY vec_id"""
     })
 
+  /** Shared oracle fragment for the top-k PCA pair: the rounded
+    * symmetric covariance `cv`, then for each of the two components a
+    * full unrolled power iteration (matvec → round → normalize → round,
+    * the x2_pca_power discipline), a Rayleigh eigenvalue `lam{c}`, and
+    * — between them — the portable-rounded deflation `cvd = cv − λ·vvᵀ`.
+    * Every lattice step matches [[Similarity.pcaTopK]]'s driver loop
+    * exactly. */
+  private val pcaTopKCtes: String = {
+    def iterCtes(matrix: String, p: String): String = (1 to 3).map { t =>
+      val prev = s"$p${t - 1}"
+      s"""w_$p$t AS (SELECT m.i, floor(sum(m.cov * vj) * 1000000.0 + 0.5) / 1000000.0 AS wi
+        FROM $matrix m JOIN $prev ON m.j = $prev.j GROUP BY m.i),
+      n_$p$t AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w_$p$t),
+      $p$t AS (SELECT i AS j, floor(wi / nrm * 1000000.0 + 0.5) / 1000000.0 AS vj
+        FROM w_$p$t, n_$p$t)"""
+    }.mkString(",\n      ")
+    // MATERIALIZED: the deflated matrix is referenced by every
+    // second-component CTE; without it DuckDB re-evaluates the corpus
+    // covariance per reference (measured 276 s -> 0.4 s at sf0.01)
+    s"""e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+      p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+        FROM e, range(64) a(i), range(64) b(j) WHERE i <= j),
+      up AS MATERIALIZED (SELECT i, j,
+          floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+            / 1000000.0 AS cov
+        FROM p GROUP BY i, j),
+      cv AS MATERIALIZED (SELECT i, j, cov FROM up
+             UNION ALL SELECT j AS i, i AS j, cov FROM up WHERE i <> j),
+      v0 AS (SELECT i AS j, 1.0 AS vj FROM range(64) t(i)),
+      ${iterCtes("cv", "v")},
+      lam1 AS (SELECT floor(sum(m.cov * a.vj * b.vj) * 1000000.0 + 0.5)
+          / 1000000.0 AS lam
+        FROM cv m JOIN v3 a ON m.i = a.j JOIN v3 b ON m.j = b.j),
+      cvd AS MATERIALIZED (SELECT m.i, m.j,
+          floor((m.cov - lam * a.vj * b.vj) * 1000000.0 + 0.5) / 1000000.0 AS cov
+        FROM cv m JOIN v3 a ON m.i = a.j JOIN v3 b ON m.j = b.j
+        CROSS JOIN lam1),
+      u0 AS (SELECT i AS j, 1.0 AS vj FROM range(64) t(i)),
+      ${iterCtes("cvd", "u")},
+      lam2 AS (SELECT floor(sum(m.cov * a.vj * b.vj) * 1000000.0 + 0.5)
+          / 1000000.0 AS lam
+        FROM cvd m JOIN u3 a ON m.i = a.j JOIN u3 b ON m.j = b.j)"""
+  }
+
+  /** X2 — top-2 principal components via power iteration + deflation
+    * ([[graft.ops.Similarity.pcaTopK]]): component 1 is x2_pca_power's,
+    * component 2 comes from the DEFLATED matrix, so the oracle proves
+    * the Rayleigh eigenvalue and the rounded rank-1 subtraction both
+    * match the driver loop lattice-exactly. */
+  private val x2PcaTopK = Q("x2_pca_topk",
+    (s, dir) => Similarity.pcaTopK(Tables.embeddings(s, dir),
+        "embedding", dim = 64, k = 2, iters = 3)
+      .orderBy(col("comp"), col("i")),
+    Some(s"""WITH $pcaTopKCtes
+      SELECT comp, i, loading, eigenvalue FROM (
+        SELECT CAST(1 AS BIGINT) AS comp, CAST(j AS BIGINT) AS i,
+          vj AS loading, lam AS eigenvalue FROM v3 CROSS JOIN lam1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(j AS BIGINT), vj, lam
+        FROM u3 CROSS JOIN lam2)
+      ORDER BY comp, i"""))
+
+  /** X2 — k-component projection + residual
+    * ([[graft.ops.Similarity.pcaProjectTopK]] ∘ pcaTopK): each embedding
+    * scored against BOTH trained components in one broadcast projection;
+    * the residual removes the rounded score energy in ascending-comp
+    * order, so the whitening-apply path agrees end-to-end. */
+  private val x2PcaProjectTopK = Q("x2_pca_project_topk",
+    (s, dir) => {
+      val comps = Similarity.pcaTopK(Tables.embeddings(s, dir),
+        "embedding", dim = 64, k = 2, iters = 3)
+      Similarity.pcaProjectTopK(Tables.embeddings(s, dir), "vec_id",
+          "embedding", comps)
+        .orderBy(col("vec_id"), col("comp"))
+    },
+    Some(s"""WITH $pcaTopKCtes,
+      pc1 AS (SELECT list(vj ORDER BY j) AS pc FROM v3),
+      pc2 AS (SELECT list(vj ORDER BY j) AS pc FROM u3),
+      pts AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+      sc AS (SELECT vec_id,
+          floor(${dotSql("pv", "pc1.pc")} * 1000000.0 + 0.5) / 1000000.0 AS s1,
+          floor(${dotSql("pv", "pc2.pc")} * 1000000.0 + 0.5) / 1000000.0 AS s2,
+          floor((${dotSql("pv", "pv")} - (s1 * s1 + s2 * s2))
+            * 1000000.0 + 0.5) / 1000000.0 AS residual_norm2
+        FROM pts CROSS JOIN pc1 CROSS JOIN pc2)
+      SELECT vec_id, comp, score, residual_norm2 FROM (
+        SELECT vec_id, CAST(1 AS BIGINT) AS comp, s1 AS score,
+          residual_norm2 FROM sc
+        UNION ALL
+        SELECT vec_id, CAST(2 AS BIGINT), s2, residual_norm2 FROM sc)
+      ORDER BY vec_id, comp"""))
+
   /** X2/X3 — semantic decontamination
     * ([[graft.ops.Similarity.semanticDecontaminate]]): corpus embeddings
     * (outside the mod-97 bench stripe) max-cosine-scored against the
@@ -6001,7 +6093,7 @@ object Queries {
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
-    x3BpeFast)
+    x3BpeFast, x2PcaTopK, x2PcaProjectTopK)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -411,6 +411,109 @@ object Similarity {
           .as("residual_norm2"))
   }
 
+  /** X2 — top-k principal components by power iteration WITH DEFLATION
+    * over [[covarianceMatrix]] — the full whitening/OPQ-rotation prep
+    * that [[pcaPowerIteration]]'s single component only starts.
+    *
+    * Scale shape: the covariance reduction is the ONLY corpus-sized
+    * stage and stays distributed; the deflation loop then runs on the
+    * collected d² upper triangle on the driver — the same split Spark
+    * MLlib's `RowMatrix.computePrincipalComponents` uses (Gramian
+    * reduced on the cluster, eigensolve on the driver), because a k·d²
+    * driver loop on a ≤4096-dim matrix is microseconds while an
+    * unrolled k×iters lazy plan grows exponentially in references. The
+    * op is therefore EAGER (it materializes the covariance); `maxDim`
+    * fail-louds rather than letting a mis-wired 1M-dim column OOM the
+    * driver.
+    *
+    * Parity discipline (the p10_deep chaining rule): every matvec sum,
+    * normalized loading, Rayleigh eigenvalue, and deflated matrix entry
+    * is portable-rounded at `roundDigits`, so the driver loop and an
+    * unrolled-CTE oracle walk the identical lattice and engine
+    * partial-sum order cannot compound. Deflation: A ← A − λ·v·vᵀ with
+    * λ = round(vᵀAv); each component restarts from v₀ = 1⃗. Output:
+    * (comp [1-based], i, loading, eigenvalue), k·d rows. */
+  def pcaTopK(emb: DataFrame, vecCol: String, dim: Int, k: Int,
+              iters: Int = 3, roundDigits: Int = 6,
+              maxDim: Int = 4096): DataFrame = {
+    require(iters >= 1, "pcaTopK needs at least one iteration")
+    require(k >= 1 && k <= dim, s"component count $k outside [1, $dim]")
+    require(dim <= maxDim,
+      s"pcaTopK collects the d^2 covariance to the driver; dim=$dim " +
+        s"exceeds maxDim=$maxDim — raise maxDim deliberately or reduce " +
+        "dimensionality first")
+    val s = math.pow(10.0, roundDigits)
+    def pr(x: Double): Double = math.floor(x * s + 0.5) / s
+    // distributed, portable-rounded covariance — identical lattice to
+    // the x2_covariance_matrix oracle
+    val a = Array.ofDim[Double](dim, dim)
+    covarianceMatrix(emb, vecCol, roundDigits).collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getDouble(2)
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val out = Seq.newBuilder[(Long, Long, Double, Double)]
+    for (c <- 1 to k) {
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+          pr(acc)
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        require(nrm > 0, s"rank-deficient covariance at component $c " +
+          "(zero matvec) — fewer than k informative directions")
+        v = w.map(x => pr(x / nrm))
+      }
+      var ray = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) ray += a(i)(j) * v(i) * v(j)
+      val lam = pr(ray)
+      for (i <- 0 until dim) out += ((c.toLong, i.toLong, v(i), lam))
+      for (i <- 0 until dim; j <- 0 until dim)
+        a(i)(j) = pr(a(i)(j) - lam * v(i) * v(j))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.result().toDF("comp", "i", "loading", "eigenvalue")
+  }
+
+  /** X2 — k-component projection (the APPLY step after [[pcaTopK]]):
+    * `components` is (comp, i, loading), k·d rows. It collapses to ONE
+    * broadcast array-of-arrays row ordered by comp, so the corpus side
+    * computes every score and the k-component residual in a single
+    * codegen projection — no shuffle, no window; the only row expansion
+    * is the k-per-id OUTPUT rows themselves. Scores are rounded at
+    * `roundDigits`; the residual removes the ROUNDED score energy
+    * (`dot(v,v) − Σ_c score_c²`, summed in ascending-comp order) so
+    * both engines fold the identical lattice values. */
+  def pcaProjectTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     components: DataFrame, roundDigits: Int = 6): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    // order enforced INSIDE each aggregate (collect_list order is not
+    // stable through a shuffle): loadings sorted by i within comp, then
+    // the per-comp arrays sorted by comp
+    val pcsRow = components
+      .groupBy(col("comp"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
+        p => p.getField("loading")).as("pc"))
+      .agg(transform(array_sort(collect_list(struct(col("comp"), col("pc")))),
+        p => p.getField("pc")).as("pcs"))
+    emb.select(col(idCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(pcsRow))
+      // explicit sc*sc, not pow(sc, 2): libm pow is engine-specific
+      .withColumn("residual_norm2", pr(expr(
+        s"""graft_dot(pv, pv) - aggregate(
+             transform(pcs, pc -> floor(graft_dot(pv, pc) * ${s}D + 0.5D) / ${s}D),
+             CAST(0.0 AS DOUBLE), (acc, sc) -> acc + sc * sc)""")))
+      .select(col(idCol), col("pv"), col("residual_norm2"),
+        posexplode(col("pcs")).as(Seq("cidx", "pc")))
+      .select(col(idCol), (col("cidx") + 1).cast("long").as("comp"),
+        pr(expr("graft_dot(pv, pc)")).as("score"), col("residual_norm2"))
+  }
+
   /** X2/X3 — SEMANTIC decontamination: flag corpus items whose embedding
     * is near-identical to any benchmark/eval embedding (max cosine ≥ τ).
     * Catches the leaks n-gram decontamination misses — paraphrased or

@@ -39,6 +39,61 @@ class Round13OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported SOF"))
   }
 
+  test("X2 pcaTopK: recovers a planted rank-2 structure (deflation correctness)") {
+    import spark.implicits._
+    val dir1 = Array(2.0, 1.0, 0.0, 0.0).map(_ / math.sqrt(5.0))
+    val dir2 = Array(0.0, 0.0, 1.0, 2.0).map(_ / math.sqrt(5.0))
+    // a on an i%7 grid, b on an i%5 grid over 35 points: exactly
+    // independent, zero-mean, Var(a) >> Var(b) — a clean eigengap
+    val pts = (0 until 35).map { i =>
+      val a = (i % 7 - 3) * 2.0
+      val b = ((i * 3) % 5 - 2) * 0.5
+      (i.toLong, Array.tabulate(4)(d => a * dir1(d) + b * dir2(d)))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val comps = ops.Similarity.pcaTopK(emb, "embedding", dim = 4, k = 2, iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt,
+        r.getDouble(2), r.getDouble(3)))
+    val v1 = comps.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val v2 = comps.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(math.abs(math.abs(dot(v1, dir1)) - 1.0) < 1e-3,
+      s"comp1 must align with the dominant direction: ${v1.toSeq}")
+    assert(math.abs(math.abs(dot(v2, dir2)) - 1.0) < 1e-3,
+      s"comp2 must align with the deflated direction: ${v2.toSeq}")
+    assert(math.abs(dot(v1, v2)) < 1e-3, "components must be orthogonal")
+    val l1 = comps.find(_._1 == 1L).get._4
+    val l2 = comps.find(_._1 == 2L).get._4
+    assert(l1 > l2 && l2 > 0, s"eigenvalues must be ordered: $l1, $l2")
+
+    // projection: points lie exactly in span(dir1, dir2) → residual ~ 0,
+    // comp-1 scores reproduce the planted coefficient a (up to sign)
+    val compDf = ops.Similarity.pcaTopK(emb, "embedding", dim = 4, k = 2, iters = 8)
+    val proj = ops.Similarity.pcaProjectTopK(emb, "vec_id", "embedding", compDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(proj.forall { case (_, _, _, res) => math.abs(res) < 1e-3 },
+      "rank-2 data must have ~zero residual after a 2-component projection")
+    val sign = math.signum(dot(v1, dir1))
+    proj.filter(_._2 == 1L).foreach { case (id, _, score, _) =>
+      val a = (id % 7 - 3) * 2.0
+      assert(math.abs(score - sign * a) < 1e-2, s"score($id)=$score vs a=$a")
+    }
+  }
+
+  test("X2 pcaTopK: fail-loud guards (dim cap, rank deficiency)") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(0.0, 0.0)), (2L, Array(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // constant data → zero covariance → rank-deficient
+    intercept[IllegalArgumentException] {
+      ops.Similarity.pcaTopK(emb, "embedding", dim = 2, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ops.Similarity.pcaTopK(emb, "embedding", dim = 5000, k = 1)
+    }
+  }
+
   test("cdcLatestState: NULL event_type is not a delete marker (null-proof membership)") {
     import spark.implicits._
     import java.sql.Timestamp
