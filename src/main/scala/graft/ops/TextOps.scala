@@ -207,6 +207,12 @@ object TextOps {
         (floor(avg(col("lp")) * lit(1e4) + lit(0.5)) / lit(1e4)).as("avg_logprob"))
   }
 
+  /** The BPE trainers' checked symbol alphabet: non-empty printable
+    * ASCII (0x21–0x7E) excluding `_` (0x5F, the encoding bracket).
+    * Whitespace is excluded by construction, so any whitespace-or-finer
+    * tokenizer composes. */
+  private[graft] val BpeAlphabetRe = "^[\\x21-\\x5e\\x60-\\x7e]+$"
+
   /** X3 — BPE merge training: the inner loop of byte-pair-encoding
     * tokenizer fitting, distributed. Each iteration finds the most
     * frequent adjacent symbol pair across the corpus (weighted by word
@@ -232,7 +238,7 @@ object TextOps {
     *
     * Determinism: weights are integer sums (no float parity risk); ties
     * break lexicographically on the pair. Symbol encoding brackets every
-    * symbol with `_` (impossible in the `[a-z]+` token alphabet): chars
+    * symbol with `_` (excluded from the CHECKED alphabet below): chars
     * map to `_c_`, so symbols are separated by `__` inside a word and a
     * single `_` at each end. The pair fuse is then a plain left-to-right
     * `replace` of `_l__r_` with `_lr_`: the middle `__` can only match a
@@ -241,16 +247,37 @@ object TextOps {
     * chained runs merge exactly like per-token greedy BPE — verified
     * equivalent on overlap cases (aaa → [aa,a], aaaa → [aa,aa]) in the
     * spec. Plain `replace` scans the original string identically in the
-    * JVM and DuckDB, so the oracle replays the fuse bit-for-bit. */
+    * JVM and DuckDB, so the oracle replays the fuse bit-for-bit.
+    *
+    * Alphabet contract — CHECKED, not assumed: every word `wordsOf`
+    * emits must be non-empty printable ASCII without `_`
+    * (`[!-~]` minus 0x5F). On that alphabet the bracket encoding is
+    * unambiguous AND the three orderings a merge table can flow
+    * through — Spark's UTF8 binary sort, the JVM String sort in
+    * [[bpeMergesLocal]], and DuckDB's default collation in the oracle —
+    * coincide byte-for-byte, so tie-breaks are engine-portable. A word
+    * outside the alphabet fails LOUD in-plan (vocab-sized check, one
+    * codegen predicate per distinct word) instead of training a
+    * silently wrong tokenizer; the default `wordsOf` = [[tokens]]
+    * ([a-z]+ extraction) always satisfies it, and a caller supplying a
+    * whitespace tokenizer gets digits/punctuation tokens trained
+    * correctly. Byte-level BPE over arbitrary UTF-8 stays out of scope
+    * (that needs byte symbols, not char symbols). */
   def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
                 merges: Int = 3,
                 caches: DedupCaches = DedupCaches.unmanaged,
-                checkpointEvery: Int = 4): DataFrame = {
+                checkpointEvery: Int = 4,
+                wordsOf: Column => Column = tokens): DataFrame = {
     require(merges >= 1, "need at least one merge step")
     val words = caches.track(
-      docs.select(explode(tokens(col(textCol))).as("w"))
+      docs.select(explode(wordsOf(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq")))
-    val enc0 = words.select(col("w"), col("freq"),
+    val checked = words.withColumn("w", when(
+      assert_true(col("w").rlike(BpeAlphabetRe),
+        concat(lit("bpeMerges: word outside the printable-ASCII-" +
+          "without-underscore symbol alphabet: '"), col("w"), lit("'"))).isNull,
+      col("w")))
+    val enc0 = checked.select(col("w"), col("freq"),
       regexp_replace(col("w"), "(.)", "_$1_").as("enc"))
 
     def pairTable(v: DataFrame): DataFrame =
@@ -300,22 +327,31 @@ object TextOps {
     * real corpora: same pair weighting (every adjacent occurrence,
     * weighted by word frequency), same argmax tie-break (weight desc,
     * then lexicographic (left, right) — plain String ordering equals
-    * Spark's binary UTF8 ordering on the [a-z]+ symbol alphabet), and
-    * the same left-to-right non-overlapping fuse `replace` performs (a
-    * fuse never creates a new occurrence of its OWN pair, so one pass
-    * per word per merge is exact). When the pair table drains before k
-    * merges, emission stops — exactly like bpeMerges' empty `limit(1)`
-    * frames. */
+    * Spark's binary UTF8 ordering on the CHECKED printable-ASCII-
+    * without-underscore alphabet, see [[bpeMerges]]'s contract; the
+    * same check runs here driver-side so a violating corpus rejects
+    * loudly in both trainers), and the same left-to-right
+    * non-overlapping fuse `replace` performs (a fuse never creates a
+    * new occurrence of its OWN pair, so one pass per word per merge is
+    * exact). When the pair table drains before k merges, emission
+    * stops — exactly like bpeMerges' empty `limit(1)` frames. */
   def bpeMergesLocal(docs: DataFrame, idCol: String, textCol: String,
-                     merges: Int = 3, maxVocab: Int = 2000000): DataFrame = {
+                     merges: Int = 3, maxVocab: Int = 2000000,
+                     wordsOf: Column => Column = tokens): DataFrame = {
     require(merges >= 1, "need at least one merge step")
     val spark = docs.sparkSession
-    val wordRows = docs.select(explode(tokens(col(textCol))).as("w"))
+    val wordRows = docs.select(explode(wordsOf(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .limit(maxVocab + 1).collect()
     require(wordRows.length <= maxVocab,
       s"vocabulary exceeds maxVocab=$maxVocab — raise the bound or use " +
         "the distributed bpeMerges")
+    wordRows.foreach { r =>
+      val w = r.getString(0)
+      require(w.nonEmpty && w.forall(c => c >= '!' && c <= '~' && c != '_'),
+        s"bpeMergesLocal: word outside the printable-ASCII-without-" +
+          s"underscore symbol alphabet: '$w'")
+    }
     val syms = wordRows.map(r =>
       scala.collection.mutable.ArrayBuffer.from(r.getString(0).map(_.toString)))
     val freq = wordRows.map(_.getLong(1))

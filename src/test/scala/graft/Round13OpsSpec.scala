@@ -94,6 +94,36 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("X3 BPE trainers: checked alphabet — digits/punct train, underscore rejects loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Column, DataFrame}
+    val ws: Column => Column = t => filter(split(t, "\\s+"), x => x =!= lit(""))
+    val corpus = Seq((1L, "a1! a1! a1! b2? b2?"), (2L, "a1! b2? c#3 c#3"))
+      .toDF("doc_id", "text")
+    def table(df: DataFrame) =
+      df.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = table(ops.TextOps.bpeMerges(corpus, "doc_id", "text",
+      merges = 4, wordsOf = ws))
+    val local = table(ops.TextOps.bpeMergesLocal(corpus, "doc_id", "text",
+      merges = 4, wordsOf = ws))
+    assert(dist == local && dist.nonEmpty,
+      s"trainers must agree on a digit/punct alphabet\n$dist\nvs\n$local")
+    assert(dist.exists(m => (m._2 + m._3).exists(c => !c.isLetter)),
+      "digit/punct symbols must actually participate in merges")
+    // a word containing the `_` encoding bracket → loud reject, both trainers
+    val bad = Seq((1L, "foo_bar foo_bar")).toDF("doc_id", "text")
+    intercept[Exception] {
+      ops.TextOps.bpeMerges(bad, "doc_id", "text", merges = 1, wordsOf = ws)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ops.TextOps.bpeMergesLocal(bad, "doc_id", "text", merges = 1, wordsOf = ws)
+    }
+    // the default tokens() path strips non-letters up front (its documented
+    // extraction), so what reaches the trainer is in-alphabet and trains
+    assert(table(ops.TextOps.bpeMerges(bad, "doc_id", "text", merges = 1)).nonEmpty)
+  }
+
   test("cdcLatestState: NULL event_type is not a delete marker (null-proof membership)") {
     import spark.implicits._
     import java.sql.Timestamp
