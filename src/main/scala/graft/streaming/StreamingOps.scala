@@ -1265,6 +1265,72 @@ object StreamingOps {
       }
       .start()
 
+  /** Compaction for the [[incrementalAnnIndex]] layout — the maintenance
+    * op a cell-partitioned streaming index needs operationally: ingest
+    * appends ≤ one file per (cell, batch), so a year of micro-batches
+    * turns every cell into thousands of small files and the search-time
+    * scan pays a per-file open cost that dwarfs the bytes. This rewrites
+    * ONLY the cells whose file count exceeds `maxFilesPerCell`, sizing
+    * the rewrite at `targetBytesPerFile` (so a genuinely large cell
+    * still splits into scan-parallel files instead of one giant one),
+    * and leaves the layout identical — searches prune the same
+    * `cell=` directories before and after, with the same rows.
+    *
+    * Commit shape: per cell, the compacted data is written to a hidden
+    * staging dir (dot-prefixed — invisible to any concurrent reader),
+    * then swapped in with two directory renames. A reader between the
+    * two renames of one cell would miss that single cell; run
+    * compaction at a quiet point or against a paused ingest (the same
+    * operational contract as production IVF rebuilds). A crash between
+    * the renames leaves BOTH directories on disk (the trash name is
+    * also hidden), so nothing is lost — re-running the compaction after
+    * restoring the cell dir is the documented recovery.
+    *
+    * Returns a report of every cell: (cell, files_before, files_after,
+    * bytes) — `files_after == files_before` marks cells left alone. */
+  def compactAnnIndex(spark: SparkSession, indexPath: String,
+                      maxFilesPerCell: Int = 4,
+                      targetBytesPerFile: Long = 128L * 1024 * 1024): DataFrame = {
+    import spark.implicits._
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cells = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cell="))
+    val report = cells.map { st =>
+      val cellDir = st.getPath
+      val cell = cellDir.getName.stripPrefix("cell=").toLong
+      val dataFiles = fs.listStatus(cellDir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      val bytes = dataFiles.map(_.getLen).sum
+      if (dataFiles.length <= maxFilesPerCell)
+        (cell, dataFiles.length.toLong, dataFiles.length.toLong, bytes)
+      else {
+        val nOut = math.max(1L, (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+        // read the partition dir WITHOUT basePath: file contents only
+        // (the cell value lives in the directory name, as on write)
+        val staging = new org.apache.hadoop.fs.Path(root, s".compact-${cellDir.getName}")
+        val trash = new org.apache.hadoop.fs.Path(root, s".trash-${cellDir.getName}")
+        fs.delete(staging, true); fs.delete(trash, true)
+        spark.read.parquet(cellDir.toString)
+          .repartition(nOut)
+          .write.mode("overwrite").parquet(staging.toString)
+        val nAfter = fs.listStatus(staging)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        require(fs.rename(cellDir, trash),
+          s"compactAnnIndex: could not move $cellDir aside")
+        require(fs.rename(staging, cellDir),
+          s"compactAnnIndex: could not install compacted ${cellDir.getName} " +
+            s"— original preserved at $trash")
+        fs.delete(trash, true): Unit
+        (cell, dataFiles.length.toLong, nAfter.toLong, bytes)
+      }
+    }.toSeq.sortBy(_._1)
+    report.toDF("cell", "files_before", "files_after", "bytes")
+  }
+
   /** Incremental PQ code maintenance (CDC × X2) — the compressed sibling
     * of [[incrementalAnnIndex]]: codebooks are FROZEN (trained once by
     * [[graft.ops.Similarity.pqTrain]]; retraining is an offline epoch
@@ -1382,6 +1448,108 @@ object StreamingOps {
         assigned.unpersist(): Unit
       }
       .start()
+
+  /** EXACTLY-ONCE variant of [[incrementalShardAssign]] — the worked
+    * example of closing a foreachBatch crash window with a staged
+    * atomic-rename commit, no transactional table format required.
+    *
+    * The at-least-once form writes manifest-first, ledger-second; a
+    * crash between the two replays the batch against stale totals and
+    * duplicates its manifest rows. Here BOTH artifacts of a batch live
+    * inside ONE commit directory:
+    *
+    *   root/commit-<epoch>/manifest/   the batch's assignment rows
+    *   root/commit-<epoch>/ledger/     the S-row totals AFTER the batch
+    *
+    * staged under a hidden `.tmp-<epoch>` dir and installed with a
+    * single filesystem rename — the commit point. Structured Streaming
+    * replays a failed batch under the SAME epochId, so the guard is
+    * structural: commit dir already present → the batch committed
+    * before the crash → skip (idempotent replay); absent → any stale
+    * `.tmp` residue is deleted and the batch re-stages from the last
+    * COMMITTED ledger. Every crash position lands in exactly one of
+    * those two cases, so manifest rows and totals move together,
+    * exactly once. The cumulative manifest is the glob of every
+    * committed epoch's manifest dir ([[txnShardManifest]]); the
+    * current totals are the ledger of the
+    * highest committed epoch ([[txnShardTotals]]). The rename-commit
+    * pattern assumes atomic directory rename (HDFS, POSIX; on S3 use a
+    * committer or table format). The at-least-once form stays the
+    * default — it needs no directory-per-batch layout. */
+  def incrementalShardAssignTxn(docs: DataFrame, idCol: String, sizeCol: String,
+                                shards: Int, rootPath: String,
+                                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        shardAssignCommit(batch.toDF(), epochId, idCol, sizeCol, shards,
+          rootPath): Unit
+      }
+      .start()
+
+  /** One staged-commit step of [[incrementalShardAssignTxn]] (factored
+    * out so the crash-window fixtures can drive epochs directly).
+    * Returns false when the epoch was already committed (replay skip),
+    * true after installing a new commit. */
+  private[graft] def shardAssignCommit(batch: DataFrame, epochId: Long,
+                                       idCol: String, sizeCol: String,
+                                       shards: Int, rootPath: String): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commitDir = new org.apache.hadoop.fs.Path(root, f"commit-$epochId%020d")
+    if (fs.exists(commitDir)) return false // crashed AFTER the rename: done
+    val committed = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "commit-*")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
+    val totals: Map[Long, Long] = committed.lastOption match {
+      case Some(last) => spark.read.parquet(s"$last/ledger")
+        .as[(Long, Long)].collect().toMap
+      case None => (0L until shards.toLong).map(_ -> 0L).toMap
+    }
+    // same balancing as the at-least-once form: batch-internal pile
+    // ranks onto the inverted committed totals (greedy LPT at pile
+    // granularity)
+    val piles = graft.ops.Curation.shardManifest(batch, idCol, col(sizeCol), shards)
+    val lightestFirst = totals.toSeq.sortBy { case (sh, t) => (t, sh) }.map(_._1)
+    val mapping = lightestFirst.zipWithIndex
+      .map { case (sh, pile) => (pile.toLong, sh) }.toDF("shard", "__target")
+    val assigned = piles.join(broadcast(mapping), Seq("shard"))
+      .select(col("doc_id"), col("n_tokens"), col("__target").as("shard"))
+      .cache()
+    val staging = new org.apache.hadoop.fs.Path(root, s".tmp-$epochId")
+    fs.delete(staging, true) // crashed BEFORE the rename: discard residue
+    assigned.write.mode("overwrite").parquet(s"$staging/manifest")
+    val delta = assigned.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("t")).as[(Long, Long)].collect().toMap
+    assigned.unpersist(): Unit
+    val next = totals.map { case (sh, t) => (sh, t + delta.getOrElse(sh, 0L)) }
+    next.toSeq.sortBy(_._1).toDF("shard", "total")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/ledger")
+    require(fs.rename(staging, commitDir),
+      s"shardAssignCommit: atomic commit rename failed for epoch $epochId")
+    true
+  }
+
+  /** Cumulative manifest of an [[incrementalShardAssignTxn]] root: the
+    * union of every committed batch's rows (commit granularity = batch,
+    * so this is a plain multi-dir parquet read with partition-less
+    * pruning by commit). */
+  def txnShardManifest(spark: SparkSession, rootPath: String): DataFrame =
+    spark.read.parquet(s"$rootPath/commit-*/manifest")
+
+  /** Current totals of an [[incrementalShardAssignTxn]] root: the S-row
+    * ledger inside the HIGHEST committed epoch. */
+  def txnShardTotals(spark: SparkSession, rootPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(root, "commit-*")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(_.getName)
+    require(committed.nonEmpty, s"no committed epochs under $rootPath")
+    spark.read.parquet(s"${committed.last}/ledger")
+  }
 
   /** Append-ingest validation (reference buffer guards fawac.py:57-63):
     * asserts capacity and load-once emptiness before an append write. */

@@ -963,6 +963,118 @@ class StreamingSpec extends SparkSpec {
     assert(tot == perShard)
   }
 
+  test("txn shard accretion: exactly-once commits survive every crash window") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_shard_txn").toString
+    def batchDf(rows: (Long, Long)*) = rows.toSeq.toDF("doc_id", "n_chars")
+
+    // epoch 0 commits normally
+    assert(StreamingOps.shardAssignCommit(
+      batchDf((1L, 900L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 80L)),
+      0L, "doc_id", "n_chars", 4, root))
+    val after0 = StreamingOps.txnShardManifest(spark, root).count()
+    assert(after0 == 5)
+
+    // CRASH BEFORE THE RENAME: a stale staging dir from a died epoch 1
+    // must be discarded, not double-counted, when the batch replays
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((99L, 1L)).toDF("doc_id", "n_tokens").withColumn("shard", lit(0L))
+      .write.parquet(s"$root/.tmp-1/manifest")
+    assert(StreamingOps.shardAssignCommit(
+      batchDf((6L, 500L), (7L, 450L), (8L, 60L), (9L, 40L)),
+      1L, "doc_id", "n_chars", 4, root))
+    val m1 = StreamingOps.txnShardManifest(spark, root)
+    assert(m1.count() == 9 && m1.select("doc_id").distinct().count() == 9,
+      "stale staging residue must not leak into the committed manifest")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/.tmp-1")))
+
+    // CRASH AFTER THE RENAME: the replayed epoch sees its commit dir and
+    // skips — no duplicate manifest rows, ledger unchanged
+    val totalsBefore = StreamingOps.txnShardTotals(spark, root)
+      .as[(Long, Long)].collect().toMap
+    assert(!StreamingOps.shardAssignCommit(
+      batchDf((6L, 500L), (7L, 450L), (8L, 60L), (9L, 40L)),
+      1L, "doc_id", "n_chars", 4, root), "replay of a committed epoch must skip")
+    assert(StreamingOps.txnShardManifest(spark, root).count() == 9)
+    assert(StreamingOps.txnShardTotals(spark, root)
+      .as[(Long, Long)].collect().toMap == totalsBefore)
+
+    // ledger equals manifest sums, and the greedy balance matches the
+    // at-least-once form's contract
+    val perShard = StreamingOps.txnShardManifest(spark, root)
+      .groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(totalsBefore == perShard)
+    assert(perShard.values.max - perShard.values.min <= 900L)
+  }
+
+  test("txn shard accretion streams end-to-end (foreachBatch wiring)") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_shard_txn_e2e").toString
+    val ckpt = Files.createTempDirectory("graft_shard_txn_ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incrementalShardAssignTxn(
+      mem.toDF().toDF("doc_id", "n_chars"), "doc_id", "n_chars",
+      shards = 4, root, ckpt)
+    mem.addData((1L, 900L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 80L))
+    q.processAllAvailable()
+    mem.addData((6L, 500L), (7L, 450L), (8L, 60L), (9L, 40L))
+    q.processAllAvailable()
+    q.stop()
+    val m = StreamingOps.txnShardManifest(spark, root)
+    assert(m.count() == 9 && m.select("doc_id").distinct().count() == 9)
+    val perShard = m.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(StreamingOps.txnShardTotals(spark, root)
+      .as[(Long, Long)].collect().toMap == perShard)
+  }
+
+  test("ANN index compaction: lossless rewrite, file count bounded, searches unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val index = Files.createTempDirectory("graft_ann_cmp").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_ann_cmp_ckpt").toString
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.incrementalAnnIndex(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, index, ckpt)
+    // 5 micro-batches → ≥5 files accrete in cell 0, ≥1 in cell 1
+    for (b <- 0 until 5) {
+      mem.addData((10L * b + 1L, Seq(0.9, 0.1 * b)))
+      if (b == 0) mem.addData((2L, Seq(0.1, 0.8)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def cellFiles(c: Long) = new java.io.File(s"$index/cell=$c").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val before = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(cellFiles(0L) >= 5, s"fixture must accrete files, got ${cellFiles(0L)}")
+
+    val report = StreamingOps.compactAnnIndex(spark, index, maxFilesPerCell = 2)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(report(0L)._3 == 1L && report(0L)._2 >= 5L, s"cell 0 must compact: $report")
+    assert(report(1L)._3 == report(1L)._2, "cell 1 under the threshold stays as-is")
+    assert(cellFiles(0L) == 1)
+
+    // lossless: identical (pid, cell) set, and a pruned one-cell search
+    // reads the same members
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(after == before)
+    val cell0 = spark.read.parquet(index).where(col("cell") === 0L)
+      .select("pid").as[Long].collect().toSet
+    assert(cell0 == before.filter(_._2 == 0L).map(_._1))
+    // no staging/trash residue
+    val residue = new java.io.File(index).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".compact") || n.startsWith(".trash"))
+    assert(residue.isEmpty, residue.toSeq.toString)
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
