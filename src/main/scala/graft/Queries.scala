@@ -5435,6 +5435,30 @@ object Queries {
     },
     eagerPlan = true)
 
+  /** X3 — OPEN-ALPHABET byte-level BPE training
+    * ([[graft.ops.TextOps.bpeMergesBytes]]): symbols are UTF-8 BYTES
+    * rendered as lowercase hex, so hex concat ≡ byte concat and hex
+    * order ≡ unsigned byte order. On the [a-z] token corpus the merge
+    * table must equal the char-level trainers' hex-encoded — the oracle
+    * replays the identical training CTEs and hex-wraps the symbols, so
+    * the byte trainer is gated against the same SQL ground truth (the
+    * multi-byte UTF-8 behavior is spec-gated, Round13OpsSpec). */
+  private val x3BpeBytes = Q("x3_bpe_bytes",
+    (s, dir) => TextOps.bpeMergesBytes(Tables.documents(s, dir), "doc_id", "text",
+        merges = 3, wordsOf = TextOps.tokens)
+      .orderBy(col("iter")),
+    Some {
+      def outRow(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS iter, lower(hex(left_sym)) AS left_sym,
+          lower(hex(right_sym)) AS right_sym,
+          lower(hex(left_sym || right_sym)) AS merged, pair_weight FROM t$i"""
+      s"""WITH base AS ($docsTokSql),
+        $bpeTrainCtes
+        ${outRow(1)} UNION ALL ${outRow(2)} UNION ALL ${outRow(3)}
+        ORDER BY iter"""
+    },
+    eagerPlan = true)
+
   /** X3 — tokenizer APPLY + compression measurement
     * ([[graft.ops.TextOps.bpeApply]] ∘ bpeMerges): every document
     * re-encoded under the trained merges; symbols-before/after and the
@@ -6093,7 +6117,7 @@ object Queries {
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
-    x3BpeFast, x2PcaTopK, x2PcaProjectTopK)
+    x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

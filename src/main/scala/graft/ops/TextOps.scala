@@ -355,6 +355,21 @@ object TextOps {
     val syms = wordRows.map(r =>
       scala.collection.mutable.ArrayBuffer.from(r.getString(0).map(_.toString)))
     val freq = wordRows.map(_.getLong(1))
+    import spark.implicits._
+    bpeMergeLoop(syms, freq, merges)
+      .toDF("iter", "left_sym", "right_sym", "merged", "pair_weight")
+  }
+
+  /** The incremental-pair-count merge loop shared by [[bpeMergesLocal]]
+    * (symbols = chars) and [[bpeMergesBytes]] (symbols = hex byte
+    * pairs): inverted pair→words index, per merge only containing words
+    * rescanned, argmax tie-break weight desc then (left, right) asc in
+    * plain String order. The symbol rendering is what makes the sharing
+    * sound — for BOTH renderings, String concatenation is the correct
+    * fuse and String order is the correct byte order. */
+  private def bpeMergeLoop(syms: Array[scala.collection.mutable.ArrayBuffer[String]],
+                           freq: Array[Long],
+                           merges: Int): Seq[(Long, String, String, String, Long)] = {
     val counts = scala.collection.mutable.HashMap[(String, String), Long]()
     val index = scala.collection.mutable
       .HashMap[(String, String), scala.collection.mutable.Set[Int]]()
@@ -411,8 +426,54 @@ object TextOps {
         it += 1
       }
     }
+    steps.toSeq
+  }
+
+  /** Whitespace word extraction — the tokenizer byte-level training
+    * wants (no case folding, no alphabet restriction). */
+  val whitespaceWords: Column => Column =
+    t => filter(split(t, "\\s+"), x => x =!= lit(""))
+
+  /** OPEN-ALPHABET byte-level BPE training — the GPT-2-style trainer
+    * shape: words are arbitrary UTF-8, the initial symbols are their
+    * BYTES, and merges operate on byte sequences, so digits,
+    * punctuation, CJK, emoji — anything — trains without the
+    * printable-ASCII contract [[bpeMergesLocal]] enforces (a multi-byte
+    * code point simply starts as several byte symbols and merges
+    * together if frequent, exactly as byte-level tokenizers behave).
+    *
+    * Same production split as [[bpeMergesLocal]]: the corpus-sized word
+    * count stays distributed (map-side combined), the vocabulary-bounded
+    * merge loop runs driver-side ([[bpeMergeLoop]]). Symbols are
+    * rendered as LOWERCASE HEX pairs, which is what lets the char loop
+    * run unchanged and keeps every semantic byte-faithful: hex
+    * concatenation IS byte concatenation, and lexicographic hex order
+    * IS unsigned byte order (two fixed digits per byte), so the argmax
+    * tie-break is the byte-sequence tie-break. The merge table is the
+    * trained artifact with symbols in hex ("74"+"68" → "7468" = "th");
+    * decode for display with `unhex`. On a pure-ASCII corpus the table
+    * equals [[bpeMergesLocal]]'s hex-encoded (oracle-gated by
+    * `x3_bpe_bytes` against the same SQL replay, hex-wrapped). */
+  def bpeMergesBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Int = 3, maxVocab: Int = 2000000,
+                     wordsOf: Column => Column = whitespaceWords): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    val spark = docs.sparkSession
+    val wordRows = docs.select(explode(wordsOf(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .limit(maxVocab + 1).collect()
+    require(wordRows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise the bound or use " +
+        "the distributed bpeMerges")
+    val syms = wordRows.map { r =>
+      val bytes = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      scala.collection.mutable.ArrayBuffer.from(
+        bytes.map(b => f"${b & 0xff}%02x"))
+    }
+    val freq = wordRows.map(_.getLong(1))
     import spark.implicits._
-    steps.toSeq.toDF("iter", "left_sym", "right_sym", "merged", "pair_weight")
+    bpeMergeLoop(syms, freq, merges)
+      .toDF("iter", "left_sym", "right_sym", "merged", "pair_weight")
   }
 
   /** Content-defined chunk boundaries via a Rabin-Karp rolling hash

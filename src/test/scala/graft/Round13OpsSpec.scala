@@ -124,6 +124,38 @@ class Round13OpsSpec extends SparkSpec {
     assert(table(ops.TextOps.bpeMerges(bad, "doc_id", "text", merges = 1)).nonEmpty)
   }
 
+  test("X3 bpeMergesBytes: byte-level merges on multi-byte UTF-8, ASCII parity with the char trainer") {
+    import spark.implicits._
+    // "éé" = c3 a9 c3 a9; pairs: (c3,a9) w=2·3=6, (a9,c3) w=3
+    val utf8 = Seq((1L, "éé éé éé")).toDF("doc_id", "text")
+    val m = ops.TextOps.bpeMergesBytes(utf8, "doc_id", "text", merges = 2)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m == Seq(
+      (1L, "c3", "a9", "c3a9", 6L),       // the é code point fuses first
+      (2L, "c3a9", "c3a9", "c3a9c3a9", 3L) // then the full word
+    ), s"got $m")
+
+    // ASCII corpus: byte-level table ≡ char-level table, hex-encoded
+    val ascii = Seq((1L, "the the cat"), (2L, "the cat sat")).toDF("doc_id", "text")
+    def hexed(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val chars = ops.TextOps.bpeMergesLocal(ascii, "doc_id", "text", merges = 4)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+      .map(t => (t._1, hexed(t._2), hexed(t._3), hexed(t._4), t._5)).toSeq
+    val bytes = ops.TextOps.bpeMergesBytes(ascii, "doc_id", "text", merges = 4,
+        wordsOf = ops.TextOps.tokens)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(bytes == chars, s"byte and char trainers must agree on ASCII\n$bytes\nvs\n$chars")
+
+    // the open alphabet needs no contract: underscores and digits train
+    val open = Seq((1L, "a_1 a_1 b_2")).toDF("doc_id", "text")
+    val om = ops.TextOps.bpeMergesBytes(open, "doc_id", "text", merges = 1)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // ties at weight 2: ('a','_') vs ('_','1') — byte order 0x5f < 0x61
+    // breaks toward ('_','1'), proving the hex tie-break IS byte order
+    assert(om == Seq((1L, "5f", "31", "5f31", 2L)), s"got $om")
+  }
+
   test("cdcLatestState: NULL event_type is not a delete marker (null-proof membership)") {
     import spark.implicits._
     import java.sql.Timestamp
