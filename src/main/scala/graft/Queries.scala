@@ -5697,9 +5697,10 @@ object Queries {
         FROM u3 CROSS JOIN lam2)
       ORDER BY comp, i"""))
 
-  /** X2 — k-component projection + residual
+  /** X2 — k-component projection + whitening + residual
     * ([[graft.ops.Similarity.pcaProjectTopK]] ∘ pcaTopK): each embedding
-    * scored against BOTH trained components in one broadcast projection;
+    * scored against BOTH trained components in one broadcast projection,
+    * with the unit-variance whitened coordinate score/√λ per component;
     * the residual removes the rounded score energy in ascending-comp
     * order, so the whitening-apply path agrees end-to-end. */
   private val x2PcaProjectTopK = Q("x2_pca_project_topk",
@@ -5720,11 +5721,16 @@ object Queries {
           floor((${dotSql("pv", "pv")} - (s1 * s1 + s2 * s2))
             * 1000000.0 + 0.5) / 1000000.0 AS residual_norm2
         FROM pts CROSS JOIN pc1 CROSS JOIN pc2)
-      SELECT vec_id, comp, score, residual_norm2 FROM (
+      SELECT vec_id, comp, score, white, residual_norm2 FROM (
         SELECT vec_id, CAST(1 AS BIGINT) AS comp, s1 AS score,
+          floor(s1 / sqrt((SELECT lam FROM lam1)) * 1000000.0 + 0.5)
+            / 1000000.0 AS white,
           residual_norm2 FROM sc
         UNION ALL
-        SELECT vec_id, CAST(2 AS BIGINT), s2, residual_norm2 FROM sc)
+        SELECT vec_id, CAST(2 AS BIGINT), s2,
+          floor(s2 / sqrt((SELECT lam FROM lam2)) * 1000000.0 + 0.5)
+            / 1000000.0,
+          residual_norm2 FROM sc)
       ORDER BY vec_id, comp"""))
 
   /** X2/X3 — semantic decontamination

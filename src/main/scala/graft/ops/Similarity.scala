@@ -478,15 +478,20 @@ object Similarity {
     out.result().toDF("comp", "i", "loading", "eigenvalue")
   }
 
-  /** X2 — k-component projection (the APPLY step after [[pcaTopK]]):
-    * `components` is (comp, i, loading), k·d rows. It collapses to ONE
-    * broadcast array-of-arrays row ordered by comp, so the corpus side
-    * computes every score and the k-component residual in a single
-    * codegen projection — no shuffle, no window; the only row expansion
-    * is the k-per-id OUTPUT rows themselves. Scores are rounded at
-    * `roundDigits`; the residual removes the ROUNDED score energy
-    * (`dot(v,v) − Σ_c score_c²`, summed in ascending-comp order) so
-    * both engines fold the identical lattice values. */
+  /** X2 — k-component projection + WHITENING (the APPLY step after
+    * [[pcaTopK]]): `components` is pcaTopK's (comp, i, loading,
+    * eigenvalue) artifact, k·d rows. It collapses to ONE broadcast
+    * array-of-arrays row ordered by comp, so the corpus side computes
+    * every score, the whitened coordinate `white = score/√λ` (unit
+    * variance along each component — the OPQ/whitening transform
+    * [[covarianceMatrix]] exists for), and the k-component residual in
+    * a single codegen projection — no shuffle, no window; the only row
+    * expansion is the k-per-id OUTPUT rows themselves. Scores are
+    * rounded at `roundDigits`; `white` divides the ROUNDED score by the
+    * IEEE-exact sqrt of the rounded eigenvalue and re-rounds; the
+    * residual removes the ROUNDED score energy (`dot(v,v) − Σ_c
+    * score_c²`, summed in ascending-comp order) so both engines fold
+    * the identical lattice values. */
   def pcaProjectTopK(emb: DataFrame, idCol: String, vecCol: String,
                      components: DataFrame, roundDigits: Int = 6): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
@@ -494,13 +499,16 @@ object Similarity {
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     // order enforced INSIDE each aggregate (collect_list order is not
     // stable through a shuffle): loadings sorted by i within comp, then
-    // the per-comp arrays sorted by comp
+    // the per-comp arrays sorted by comp; λ rides along per comp
     val pcsRow = components
       .groupBy(col("comp"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
-        p => p.getField("loading")).as("pc"))
-      .agg(transform(array_sort(collect_list(struct(col("comp"), col("pc")))),
-        p => p.getField("pc")).as("pcs"))
+        p => p.getField("loading")).as("pc"),
+        min(col("eigenvalue")).as("lam"))
+      .agg(transform(array_sort(collect_list(struct(col("comp"), col("pc"), col("lam")))),
+        p => p.getField("pc")).as("pcs"),
+        transform(array_sort(collect_list(struct(col("comp"), col("lam")))),
+          p => p.getField("lam")).as("lams"))
     emb.select(col(idCol), asDouble(col(vecCol)).as("pv"))
       .crossJoin(broadcast(pcsRow))
       // explicit sc*sc, not pow(sc, 2): libm pow is engine-specific
@@ -508,10 +516,14 @@ object Similarity {
         s"""graft_dot(pv, pv) - aggregate(
              transform(pcs, pc -> floor(graft_dot(pv, pc) * ${s}D + 0.5D) / ${s}D),
              CAST(0.0 AS DOUBLE), (acc, sc) -> acc + sc * sc)""")))
-      .select(col(idCol), col("pv"), col("residual_norm2"),
+      .select(col(idCol), col("pv"), col("lams"), col("residual_norm2"),
         posexplode(col("pcs")).as(Seq("cidx", "pc")))
+      .withColumn("score", pr(expr("graft_dot(pv, pc)")))
       .select(col(idCol), (col("cidx") + 1).cast("long").as("comp"),
-        pr(expr("graft_dot(pv, pc)")).as("score"), col("residual_norm2"))
+        col("score"),
+        pr(col("score") / sqrt(element_at(col("lams"), (col("cidx") + 1).cast("int"))))
+          .as("white"),
+        col("residual_norm2"))
   }
 
   /** X2/X3 — SEMANTIC decontamination: flag corpus items whose embedding

@@ -71,13 +71,27 @@ class Round13OpsSpec extends SparkSpec {
     // comp-1 scores reproduce the planted coefficient a (up to sign)
     val compDf = ops.Similarity.pcaTopK(emb, "embedding", dim = 4, k = 2, iters = 8)
     val proj = ops.Similarity.pcaProjectTopK(emb, "vec_id", "embedding", compDf)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    assert(proj.forall { case (_, _, _, res) => math.abs(res) < 1e-3 },
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(proj.forall { case (_, _, _, _, res) => math.abs(res) < 1e-3 },
       "rank-2 data must have ~zero residual after a 2-component projection")
     val sign = math.signum(dot(v1, dir1))
-    proj.filter(_._2 == 1L).foreach { case (id, _, score, _) =>
+    proj.filter(_._2 == 1L).foreach { case (id, _, score, _, _) =>
       val a = (id % 7 - 3) * 2.0
       assert(math.abs(score - sign * a) < 1e-2, s"score($id)=$score vs a=$a")
+    }
+    // whitening: white = score/√λ per component, and the whitened
+    // coordinates have ~unit sample variance (the point of whitening)
+    val lams = comps.groupBy(_._1).map { case (c, rs) => (c, rs.head._4) }
+    proj.foreach { case (_, c, score, white, _) =>
+      assert(math.abs(white - score / math.sqrt(lams(c))) < 2e-6,
+        s"white must be score/sqrt(eigenvalue) (comp $c)")
+    }
+    Seq(1L, 2L).foreach { c =>
+      val ws = proj.filter(_._2 == c).map(_._4)
+      val varW = ws.map(w => w * w).sum / ws.length
+      assert(math.abs(varW - 1.0) < 0.05,
+        s"whitened comp $c variance $varW must be ~1")
     }
   }
 
