@@ -202,6 +202,16 @@ class PlanSpec extends SparkSpec {
       "the d-sized component row must broadcast into the corpus projection")
   }
 
+  test("k-component PCA projection: one broadcast artifact row; corpus side never shuffles or windows") {
+    val p = plan("x2_pca_project_topk")
+    assert(p.contains("graft_dot"), "projection must use the codegen dot kernel")
+    assert(!p.contains("Window"), "no ranking window in the k-component apply")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the k·d-sized component artifact must broadcast into the corpus projection")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle against the trained artifact")
+  }
+
   test("semantic decontamination: bench set broadcasts as one row; corpus side never shuffles") {
     val p = plan("x3_semantic_decontaminate")
     assert(p.contains("graft_dot"), "cosine fold must use the codegen dot kernel")
@@ -367,7 +377,7 @@ class PlanSpec extends SparkSpec {
       "s9_bucketed_join", "s10_schema_evolution", "e2e_train_kstep",
       "x8_pagerank_states", "x8_personalized_pagerank", "x8_hits_states",
       "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores",
-      "x3_bpe_merges_fast"),
+      "x3_bpe_merges_fast", "x3_bpe_bytes"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -380,10 +390,10 @@ class PlanSpec extends SparkSpec {
       // (window shape gated by the dedicated pagerank plan test — all
       // share the iteration building blocks; the trainer and its apply
       // step have no window at all).
-      // x3_bpe_merges_fast: constructing it COLLECTS the vocabulary-
-      // bounded word table and runs the driver-resident merge loop (that
-      // is the op — the returned frame is a local result table with no
-      // window anywhere).
+      // x3_bpe_merges_fast / x3_bpe_bytes: constructing them COLLECTS the
+      // vocabulary-bounded word table and runs the driver-resident merge
+      // loop (that is the op — the returned frame is a local result table
+      // with no window anywhere).
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
