@@ -1574,6 +1574,45 @@ object Queries {
           AS sof_type
       FROM documents ORDER BY doc_id"""))
 
+  /** X4 — EXIF orientation decode ([[Multimodal.decodeExif]]): each
+    * document wrapped in a JPEG whose APP1/Exif block carries the
+    * orientation tag in a REAL TIFF structure — little-endian ("II") for
+    * even doc_ids, big-endian ("MM") for odd, so the codec must parse
+    * with the endianness the payload itself declares (the dual-endian
+    * format family BMP/PNG/SOF don't exercise). Orientations 5–8
+    * transpose the raster, so the effective dimensions swap — the fact
+    * resize/crop planning must honor on a real photo corpus. */
+  private val x4ExifOrientation = Q("x4_exif_orientation",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(80)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 3, lit(60)) + 1).cast("int")
+      val orient = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticExifJpeg(w, h, orient,
+            littleEndian = pmod(col("doc_id"), lit(2)) === 0,
+            payload = encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeExif(rows).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("orientation").cast("long").as("orientation"),
+          col("effective_w").cast("long").as("effective_w"),
+          col("effective_h").cast("long").as("effective_h"),
+          col("byte_order"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(doc_id % 80 + 1 AS BIGINT) AS width,
+        CAST((doc_id * 3) % 60 + 1 AS BIGINT) AS height,
+        CAST(doc_id % 8 + 1 AS BIGINT) AS orientation FROM documents)
+      SELECT doc_id, width, height, orientation,
+        CASE WHEN orientation >= 5 THEN height ELSE width END AS effective_w,
+        CASE WHEN orientation >= 5 THEN width ELSE height END AS effective_h,
+        CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+      FROM d ORDER BY doc_id"""))
+
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
     * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
     * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
@@ -6123,7 +6162,7 @@ object Queries {
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
-    x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes)
+    x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

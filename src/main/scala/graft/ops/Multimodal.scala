@@ -389,6 +389,154 @@ object Multimodal {
     }
   }
 
+  /** Build a JPEG with an APP1/Exif segment carrying the ORIENTATION
+    * tag (0x0112) in a real TIFF structure — byte order chosen PER ROW
+    * (`littleEndian`): "II" + LE fields or "MM" + BE fields, exactly the
+    * two encodings crawl JPEGs ship (camera vendors split roughly down
+    * the middle). Layout: SOI, APP1 (Exif\0\0 + TIFF header + one-entry
+    * IFD0), COM, SOF0, payload — so the decoder must walk PAST the Exif
+    * block to the frame header, and parse INSIDE it with the endianness
+    * the payload itself declares. */
+  def syntheticExifJpeg(w: Column, h: Column, orientation: Column,
+                        littleEndian: Column, payload: Column): Column = {
+    def be16(v: Column): Column = when(
+      assert_true(v.between(0, 0xFFFF),
+        lit("syntheticExifJpeg: dimension exceeds the 16-bit SOF0 field")).isNull,
+      lpad(hex(v), 4, "0"))
+    val o2 = when(
+      assert_true(orientation.between(1, 8),
+        lit("syntheticExifJpeg: EXIF orientation must be 1..8")).isNull,
+      lpad(hex(orientation), 2, "0"))
+    // one-entry IFD0: tag 0x0112, type 3 (SHORT), count 1, value in the
+    // first two bytes of the 4-byte value field; next-IFD offset 0
+    val tiffLe = concat(
+      lit("49492A0008000000"),       // "II", 42 LE, IFD0 at offset 8
+      lit("0100"),                   // 1 entry (LE16)
+      lit("12010300"), lit("01000000"), // tag/type LE, count LE32
+      o2, lit("000000"),             // SHORT value LE + pad
+      lit("00000000"))               // next IFD: none
+    val tiffBe = concat(
+      lit("4D4D002A00000008"),       // "MM", 42 BE, IFD0 at offset 8
+      lit("0001"),                   // 1 entry (BE16)
+      lit("01120003"), lit("00000001"),
+      lit("00"), o2, lit("0000"),    // SHORT value BE + pad
+      lit("00000000"))
+    concat(unhex(concat(
+      lit("FFD8"),                           // SOI
+      lit("FFE1"), lit("0022"),              // APP1, length 34
+      lit("457869660000"),                   // "Exif\0\0"
+      when(littleEndian, tiffLe).otherwise(tiffBe),
+      lit("FFFE"), lit("0007"),              // COM (skip-by-length gate)
+      lit("6772616674"),                     // "graft"
+      lit("FFC0"), lit("0011"),              // SOF0, 3 components
+      lit("08"), be16(h), be16(w), lit("03"),
+      lit("012200"), lit("021101"), lit("031101")
+    )), payload)
+  }
+
+  case class DecodedExif(doc_id: Long, width: Int, height: Int,
+                         orientation: Int, effective_w: Int, effective_h: Int,
+                         byte_order: String)
+
+  /** REAL Exif reader: walks the JPEG marker stream; inside an
+    * APP1/Exif segment it parses the TIFF header — byte order from the
+    * payload's own "II"/"MM" declaration (the format is
+    * SELF-DESCRIBINGLY dual-endian, unlike BMP/PNG/SOF whose widths are
+    * fixed), validates the 42 magic, follows the IFD0 offset, and scans
+    * the directory for the orientation tag (0x0112, SHORT, 1..8) — the
+    * field resize/crop planning MUST honor (orientations 5–8 transpose
+    * the raster, so effective width/height swap). Continues to the
+    * frame header for geometry. Missing APP1 or missing tag defaults to
+    * orientation 1 (the EXIF spec default); a MALFORMED TIFF block
+    * (bad byte order, bad magic, reads past the segment, out-of-range
+    * orientation) fails loud — same contract as every codec here. */
+  final class ExifCodec {
+    ExifCodec.constructions.incrementAndGet(): Unit
+    def decode(r: MediaRow): DecodedExif = {
+      val b = r.media
+      require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+        s"not a JPEG payload (doc ${r.doc_id})")
+      var orientation = 1
+      var byteOrder = "none"
+      var off = 2
+      while (off + 4 <= b.length) {
+        require((b(off) & 0xff) == 0xff,
+          s"bad marker alignment at byte $off (doc ${r.doc_id})")
+        while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+        require(off + 4 <= b.length, s"trailing fill bytes (doc ${r.doc_id})")
+        val marker = b(off + 1) & 0xff
+        require(marker != 0xd9 && marker != 0xda,
+          s"hit ${if (marker == 0xda) "SOS" else "EOI"} before SOF (doc ${r.doc_id})")
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        require(len >= 2 && off + 2 + len <= b.length,
+          s"truncated segment ${marker.toHexString} (doc ${r.doc_id})")
+        val end = off + 2 + len
+        val isExif = marker == 0xe1 && len >= 16 &&
+          b(off + 4) == 'E' && b(off + 5) == 'x' && b(off + 6) == 'i' &&
+          b(off + 7) == 'f' && b(off + 8) == 0 && b(off + 9) == 0
+        if (isExif) {
+          val t = off + 10 // TIFF header start; all IFD offsets relative
+          val le = (b(t) & 0xff, b(t + 1) & 0xff) match {
+            case (0x49, 0x49) => true
+            case (0x4d, 0x4d) => false
+            case (x, y) => throw new IllegalArgumentException(
+              s"bad TIFF byte-order mark ${x.toHexString}${y.toHexString} " +
+                s"(doc ${r.doc_id})")
+          }
+          byteOrder = if (le) "II" else "MM"
+          def u16(p: Int): Int = {
+            require(p + 2 <= end, s"TIFF read past APP1 (doc ${r.doc_id})")
+            if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+            else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+          }
+          def u32(p: Int): Int = {
+            require(p + 4 <= end, s"TIFF read past APP1 (doc ${r.doc_id})")
+            if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+              ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+            else ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+              ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          }
+          require(u16(t + 2) == 42, s"bad TIFF magic (doc ${r.doc_id})")
+          val ifd = t + u32(t + 4)
+          val n = u16(ifd)
+          for (k <- 0 until n) {
+            val e = ifd + 2 + 12 * k
+            if (u16(e) == 0x0112) {
+              require(u16(e + 2) == 3 && u32(e + 4) == 1,
+                s"orientation tag must be one SHORT (doc ${r.doc_id})")
+              orientation = u16(e + 8)
+              require(orientation >= 1 && orientation <= 8,
+                s"EXIF orientation $orientation outside 1..8 (doc ${r.doc_id})")
+            }
+          }
+        }
+        if (marker == 0xc0 || marker == 0xc2) {
+          val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          val swapped = orientation >= 5
+          return DecodedExif(r.doc_id, w, h, orientation,
+            if (swapped) h else w, if (swapped) w else h, byteOrder)
+        }
+        off = end
+      }
+      throw new IllegalArgumentException(
+        s"no frame header before end of payload (doc ${r.doc_id})")
+    }
+  }
+  object ExifCodec {
+    /** Test hook: constructions ≈ one per partition via [[decodeExif]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[ExifCodec]] — same plan contract. */
+  def decodeExif(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedExif] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new ExifCodec
+      it.map(codec.decode)
+    }
+  }
+
   case class PayloadStats(doc_id: Long, n_payload: Long, mean_byte: Double,
                           max_byte: Long)
 

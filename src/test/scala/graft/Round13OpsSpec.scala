@@ -108,6 +108,50 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("X4 ExifCodec: dual-endian TIFF parse, transposing orientations, defaults, rejections") {
+    import spark.implicits._
+    // LE and BE payloads carrying the same logical fields must decode
+    // identically except for the reported byte order
+    val df = spark.range(2).select(col("id").as("doc_id"),
+      Multimodal.syntheticExifJpeg(lit(641), lit(479), lit(6),
+        littleEndian = col("id") === 0, payload = lit("scan".getBytes)).as("media"))
+    val out = Multimodal.decodeExif(df.as[MediaRow]).collect().sortBy(_.doc_id)
+    val Array(le, be) = out
+    assert(le.byte_order == "II" && be.byte_order == "MM")
+    Seq(le, be).foreach { d =>
+      assert(d.width == 641 && d.height == 479 && d.orientation == 6)
+      // orientation 6 = rotate 90° CW: the raster transposes
+      assert(d.effective_w == 479 && d.effective_h == 641)
+    }
+    // orientation ≤ 4: no transpose
+    val up = spark.range(1).select(lit(1L).as("doc_id"),
+        Multimodal.syntheticExifJpeg(lit(10), lit(20), lit(3),
+          littleEndian = lit(true), payload = lit(Array.emptyByteArray)).as("media"))
+      .as[MediaRow]
+    val u = Multimodal.decodeExif(up).collect().head
+    assert(u.orientation == 3 && u.effective_w == 10 && u.effective_h == 20)
+    // a plain JPEG without APP1 defaults to orientation 1 (the EXIF default)
+    val plain = spark.range(1).select(lit(2L).as("doc_id"),
+        Multimodal.syntheticJpeg(lit(8), lit(8), lit(Array.emptyByteArray)).as("media"))
+      .as[MediaRow]
+    val p = Multimodal.decodeExif(plain).collect().head
+    assert(p.orientation == 1 && p.byte_order == "none" && p.effective_w == 8)
+    // malformed TIFF fails loud: corrupt the byte-order mark
+    val base = spark.range(1).select(lit(3L).as("doc_id"),
+        Multimodal.syntheticExifJpeg(lit(8), lit(8), lit(1),
+          littleEndian = lit(true), payload = lit(Array.emptyByteArray)).as("media"))
+      .as[MediaRow].collect().head.media
+    val codec = new Multimodal.ExifCodec()
+    // TIFF header at byte 12: SOI(2) + APP1 marker+len(4) + "Exif\0\0"(6)
+    val badBom = base.clone(); badBom(12) = 'Z'.toByte
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, badBom)) }
+    assert(e.getMessage.contains("byte-order"))
+    // IFD offset pointing past the segment fails loud, not misreads
+    val badOff = base.clone(); badOff(12 + 4) = 0x7f.toByte
+    val e2 = intercept[IllegalArgumentException] { codec.decode(MediaRow(5L, badOff)) }
+    assert(e2.getMessage.contains("past APP1"))
+  }
+
   test("X3 BPE trainers: checked alphabet — digits/punct train, underscore rejects loudly") {
     import spark.implicits._
     import org.apache.spark.sql.{Column, DataFrame}
