@@ -632,6 +632,73 @@ object ScaleProbe {
       }
       rich.unpersist(): Unit
     }
+    // round-13: byte-level trainer at tokenizer scale — same derived
+    // vocabulary as "bpe local"; symbols start as hex byte pairs, so the
+    // loop carries ~2× the string length per symbol. Prices that
+    // constant against the char loop on the identical corpus.
+    if (only.forall(_.exists("bpe bytes".startsWith))) {
+      val rich = richCorpus(docs1).cache()
+      rich.count(): Unit
+      Seq(1000, 10000, 30000).foreach { k =>
+        val (n, t) = time(s"bpe bytes k=$k")(
+          TextOps.bpeMergesBytes(rich, "doc_id", "text", merges = k,
+            wordsOf = TextOps.tokens).count())
+        println(f"[probe] bpe bytes k=$k%-6d $t%8.2f s (${t * 1000 / k}%.2f ms/merge, $n merges emitted)")
+      }
+      rich.unpersist(): Unit
+    }
+    // round-13: top-k PCA — the covariance reduction is the only
+    // corpus-sized stage (probed ~linear above); this prices the whole
+    // op (reduction + driver deflation loop) so the driver term is
+    // MEASURED as scale-invariant, not asserted.
+    probe("pca topk (k=2, deflation)",
+      cnt(Similarity.pcaTopK(emb1, "embedding", 64, k = 2, iters = 2)),
+      cnt(Similarity.pcaTopK(embN, "embedding", 64, k = 2, iters = 2)))
+    // round-13: ANN index compaction — accrete B batches into the cell
+    // layout, then price (a) a one-cell pruned search before compaction,
+    // (b) the compaction rewrite, (c) the same search after. The search
+    // delta is the file-open tax the op exists to remove.
+    if (only.forall(_.exists("ann compaction".startsWith))) {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val cents = Similarity.kmeansFit(emb1, "vec_id", "embedding",
+          pmod(col("vec_id"), lit(400)) === 0, iters = 2)
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          s => s.getField("coord")).as("cv")).cache()
+      cents.count(): Unit
+      val dir = java.nio.file.Files.createTempDirectory("graft_anncmp").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_anncmp_ck").toString
+      val rows = embN.select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingOps.incrementalAnnIndex(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        cents, s"$dir/index", ckpt)
+      rows.grouped(math.max(1, rows.length / 40)).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+      q.stop()
+      def search(): Long =
+        spark.read.parquet(s"$dir/index").where(col("cell") === 0L).count()
+      def files(): Long = {
+        val root = new org.apache.hadoop.fs.Path(s"$dir/index")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).filter(_.isDirectory).map(d =>
+          fs.listStatus(d.getPath).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))).map(_.toLong).sum
+      }
+      val fBefore = files()
+      val (_, tS1) = time("ann compaction search pre")(search())
+      val (_, tC) = time("ann compaction rewrite")(
+        graft.streaming.StreamingOps.compactAnnIndex(spark, s"$dir/index",
+          maxFilesPerCell = 2).count())
+      val fAfter = files()
+      val (_, tS2) = time("ann compaction search post")(search())
+      println(f"[probe] ann compaction files $fBefore->$fAfter rewrite=$tC%6.2f s search $tS1%5.2f->$tS2%5.2f s")
+    }
     spark.stop()
   }
 }
