@@ -1613,6 +1613,45 @@ object Queries {
         CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — WAV audio header decode ([[Multimodal.decodeWav]]): the audio
+    * modality's REAL codec (images have BMP/PNG/JPEG/EXIF). Each
+    * document gets a spec-valid RIFF/WAVE payload with per-row PCM
+    * params and a LIST chunk the walk must skip by length; the codec
+    * re-reads format fields (checking the byte-rate/block-align
+    * equations), counts frames from the data chunk, and derives the
+    * exact integer duration — the stats an audio curation pipeline
+    * filters on. */
+  private val x4DecodeWav = Q("x4_decode_wav",
+    (s, dir) => {
+      import s.implicits._
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(5)) * 2000).cast("int")
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val bits = (ch * 8).cast("int") // frame = 1 or 4 bytes
+      val k = ((pmod(col("doc_id"), lit(100)) + 1) * 2).cast("int")
+      val data = encode(repeat(lit("ab"), k), "UTF-8") // 4·(d%100+1) bytes
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticWav(rate, ch, bits, data).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeWav(rows).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_frames"), col("duration_us"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) AS sample_rate,
+        CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS bits_per_sample,
+        CAST(4 * (doc_id % 100 + 1) AS BIGINT) AS nbytes FROM documents)
+      SELECT doc_id, sample_rate, channels, bits_per_sample,
+        nbytes // (channels * bits_per_sample // 8) AS n_frames,
+        (nbytes // (channels * bits_per_sample // 8)) * 1000000 // sample_rate
+          AS duration_us
+      FROM d ORDER BY doc_id"""))
+
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
     * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
     * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
@@ -6162,7 +6201,8 @@ object Queries {
     x8Hops, x6Upsample, x3Strip, x1Containment, x3Train, x3Apply,
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
-    x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation)
+    x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
+    x4DecodeWav)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -537,6 +537,119 @@ object Multimodal {
     }
   }
 
+  /** Build a spec-valid WAV (RIFF/WAVE, PCM "fmt " + "data" chunks)
+    * from per-row audio parameters, with an extra "LIST" chunk between
+    * them so the decoder must walk chunks by their length fields rather
+    * than assume fixed offsets. `data` stands in for PCM samples; its
+    * LENGTH is real (the duration math divides by it). All multi-byte
+    * fields little-endian per RIFF. */
+  def syntheticWav(sampleRate: Column, channels: Column, bitsPerSample: Column,
+                   data: Column): Column = {
+    def le32(v: Column): Column = {
+      val hx = lpad(hex(v), 8, "0")
+      concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    def le16(v: Column): Column = {
+      val hx = lpad(hex(v), 4, "0")
+      concat(substring(hx, 3, 2), substring(hx, 1, 2))
+    }
+    val blockAlign = channels * (bitsPerSample / lit(8))
+    val byteRate = sampleRate * blockAlign
+    val dataLen = length(data).cast("long")
+    // riff size = 4 ("WAVE") + (8+16 fmt) + (8+6 LIST) + (8+data)
+    val riffSize = lit(4L) + lit(24L) + lit(14L) + lit(8L) + dataLen
+    concat(unhex(concat(
+      lit("52494646"), le32(riffSize),    // "RIFF", chunk size
+      lit("57415645"),                    // "WAVE"
+      lit("666D7420"), lit("10000000"),   // "fmt ", 16 bytes
+      lit("0100"),                        // PCM
+      le16(channels), le32(sampleRate),
+      le32(byteRate), le16(blockAlign), le16(bitsPerSample),
+      lit("4C495354"), lit("06000000"),   // "LIST", 6 bytes (walk gate)
+      lit("494E464F6772"),                // "INFOgr" filler
+      lit("64617461"), le32(dataLen)      // "data", payload length
+    )), data)
+  }
+
+  case class DecodedWav(doc_id: Long, sample_rate: Int, channels: Int,
+                        bits_per_sample: Int, n_frames: Long,
+                        duration_us: Long)
+
+  /** REAL codec for the WAV container: validates RIFF/WAVE magics, then
+    * walks chunks by their LITTLE-endian length fields (chunks are
+    * word-aligned: odd sizes carry a pad byte) until it has both the
+    * PCM "fmt " block (channels, sample rate, bits — with the
+    * byte-rate/block-align consistency equations CHECKED, since crawl
+    * WAVs routinely lie) and the "data" chunk, whose byte length plus
+    * the format give frame count and duration:
+    * frames = data/(channels·bits/8), duration_us = frames·1e6/rate
+    * (integer arithmetic — exact on both engines). Non-PCM formats,
+    * missing chunks, inconsistent rates, and truncation all throw —
+    * the [[BmpCodec]] fail-loud contract, now for the audio modality. */
+  final class WavCodec {
+    WavCodec.constructions.incrementAndGet(): Unit
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    def decode(r: MediaRow): DecodedWav = {
+      val b = r.media
+      require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
+        s"not a RIFF/WAVE payload (doc ${r.doc_id})")
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var dataLen = -1L
+      while (off + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+        val id = tag(b, off)
+        val len = le32(b, off + 4)
+        require(off + 8 + len <= b.length,
+          s"truncated chunk $id (doc ${r.doc_id})")
+        if (id == "fmt ") {
+          require(len >= 16, s"fmt chunk too short (doc ${r.doc_id})")
+          val fmt = le16(b, off + 8)
+          require(fmt == 1, s"non-PCM format $fmt unsupported (doc ${r.doc_id})")
+          ch = le16(b, off + 10)
+          rate = le32(b, off + 12).toInt
+          val byteRate = le32(b, off + 16)
+          val blockAlign = le16(b, off + 20)
+          bits = le16(b, off + 22)
+          require(ch >= 1 && rate >= 1 && bits % 8 == 0 && bits >= 8,
+            s"malformed PCM fmt ($ch ch, $rate Hz, $bits bit) (doc ${r.doc_id})")
+          require(blockAlign == ch * bits / 8 &&
+            byteRate == rate.toLong * blockAlign,
+            s"inconsistent fmt equations (doc ${r.doc_id})")
+        }
+        if (id == "data") dataLen = len
+        off += 8 + len.toInt + (len % 2).toInt // RIFF word alignment
+      }
+      require(rate > 0, s"no fmt chunk before end of payload (doc ${r.doc_id})")
+      require(dataLen >= 0, s"no data chunk before end of payload (doc ${r.doc_id})")
+      val frameBytes = ch * bits / 8
+      require(dataLen % frameBytes == 0,
+        s"data length $dataLen not frame-aligned ($frameBytes) (doc ${r.doc_id})")
+      val frames = dataLen / frameBytes
+      DecodedWav(r.doc_id, rate, ch, bits, frames,
+        frames * 1000000L / rate)
+    }
+  }
+  object WavCodec {
+    /** Test hook: constructions ≈ one per partition via [[decodeWav]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[WavCodec]] — same plan contract. */
+  def decodeWav(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedWav] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new WavCodec
+      it.map(codec.decode)
+    }
+  }
+
   case class PayloadStats(doc_id: Long, n_payload: Long, mean_byte: Double,
                           max_byte: Long)
 

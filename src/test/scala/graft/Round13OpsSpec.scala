@@ -152,6 +152,35 @@ class Round13OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("past APP1"))
   }
 
+  test("X4 WavCodec: RIFF chunk walk, fmt equations, duration math, rejections") {
+    import spark.implicits._
+    val df = spark.range(1).select(lit(7L).as("doc_id"),
+      Multimodal.syntheticWav(lit(16000), lit(2), lit(16),
+        lit(("ab" * 100).getBytes)).as("media")) // 200 bytes = 50 frames
+    val d = Multimodal.decodeWav(df.as[MediaRow]).collect().head
+    assert(d.sample_rate == 16000 && d.channels == 2 && d.bits_per_sample == 16)
+    assert(d.n_frames == 50L) // 200 / (2ch · 2B)
+    assert(d.duration_us == 50L * 1000000L / 16000L)
+
+    val base = spark.range(1).select(lit(1L).as("doc_id"),
+        Multimodal.syntheticWav(lit(8000), lit(1), lit(8),
+          lit("abcd".getBytes)).as("media"))
+      .as[MediaRow].collect().head.media
+    val codec = new Multimodal.WavCodec()
+    // sanity: the LIST chunk really sits between fmt and data (walk gate)
+    assert(new String(base, 36, 4, "US-ASCII") == "LIST")
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(1L, "RIFX junk bytes".getBytes)) }
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(2L, base.dropRight(3))) }
+    // inconsistent byte-rate equation fails loud (byte 28 = byteRate LSB)
+    val lying = base.clone(); lying(28) = (lying(28) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, lying)) }
+    assert(e.getMessage.contains("inconsistent fmt"))
+    // non-PCM format code fails loud (byte 20 = audio format LSB)
+    val nonPcm = base.clone(); nonPcm(20) = 3
+    val e2 = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, nonPcm)) }
+    assert(e2.getMessage.contains("non-PCM"))
+  }
+
   test("X3 BPE trainers: checked alphabet — digits/punct train, underscore rejects loudly") {
     import spark.implicits._
     import org.apache.spark.sql.{Column, DataFrame}
