@@ -1652,6 +1652,42 @@ object Queries {
           AS duration_us
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — MP4 container decode ([[Multimodal.decodeMp4]]): the video
+    * modality's REAL codec. Big-endian ISO-BMFF box walk (sizes include
+    * their own header — a third container discipline after JPEG
+    * segments and RIFF chunks), recursion into moov for the v0 mvhd,
+    * exact integer duration from timescale/ticks, box census, and mdat
+    * payload size — with the classic timescales (600/1000/90000) mixed
+    * across rows. */
+  private val x4DecodeMp4 = Q("x4_decode_mp4",
+    (s, dir) => {
+      import s.implicits._
+      val ts = when(pmod(col("doc_id"), lit(3)) === 0, lit(600L))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(1000L))
+        .otherwise(lit(90000L))
+      val ticks = (pmod(col("doc_id"), lit(1000)) + 1) * lit(600L)
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticMp4(ts, ticks,
+            encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeMp4(rows).toDF()
+        .select(col("doc_id"), col("timescale"), col("duration_ticks"),
+          col("duration_us"), col("n_boxes").cast("long").as("n_boxes"),
+          col("mdat_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END
+          AS timescale,
+        (doc_id % 1000 + 1) * 600 AS duration_ticks,
+        CAST(strlen(text) AS BIGINT) AS mdat_bytes FROM documents)
+      SELECT doc_id, CAST(timescale AS BIGINT) AS timescale,
+        CAST(duration_ticks AS BIGINT) AS duration_ticks,
+        CAST(duration_ticks * 1000000 // timescale AS BIGINT) AS duration_us,
+        CAST(4 AS BIGINT) AS n_boxes, mdat_bytes
+      FROM d ORDER BY doc_id"""))
+
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
     * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
     * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
@@ -6202,7 +6238,7 @@ object Queries {
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
-    x4DecodeWav)
+    x4DecodeWav, x4DecodeMp4)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

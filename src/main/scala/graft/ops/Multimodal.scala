@@ -650,6 +650,118 @@ object Multimodal {
     }
   }
 
+  /** Build a minimal spec-valid MP4: `ftyp` + a `free` box (the walk
+    * gate) + `moov` containing a version-0 `mvhd` (timescale/duration)
+    * + `mdat` carrying `payload`. Box sizes are BIG-endian 32-bit and
+    * include their own 8-byte header — the ISO-BMFF container every
+    * crawl video ships. */
+  def syntheticMp4(timescale: Column, durationTicks: Column,
+                   payload: Column): Column = {
+    def be32(v: Column): Column = when(
+      assert_true(v.between(0, 0x7FFFFFFFL),
+        lit("syntheticMp4: field exceeds uint32")).isNull,
+      lpad(hex(v), 8, "0"))
+    val mvhd = concat(
+      lit("0000006C"), lit("6D766864"),   // size 108, "mvhd"
+      lit("00000000"),                    // version 0 + flags
+      lit("00000000"), lit("00000000"),   // ctime, mtime
+      be32(timescale), be32(durationTicks),
+      lit("00010000"), lit("0100"),       // rate 1.0, volume 1.0
+      lit("0000"), lit("0000000000000000"), // reserved
+      // identity matrix (36 bytes)
+      lit("000100000000000000000000" +
+        "000000000001000000000000" +
+        "000000000000000040000000"),
+      lit("000000000000000000000000000000000000000000000000"), // pre_defined
+      lit("00000002"))                    // next track id
+    concat(unhex(concat(
+      lit("00000010"), lit("66747970"),   // size 16, "ftyp"
+      lit("69736F6D"), lit("00000000"),   // major "isom", minor 0
+      lit("0000000C"), lit("66726565"),   // size 12, "free" (walk gate)
+      lit("67726674"),                    // "grft" filler
+      lit("00000074"), lit("6D6F6F76"),   // size 116, "moov"
+      mvhd,
+      be32(length(payload).cast("long") + lit(8L)), lit("6D646174") // "mdat"
+    )), payload)
+  }
+
+  case class DecodedMp4(doc_id: Long, timescale: Long, duration_ticks: Long,
+                        duration_us: Long, n_boxes: Int, mdat_bytes: Long)
+
+  /** REAL codec for the MP4 (ISO-BMFF) container: walks the TOP-LEVEL
+    * box sequence by BIG-endian 32-bit sizes (each including its own
+    * 8-byte header — a third container discipline after JPEG's
+    * length-after-marker segments and RIFF's length-after-tag chunks),
+    * RECURSES into `moov` to find the version-0 `mvhd`, and reports
+    * timescale, duration ticks, the exact integer duration in µs, the
+    * top-level box count, and the `mdat` payload size — the stats a
+    * video curation pipeline budgets with. 64-bit largesize boxes
+    * (size==1), mvhd version 1, size<8, truncation, and a missing
+    * moov/mvhd/mdat all throw — the house fail-loud contract. */
+  final class Mp4Codec {
+    Mp4Codec.constructions.incrementAndGet(): Unit
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    def decode(r: MediaRow): DecodedMp4 = {
+      val b = r.media
+      require(b.length >= 16 && tag(b, 4) == "ftyp",
+        s"not an ISO-BMFF payload (doc ${r.doc_id})")
+      var off = 0
+      var nBoxes = 0
+      var timescale = -1L; var ticks = -1L; var mdat = -1L
+      while (off < b.length) {
+        require(off + 8 <= b.length, s"truncated box header (doc ${r.doc_id})")
+        val size = be32(b, off)
+        require(size != 1, s"64-bit largesize box unsupported (doc ${r.doc_id})")
+        require(size >= 8 && off + size <= b.length,
+          s"bad box size $size at $off (doc ${r.doc_id})")
+        val id = tag(b, off + 4)
+        nBoxes += 1
+        if (id == "moov") {
+          var in = off + 8
+          val end = off + size.toInt
+          while (in < end) {
+            require(in + 8 <= end, s"truncated moov child (doc ${r.doc_id})")
+            val cs = be32(b, in)
+            require(cs >= 8 && in + cs <= end,
+              s"bad moov child size $cs (doc ${r.doc_id})")
+            if (tag(b, in + 4) == "mvhd") {
+              require((b(in + 8) & 0xff) == 0,
+                s"mvhd version ${b(in + 8) & 0xff} unsupported (v0 only) " +
+                  s"(doc ${r.doc_id})")
+              timescale = be32(b, in + 20)
+              ticks = be32(b, in + 24)
+              require(timescale >= 1, s"zero timescale (doc ${r.doc_id})")
+            }
+            in += cs.toInt
+          }
+        }
+        if (id == "mdat") mdat = size - 8
+        off += size.toInt
+      }
+      require(timescale > 0, s"no moov/mvhd box (doc ${r.doc_id})")
+      require(mdat >= 0, s"no mdat box (doc ${r.doc_id})")
+      DecodedMp4(r.doc_id, timescale, ticks,
+        ticks * 1000000L / timescale, nBoxes, mdat)
+    }
+  }
+  object Mp4Codec {
+    /** Test hook: constructions ≈ one per partition via [[decodeMp4]]. */
+    val constructions = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** [[decodeMedia]] with the REAL [[Mp4Codec]] — same plan contract. */
+  def decodeMp4(ds: org.apache.spark.sql.Dataset[MediaRow]): org.apache.spark.sql.Dataset[DecodedMp4] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new Mp4Codec
+      it.map(codec.decode)
+    }
+  }
+
   case class PayloadStats(doc_id: Long, n_payload: Long, mean_byte: Double,
                           max_byte: Long)
 

@@ -181,6 +181,36 @@ class Round13OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-PCM"))
   }
 
+  test("X4 Mp4Codec: BE box walk, moov recursion, duration math, rejections") {
+    import spark.implicits._
+    val df = spark.range(1).select(lit(5L).as("doc_id"),
+      Multimodal.syntheticMp4(lit(90000L), lit(123456L),
+        lit("framedata".getBytes)).as("media"))
+    val d = Multimodal.decodeMp4(df.as[MediaRow]).collect().head
+    assert(d.timescale == 90000L && d.duration_ticks == 123456L)
+    assert(d.duration_us == 123456L * 1000000L / 90000L)
+    assert(d.n_boxes == 4 && d.mdat_bytes == 9L) // ftyp, free, moov, mdat
+
+    val base = spark.range(1).select(lit(1L).as("doc_id"),
+        Multimodal.syntheticMp4(lit(600L), lit(600L),
+          lit(Array.emptyByteArray)).as("media"))
+      .as[MediaRow].collect().head.media
+    val codec = new Multimodal.Mp4Codec()
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(1L, "notanmp4box".getBytes)) }
+    intercept[IllegalArgumentException] { codec.decode(MediaRow(2L, base.dropRight(4))) }
+    // mvhd version 1 (64-bit fields) rejects rather than misparses
+    // (ftyp 16 + free 12 → moov at 28; its mvhd child header at 36,
+    // version byte at 44)
+    assert(new String(base, 40, 4, "US-ASCII") == "mvhd")
+    val v1 = base.clone(); v1(44) = 1
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, v1)) }
+    assert(e.getMessage.contains("mvhd version"))
+    // a 64-bit largesize box (size == 1) rejects
+    val huge = base.clone(); huge(0) = 0; huge(1) = 0; huge(2) = 0; huge(3) = 1
+    val e2 = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, huge)) }
+    assert(e2.getMessage.contains("largesize"))
+  }
+
   test("X3 BPE trainers: checked alphabet — digits/punct train, underscore rejects loudly") {
     import spark.implicits._
     import org.apache.spark.sql.{Column, DataFrame}
