@@ -1688,6 +1688,58 @@ object Queries {
         CAST(4 AS BIGINT) AS n_boxes, mdat_bytes
       FROM d ORDER BY doc_id"""))
 
+  /** X4 — image curation pipeline as ONE declarative DAG: EXIF decode
+    * ([[Multimodal.decodeExif]], mixed II/MM endianness and mixed
+    * orientations) → the standard crawl-image quality gates on the
+    * ORIENTATION-CORRECTED geometry (aspect ∈ [0.5, 2], area ≥ 400 px —
+    * apply them to raw dims and every rotated portrait/landscape is
+    * misjudged, which is why the codec parses orientation at all) →
+    * aspect-preserving 224×224 resize planning
+    * ([[Multimodal.resizeFit]]). Codec + filter + plan in one map-only
+    * chain: no shuffle anywhere. */
+  private val x4ImageCuration = Q("x4_image_curation",
+    (s, dir) => {
+      import s.implicits._
+      val w = (pmod(col("doc_id"), lit(80)) + 1).cast("int")
+      val h = (pmod(col("doc_id") * 3, lit(60)) + 1).cast("int")
+      val orient = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticExifJpeg(w, h, orient,
+            littleEndian = pmod(col("doc_id"), lit(2)) === 0,
+            payload = encode(col("text"), "UTF-8")).as("media"))
+        .as[Multimodal.MediaRow]
+      val (outW, outH) = Multimodal.resizeFit(
+        col("effective_w").cast("double"), col("effective_h").cast("double"),
+        224, 224)
+      Multimodal.decodeExif(rows).toDF()
+        .where((col("effective_w").cast("double") / col("effective_h"))
+          .between(0.5, 2.0) &&
+          col("effective_w") * col("effective_h") >= 400)
+        .select(col("doc_id"),
+          col("orientation").cast("long").as("orientation"),
+          col("effective_w").cast("long").as("effective_w"),
+          col("effective_h").cast("long").as("effective_h"),
+          outW.as("out_w"), outH.as("out_h"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(doc_id % 80 + 1 AS BIGINT) AS w,
+        CAST((doc_id * 3) % 60 + 1 AS BIGINT) AS h,
+        CAST(doc_id % 8 + 1 AS BIGINT) AS o FROM documents),
+      e AS (SELECT doc_id, o,
+        CASE WHEN o >= 5 THEN h ELSE w END AS ew,
+        CASE WHEN o >= 5 THEN w ELSE h END AS eh FROM d),
+      f AS (SELECT * FROM e
+        WHERE CAST(ew AS DOUBLE) / eh BETWEEN 0.5 AND 2.0
+          AND ew * eh >= 400),
+      r AS (SELECT doc_id, o, ew, eh,
+        least(224.0 / ew, 224.0 / eh, 1.0) AS sc FROM f)
+      SELECT doc_id, o AS orientation, ew AS effective_w, eh AS effective_h,
+        CAST(greatest(floor(ew * sc), 1.0) AS BIGINT) AS out_w,
+        CAST(greatest(floor(eh * sc), 1.0) AS BIGINT) AS out_h
+      FROM r ORDER BY doc_id"""))
+
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
     * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
     * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
@@ -6238,7 +6290,7 @@ object Queries {
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
-    x4DecodeWav, x4DecodeMp4)
+    x4DecodeWav, x4DecodeMp4, x4ImageCuration)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
