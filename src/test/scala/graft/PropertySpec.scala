@@ -188,4 +188,120 @@ class PropertySpec extends AnyFunSuite {
       counts.max - counts.min <= 1 && totals.max - totals.min <= sorted.head
     })
   }
+
+  // ---- round-13 codec properties: decode() is pure JVM, so the three
+  // new container parsers get spec-derived INDEPENDENT byte builders
+  // (java.nio.ByteBuffer, not the production Column builders) — a shared
+  // layout bug between builder and codec cannot hide here.
+
+  private def wavBytes(rate: Int, ch: Int, bits: Int, frames: Int): Array[Byte] = {
+    val data = Array.tabulate(frames * ch * bits / 8)(i => (i * 37 % 251).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * ch * bits / 8).putShort((ch * bits / 8).toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  test("WavCodec inverts any spec-valid PCM header (independent builder)") {
+    val gen = for {
+      rate <- Gen.choose(1, 96000)
+      ch <- Gen.choose(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      frames <- Gen.choose(0, 300)
+    } yield (rate, ch, bits, frames)
+    check(Prop.forAll(gen) { case (rate, ch, bits, frames) =>
+      val d = new Multimodal.WavCodec().decode(
+        Multimodal.MediaRow(1L, wavBytes(rate, ch, bits, frames)))
+      d.sample_rate == rate && d.channels == ch && d.bits_per_sample == bits &&
+        d.n_frames == frames.toLong &&
+        d.duration_us == frames.toLong * 1000000L / rate
+    })
+  }
+
+  private def mp4Bytes(timescale: Int, ticks: Int, payload: Int,
+                       frees: Int): Array[Byte] = {
+    val mdat = Array.tabulate(payload)(i => (i * 11 % 127).toByte)
+    val freeSz = frees * 8
+    val bb = java.nio.ByteBuffer.allocate(16 + freeSz + 116 + 8 + mdat.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    (0 until frees).foreach { _ =>
+      bb.putInt(8).put("free".getBytes("US-ASCII")): Unit
+    }
+    bb.putInt(116).put("moov".getBytes("US-ASCII"))
+      .putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)            // version/flags, ctime, mtime
+      .putInt(timescale).putInt(ticks)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      .putLong(0L)                               // reserved
+    (0 until 9).foreach(_ => bb.putInt(0): Unit) // matrix (values unchecked)
+    (0 until 6).foreach(_ => bb.putInt(0): Unit) // pre_defined
+    bb.putInt(2)                                 // next track id
+      .putInt(8 + mdat.length).put("mdat".getBytes("US-ASCII")).put(mdat)
+    bb.array()
+  }
+
+  test("Mp4Codec inverts any v0 mvhd under arbitrary free-box padding (independent builder)") {
+    val gen = for {
+      ts <- Gen.choose(1, 1000000)
+      ticks <- Gen.choose(0, Int.MaxValue)
+      payload <- Gen.choose(0, 200)
+      frees <- Gen.choose(0, 4)
+    } yield (ts, ticks, payload, frees)
+    check(Prop.forAll(gen) { case (ts, ticks, payload, frees) =>
+      val d = new Multimodal.Mp4Codec().decode(
+        Multimodal.MediaRow(1L, mp4Bytes(ts, ticks, payload, frees)))
+      d.timescale == ts.toLong && d.duration_ticks == ticks.toLong &&
+        d.duration_us == ticks.toLong * 1000000L / ts &&
+        d.mdat_bytes == payload.toLong && d.n_boxes == 3 + frees
+    })
+  }
+
+  private def exifJpegBytes(w: Int, h: Int, orient: Int, le: Boolean): Array[Byte] = {
+    val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+                else java.nio.ByteOrder.BIG_ENDIAN
+    val tiff = java.nio.ByteBuffer.allocate(26).order(order)
+    tiff.putShort(if (le) 0x4949.toShort else 0x4D4D.toShort)
+      .putShort(42).putInt(8)
+      .putShort(1)                          // one IFD entry
+      .putShort(0x0112.toShort).putShort(3).putInt(1)
+    tiff.putShort(orient.toShort).putShort(0) // SHORT value + pad
+    tiff.putInt(0)                          // next IFD
+    // NB: the byte-order mark bytes are the same in both orders ("II"/"MM")
+    val bb = java.nio.ByteBuffer.allocate(2 + 36 + 19)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0xFFD8.toShort)
+      .putShort(0xFFE1.toShort).putShort(34)
+      .put("Exif".getBytes("US-ASCII")).putShort(0)
+      .put(tiff.array())
+      .putShort(0xFFC0.toShort).putShort(17).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    bb.array()
+  }
+
+  test("ExifCodec inverts both endiannesses and applies the 5-8 transpose (independent builder)") {
+    val gen = for {
+      w <- Gen.choose(1, 0xFFFF)
+      h <- Gen.choose(1, 0xFFFF)
+      o <- Gen.choose(1, 8)
+      le <- Gen.oneOf(true, false)
+    } yield (w, h, o, le)
+    check(Prop.forAll(gen) { case (w, h, o, le) =>
+      val d = new Multimodal.ExifCodec().decode(
+        Multimodal.MediaRow(1L, exifJpegBytes(w, h, o, le)))
+      val swap = o >= 5
+      d.width == w && d.height == h && d.orientation == o &&
+        d.byte_order == (if (le) "II" else "MM") &&
+        d.effective_w == (if (swap) h else w) &&
+        d.effective_h == (if (swap) w else h)
+    })
+  }
 }
