@@ -626,4 +626,61 @@ object Graft {
                                   textCol: String = "text") =
     StreamingOps.incrementalDsirSelect(docs, idCol, textCol, targetPred,
       countLedgerPath, docLedgerPath, selectedPath, checkpoint, topK = topK)
+
+  /** X2: top-k principal components (power iteration + deflation;
+    * distributed covariance, driver-resident k-loop — the MLlib split).
+    * Returns (comp, i, loading, eigenvalue), the whitening artifact. */
+  def trainPca(emb: DataFrame, k: Int, dim: Int = 64, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.pcaTopK(emb, vecCol, dim, k, iters)
+
+  /** X2: project + whiten every embedding against a [[trainPca]]
+    * artifact — per component: score, unit-variance `white` = score/√λ,
+    * plus the k-component residual; one broadcast codegen projection. */
+  def whitenEmbeddings(emb: DataFrame, components: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame =
+    Similarity.pcaProjectTopK(emb, idCol, vecCol, components)
+
+  /** X3: tokenizer training at production vocab scale — distributed
+    * word count, driver-resident merge loop (checked printable-ASCII
+    * symbol alphabet; see [[trainTokenizerBytes]] for open alphabets). */
+  def trainTokenizer(docs: DataFrame, merges: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ops.TextOps.bpeMergesLocal(docs, idCol, textCol, merges)
+
+  /** X3: OPEN-ALPHABET byte-level tokenizer training (GPT-2-style byte
+    * symbols as lowercase hex; arbitrary UTF-8 trains, no contract). */
+  def trainTokenizerBytes(docs: DataFrame, merges: Int,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    ops.TextOps.bpeMergesBytes(docs, idCol, textCol, merges)
+
+  /** X4: image geometry + EXIF orientation (dual-endian TIFF parse;
+    * effective dims honor the 5–8 transpose). */
+  def decodeImages(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.decodeExif(ds)
+
+  /** X4: WAV audio header decode (PCM format, frames, exact duration). */
+  def decodeAudio(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.decodeWav(ds)
+
+  /** X4: MP4 container decode (mvhd timescale/duration, box census). */
+  def decodeVideo(ds: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.decodeMp4(ds)
+
+  /** X2 maintenance: compact a streamed cell-partitioned ANN index —
+    * rewrites only cells above the file-count threshold, layout and
+    * rows unchanged. Returns the per-cell report. */
+  def compactAnnIndex(spark: SparkSession, indexPath: String,
+                      maxFilesPerCell: Int = 4): DataFrame =
+    StreamingOps.compactAnnIndex(spark, indexPath, maxFilesPerCell)
+
+  /** [[shardIncremental]] with EXACTLY-ONCE commits: manifest + ledger
+    * stage together and install via one atomic rename per epoch. */
+  def shardIncrementalExactlyOnce(docs: DataFrame, sizeCol: String, shards: Int,
+                                  rootPath: String, checkpoint: String,
+                                  idCol: String = "doc_id") =
+    StreamingOps.incrementalShardAssignTxn(docs, idCol, sizeCol, shards,
+      rootPath, checkpoint)
 }

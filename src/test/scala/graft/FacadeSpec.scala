@@ -98,5 +98,27 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.rankStates(ev, get_json_object(col("props"), "$.k").cast("long"),
       iters = 2).count() > 0)
     assert(Graft.topPaths(ev, col("event_type")).count() > 0)
+    // round-13 surfaces
+    val comps = Graft.trainPca(emb, k = 2, iters = 2)
+    assert(comps.count() == 128 && comps.columns.contains("eigenvalue"))
+    val white = Graft.whitenEmbeddings(emb, comps)
+    assert(white.columns.toSeq ==
+      Seq("vec_id", "comp", "score", "white", "residual_norm2"))
+    assert(Graft.trainTokenizer(docs, merges = 2).count() == 2)
+    assert(Graft.trainTokenizerBytes(docs, merges = 2)
+      .select("merged").as[String].collect().forall(_.matches("[0-9a-f]+")))
+    val wav = spark.range(3).select(col("id").as("doc_id"),
+      ops.Multimodal.syntheticWav(lit(8000), lit(1), lit(8),
+        lit("pcm0".getBytes)).as("media")).as[ops.Multimodal.MediaRow]
+    assert(Graft.decodeAudio(wav).collect().forall(_.n_frames == 4L))
+    val mp4 = spark.range(3).select(col("id").as("doc_id"),
+      ops.Multimodal.syntheticMp4(lit(600L), lit(1200L),
+        lit(Array.emptyByteArray)).as("media")).as[ops.Multimodal.MediaRow]
+    assert(Graft.decodeVideo(mp4).collect().forall(_.duration_us == 2000000L))
+    val img = spark.range(3).select(col("id").as("doc_id"),
+      ops.Multimodal.syntheticExifJpeg(lit(40), lit(30), lit(6), lit(true),
+        lit(Array.emptyByteArray)).as("media")).as[ops.Multimodal.MediaRow]
+    assert(Graft.decodeImages(img).collect().forall(d =>
+      d.effective_w == 30 && d.effective_h == 40))
   }
 }
