@@ -1075,6 +1075,30 @@ class StreamingSpec extends SparkSpec {
     assert(residue.isEmpty, residue.toSeq.toString)
   }
 
+  test("media codecs run unchanged on a readStream (map-only decode chain)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    // the decode ops are mapPartitions over a typed Dataset — the same
+    // plan works incrementally; this gates that nothing in the chain
+    // (builder expressions included) requires a batch-only operator
+    val mem = MemoryStream[(Long, Long)]
+    val media = mem.toDF().toDF("doc_id", "n")
+      .select(col("doc_id"),
+        Multimodal.syntheticWav(lit(8000), lit(1), lit(8),
+          encode(repeat(lit("x"), 8), "UTF-8")).as("media"))
+      .as[Multimodal.MediaRow]
+    val q = Multimodal.decodeWav(media).writeStream
+      .format("memory").queryName("wav_stream_out").outputMode("append").start()
+    mem.addData((1L, 0L), (2L, 0L))
+    q.processAllAvailable()
+    mem.addData((3L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wav_stream_out")
+      .select("doc_id", "n_frames").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 8L, 2L -> 8L, 3L -> 8L))
+  }
+
   test("streaming session-window aggregation runs end-to-end with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
