@@ -1740,6 +1740,68 @@ object Queries {
         CAST(greatest(floor(eh * sc), 1.0) AS BIGINT) AS out_h
       FROM r ORDER BY doc_id"""))
 
+  /** X4 — heterogeneous media duration budget: a mixed corpus (even
+    * doc_ids carry WAV audio, odd carry MP4 video) decoded by the
+    * matching codec, gated on modality-appropriate duration windows,
+    * and rolled up to the per-modality budget — the "how many hours
+    * survive curation" accounting a multimodal training-data pipeline
+    * plans capacity with. Durations are exact integer µs from both
+    * codecs, so the rollup is float-free. */
+  private val x4MediaBudget = Q("x4_media_duration_budget",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val audioSrc = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(5)) * 2000).cast("int")
+      val k = ((pmod(col("doc_id"), lit(100)) + 1)).cast("int")
+      val audio = Multimodal.decodeWav(
+        audioSrc.select(col("doc_id"),
+          Multimodal.syntheticWav(rate, lit(1), lit(8),
+            encode(repeat(lit("abcd"), k), "UTF-8")).as("media"))
+          .as[Multimodal.MediaRow]).toDF()
+        .select(lit("audio").as("modality"), col("duration_us"),
+          (col("duration_us") >= 10000L).as("kept"))
+      val ts = when(pmod(col("doc_id"), lit(3)) === 0, lit(600L))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(1000L))
+        .otherwise(lit(90000L))
+      val ticks = (pmod(col("doc_id"), lit(1000)) + 1) * lit(600L)
+      val video = Multimodal.decodeMp4(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"),
+            Multimodal.syntheticMp4(ts, ticks, lit(Array.emptyByteArray))
+              .as("media"))
+          .as[Multimodal.MediaRow]).toDF()
+        .select(lit("video").as("modality"), col("duration_us"),
+          col("duration_us").between(1000000L, 300000000L).as("kept"))
+      audio.unionByName(video)
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("duration_us")).otherwise(lit(0L)))
+            .as("kept_duration_us"))
+        .orderBy(col("modality"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+        (4 * (doc_id % 100 + 1)) * 1000000
+          // (8000 + (doc_id % 5) * 2000) AS dur
+        FROM documents WHERE doc_id % 2 = 0),
+      v AS (SELECT doc_id,
+        ((doc_id % 1000 + 1) * 600) * 1000000
+          // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             ELSE 90000 END) AS dur
+        FROM documents WHERE doc_id % 2 = 1),
+      u AS (SELECT 'audio' AS modality, dur,
+              CASE WHEN dur >= 10000 THEN 1 ELSE 0 END AS kept FROM a
+            UNION ALL
+            SELECT 'video', dur,
+              CASE WHEN dur BETWEEN 1000000 AND 300000000 THEN 1 ELSE 0 END
+            FROM v)
+      SELECT modality, CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(kept) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept = 1 THEN dur ELSE 0 END) AS BIGINT)
+          AS kept_duration_us
+      FROM u GROUP BY modality ORDER BY modality"""))
+
   /** X4 — FULL PNG pixel round-trip ([[Multimodal.buildFullPng]] →
     * [[Multimodal.decodePngPixels]]): per document, a deterministic RGB
     * image (`byte(i) = (doc_id·31 + i·7) mod 256`) is filtered (all five
@@ -6290,7 +6352,7 @@ object Queries {
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
-    x4DecodeWav, x4DecodeMp4, x4ImageCuration)
+    x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4
