@@ -211,6 +211,25 @@ class Round13OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("largesize"))
   }
 
+  test("X4 WavCodec: odd-length chunks advance by the RIFF pad byte") {
+    // hand-built WAV with an ODD-length LIST chunk before data: RIFF
+    // word alignment inserts a pad byte the walk must skip — the one
+    // branch the even-sized builders never exercise
+    val data = Array[Byte](1, 2, 3, 4)
+    val bb = java.nio.ByteBuffer.allocate(44 + 9 + 1 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 10 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("LIST".getBytes("US-ASCII")).putInt(1).put(7.toByte) // odd chunk
+      .put(0.toByte)                                            // pad byte
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val d = new ops.Multimodal.WavCodec().decode(
+      ops.Multimodal.MediaRow(9L, bb.array()))
+    assert(d.n_frames == 4L && d.sample_rate == 8000)
+  }
+
   test("X3 BPE trainers: checked alphabet — digits/punct train, underscore rejects loudly") {
     import spark.implicits._
     import org.apache.spark.sql.{Column, DataFrame}
