@@ -631,7 +631,7 @@ object Graft {
     * distributed covariance, driver-resident k-loop — the MLlib split).
     * Returns (comp, i, loading, eigenvalue), the whitening artifact. */
   def trainPca(emb: DataFrame, k: Int, dim: Int = 64, iters: Int = 3,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+               vecCol: String = "embedding"): DataFrame =
     Similarity.pcaTopK(emb, vecCol, dim, k, iters)
 
   /** X2: project + whiten every embedding against a [[trainPca]]

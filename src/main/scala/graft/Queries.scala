@@ -5721,6 +5721,49 @@ object Queries {
         FROM ap WHERE n_syms_before > 0 ORDER BY doc_id"""
     })
 
+  /** X3 — BYTE-LEVEL tokenizer APPLY
+    * ([[graft.ops.TextOps.bpeApplyBytes]] ∘ bpeMergesBytes): the
+    * open-alphabet merge artifact actually RUN over the corpus — UTF-8
+    * bytes as hex symbols, trained fuses replayed in order, symbol
+    * counts and compression per document. On this [a-z] token corpus the
+    * hex rendering is a bijection of the char encoding, so the oracle
+    * replays the SAME training CTEs and performs the fuses in hex space
+    * (the multi-byte UTF-8 fusion path is spec-gated, Round14OpsSpec). */
+  private val x3BpeBytesApply = Q("x3_bpe_bytes_apply",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeMergesBytes(docs, "doc_id", "text",
+        merges = 3, wordsOf = TextOps.tokens)
+      TextOps.bpeApplyBytes(docs, "doc_id", "text", merges, k = 3,
+          wordsOf = TextOps.tokens)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def fuse(inner: String, t: String): String =
+        s"""replace($inner,
+          '_' || (SELECT lower(hex(left_sym)) FROM $t) || '__'
+            || (SELECT lower(hex(right_sym)) FROM $t) || '_',
+          '_' || (SELECT lower(hex(left_sym)) FROM $t)
+            || (SELECT lower(hex(right_sym)) FROM $t) || '_')"""
+      val enc3 = fuse(fuse(fuse("enc", "t1"), "t2"), "t3")
+      s"""WITH base AS ($docsTokSql),
+        $bpeTrainCtes,
+        d AS (SELECT doc_id, array_to_string(list_transform(toks,
+            t -> regexp_replace(lower(hex(t)), '(..)', '_\\1_', 'g')), ' ') AS enc
+          FROM base),
+        ap AS (SELECT doc_id,
+            CAST((strlen(enc) - strlen(replace(enc, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_before,
+            CAST((strlen($enc3) - strlen(replace($enc3, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_after
+          FROM d)
+        SELECT doc_id, n_syms_before, n_syms_after,
+          floor(n_syms_before / n_syms_after * 10000.0 + 0.5) / 10000.0
+            AS compression
+        FROM ap WHERE n_syms_before > 0 ORDER BY doc_id"""
+    },
+    eagerPlan = true) // the byte trainer inside collects the word table
+
   /** Profiling — key-skew report ([[graft.ops.DataProfile.keySkewReport]]):
     * the pre-join diagnosis over three lineitem keys spanning the skew
     * spectrum (near-uniform l_suppkey, small-group l_orderkey, and
@@ -5923,7 +5966,8 @@ object Queries {
         UNION ALL
         SELECT CAST(2 AS BIGINT), CAST(j AS BIGINT), vj, lam
         FROM u3 CROSS JOIN lam2)
-      ORDER BY comp, i"""))
+      ORDER BY comp, i"""),
+    eagerPlan = true) // pcaTopK collects the d^2 covariance on construction
 
   /** X2 — k-component projection + whitening + residual
     * ([[graft.ops.Similarity.pcaProjectTopK]] ∘ pcaTopK): each embedding
@@ -5959,7 +6003,8 @@ object Queries {
           floor(s2 / sqrt((SELECT lam FROM lam2)) * 1000000.0 + 0.5)
             / 1000000.0,
           residual_norm2 FROM sc)
-      ORDER BY vec_id, comp"""))
+      ORDER BY vec_id, comp"""),
+    eagerPlan = true) // the pcaTopK training inside collects the covariance
 
   /** X2/X3 — semantic decontamination
     * ([[graft.ops.Similarity.semanticDecontaminate]]): corpus embeddings
@@ -6352,7 +6397,8 @@ object Queries {
     x4MediaDedup, x3Diversity, aMad, x4DecodeReal, x2IvfRerank,
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
-    x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget)
+    x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
+    x3BpeBytesApply)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -517,6 +517,16 @@ object Multimodal {
           return DecodedExif(r.doc_id, w, h, orientation,
             if (swapped) h else w, if (swapped) w else h, byteOrder)
         }
+        // [[JpegCodec]]'s SOF-range rejection, mirrored: any frame type
+        // other than SOF0/SOF2 (0xc4 DHT / 0xc8 JPG / 0xcc DAC are not
+        // frames) must throw here too — skipping it as an ordinary
+        // segment would report geometry from a LATER frame header or a
+        // misleading "no frame header" error
+        if (marker >= 0xc1 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          throw new IllegalArgumentException(
+            s"unsupported SOF type ${marker.toHexString} — baseline (SOF0) " +
+              s"and progressive (SOF2) only (doc ${r.doc_id})")
         off = end
       }
       throw new IllegalArgumentException(
@@ -651,21 +661,22 @@ object Multimodal {
   }
 
   /** Build a minimal spec-valid MP4: `ftyp` + a `free` box (the walk
-    * gate) + `moov` containing a version-0 `mvhd` (timescale/duration)
-    * + `mdat` carrying `payload`. Box sizes are BIG-endian 32-bit and
-    * include their own 8-byte header — the ISO-BMFF container every
-    * crawl video ships. */
+    * gate) + `moov` containing a version-0 OR version-1 `mvhd`
+    * (timescale/duration — v1 widens ctime/mtime/duration to 64 bits,
+    * what real encoders emit for long material) + `mdat` carrying
+    * `payload`; when `largesizeMdat` is set the mdat uses the
+    * size==1 + 64-bit largesize header (the >4 GiB file form). Box
+    * sizes are BIG-endian and include their own header — the ISO-BMFF
+    * container every crawl video ships. */
   def syntheticMp4(timescale: Column, durationTicks: Column,
-                   payload: Column): Column = {
+                   payload: Column, mvhdV1: Column = lit(false),
+                   largesizeMdat: Column = lit(false)): Column = {
     def be32(v: Column): Column = when(
       assert_true(v.between(0, 0x7FFFFFFFL),
         lit("syntheticMp4: field exceeds uint32")).isNull,
       lpad(hex(v), 8, "0"))
-    val mvhd = concat(
-      lit("0000006C"), lit("6D766864"),   // size 108, "mvhd"
-      lit("00000000"),                    // version 0 + flags
-      lit("00000000"), lit("00000000"),   // ctime, mtime
-      be32(timescale), be32(durationTicks),
+    def be64(v: Column): Column = lpad(hex(v), 16, "0")
+    val mvhdTail = concat(
       lit("00010000"), lit("0100"),       // rate 1.0, volume 1.0
       lit("0000"), lit("0000000000000000"), // reserved
       // identity matrix (36 bytes)
@@ -674,14 +685,35 @@ object Multimodal {
         "000000000000000040000000"),
       lit("000000000000000000000000000000000000000000000000"), // pre_defined
       lit("00000002"))                    // next track id
+    val mvhd0 = concat(
+      lit("0000006C"), lit("6D766864"),   // size 108, "mvhd"
+      lit("00000000"),                    // version 0 + flags
+      lit("00000000"), lit("00000000"),   // ctime, mtime (32-bit)
+      be32(timescale), be32(durationTicks), mvhdTail)
+    val be64Dur = when(
+      assert_true(durationTicks >= 0,
+        lit("syntheticMp4: negative duration")).isNull,
+      be64(durationTicks))
+    val mvhd1 = concat(
+      lit("00000078"), lit("6D766864"),   // size 120, "mvhd" (v1: +12)
+      lit("01000000"),                    // version 1 + flags
+      be64(lit(0L)), be64(lit(0L)),       // ctime, mtime (64-bit)
+      be32(timescale), be64Dur, mvhdTail)
+    val mdatHdr = when(largesizeMdat,
+      // size==1 sentinel + 64-bit largesize (header is 16 bytes)
+      concat(lit("00000001"), lit("6D646174"),
+        be64(length(payload).cast("long") + lit(16L))))
+      .otherwise(concat(
+        be32(length(payload).cast("long") + lit(8L)), lit("6D646174")))
     concat(unhex(concat(
       lit("00000010"), lit("66747970"),   // size 16, "ftyp"
       lit("69736F6D"), lit("00000000"),   // major "isom", minor 0
       lit("0000000C"), lit("66726565"),   // size 12, "free" (walk gate)
       lit("67726674"),                    // "grft" filler
-      lit("00000074"), lit("6D6F6F76"),   // size 116, "moov"
-      mvhd,
-      be32(length(payload).cast("long") + lit(8L)), lit("6D646174") // "mdat"
+      when(mvhdV1, lit("00000080")).otherwise(lit("00000074")),
+      lit("6D6F6F76"),                    // "moov" (8 + mvhd size)
+      when(mvhdV1, mvhd1).otherwise(mvhd0),
+      mdatHdr
     )), payload)
   }
 
@@ -695,16 +727,36 @@ object Multimodal {
     * RECURSES into `moov` to find the version-0 `mvhd`, and reports
     * timescale, duration ticks, the exact integer duration in µs, the
     * top-level box count, and the `mdat` payload size — the stats a
-    * video curation pipeline budgets with. 64-bit largesize boxes
-    * (size==1), mvhd version 1, size<8, truncation, and a missing
-    * moov/mvhd/mdat all throw — the house fail-loud contract. */
+    * video curation pipeline budgets with. BOTH `mvhd` versions parse
+    * (v0's 32-bit and v1's 64-bit ctime/mtime/duration — v1 is what
+    * real encoders emit for long material, ISO/IEC 14496-12 §8.2.2),
+    * and size==1 boxes read their 64-bit largesize header (the >4 GiB
+    * file form, §4.2) — exactly the long/large inputs a duration-budget
+    * pipeline sees. mvhd versions >1, size<8 (size<16 for largesize),
+    * truncation, and a missing moov/mvhd/mdat all throw — the house
+    * fail-loud contract. */
   final class Mp4Codec {
     Mp4Codec.constructions.incrementAndGet(): Unit
     private def be32(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
+    /** (box size incl. header, header length): size==1 → largesize. */
+    private def boxSize(b: Array[Byte], o: Int, limit: Int,
+                        docId: Long): (Long, Int) = {
+      require(o + 8 <= limit, s"truncated box header (doc $docId)")
+      val s32 = be32(b, o)
+      if (s32 != 1) (s32, 8)
+      else {
+        require(o + 16 <= limit, s"truncated largesize header (doc $docId)")
+        val s64 = be64(b, o + 8)
+        require(s64 >= 16, s"bad largesize $s64 at $o (doc $docId)")
+        (s64, 16)
+      }
+    }
     def decode(r: MediaRow): DecodedMp4 = {
       val b = r.media
       require(b.length >= 16 && tag(b, 4) == "ftyp",
@@ -713,33 +765,39 @@ object Multimodal {
       var nBoxes = 0
       var timescale = -1L; var ticks = -1L; var mdat = -1L
       while (off < b.length) {
-        require(off + 8 <= b.length, s"truncated box header (doc ${r.doc_id})")
-        val size = be32(b, off)
-        require(size != 1, s"64-bit largesize box unsupported (doc ${r.doc_id})")
-        require(size >= 8 && off + size <= b.length,
+        val (size, hdr) = boxSize(b, off, b.length, r.doc_id)
+        require(size >= hdr && off + size <= b.length,
           s"bad box size $size at $off (doc ${r.doc_id})")
         val id = tag(b, off + 4)
         nBoxes += 1
         if (id == "moov") {
-          var in = off + 8
+          var in = off + hdr
           val end = off + size.toInt
           while (in < end) {
-            require(in + 8 <= end, s"truncated moov child (doc ${r.doc_id})")
-            val cs = be32(b, in)
-            require(cs >= 8 && in + cs <= end,
+            val (cs, chdr) = boxSize(b, in, end, r.doc_id)
+            require(cs >= chdr && in + cs <= end,
               s"bad moov child size $cs (doc ${r.doc_id})")
             if (tag(b, in + 4) == "mvhd") {
-              require((b(in + 8) & 0xff) == 0,
-                s"mvhd version ${b(in + 8) & 0xff} unsupported (v0 only) " +
-                  s"(doc ${r.doc_id})")
-              timescale = be32(b, in + 20)
-              ticks = be32(b, in + 24)
+              val body = in + chdr
+              val version = b(body) & 0xff
+              version match {
+                case 0 => // 32-bit ctime/mtime/duration
+                  timescale = be32(b, body + 12)
+                  ticks = be32(b, body + 16)
+                case 1 => // 64-bit ctime/mtime/duration (§8.2.2)
+                  timescale = be32(b, body + 20)
+                  ticks = be64(b, body + 24)
+                  require(ticks >= 0,
+                    s"mvhd v1 duration overflows int64 (doc ${r.doc_id})")
+                case v => throw new IllegalArgumentException(
+                  s"mvhd version $v unsupported (v0/v1 only) (doc ${r.doc_id})")
+              }
               require(timescale >= 1, s"zero timescale (doc ${r.doc_id})")
             }
             in += cs.toInt
           }
         }
-        if (id == "mdat") mdat = size - 8
+        if (id == "mdat") mdat = size - hdr
         off += size.toInt
       }
       require(timescale > 0, s"no moov/mvhd box (doc ${r.doc_id})")

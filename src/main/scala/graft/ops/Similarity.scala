@@ -431,7 +431,18 @@ object Similarity {
     * is portable-rounded at `roundDigits`, so the driver loop and an
     * unrolled-CTE oracle walk the identical lattice and engine
     * partial-sum order cannot compound. Deflation: A ← A − λ·v·vᵀ with
-    * λ = round(vᵀAv); each component restarts from v₀ = 1⃗. Output:
+    * λ = round(vᵀAv); each component starts from v₀ = 1⃗ (the start the
+    * SQL oracle replays). If a matvec ANNIHILATES the iterate (‖Av‖ = 0
+    * — e.g. the ones vector lies in the null space of the deflated
+    * matrix), the component restarts from the standard basis vectors
+    * e₀, e₁, … in order until one survives all `iters` steps; only when
+    * every deterministic start annihilates is the matrix genuinely
+    * rank-deficient and the op fails loud. Known limitation (inherent
+    * to fixed-iteration power method): a start vector EXACTLY orthogonal
+    * to the dominant eigenvector — without being annihilated — converges
+    * toward the dominant direction of the non-orthogonal complement;
+    * exact orthogonality is measure-zero on real data and is broken by
+    * the per-iteration rounding itself. Output:
     * (comp [1-based], i, loading, eigenvalue), k·d rows. */
   def pcaTopK(emb: DataFrame, vecCol: String, dim: Int, k: Int,
               iters: Int = 3, roundDigits: Int = 6,
@@ -454,18 +465,32 @@ object Similarity {
     }
     val out = Seq.newBuilder[(Long, Long, Double, Double)]
     for (c <- 1 to k) {
-      var v = Array.fill(dim)(1.0)
-      for (_ <- 1 to iters) {
-        val w = Array.tabulate(dim) { i =>
-          var acc = 0.0; var j = 0
-          while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
-          pr(acc)
+      // run the full rounded iteration from one start; None iff a matvec
+      // annihilates the iterate (the start lies in the null space)
+      def iterate(v0: Array[Double]): Option[Array[Double]] = {
+        var v = v0
+        for (_ <- 1 to iters) {
+          val w = Array.tabulate(dim) { i =>
+            var acc = 0.0; var j = 0
+            while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+            pr(acc)
+          }
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          if (nrm == 0) return None
+          v = w.map(x => pr(x / nrm))
         }
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        require(nrm > 0, s"rank-deficient covariance at component $c " +
-          "(zero matvec) — fewer than k informative directions")
-        v = w.map(x => pr(x / nrm))
+        Some(v)
       }
+      // v₀ = 1⃗ first (the oracle-replayed start); deterministic basis
+      // restarts only on annihilation — a nonzero symmetric matrix has a
+      // nonzero column, so some eₜ survives unless A itself is zero
+      val starts = Iterator(Array.fill(dim)(1.0)) ++
+        (0 until dim).iterator.map(t =>
+          Array.tabulate(dim)(i => if (i == t) 1.0 else 0.0))
+      val v = starts.map(iterate).collectFirst { case Some(x) => x }
+        .getOrElse(throw new IllegalArgumentException(
+          s"rank-deficient covariance at component $c (every deterministic " +
+            "start annihilated) — fewer than k informative directions"))
       var ray = 0.0
       for (i <- 0 until dim; j <- 0 until dim) ray += a(i)(j) * v(i) * v(j)
       val lam = pr(ray)

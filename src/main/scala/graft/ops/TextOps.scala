@@ -649,13 +649,49 @@ object TextOps {
     * re-split needed. Pure projection after the broadcast: the corpus
     * never shuffles. */
   def bpeApply(docs: DataFrame, idCol: String, textCol: String,
-               merges: DataFrame, k: Int, roundDigits: Int = 4): DataFrame = {
+               merges: DataFrame, k: Int, roundDigits: Int = 4): DataFrame =
+    bpeApplyEncoded(docs, idCol, merges, k, roundDigits,
+      array_join(
+        transform(tokens(col(textCol)), t => regexp_replace(t, "(.)", "_$1_")),
+        " "))
+
+  /** X3 — apply an OPEN-ALPHABET byte-level merge table
+    * ([[bpeMergesBytes]]'s hex artifact) to the corpus — the tokenizer
+    * APPLY step that makes the trained byte-level artifact usable (a
+    * tokenizer you can train but not run is half an operator). Each
+    * word's UTF-8 BYTES become the initial symbols, rendered as the
+    * trainer's lowercase hex pairs, so the identical boundary-safe
+    * `_l__r_` → `_lr_` fuse replays the trained merges in order: hex
+    * concat ≡ byte concat, `_` and the space joiner are outside
+    * `[0-9a-f]`, and a multi-byte code point (é = c3+a9) fuses exactly
+    * when its byte pair was trained — arbitrary UTF-8 tokenizes with no
+    * alphabet contract at all. Same broadcast-projection scale shape as
+    * [[bpeApply]]: one merge-table row broadcasts, the corpus never
+    * shuffles, and n_syms_before = the word-bytes count (every byte is
+    * one bracketed symbol). On a pure-ASCII corpus with the same
+    * `wordsOf`, the result equals [[bpeApply]]'s over the char trainer
+    * (spec-gated; the hex rendering is a bijection there). */
+  def bpeApplyBytes(docs: DataFrame, idCol: String, textCol: String,
+                    merges: DataFrame, k: Int, roundDigits: Int = 4,
+                    wordsOf: Column => Column = whitespaceWords): DataFrame =
+    bpeApplyEncoded(docs, idCol, merges, k, roundDigits,
+      array_join(
+        transform(wordsOf(col(textCol)),
+          t => regexp_replace(lower(hex(encode(t, "UTF-8"))), "(..)", "_$1_")),
+        " "))
+
+  /** Shared fuse-replay core of [[bpeApply]] (char symbols) and
+    * [[bpeApplyBytes]] (hex byte symbols): `enc0` is the bracket-encoded
+    * document under the caller's symbol rendering; everything after it
+    * is rendering-agnostic because both renderings keep `_` and the
+    * space joiner outside the symbol alphabet. */
+  private def bpeApplyEncoded(docs: DataFrame, idCol: String,
+                              merges: DataFrame, k: Int, roundDigits: Int,
+                              enc0: Column): DataFrame = {
     require(k >= 1, "need at least one merge to apply")
     val s = math.pow(10.0, roundDigits)
     val mRow = merges.agg(array_sort(collect_list(struct(col("iter"),
       col("left_sym"), col("right_sym")))).as("ms"))
-    val enc0 = array_join(
-      transform(tokens(col(textCol)), t => regexp_replace(t, "(.)", "_$1_")), " ")
     val stamped = docs.select(col(idCol), enc0.as("enc"))
       .crossJoin(broadcast(mRow))
     // each unrolled step guards i ≤ |merges|: a k beyond the trained

@@ -1295,8 +1295,13 @@ object StreamingOps {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a cell value that does not parse as a Long (e.g.
+    // cell=__HIVE_DEFAULT_PARTITION__ from a null cell) is not part of
+    // the numeric index layout — leave it alone rather than abort the
+    // whole compaction with a NumberFormatException
     val cells = fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("cell="))
+      .filter(_.getPath.getName.stripPrefix("cell=").toLongOption.isDefined)
     val report = cells.map { st =>
       val cellDir = st.getPath
       val cell = cellDir.getName.stripPrefix("cell=").toLong
