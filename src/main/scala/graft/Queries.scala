@@ -1655,21 +1655,28 @@ object Queries {
   /** X4 — MP4 container decode ([[Multimodal.decodeMp4]]): the video
     * modality's REAL codec. Big-endian ISO-BMFF box walk (sizes include
     * their own header — a third container discipline after JPEG
-    * segments and RIFF chunks), recursion into moov for the v0 mvhd,
+    * segments and RIFF chunks), recursion into moov for the mvhd,
     * exact integer duration from timescale/ticks, box census, and mdat
     * payload size — with the classic timescales (600/1000/90000) mixed
-    * across rows. */
+    * across rows. Odd doc_ids carry a VERSION-1 mvhd whose 64-bit
+    * duration exceeds uint32 (what real encoders emit for long
+    * material), and doc_id%4==3 rows additionally use the size==1 +
+    * 64-bit largesize mdat header (the >4 GiB file form) — so both
+    * wide-field reads are oracle-gated, not just spec-gated. */
   private val x4DecodeMp4 = Q("x4_decode_mp4",
     (s, dir) => {
       import s.implicits._
       val ts = when(pmod(col("doc_id"), lit(3)) === 0, lit(600L))
         .when(pmod(col("doc_id"), lit(3)) === 1, lit(1000L))
         .otherwise(lit(90000L))
-      val ticks = (pmod(col("doc_id"), lit(1000)) + 1) * lit(600L)
+      val v1 = pmod(col("doc_id"), lit(2)) === 1
+      val ticks = (pmod(col("doc_id"), lit(1000)) + 1) * lit(600L) +
+        when(v1, lit(1L << 32)).otherwise(lit(0L))
       val rows = Tables.documents(s, dir)
         .select(col("doc_id"),
           Multimodal.syntheticMp4(ts, ticks,
-            encode(col("text"), "UTF-8")).as("media"))
+            encode(col("text"), "UTF-8"), mvhdV1 = v1,
+            largesizeMdat = pmod(col("doc_id"), lit(4)) === 3).as("media"))
         .as[Multimodal.MediaRow]
       Multimodal.decodeMp4(rows).toDF()
         .select(col("doc_id"), col("timescale"), col("duration_ticks"),
@@ -1680,12 +1687,66 @@ object Queries {
     Some("""WITH d AS (SELECT doc_id,
         CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END
           AS timescale,
-        (doc_id % 1000 + 1) * 600 AS duration_ticks,
+        (doc_id % 1000 + 1) * 600
+          + CASE WHEN doc_id % 2 = 1 THEN 4294967296 ELSE 0 END
+          AS duration_ticks,
         CAST(strlen(text) AS BIGINT) AS mdat_bytes FROM documents)
       SELECT doc_id, CAST(timescale AS BIGINT) AS timescale,
         CAST(duration_ticks AS BIGINT) AS duration_ticks,
         CAST(duration_ticks * 1000000 // timescale AS BIGINT) AS duration_us,
         CAST(4 AS BIGINT) AS n_boxes, mdat_bytes
+      FROM d ORDER BY doc_id"""))
+
+  /** X4 — WAV format-envelope decode ([[Multimodal.decodeWav]] over the
+    * three fmt-chunk forms real crawl audio ships): plain PCM (tag 1),
+    * IEEE float (tag 3, 32-bit), and WAVE_FORMAT_EXTENSIBLE (tag
+    * 0xFFFE — cbSize/validBits checked, SubFormat GUID resolved to
+    * PCM 24-bit / float 64-bit) cycled across rows, with the resolved
+    * `format` name reported. The duration math is the same exact
+    * integer arithmetic regardless of form. */
+  private val x4DecodeWavExt = Q("x4_decode_wav_ext",
+    (s, dir) => {
+      import s.implicits._
+      val mode = when(pmod(col("doc_id"), lit(4)) === 0, lit("pcm"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("float"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("ext_pcm"))
+        .otherwise(lit("ext_float"))
+      val bits = when(pmod(col("doc_id"), lit(4)) === 0, lit(16))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit(32))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit(24))
+        .otherwise(lit(64))
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val rate = (lit(16000) + pmod(col("doc_id"), lit(3)) * 8000).cast("int")
+      // 48 = lcm of every frame size above → always frame-aligned
+      val k = (pmod(col("doc_id"), lit(40)) + 1).cast("int")
+      val data = encode(repeat(lit("abcdefgh"), k * 6), "UTF-8")
+      val rows = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.syntheticWav(rate, ch, bits, data, mode).as("media"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeWav(rows).toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits_per_sample").cast("long").as("bits_per_sample"),
+          col("n_frames"), col("duration_us"), col("format"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'pcm' WHEN 1 THEN 'float'
+          WHEN 2 THEN 'ext_pcm' ELSE 'ext_float' END AS format,
+        CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 32
+          WHEN 2 THEN 24 ELSE 64 END AS bits,
+        doc_id % 2 + 1 AS ch,
+        16000 + (doc_id % 3) * 8000 AS rate,
+        48 * (doc_id % 40 + 1) AS nbytes FROM documents)
+      SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        CAST(ch AS BIGINT) AS channels,
+        CAST(bits AS BIGINT) AS bits_per_sample,
+        CAST(nbytes // (ch * bits // 8) AS BIGINT) AS n_frames,
+        CAST((nbytes // (ch * bits // 8)) * 1000000 // rate AS BIGINT)
+          AS duration_us,
+        format
       FROM d ORDER BY doc_id"""))
 
   /** X4 — image curation pipeline as ONE declarative DAG: EXIF decode
@@ -6398,7 +6459,7 @@ object Queries {
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
-    x3BpeBytesApply)
+    x3BpeBytesApply, x4DecodeWavExt)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

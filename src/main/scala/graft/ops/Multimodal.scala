@@ -547,14 +547,18 @@ object Multimodal {
     }
   }
 
-  /** Build a spec-valid WAV (RIFF/WAVE, PCM "fmt " + "data" chunks)
-    * from per-row audio parameters, with an extra "LIST" chunk between
-    * them so the decoder must walk chunks by their length fields rather
-    * than assume fixed offsets. `data` stands in for PCM samples; its
-    * LENGTH is real (the duration math divides by it). All multi-byte
-    * fields little-endian per RIFF. */
+  /** Build a spec-valid WAV (RIFF/WAVE, "fmt " + "data" chunks) from
+    * per-row audio parameters, with an extra "LIST" chunk between them
+    * so the decoder must walk chunks by their length fields rather than
+    * assume fixed offsets. `fmtMode` selects the fmt-chunk form:
+    * "pcm" (tag 1, 16-byte chunk), "float" (tag 3, IEEE float),
+    * "ext_pcm"/"ext_float" (tag 0xFFFE WAVE_FORMAT_EXTENSIBLE, 40-byte
+    * chunk with cbSize=22 and the KSDATAFORMAT_SUBTYPE PCM/float GUID —
+    * the form most encoders emit for >2 ch or >16-bit audio). `data`
+    * stands in for samples; its LENGTH is real (the duration math
+    * divides by it). All multi-byte fields little-endian per RIFF. */
   def syntheticWav(sampleRate: Column, channels: Column, bitsPerSample: Column,
-                   data: Column): Column = {
+                   data: Column, fmtMode: Column = lit("pcm")): Column = {
     def le32(v: Column): Column = {
       val hx = lpad(hex(v), 8, "0")
       concat(substring(hx, 7, 2), substring(hx, 5, 2),
@@ -567,15 +571,29 @@ object Multimodal {
     val blockAlign = channels * (bitsPerSample / lit(8))
     val byteRate = sampleRate * blockAlign
     val dataLen = length(data).cast("long")
-    // riff size = 4 ("WAVE") + (8+16 fmt) + (8+6 LIST) + (8+data)
-    val riffSize = lit(4L) + lit(24L) + lit(14L) + lit(8L) + dataLen
+    val isExt = fmtMode.isin("ext_pcm", "ext_float")
+    val baseTag = when(
+      assert_true(fmtMode.isin("pcm", "float", "ext_pcm", "ext_float"),
+        lit("syntheticWav: unknown fmtMode")).isNull,
+      when(fmtMode === "pcm", lit("0100"))
+        .when(fmtMode === "float", lit("0300"))
+        .otherwise(lit("FEFF")))              // WAVE_FORMAT_EXTENSIBLE
+    val fmtBase = concat(baseTag,
+      le16(channels), le32(sampleRate),
+      le32(byteRate), le16(blockAlign), le16(bitsPerSample))
+    // extension block: cbSize=22, validBits=container bits, mask=0,
+    // SubFormat GUID xxxxxxxx-0000-0010-8000-00AA00389B71
+    val fmtExt = concat(lit("1600"), le16(bitsPerSample), lit("00000000"),
+      when(fmtMode === "ext_pcm", lit("01000000")).otherwise(lit("03000000")),
+      lit("0000"), lit("1000"), lit("800000AA00389B71"))
+    val fmtLen = when(isExt, lit(40L)).otherwise(lit(16L))
+    // riff size = 4 ("WAVE") + (8+fmt) + (8+6 LIST) + (8+data)
+    val riffSize = lit(4L) + lit(8L) + fmtLen + lit(14L) + lit(8L) + dataLen
     concat(unhex(concat(
       lit("52494646"), le32(riffSize),    // "RIFF", chunk size
       lit("57415645"),                    // "WAVE"
-      lit("666D7420"), lit("10000000"),   // "fmt ", 16 bytes
-      lit("0100"),                        // PCM
-      le16(channels), le32(sampleRate),
-      le32(byteRate), le16(blockAlign), le16(bitsPerSample),
+      lit("666D7420"), le32(fmtLen),      // "fmt ", 16 or 40 bytes
+      when(isExt, concat(fmtBase, fmtExt)).otherwise(fmtBase),
       lit("4C495354"), lit("06000000"),   // "LIST", 6 bytes (walk gate)
       lit("494E464F6772"),                // "INFOgr" filler
       lit("64617461"), le32(dataLen)      // "data", payload length
@@ -584,19 +602,25 @@ object Multimodal {
 
   case class DecodedWav(doc_id: Long, sample_rate: Int, channels: Int,
                         bits_per_sample: Int, n_frames: Long,
-                        duration_us: Long)
+                        duration_us: Long, format: String)
 
   /** REAL codec for the WAV container: validates RIFF/WAVE magics, then
     * walks chunks by their LITTLE-endian length fields (chunks are
     * word-aligned: odd sizes carry a pad byte) until it has both the
-    * PCM "fmt " block (channels, sample rate, bits — with the
+    * "fmt " block (channels, sample rate, bits — with the
     * byte-rate/block-align consistency equations CHECKED, since crawl
     * WAVs routinely lie) and the "data" chunk, whose byte length plus
     * the format give frame count and duration:
     * frames = data/(channels·bits/8), duration_us = frames·1e6/rate
-    * (integer arithmetic — exact on both engines). Non-PCM formats,
-    * missing chunks, inconsistent rates, and truncation all throw —
-    * the [[BmpCodec]] fail-loud contract, now for the audio modality. */
+    * (integer arithmetic — exact on both engines). THREE format tags
+    * parse — 1 (PCM), 3 (IEEE float, 32/64-bit), and 0xFFFE
+    * (WAVE_FORMAT_EXTENSIBLE — the default most encoders emit for
+    * >2 ch or >16-bit: cbSize ≥ 22 checked, then the SubFormat GUID
+    * read and required to be KSDATAFORMAT_SUBTYPE_PCM or _IEEE_FLOAT;
+    * a non-audio GUID throws), reported via `format`
+    * ("pcm"/"float"/"ext_pcm"/"ext_float"). Anything else, missing
+    * chunks, inconsistent rates, and truncation all throw — the
+    * [[BmpCodec]] fail-loud contract, now for the audio modality. */
   final class WavCodec {
     WavCodec.constructions.incrementAndGet(): Unit
     private def le16(b: Array[Byte], o: Int): Int =
@@ -606,12 +630,17 @@ object Multimodal {
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "US-ASCII")
+    // Data2..Data4 of the fixed audio-subformat GUID suffix
+    // xxxxxxxx-0000-0010-8000-00AA00389B71 (little-endian fields)
+    private val GuidTail = Array(0x00, 0x00, 0x10, 0x00,
+      0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
     def decode(r: MediaRow): DecodedWav = {
       val b = r.media
       require(b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE",
         s"not a RIFF/WAVE payload (doc ${r.doc_id})")
       var off = 12
       var rate = -1; var ch = -1; var bits = -1
+      var fmtName: String = null
       var dataLen = -1L
       while (off + 8 <= b.length && (rate < 0 || dataLen < 0)) {
         val id = tag(b, off)
@@ -621,14 +650,43 @@ object Multimodal {
         if (id == "fmt ") {
           require(len >= 16, s"fmt chunk too short (doc ${r.doc_id})")
           val fmt = le16(b, off + 8)
-          require(fmt == 1, s"non-PCM format $fmt unsupported (doc ${r.doc_id})")
           ch = le16(b, off + 10)
           rate = le32(b, off + 12).toInt
           val byteRate = le32(b, off + 16)
           val blockAlign = le16(b, off + 20)
           bits = le16(b, off + 22)
+          fmtName = fmt match {
+            case 1 => "pcm"
+            case 3 =>
+              require(bits == 32 || bits == 64,
+                s"IEEE-float WAV must be 32/64-bit, got $bits (doc ${r.doc_id})")
+              "float"
+            case 0xfffe =>
+              require(len >= 40,
+                s"extensible fmt chunk too short ($len) (doc ${r.doc_id})")
+              val cb = le16(b, off + 24)
+              require(cb >= 22, s"extensible cbSize $cb < 22 (doc ${r.doc_id})")
+              val validBits = le16(b, off + 26)
+              require(validBits >= 1 && validBits <= bits,
+                s"valid bits $validBits outside 1..$bits (doc ${r.doc_id})")
+              for (k <- 0 until 12)
+                require((b(off + 36 + k) & 0xff) == GuidTail(k),
+                  s"non-audio SubFormat GUID (doc ${r.doc_id})")
+              le32(b, off + 32) match {
+                case 1 => "ext_pcm"
+                case 3 =>
+                  require(bits == 32 || bits == 64,
+                    s"IEEE-float WAV must be 32/64-bit, got $bits " +
+                      s"(doc ${r.doc_id})")
+                  "ext_float"
+                case t => throw new IllegalArgumentException(
+                  s"unsupported SubFormat tag $t (doc ${r.doc_id})")
+              }
+            case f => throw new IllegalArgumentException(
+              s"unsupported format tag $f (doc ${r.doc_id})")
+          }
           require(ch >= 1 && rate >= 1 && bits % 8 == 0 && bits >= 8,
-            s"malformed PCM fmt ($ch ch, $rate Hz, $bits bit) (doc ${r.doc_id})")
+            s"malformed fmt ($ch ch, $rate Hz, $bits bit) (doc ${r.doc_id})")
           require(blockAlign == ch * bits / 8 &&
             byteRate == rate.toLong * blockAlign,
             s"inconsistent fmt equations (doc ${r.doc_id})")
@@ -643,7 +701,7 @@ object Multimodal {
         s"data length $dataLen not frame-aligned ($frameBytes) (doc ${r.doc_id})")
       val frames = dataLen / frameBytes
       DecodedWav(r.doc_id, rate, ch, bits, frames,
-        frames * 1000000L / rate)
+        frames * 1000000L / rate, fmtName)
     }
   }
   object WavCodec {

@@ -175,10 +175,12 @@ class Round13OpsSpec extends SparkSpec {
     val lying = base.clone(); lying(28) = (lying(28) ^ 0x01).toByte
     val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, lying)) }
     assert(e.getMessage.contains("inconsistent fmt"))
-    // non-PCM format code fails loud (byte 20 = audio format LSB)
-    val nonPcm = base.clone(); nonPcm(20) = 3
+    // an unsupported format tag fails loud (byte 20 = audio format LSB;
+    // 2 = ADPCM — r14 widened the envelope to float/extensible, so the
+    // rejection case moves off tag 3)
+    val nonPcm = base.clone(); nonPcm(20) = 2
     val e2 = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, nonPcm)) }
-    assert(e2.getMessage.contains("non-PCM"))
+    assert(e2.getMessage.contains("unsupported format tag"))
   }
 
   test("X4 Mp4Codec: BE box walk, moov recursion, duration math, rejections") {
@@ -198,17 +200,19 @@ class Round13OpsSpec extends SparkSpec {
     val codec = new Multimodal.Mp4Codec()
     intercept[IllegalArgumentException] { codec.decode(MediaRow(1L, "notanmp4box".getBytes)) }
     intercept[IllegalArgumentException] { codec.decode(MediaRow(2L, base.dropRight(4))) }
-    // mvhd version 1 (64-bit fields) rejects rather than misparses
-    // (ftyp 16 + free 12 → moov at 28; its mvhd child header at 36,
-    // version byte at 44)
+    // an mvhd version BEYOND the r14-supported 0/1 rejects rather than
+    // misparses (ftyp 16 + free 12 → moov at 28; its mvhd child header
+    // at 36, version byte at 44)
     assert(new String(base, 40, 4, "US-ASCII") == "mvhd")
-    val v1 = base.clone(); v1(44) = 1
-    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, v1)) }
+    val v2 = base.clone(); v2(44) = 2
+    val e = intercept[IllegalArgumentException] { codec.decode(MediaRow(3L, v2)) }
     assert(e.getMessage.contains("mvhd version"))
-    // a 64-bit largesize box (size == 1) rejects
+    // a size==1 box whose 64-bit largesize field is garbage (here: the
+    // old 32-bit size bytes now read as part of the ftyp magic) rejects
     val huge = base.clone(); huge(0) = 0; huge(1) = 0; huge(2) = 0; huge(3) = 1
     val e2 = intercept[IllegalArgumentException] { codec.decode(MediaRow(4L, huge)) }
-    assert(e2.getMessage.contains("largesize"))
+    assert(e2.getMessage.contains("largesize") || e2.getMessage.contains("bad box size"),
+      e2.getMessage)
   }
 
   test("X4 WavCodec: odd-length chunks advance by the RIFF pad byte") {

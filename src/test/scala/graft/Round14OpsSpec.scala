@@ -102,6 +102,70 @@ class Round14OpsSpec extends SparkSpec {
       out.toSeq.toString)
   }
 
+  test("X4 Mp4Codec: mvhd v0/v1 parity, 64-bit duration, largesize mdat") {
+    import spark.implicits._
+    def build(ticks: Long, v1: Boolean, large: Boolean) =
+      spark.range(1).select(lit(1L).as("doc_id"),
+          Multimodal.syntheticMp4(lit(90000L), lit(ticks),
+            lit("payload".getBytes), mvhdV1 = lit(v1),
+            largesizeMdat = lit(large)).as("media"))
+        .as[MediaRow].collect().head
+    val codec = new Multimodal.Mp4Codec()
+    // same ticks → identical decode regardless of mvhd version
+    val v0 = codec.decode(build(123456L, v1 = false, large = false))
+    val v1 = codec.decode(build(123456L, v1 = true, large = false))
+    assert(v0.copy(doc_id = 0L) == v1.copy(doc_id = 0L), s"$v0 vs $v1")
+    // a duration only 64 bits can hold parses exactly
+    val wide = codec.decode(build((1L << 32) + 7L, v1 = true, large = false))
+    assert(wide.duration_ticks == (1L << 32) + 7L)
+    assert(wide.duration_us == ((1L << 32) + 7L) * 1000000L / 90000L)
+    // largesize mdat: payload length reported net of the 16-byte header
+    val ls = codec.decode(build(600L, v1 = true, large = true))
+    assert(ls.mdat_bytes == "payload".getBytes.length.toLong, ls.toString)
+    assert(ls.n_boxes == 4)
+    // an mvhd version beyond 1 still throws: patch the version byte
+    val raw = build(600L, v1 = true, large = false).media
+    val vAt = (0 until raw.length - 8).find(i =>
+      new String(raw, i, 4, "US-ASCII") == "mvhd").get + 4
+    val bad = raw.clone(); bad(vAt) = 2.toByte
+    val e = intercept[IllegalArgumentException] {
+      codec.decode(MediaRow(2L, bad))
+    }
+    assert(e.getMessage.contains("mvhd version 2 unsupported"), e.getMessage)
+  }
+
+  test("X4 WavCodec: float/extensible forms decode; non-audio GUID throws") {
+    import spark.implicits._
+    def build(mode: String, bits: Int) =
+      spark.range(1).select(lit(1L).as("doc_id"),
+          Multimodal.syntheticWav(lit(48000), lit(2), lit(bits),
+            lit(("x" * 48).getBytes), lit(mode)).as("media"))
+        .as[MediaRow].collect().head
+    val codec = new Multimodal.WavCodec()
+    val pcm = codec.decode(build("pcm", 16))
+    assert(pcm.format == "pcm" && pcm.n_frames == 12 &&
+      pcm.duration_us == 12L * 1000000L / 48000L)
+    val fl = codec.decode(build("float", 32))
+    assert(fl.format == "float" && fl.n_frames == 6)
+    val ep = codec.decode(build("ext_pcm", 24))
+    assert(ep.format == "ext_pcm" && ep.n_frames == 8)
+    val ef = codec.decode(build("ext_float", 64))
+    assert(ef.format == "ext_float" && ef.n_frames == 3)
+    // float must be 32/64-bit
+    val e1 = intercept[IllegalArgumentException] {
+      codec.decode(build("float", 16))
+    }
+    assert(e1.getMessage.contains("IEEE-float WAV must be 32/64-bit"))
+    // a corrupted SubFormat GUID tail (non-audio) throws — fmt chunk
+    // sits at offset 12, GUID tail at +36 within it
+    val raw = build("ext_pcm", 24).media
+    val bad = raw.clone(); bad(12 + 36) = 0x55.toByte
+    val e2 = intercept[IllegalArgumentException] {
+      codec.decode(MediaRow(3L, bad))
+    }
+    assert(e2.getMessage.contains("non-audio SubFormat GUID"), e2.getMessage)
+  }
+
   test("streaming compactAnnIndex: skips a non-numeric cell partition dir") {
     import spark.implicits._
     val index = java.nio.file.Files.createTempDirectory("graft_annidx").toString
