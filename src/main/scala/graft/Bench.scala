@@ -108,13 +108,28 @@ object Bench {
     val full = fmt(results)
     val head = fmt(results.filter { case (k, _) => headline.contains(k) })
     val fail = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Self-normalization (round 14): three consecutive rounds spent a
+    // verdict item refuting cross-session load multipliers, so the sweep
+    // now classifies its own movers. `normalized` divides each query by
+    // THIS sweep's per-query mean — a pure shape profile that cancels any
+    // whole-sweep multiplier, so a mover is real only if its NORMALIZED
+    // value shifts across rounds. `q1_anchor_ratio` divides this sweep's
+    // q1_pricing_summary by the r8 isolated anchor (0.446 s) — the
+    // absolute session-load estimate for the sweep as a whole. Reading
+    // rule documented in BASELINE.md ("Bench anchor" section).
+    val pqMean = total / math.max(1, results.size)
+    val normalized = results.map { case (k, v) => k -> v / pqMean }
+    val normHead = fmt(normalized.filter { case (k, _) => headline.contains(k) })
+    val q1Ratio = results.toMap.get("q1_pricing_summary")
+      .map(t => s""","q1_anchor_ratio":${num(t / 0.446)}""").getOrElse("")
+    val meanPart = s""","pq_mean":${num(pqMean)}$q1Ratio"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail,"queries":$full,"sf":"$sfDir"}""".getBytes)
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail$meanPart,"queries":$full,"normalized":${fmt(normalized)},"sf":"$sfDir"}""".getBytes)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_3","queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_3"$meanPart,"queries":$head,"normalized":$normHead,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

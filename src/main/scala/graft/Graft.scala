@@ -676,6 +676,19 @@ object Graft {
                       maxFilesPerCell: Int = 4): DataFrame =
     StreamingOps.compactAnnIndex(spark, indexPath, maxFilesPerCell)
 
+  /** X2 maintenance: per-cell row/file/byte skew report for a streamed
+    * ANN index — the drift diagnosis that triggers [[resplitAnnIndex]]. */
+  def annCellSkew(spark: SparkSession, indexPath: String): DataFrame =
+    StreamingOps.cellSkewReport(spark, indexPath)
+
+  /** X2 maintenance: re-split every cell above `maxSkew` × mean rows
+    * into `nSplit` k-means children (staged-rename install, lossless on
+    * membership). Returns the UPDATED centroid table to swap in. */
+  def resplitAnnIndex(spark: SparkSession, indexPath: String,
+                      centroids: DataFrame, maxSkew: Double = 4.0,
+                      nSplit: Int = 4): DataFrame =
+    StreamingOps.resplitHotCells(spark, indexPath, centroids, maxSkew, nSplit)
+
   /** [[shardIncremental]] with EXACTLY-ONCE commits: manifest + ledger
     * stage together and install via one atomic rename per epoch. */
   def shardIncrementalExactlyOnce(docs: DataFrame, sizeCol: String, shards: Int,

@@ -1336,6 +1336,129 @@ object StreamingOps {
     report.toDF("cell", "files_before", "files_after", "bytes")
   }
 
+  /** Cell-skew diagnosis for the [[incrementalAnnIndex]] layout — the
+    * OTHER maintenance signal after [[compactAnnIndex]]'s file-count
+    * tax: an index whose ingest DRIFTS away from the frozen centroids
+    * piles rows into a few hot cells, and a pruned search that probes a
+    * hot cell scans that whole cell — one giant cell ≈ one giant scan,
+    * the exact degeneracy IVF exists to avoid. Reports, per cell:
+    * row count, file count, bytes, row share, and `skew` = rows ÷ mean
+    * rows per cell — the trigger input for [[resplitHotCells]].
+    * Row counts come from a cell-grouped count over the partition
+    * column (metadata-cheap: no data column is read); files/bytes from
+    * the FS listing. Cell count is centroid-bounded (broadcast-dim), so
+    * the driver-side join of the two maps is bounded by design. */
+  def cellSkewReport(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fsStats = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cell="))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix("cell=").toLongOption.map { cell =>
+          val files = fs.listStatus(st.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+              && !f.getPath.getName.startsWith("."))
+          cell -> (files.length.toLong, files.map(_.getLen).sum)
+        }
+      }.toMap
+    // partition-dir inference may type `cell` int — normalize to long
+    val rows = spark.read.parquet(indexPath)
+      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum.toDouble
+    val mean = if (rows.isEmpty) 0.0 else total / rows.size
+    fsStats.toSeq.sortBy(_._1).map { case (cell, (nf, bytes)) =>
+      val n = rows.getOrElse(cell, 0L)
+      (cell, n, nf, bytes, if (total > 0) n / total else 0.0,
+        if (mean > 0) n / mean else 0.0)
+    }.toDF("cell", "n_rows", "n_files", "bytes", "row_share", "skew")
+  }
+
+  /** Threshold-triggered re-split of hot cells — the index-maintenance
+    * completion after [[compactAnnIndex]]: every cell whose row count
+    * exceeds `maxSkew` × the mean is re-clustered WITHIN the cell
+    * (k-means over its own members, seeded from the `nSplit` lowest
+    * pids — deterministic) and rewritten as `nSplit` child cells with
+    * fresh ids past the current centroid maximum, under the same
+    * hidden-staging + rename commit discipline as [[compactAnnIndex]].
+    * Returns the UPDATED centroid table (parents replaced by trained
+    * children) — the caller swaps it in for future assignment/search,
+    * exactly like production IVF systems rebuild off-line and swap.
+    *
+    * Semantics: LOSSLESS on membership (the union of (pid, vector) rows
+    * is unchanged — spec-gated); assignment within a split cell is the
+    * same broadcast argmin fold ingest uses. Adding child centroids can
+    * move the argmin boundary for points NEAR a split cell in vector
+    * space — the standard IVF boundary drift every off-line rebuild
+    * accepts; the recall lever remains `nprobe`. Operational contract:
+    * run against a PAUSED ingest (as with compaction) and hand the
+    * returned centroid table to the restarted stream — a stream replay
+    * across a re-split could otherwise re-admit a moved pid (the
+    * replay-guard prune reads the batch's cells under the NEW map). */
+  def resplitHotCells(spark: SparkSession, indexPath: String,
+                      centroids: DataFrame, maxSkew: Double = 4.0,
+                      nSplit: Int = 4, iters: Int = 2): DataFrame = {
+    require(maxSkew > 1.0, "maxSkew must exceed 1 (the mean itself)")
+    require(nSplit >= 2, "a re-split needs at least two children")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val skew = cellSkewReport(spark, indexPath)
+      .select(col("cell"), col("skew")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hot = skew.filter(_._2 > maxSkew).keys.toSeq.sorted
+    var cents = centroids.select(col("cell").cast("long").as("cell"), col("cv"))
+    val maxRow = cents.agg(max(col("cell"))).collect().head
+    require(!maxRow.isNullAt(0), "resplitHotCells: empty centroid table")
+    var nextId = maxRow.getLong(0) + 1L
+    hot.foreach { cell =>
+      val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
+      // the [[incrementalAnnIndex]] layout stores (pid, pv) per cell dir
+      val members = spark.read.parquet(cellDir.toString)
+      // deterministic seeds: the nSplit lowest pids (TakeOrdered — never
+      // a full sort); a cell smaller than nSplit keeps every member as
+      // its own seed
+      val seeds = members.select(col("pid")).orderBy(col("pid"))
+        .limit(nSplit).collect().map(_.getLong(0))
+      val trained = graft.ops.Similarity.kmeansFit(
+        members, "pid", "pv", col("pid").isin(seeds.map(Long.box): _*),
+        iters = iters)
+      // local seed-pid cells → fresh global ids in seed order
+      val localIds = trained.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val idMap = localIds.zipWithIndex.map { case (l, i) => l -> (nextId + i) }.toMap
+      nextId += localIds.length
+      val mapExpr = map(idMap.toSeq.flatMap { case (l, g) =>
+        Seq(lit(l), lit(g)) }: _*)
+      val childCents = trained
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          s => s.getField("coord")).as("cv"))
+        .select(element_at(mapExpr, col("cell")).as("cell"), col("cv"))
+        .localCheckpoint(true)
+      val assigned = graft.ops.Similarity
+        .assignCells(members, "pid", "pv", childCents)
+      // stage every child under hidden dirs, then the two-rename install
+      val staging = new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell")
+      val trash = new org.apache.hadoop.fs.Path(root, s".trash-cell=$cell")
+      fs.delete(staging, true); fs.delete(trash, true)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      require(fs.rename(cellDir, trash),
+        s"resplitHotCells: could not move $cellDir aside")
+      fs.listStatus(staging).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("cell=")).foreach { child =>
+          require(fs.rename(child.getPath,
+            new org.apache.hadoop.fs.Path(root, child.getPath.getName)),
+            s"resplitHotCells: could not install ${child.getPath.getName} " +
+              s"— original preserved at $trash")
+        }
+      fs.delete(staging, true); fs.delete(trash, true): Unit
+      cents = cents.where(col("cell") =!= cell).unionByName(childCents)
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Incremental PQ code maintenance (CDC × X2) — the compressed sibling
     * of [[incrementalAnnIndex]]: codebooks are FROZEN (trained once by
     * [[graft.ops.Similarity.pqTrain]]; retraining is an offline epoch

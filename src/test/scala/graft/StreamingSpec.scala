@@ -1075,6 +1075,77 @@ class StreamingSpec extends SparkSpec {
     assert(residue.isEmpty, residue.toSeq.toString)
   }
 
+  test("ANN index re-split: hot cell detected, split lossless, search cost bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.ops.Similarity
+    val index = Files.createTempDirectory("graft_ann_rsp").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_ann_rsp_ckpt").toString
+    // two centroids; the ingest is DELIBERATELY skewed: 40 points cluster
+    // near (1, 0) — all landing in cell 0 — and 4 near (0, 1)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.incrementalAnnIndex(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, index, ckpt)
+    // hot cluster: two sub-lobes inside cell 0 a re-split can separate
+    // (pids interleave lobes so the deterministic lowest-pid seeds start
+    // one in each lobe)
+    for (i <- 0L until 40L) {
+      val y = if (i % 2 == 0) 0.30 else -0.30
+      mem.addData((i, Seq(1.0 + 0.002 * (i / 2), y)))
+    }
+    for (i <- 0L until 4L) mem.addData((200L + i, Seq(0.01 * i, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val report = StreamingOps.cellSkewReport(spark, index)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report(0L)._2 == 40L && report(1L)._2 == 4L, report.toString)
+    assert(report(0L)._6 > 1.5 && report(1L)._6 < 0.5,
+      s"skew must expose the hot cell: $report")
+
+    val before = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    val newCents = StreamingOps.resplitHotCells(spark, index, cents,
+      maxSkew = 1.5, nSplit = 2, iters = 3)
+    // parent 0 replaced by two children with fresh ids; cell 1 untouched
+    val ids = newCents.select("cell").as[Long].collect().sorted
+    assert(!ids.contains(0L) && ids.contains(1L) && ids.length == 3,
+      ids.toSeq.toString)
+
+    // LOSSLESS: identical (pid -> vector) map across the whole index
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    assert(after == before)
+    // bounded search: no cell above the threshold anymore — the probed
+    // scan for any query is at most maxSkew × mean rows
+    val post = StreamingOps.cellSkewReport(spark, index)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(post.forall(_._6 <= 1.5), post.toSeq.toString)
+    assert(post.map(_._2).sum == 44L)
+    // the two sub-lobes actually separated (the split is geometric, not
+    // an arbitrary half): each child holds one lobe
+    val byCell = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val lobeA = (0L until 40L by 2).toSet
+    val lobeB = (1L until 40L by 2).toSet
+    assert(byCell.values.exists(_ == lobeA) && byCell.values.exists(_ == lobeB),
+      byCell.toString)
+    // search against the returned centroids still finds exact neighbors
+    val qv = Seq((9999L, Seq(1.02, 0.31))).toDF("vec_id", "embedding")
+    val hits = Similarity.annIndexSearch(spark, index, qv,
+      "vec_id", "embedding", newCents, k = 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.subsetOf(lobeA), s"expected lobe-A neighbors, got $hits")
+    // no staging/trash residue
+    val residue = new java.io.File(index).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".resplit") || n.startsWith(".trash"))
+    assert(residue.isEmpty, residue.toSeq.toString)
+  }
+
   test("media codecs run unchanged on a readStream (map-only decode chain)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Multimodal
