@@ -4683,6 +4683,177 @@ object Queries {
         coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
       FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
 
+  /** X2 — OPQ-rotation recall A/B ([[graft.ops.Similarity.pcaRotate]] ∘
+    * pcaTopK → pqTrain/pqSearch): the measurement the `covarianceMatrix`
+    * scaladoc promises — at the SAME code budget (8 sub-codes from
+    * ~%23-seeded codebooks), PQ over the top-8 PCA rotation vs plain PQ
+    * over the raw 64 dims, recall@5 against exact L2 on the original
+    * vectors. The corpus is the embeddings under a deterministic
+    * 1/(1+i) per-dim scaling — the DECAYING spectrum real text
+    * embeddings have; the raw synthetic embeddings are near-isotropic
+    * (flat eigenspectrum, measured λ₁..λ₁₆ ∈ [0.019, 0.022]), where no
+    * rotation can help by construction. On the anisotropic shape the
+    * gain is large (measured 0.20 → 0.72 mean recall@5 at sf0.01):
+    * plain PQ gives subspace 0 (the high-energy dims) the same 22 codes
+    * as the noise subspaces, while the rotation re-expresses the energy
+    * in 8 decorrelated coordinates that each get their own quantizer —
+    * the eigen-allocation argument of Ge et al. 2013 (OPQ). The oracle
+    * replays the ENTIRE chain: covariance, 8 deflated power-iteration
+    * components, rotation, both PQ trainings, both ADC searches, exact
+    * ranking, and the per-query recalls. */
+  private val x2OpqRecall = Q("x2_opq_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "element_at(CAST(embedding AS array<double>), i+1) / (1.0D + i))")
+          .as("embedding"))
+      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val sp = pmod(col("vec_id"), lit(23)) === 3
+      val e = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").as("cv"))
+      val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("cand_id").asc)
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("cand_id"))
+      val cbP = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
+        seedPred = sp, iters = 2)
+      val plain = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8,
+        dim = 64, codebooks = cbP, queryPred = qp, k = 5)
+      val comps = Similarity.pcaTopK(emb, "embedding", dim = 64, k = 8, iters = 3)
+      val rot = Similarity.pcaRotate(emb, "vec_id", "embedding", comps)
+      val cbR = Similarity.pqTrain(rot, "vec_id", "rv", m = 8, dim = 8,
+        seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
+      val pqR = Similarity.pqSearch(rot, "vec_id", "rv", m = 8, dim = 8,
+        codebooks = cbR, queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5)
+      recallOf(exact, plain, 5)
+        .select(col("query_id"), col("recall").as("recall_plain"))
+        .join(recallOf(exact, pqR, 5)
+          .select(col("query_id"), col("recall").as("recall_rotated")),
+          Seq("query_id"))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val dim = 64; val kComp = 8
+      // deflated power-iteration chain: g{c-1} --3 iters--> p{c}3, lam{c},
+      // then g{c} = g{c-1} − λ·vvᵀ (portable-rounded), exactly pcaTopK's
+      // driver lattice
+      def iterCtes(matrix: String, p: String): String = (1 to 3).map { t =>
+        val prev = s"$p${t - 1}"
+        s"""w_$p$t AS (SELECT m.i, floor(sum(m.cov * vj) * 1000000.0 + 0.5) / 1000000.0 AS wi
+            FROM $matrix m JOIN $prev ON m.j = $prev.j GROUP BY m.i),
+          n_$p$t AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w_$p$t),
+          $p$t AS (SELECT i AS j, floor(wi / nrm * 1000000.0 + 0.5) / 1000000.0 AS vj
+            FROM w_$p$t, n_$p$t)"""
+      }.mkString(",\n        ")
+      val compCtes = (1 to kComp).map { c =>
+        val mat = s"g${c - 1}"; val p = s"p$c"
+        val defl = if (c < kComp) s""",
+          g$c AS MATERIALIZED (SELECT m.i, m.j,
+              floor((m.cov - lam * a.vj * b.vj) * 1000000.0 + 0.5) / 1000000.0 AS cov
+            FROM $mat m JOIN ${p}3 a ON m.i = a.j JOIN ${p}3 b ON m.j = b.j
+            CROSS JOIN lam$c)""" else ""
+        s"""${p}0 AS (SELECT i AS j, 1.0 AS vj FROM range($dim) t(i)),
+          ${iterCtes(mat, p)},
+          lam$c AS (SELECT floor(sum(m.cov * a.vj * b.vj) * 1000000.0 + 0.5)
+              / 1000000.0 AS lam
+            FROM $mat m JOIN ${p}3 a ON m.i = a.j JOIN ${p}3 b ON m.j = b.j)$defl"""
+      }.mkString(",\n        ")
+      val pcCtes = (1 to kComp).map(c =>
+        s"pc$c AS (SELECT list(vj ORDER BY j) AS pc FROM p${c}3)").mkString(",\n        ")
+      val rotScores = (1 to kComp).map(c =>
+        s"floor(${dotSql("v.v", s"pc$c.pc")} * 1000000.0 + 0.5) / 1000000.0")
+        .mkString("[", ", ", "]")
+      val rotJoin = (1 to kComp).map(c => s"CROSS JOIN pc$c").mkString(" ")
+      // PQ train→encode→ADC replay over a source CTE (pid, v)
+      def pqCtes(pfx: String, src: String, d: Int, m: Int): String = {
+        val subd = d / m
+        val dpc = dotSql("pv", "cv"); val dcc = dotSql("cv", "cv")
+        def distRk(cents: String) =
+          s"""SELECT pid, sub, pv, pn, cell FROM (
+            SELECT e.pid, e.sub, e.pv, e.pn, c.cell,
+              row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+                ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+            FROM ${pfx}e e JOIN $cents c USING (sub)) WHERE rk = 1"""
+        s"""${pfx}e0 AS (SELECT pid, s AS sub, v[s*$subd+1 : s*$subd+$subd] AS pv
+            FROM $src, range($m) t(s)),
+          ${pfx}e AS (SELECT pid, sub, pv, ${dotSql("pv", "pv")} AS pn FROM ${pfx}e0),
+          ${pfx}c0 AS (SELECT sub, CAST(pid AS BIGINT) AS cell, pv AS cv
+            FROM ${pfx}e0 WHERE pid % 23 = 3),
+          ${pfx}a0 AS (${distRk(s"${pfx}c0")}),
+          ${pfx}m0 AS (SELECT sub, cell, i AS pos,
+              floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM ${pfx}a0, range($subd) t(i) GROUP BY sub, cell, i),
+          ${pfx}c1 AS (SELECT sub, cell, list(m ORDER BY pos) AS cv
+            FROM ${pfx}m0 GROUP BY sub, cell),
+          ${pfx}a1 AS (${distRk(s"${pfx}c1")}),
+          ${pfx}m1 AS (SELECT sub, cell, i AS pos,
+              floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM ${pfx}a1, range($subd) t(i) GROUP BY sub, cell, i),
+          ${pfx}cb AS (SELECT sub, cell, list(m ORDER BY pos) AS cv
+            FROM ${pfx}m1 GROUP BY sub, cell),
+          ${pfx}codes AS (SELECT pid, sub, cell AS code FROM (
+            SELECT e.pid, e.sub, c.cell,
+              row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+                ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+            FROM ${pfx}e e JOIN ${pfx}cb c USING (sub)) WHERE rk = 1),
+          ${pfx}dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
+              ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
+            FROM ${pfx}e q JOIN ${pfx}cb c USING (sub) WHERE q.pid % 100 = 0),
+          ${pfx}sc AS (SELECT dt.query_id, codes.pid,
+              list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+            FROM ${pfx}codes codes JOIN ${pfx}dt dt
+              ON codes.sub = dt.sub AND codes.code = dt.code
+            WHERE codes.pid <> dt.query_id GROUP BY dt.query_id, codes.pid),
+          ${pfx}rk AS (SELECT query_id, pid AS cand_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, pid ASC) AS rk FROM ${pfx}sc) WHERE rk <= 5)"""
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS pid,
+          list_transform(range(64), i -> (embedding::DOUBLE[])[i+1] / (1.0 + i)) AS v
+          FROM embeddings),
+        p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+          FROM v, range($dim) a(i), range($dim) b(j) WHERE i <= j),
+        up AS MATERIALIZED (SELECT i, j,
+            floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+              / 1000000.0 AS cov
+          FROM p GROUP BY i, j),
+        g0 AS MATERIALIZED (SELECT i, j, cov FROM up
+               UNION ALL SELECT j AS i, i AS j, cov FROM up WHERE i <> j),
+        $compCtes,
+        $pcCtes,
+        rot AS MATERIALIZED (SELECT pid, $rotScores AS v FROM v $rotJoin),
+        ${pqCtes("pl", "v", 64, 8)},
+        ${pqCtes("ro", "rot", 8, 8)},
+        q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+        exsc AS (SELECT query_id, w.pid AS cand_id,
+            round(list_sum(list_transform(range(len(w.v)),
+              i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
+          FROM v w CROSS JOIN q2 WHERE w.pid <> query_id),
+        exrk AS (SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY d ASC, cand_id ASC) AS rk FROM exsc) WHERE rk <= 5),
+        qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+          FROM exrk GROUP BY query_id),
+        ph AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exrk JOIN plrk USING (query_id, cand_id) GROUP BY query_id),
+        rh AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exrk JOIN rork USING (query_id, cand_id) GROUP BY query_id)
+        SELECT qs.query_id,
+          coalesce(ph.n_hits, 0) / CAST(least(qs.n_exact, 5) AS DOUBLE)
+            AS recall_plain,
+          coalesce(rh.n_hits, 0) / CAST(least(qs.n_exact, 5) AS DOUBLE)
+            AS recall_rotated
+        FROM qs LEFT JOIN ph USING (query_id) LEFT JOIN rh USING (query_id)
+        ORDER BY qs.query_id"""
+    },
+    eagerPlan = true) // the pcaTopK training inside collects the covariance
+
   /** Shared oracle CTEs for the IVF+PQ composed index: coarse centroids
     * (vec_id%89==1) assign every vector / probe the 2 nearest cells per
     * query (vec_id%100==0), chained onto [[pqOracleCtes]]'s trained m=2
@@ -6459,7 +6630,7 @@ object Queries {
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
-    x3BpeBytesApply, x4DecodeWavExt)
+    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

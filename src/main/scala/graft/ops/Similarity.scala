@@ -551,6 +551,34 @@ object Similarity {
         col("residual_norm2"))
   }
 
+  /** X2 — OPQ-style rotation APPLY: each vector re-expressed in the
+    * [[pcaTopK]] basis — the rotated k-dim representation (scores in
+    * ascending-comp order, each portable-rounded at `roundDigits`) that
+    * the `covarianceMatrix` scaladoc promises as PQ-training prep: PCA
+    * decorrelates the coordinates, so a product quantizer over the
+    * rotated vectors cuts independent dimensions instead of correlated
+    * ones (Ge et al. 2013 "Optimized Product Quantization", the
+    * eigen-allocation baseline; FAISS's `PCAR` pre-transform). Feed the
+    * output straight into [[pqTrain]]/[[pqEncode]] with dim = k.
+    * Same scale shape as [[pcaProjectTopK]]: the k·d artifact collapses
+    * to ONE broadcast row, the corpus side is a single codegen
+    * projection — no shuffle, no window, no row expansion. */
+  def pcaRotate(emb: DataFrame, idCol: String, vecCol: String,
+                components: DataFrame, roundDigits: Int = 6): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    val pcsRow = components.groupBy(col("comp"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
+        p => p.getField("loading")).as("pc"))
+      .agg(transform(array_sort(collect_list(struct(col("comp"), col("pc")))),
+        p => p.getField("pc")).as("pcs"))
+    emb.select(col(idCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(pcsRow))
+      .select(col(idCol), expr(
+        s"transform(pcs, pc -> floor(graft_dot(pv, pc) * ${s}D + 0.5D) / ${s}D)")
+        .as("rv"))
+  }
+
   /** X2/X3 — SEMANTIC decontamination: flag corpus items whose embedding
     * is near-identical to any benchmark/eval embedding (max cosine ≥ τ).
     * Catches the leaks n-gram decontamination misses — paraphrased or

@@ -378,7 +378,7 @@ class PlanSpec extends SparkSpec {
       "x8_pagerank_states", "x8_personalized_pagerank", "x8_hits_states",
       "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores",
       "x3_bpe_merges_fast", "x3_bpe_bytes", "x3_bpe_bytes_apply",
-      "x2_pca_topk", "x2_pca_project_topk"),
+      "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -396,11 +396,13 @@ class PlanSpec extends SparkSpec {
       // loop (that is the op — the returned frame is a local result table
       // with no window anywhere). x3_bpe_bytes_apply trains the byte
       // table the same way before the lazy apply projection.
-      // x2_pca_topk / x2_pca_project_topk: constructing them runs
-      // Similarity.pcaTopK, which materializes the d^2-bounded covariance
-      // to the driver for the deflation loop (the MLlib split) — a
-      // plan-only sweep must not execute that corpus-sized aggregate.
-      // Both results are broadcast-projection shapes with no window.
+      // x2_pca_topk / x2_pca_project_topk / x2_opq_recall: constructing
+      // them runs Similarity.pcaTopK, which materializes the d^2-bounded
+      // covariance to the driver for the deflation loop (the MLlib
+      // split) — a plan-only sweep must not execute that corpus-sized
+      // aggregate. The projection results are broadcast shapes; the opq
+      // recall's ranking windows are per-query (the bounded eval stripe),
+      // the same shape the dedicated PQ plan tests gate.
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
