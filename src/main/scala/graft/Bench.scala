@@ -117,9 +117,13 @@ object Bench {
     // q1_pricing_summary by the r8 isolated anchor (0.446 s) — the
     // absolute session-load estimate for the sweep as a whole. Reading
     // rule documented in BASELINE.md ("Bench anchor" section).
-    val pqMean = total / math.max(1, results.size)
-    val normalized = results.map { case (k, v) => k -> v / pqMean }
-    val normHead = fmt(normalized.filter { case (k, _) => headline.contains(k) })
+    // Failed queries are EXCLUDED from both the mean denominator and the
+    // normalized map: a failed entry records time-to-crash, which would
+    // shift the whole shape profile and break the cross-round comparison
+    // the normalized columns exist for (the `failed` array is the flag).
+    val ok = results.filter { case (k, _) => !failed.contains(k) }
+    val pqMean = ok.map(_._2).sum / math.max(1, ok.size)
+    val normalized = ok.map { case (k, v) => k -> v / pqMean }
     val q1Ratio = results.toMap.get("q1_pricing_summary")
       .map(t => s""","q1_anchor_ratio":${num(t / 0.446)}""").getOrElse("")
     val meanPart = s""","pq_mean":${num(pqMean)}$q1Ratio"""
@@ -129,7 +133,11 @@ object Bench {
       java.nio.file.Files.write(p,
         s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail$meanPart,"queries":$full,"normalized":${fmt(normalized)},"sf":"$sfDir"}""".getBytes)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_3"$meanPart,"queries":$head,"normalized":$normHead,"sf":"$sfDir"}""")
+    // stdout stays SHORT (round 15): the driver captures a bounded tail,
+    // and r14's line — headline + normalized headline — overflowed it,
+    // clipping the leading '{' so BENCH_r14.json parsed null. The
+    // normalized map lives only in target/bench_full.json now.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_3"$meanPart,"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
