@@ -1020,6 +1020,21 @@ object Queries {
     * query stripe the saved pass is the corpus×queries term. Values are
     * identical: recall = n_hits / min(k, n_exact), the
     * measured-denominator contract every recall eval carries. */
+  /** FIXED-SIZE query sample for the recall evals (round 15): the stripe
+    * `vec_id % 100 == 0 AND vec_id < RecallQueryCap` selects at most
+    * RecallQueryCap/100 = 8 queries at ANY corpus size, so the
+    * brute-force exact reference each `*_recall` query carries costs
+    * O(N·8) instead of O(N²/100) — at 100× the data the eval price grows
+    * linearly with the corpus, not quadratically (SCALING.md round-15).
+    * At the sf0.01 correctness gate all 5 stripe ids are < 800, so the
+    * capped and uncapped stripes are identical there. The topk DEMO
+    * queries keep the uncapped stripe: they carry no exact reference
+    * (bounded cost already) and several are bench headliners whose
+    * workload must stay comparable across rounds. */
+  private val RecallQueryCap = 800L
+  private def cappedStripe(c: Column): Column =
+    pmod(c, lit(100)) === 0 && c < lit(RecallQueryCap)
+
   private def recallOf(exact: DataFrame, cand: DataFrame, k: Int): DataFrame =
     // the left join counts cand multiplicity into BOTH n_exact and n_hits,
     // so duplicate (query_id, cand_id) candidate rows would silently
@@ -1036,7 +1051,7 @@ object Queries {
   private val x2AnnRecall = Q("x2_ann_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
         .select(col("query_id"), col("cand_id"))
       val ann = Similarity.lshTopK(emb, "vec_id", "embedding", qp, k = 5, bits = 4)
@@ -1049,7 +1064,8 @@ object Queries {
              * sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1]*v[i+1])))), 6)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
+        WHERE vec_id % 100 = 0 AND vec_id < 800),
       bscored AS (SELECT query_id, e.vec_id AS cand_id, $cosine AS cosine
         FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
       brk AS (SELECT query_id, cand_id FROM (
@@ -2087,7 +2103,7 @@ object Queries {
   private val x2IvfRecall = Q("x2_ivf_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
         .select(col("query_id"), col("cand_id"))
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -2109,7 +2125,8 @@ object Queries {
       corpus AS (SELECT e.vec_id AS cand_id, v AS cvv, cell
         FROM e JOIN assign ON e.vec_id = assign.vec_id),
       q AS (SELECT e.vec_id AS query_id, v AS qv, cell
-        FROM e JOIN assign ON e.vec_id = assign.vec_id WHERE e.vec_id % 100 = 0),
+        FROM e JOIN assign ON e.vec_id = assign.vec_id
+        WHERE e.vec_id % 100 = 0 AND e.vec_id < 800),
       iscored AS (SELECT query_id, cand_id, $cosine AS cosine
         FROM corpus JOIN q USING (cell) WHERE cand_id <> query_id),
       irk AS (SELECT query_id, cand_id FROM (
@@ -2476,6 +2493,37 @@ object Queries {
                WHERE l.doc_id < r.doc_id
                  AND bit_count(xor(l.simhash, r.simhash)) <= 3)
       SELECT doc_a, doc_b, hamming FROM cand ORDER BY doc_a, doc_b"""
+    })
+
+  /** X1 — SimHash hot-bucket skew report
+    * ([[graft.ops.Dedup.simhashBucketReport]]): every (band, bucket)
+    * holding ≥ 2 docs with the quadratic candidate count the blocking
+    * join pays there — the diagnosis behind `simhashPairs`' per-bucket
+    * cap (one dominant boilerplate template concentrates one bucket no
+    * matter how wide the bands are). Same fingerprint/banding chain as
+    * `x1_simhash_pairs`, reduced to one count row per bucket. */
+  private val x1SimhashSkew = Q("x1_simhash_bucket_skew",
+    (s, dir) => Dedup.simhashBucketReport(Tables.documents(s, dir), "doc_id", "text",
+      bits = 48, nBands = 4, minDocs = 2),
+    Some {
+      val bitSums = (0 until 48).map { j =>
+        s"CAST(sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+      }.mkString(", ")
+      val fpExpr = (0 until 48).map { j =>
+        s"(CASE WHEN s$j >= 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH sets AS ($shingleSetSql),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM sets),
+      j AS (SELECT doc_id, ${Dedup.FeatureHashSql} AS h FROM tok),
+      agg AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id),
+      fp AS (SELECT doc_id, $fpExpr AS simhash FROM agg),
+      bands AS (SELECT doc_id, simhash, band, (simhash >> (band*12)) & 4095 AS bucket
+                FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b)
+      SELECT CAST(band AS INTEGER) AS band, bucket,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
+      FROM bands GROUP BY band, bucket HAVING count(*) >= 2
+      ORDER BY n_docs DESC, band, bucket"""
     })
 
   /** X3 TF-IDF: top-3 terms per document, ranked on the rounded score
@@ -3938,7 +3986,7 @@ object Queries {
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("emb16", slice(col("embedding"), 1, 16))
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qp, k = 5)
         .select(col("query_id"), col("cand_id"))
       val trunc = Similarity.bruteForceTopK(emb, "vec_id", "emb16", qp, k = 5)
@@ -3953,7 +4001,7 @@ object Queries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
           (embedding::DOUBLE[])[1:16] AS v16 FROM embeddings),
         q AS (SELECT vec_id AS query_id, v AS qv, v16 AS qv16 FROM e
-          WHERE vec_id % 100 = 0),
+          WHERE vec_id % 100 = 0 AND vec_id < 800),
         fscored AS (SELECT query_id, e.vec_id AS cand_id,
             ${cosine("qv", "v")} AS cosine
           FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
@@ -4627,7 +4675,7 @@ object Queries {
   private val x2PqRecall = Q("x2_pq_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
         seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
       val pq = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8, dim = 64,
@@ -4659,7 +4707,7 @@ object Queries {
         FROM e JOIN cb c USING (sub)) WHERE rk = 1),
       dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
           ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
-        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0),
+        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0 AND q.pid < 800),
       pqscored AS (SELECT dt.query_id, codes.pid,
           list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
         FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
@@ -4667,7 +4715,8 @@ object Queries {
       pqrk AS (SELECT query_id, pid AS cand_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 5),
-      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v
+        WHERE pid % 100 = 0 AND pid < 800),
       exscored AS (SELECT query_id, w.pid AS cand_id,
           round(list_sum(list_transform(range(len(w.v)),
             i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
@@ -4707,7 +4756,7 @@ object Queries {
         expr("transform(sequence(0, 63), i -> " +
           "element_at(CAST(embedding AS array<double>), i+1) / (1.0D + i))")
           .as("embedding"))
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val sp = pmod(col("vec_id"), lit(23)) === 3
       val e = emb.select(col("vec_id").cast("long").as("cand_id"),
         col("embedding").as("cv"))
@@ -4730,7 +4779,7 @@ object Queries {
       val cbR = Similarity.pqTrain(rot, "vec_id", "rv", m = 8, dim = 8,
         seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
       val pqR = Similarity.pqSearch(rot, "vec_id", "rv", m = 8, dim = 8,
-        codebooks = cbR, queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5)
+        codebooks = cbR, queryPred = cappedStripe(col("vec_id")), k = 5)
       recallOf(exact, plain, 5)
         .select(col("query_id"), col("recall").as("recall_plain"))
         .join(recallOf(exact, pqR, 5)
@@ -4804,7 +4853,8 @@ object Queries {
             FROM ${pfx}e e JOIN ${pfx}cb c USING (sub)) WHERE rk = 1),
           ${pfx}dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
               ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
-            FROM ${pfx}e q JOIN ${pfx}cb c USING (sub) WHERE q.pid % 100 = 0),
+            FROM ${pfx}e q JOIN ${pfx}cb c USING (sub)
+            WHERE q.pid % 100 = 0 AND q.pid < 800),
           ${pfx}sc AS (SELECT dt.query_id, codes.pid,
               list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
             FROM ${pfx}codes codes JOIN ${pfx}dt dt
@@ -4830,7 +4880,8 @@ object Queries {
         rot AS MATERIALIZED (SELECT pid, $rotScores AS v FROM v $rotJoin),
         ${pqCtes("pl", "v", 64, 8)},
         ${pqCtes("ro", "rot", 8, 8)},
-        q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+        q2 AS (SELECT pid AS query_id, v AS qv FROM v
+          WHERE pid % 100 = 0 AND pid < 800),
         exsc AS (SELECT query_id, w.pid AS cand_id,
             round(list_sum(list_transform(range(len(w.v)),
               i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
@@ -4859,9 +4910,13 @@ object Queries {
     * query (vec_id%100==0), chained onto [[pqOracleCtes]]'s trained m=2
     * codebooks + codes (same association order and tie-breaks as the
     * Spark folds — all proven by the component queries). */
-  private def ivfPqOracleCtes: String = {
+  private def ivfPqOracleCtes(capQueries: Boolean = false): String = {
     val dww = dotSql("w.v", "w.v"); val dwc = dotSql("w.v", "c.cv")
     val dcc = dotSql("c.cv", "c.cv")
+    // capQueries: the *_recall evals use the fixed-size stripe (see
+    // [[cappedStripe]]); the topk demos keep the uncapped one
+    val cap = if (capQueries) " AND w.pid < 800" else ""
+    val capQ = if (capQueries) " AND q.pid < 800" else ""
     s"""${pqOracleCtes()},
       m1 AS (SELECT sub, cell, i AS pos,
           floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
@@ -4882,10 +4937,10 @@ object Queries {
           SELECT w.pid, c.cell,
             row_number() OVER (PARTITION BY w.pid ORDER BY
               (($dww - 2*$dwc) + $dcc) ASC, c.cell ASC) AS rk
-          FROM v w CROSS JOIN cc c WHERE w.pid % 100 = 0) WHERE rk <= 2),
+          FROM v w CROSS JOIN cc c WHERE w.pid % 100 = 0$cap) WHERE rk <= 2),
       dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
           ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
-        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0),
+        FROM e q JOIN cb c USING (sub) WHERE q.pid % 100 = 0$capQ),
       pqscored AS (SELECT dt.query_id, codes.pid,
           list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
         FROM codes
@@ -4913,7 +4968,7 @@ object Queries {
         queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rk"))
     },
-    Some(s"""$ivfPqOracleCtes,
+    Some(s"""${ivfPqOracleCtes(capQueries = false)},
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored)
       SELECT query_id, CAST(rk AS BIGINT) AS rk, pid AS cand_id, adc_dist
@@ -4928,7 +4983,7 @@ object Queries {
   private val x2IvfPqRecall = Q("x2_ivf_pq_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
       val ivfpq = Similarity.ivfPqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
@@ -4949,11 +5004,12 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       recallOf(exact, ivfpq, k = 5)
     },
-    Some(s"""$ivfPqOracleCtes,
+    Some(s"""${ivfPqOracleCtes(capQueries = true)},
       pqrk AS (SELECT query_id, pid AS cand_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 5),
-      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v
+        WHERE pid % 100 = 0 AND pid < 800),
       exscored AS (SELECT query_id, w.pid AS cand_id,
           round(list_sum(list_transform(range(len(w.v)),
             i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
@@ -4985,7 +5041,7 @@ object Queries {
         k = 5, nprobe = 2, shortlist = 20)
         .orderBy(col("query_id"), col("rk"))
     },
-    Some(s"""$ivfPqOracleCtes,
+    Some(s"""${ivfPqOracleCtes(capQueries = false)},
       sl AS (SELECT query_id, pid AS cand_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 20),
@@ -5012,7 +5068,7 @@ object Queries {
   private val x2IvfRerankRecall = Q("x2_ivf_rerank_recall",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val qp = pmod(col("vec_id"), lit(100)) === 0
+      val qp = cappedStripe(col("vec_id"))
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
       val rr = Similarity.ivfPqRerank(emb, "vec_id", "embedding", m = 2, dim = 64,
@@ -5023,11 +5079,12 @@ object Queries {
         .select(col("query_id"), col("cand_id"))
       recallOf(exact, rr, k = 5)
     },
-    Some(s"""$ivfPqOracleCtes,
+    Some(s"""${ivfPqOracleCtes(capQueries = true)},
       sl AS (SELECT query_id, pid AS cand_id FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id
             ORDER BY adc_dist ASC, pid ASC) AS rk FROM pqscored) WHERE rk <= 20),
-      q2 AS (SELECT pid AS query_id, v AS qv FROM v WHERE pid % 100 = 0),
+      q2 AS (SELECT pid AS query_id, v AS qv FROM v
+        WHERE pid % 100 = 0 AND pid < 800),
       rrex AS (SELECT sl.query_id, sl.cand_id,
           ${cosSql("qv", "w.v")} AS cosine
         FROM sl JOIN v w ON w.pid = sl.cand_id
@@ -5737,6 +5794,63 @@ object Queries {
       SELECT a2.pid, a2.cell, (d.pid IS NOT NULL) AS is_dup
       FROM a2 LEFT JOIN d ON a2.pid = d.pid ORDER BY a2.pid"""
     })
+
+  /** X2 — trained-artifact persistence round-trip
+    * ([[graft.ops.Artifacts]]): the k-means centroid table trains, SAVES
+    * as a versioned artifact (parquet + JSON sidecar, staged atomic-
+    * rename commit — the reference's checkpoint save-AND-load,
+    * fawac.py:555-583, applied to index state), LOADS back in a fresh
+    * read, and the whole corpus assigns against the LOADED table. The
+    * oracle replays the fit + assignment from the source table directly,
+    * so a hash match proves the store is lossless end-to-end — if the
+    * round-trip dropped a row, reordered a centroid array, or lost
+    * double precision, every downstream cell id would shift. Scale
+    * shape: the artifact is k·d rows (broadcast-dim); the corpus-side
+    * assignment is the one-row-broadcast argmin fold ([[graft.ops
+    * .Similarity.assignCells]]), no corpus shuffle. */
+  private val x2ArtifactRt = Q("x2_artifact_roundtrip",
+    (s, dir) => {
+      val root = "/tmp/graft_art_rt_" + Tables.scratchTag(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansFit(emb, "vec_id", "embedding",
+          seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2, roundDigits = 6)
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          x => x.getField("coord")).as("cv"))
+      val v = Artifacts.saveArtifact(cents, root, "ivf_centroids",
+        Map("dim" -> "64", "iters" -> "2", "seeds" -> "vec_id%97=3"))
+      val (loaded, meta) = Artifacts.loadArtifactVersion(s, root, v, "ivf_centroids")
+      require(meta.params("dim") == "64", "sidecar params must round-trip")
+      Similarity.assignCells(emb, "vec_id", "embedding", loaded)
+        .select(col("pid"), col("cell"))
+        .orderBy(col("pid"))
+    },
+    Some {
+      val dpc = dotSql("e.pv", "c.cv"); val dcc = dotSql("c.cv", "c.cv")
+      def distRk(cents: String) =
+        s"""SELECT pid, pv, cell FROM (
+          SELECT e.pid, e.pv, c.cell,
+            row_number() OVER (PARTITION BY e.pid ORDER BY
+              ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+          FROM e CROSS JOIN $cents c) WHERE rk = 1"""
+      s"""WITH e AS (SELECT pid, pv, ${dotSql("pv", "pv")} AS pn FROM
+          (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings)),
+      c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id % 97 = 3),
+      a0 AS (${distRk("c0")}),
+      m0 AS (SELECT cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a0, range(64) t(i) GROUP BY cell, i),
+      c1 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m0 GROUP BY cell),
+      a1 AS (${distRk("c1")}),
+      m1 AS (SELECT cell, i AS pos,
+          floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM a1, range(64) t(i) GROUP BY cell, i),
+      c2 AS (SELECT cell, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell),
+      a2 AS (${distRk("c2")})
+      SELECT pid, cell FROM a2 ORDER BY pid"""
+    },
+    eagerPlan = true) // constructing commits the artifact version on disk
 
   /** S9 — bucketed co-located join (SURVEY.md §2.3 scale note): orders and
     * customer are materialized as 8-bucket tables on the customer key,
@@ -6630,7 +6744,7 @@ object Queries {
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
-    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall)
+    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -650,6 +650,49 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** The (doc_id, simhash, band, bucket) banding frame shared by
+    * [[simhashPairs]] and [[simhashBucketReport]]. */
+  private def simhashBands(docs: DataFrame, idCol: String, textCol: String,
+                           bits: Int, nBands: Int, shingleN: Int,
+                           caches: DedupCaches): DataFrame = {
+    require(bits % nBands == 0, "bits must be divisible by nBands")
+    require(bits <= 60, "fingerprint width exceeds the 60-bit feature hash")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1L
+    // shingle features, not unigrams: unigram sets on a small vocabulary
+    // are densely similar corpus-wide and every fingerprint collides.
+    // cache: one long per doc, but the pairs plan references it 2·nBands
+    // times (each band of the union, on both sides of the self-join) —
+    // uncached, the whole explode+hash+bit-sum chain re-runs
+    // per reference (measured 8× ≈ 5 s of a 6.6 s query at sf0.1).
+    val sig = caches.track(simhashFromSets(
+      caches.track(docShingleSets(docs, idCol, textCol, shingleN)), bits))
+    (0 until nBands).map { b =>
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** X1 SimHash — hot-bucket diagnosis for [[simhashPairs]]: every
+    * (band, bucket) holding ≥ `minDocs` docs, with the quadratic
+    * candidate count the all-pairs join would pay there. Band width
+    * bounds the EXPECTED bucket size, but a degenerate corpus (one
+    * dominant boilerplate template) still concentrates one bucket —
+    * this is the profile_key_skew idea applied to the banding key, and
+    * the measurement behind choosing [[simhashPairs]]' `maxBucketSize`
+    * guard. Shuffle carries one (band, bucket) count row per bucket. */
+  def simhashBucketReport(docs: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 48, nBands: Int = 4, shingleN: Int = 3,
+                          minDocs: Long = 2,
+                          caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
+    simhashBands(docs, idCol, textCol, bits, nBands, shingleN, caches)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("band"), col("bucket"), col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"))
+      .orderBy(col("n_docs").desc, col("band"), col("bucket"))
+
   /** X1 SimHash near-dup — candidate pairs share at least one band of the
     * fingerprint (classic simhash blocking), verified by Hamming distance
     * on the full fingerprint.
@@ -659,36 +702,63 @@ object Dedup {
     * a 5k corpus meant ~312-doc buckets → ~12M candidate pairs (measured
     * 21s at sf0.1); the production shape is a wide fingerprint with wide
     * bands — default 48 bits in 4×12-bit bands → 4096 buckets, candidates
-    * proportional to true near-dups. */
+    * proportional to true near-dups.
+    *
+    * `maxBucketSize` is the worst-case guard band width cannot give: one
+    * dominant template (mirrored boilerplate) can still concentrate a
+    * single bucket and make that bucket quadratic regardless of width.
+    * With the cap set, a bucket above it degrades to a STAR comparison —
+    * every member verifies against the bucket's lowest-id member only —
+    * so its cost is O(n) instead of O(n²). Within a truly degenerate
+    * bucket (near-identical docs, the case that creates it) the star
+    * finds (rep, member) for every member and connected-components
+    * downstream still groups the whole template family; what the star
+    * can miss is a pair of members each ≤ maxHamming from the OTHER but
+    * > maxHamming from the representative — a bounded, documented recall
+    * trade only in capped buckets ([[simhashBucketReport]] names them;
+    * Round15OpsSpec measures the degenerate corpus). Default None
+    * preserves exact all-pairs blocking. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 48, nBands: Int = 4,
                    maxHamming: Int = 3, shingleN: Int = 3,
+                   maxBucketSize: Option[Int] = None,
                    caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    require(bits % nBands == 0, "bits must be divisible by nBands")
-    require(bits <= 60, "fingerprint width exceeds the 60-bit feature hash")
-    val bandBits = bits / nBands
-    val mask = (1L << bandBits) - 1L
-    // shingle features, not unigrams: unigram sets on a small vocabulary
-    // are densely similar corpus-wide and every fingerprint collides.
-    // cache: one long per doc, but the plan below references it 2·nBands
-    // times (each band of the union, on both sides of the self-join) —
-    // uncached, the whole explode+hash+bit-sum chain re-runs
-    // per reference (measured 8× ≈ 5 s of a 6.6 s query at sf0.1).
-    val sig = caches.track(simhashFromSets(
-      caches.track(docShingleSets(docs, idCol, textCol, shingleN)), bits))
-    val bands = (0 until nBands).map { b =>
-      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bucket"))
-    }.reduce(_ unionAll _)
-    bands.as("l").join(bands.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).cast("long").as("hamming"))
-      // filter BEFORE distinct: the Hamming check is a per-row scalar, so
-      // the dedup shuffle carries only true near-pairs, not bucket noise
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val bands = simhashBands(docs, idCol, textCol, bits, nBands, shingleN, caches)
+    val cand = maxBucketSize match {
+      case None =>
+        bands.as("l").join(bands.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+          .where(col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+              .cast("long").as("hamming"))
+      case Some(cap) =>
+        require(cap >= 2, "maxBucketSize must allow at least one pair")
+        // one count + representative (lowest doc_id with its fingerprint)
+        // per bucket: the stats frame is bucket-bounded, never doc-scale
+        val stats = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col("doc_id"), col("simhash"))).as("__rep"))
+        val sized = bands.join(stats, Seq("band", "bucket"))
+        val small = sized.where(col("__n") <= cap)
+          .select(col("band"), col("bucket"), col("doc_id"), col("simhash"))
+        val smallPairs = small.as("l").join(small.as("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+          .where(col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+            bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+              .cast("long").as("hamming"))
+        // hot buckets: star against the representative — O(n) per bucket
+        val starPairs = sized.where(col("__n") > cap
+            && col("doc_id") =!= col("__rep.doc_id"))
+          .select(col("__rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+            bit_count(col("__rep.simhash").bitwiseXOR(col("simhash")))
+              .cast("long").as("hamming"))
+        smallPairs.unionAll(starPairs)
+    }
+    // filter BEFORE distinct: the Hamming check is a per-row scalar, so
+    // the dedup shuffle carries only true near-pairs, not bucket noise
+    cand.where(col("hamming") <= maxHamming).distinct()
   }
 
   /** X1 MinHash+LSH — banding: k minhashes split into bands of r rows; a

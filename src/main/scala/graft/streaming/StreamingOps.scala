@@ -1362,10 +1362,19 @@ object StreamingOps {
           cell -> (files.length.toLong, files.map(_.getLen).sum)
         }
       }.toMap
-    // partition-dir inference may type `cell` int — normalize to long
-    val rows = spark.read.parquet(indexPath)
-      .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // read ONLY the numeric cell= dirs already enumerated above (with
+    // basePath so inference still yields `cell`): a root-level read
+    // would fail on a foreign layout like cell=__HIVE_DEFAULT_PARTITION__
+    // — the exact dir compactAnnIndex tolerates — or NPE on its null
+    // cell group. Partition-dir inference may type `cell` int —
+    // normalize to long.
+    val numericDirs = fsStats.keys.toSeq.sorted
+      .map(c => new org.apache.hadoop.fs.Path(root, s"cell=$c").toString)
+    val rows =
+      if (numericDirs.isEmpty) Map.empty[Long, Long]
+      else spark.read.option("basePath", indexPath).parquet(numericDirs: _*)
+        .groupBy(col("cell").cast("long").as("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = rows.values.sum.toDouble
     val mean = if (rows.isEmpty) 0.0 else total / rows.size
     fsStats.toSeq.sortBy(_._1).map { case (cell, (nf, bytes)) =>
@@ -1380,11 +1389,19 @@ object StreamingOps {
     * exceeds `maxSkew` × the mean is re-clustered WITHIN the cell
     * (k-means over its own members, seeded from the `nSplit` lowest
     * pids — deterministic) and rewritten as `nSplit` child cells with
-    * fresh ids past the current centroid maximum, under the same
-    * hidden-staging + rename commit discipline as [[compactAnnIndex]].
+    * fresh ids past the current maximum, under a manifest + hidden-
+    * staging + rename commit discipline (below). Passes repeat until no
+    * cell exceeds the threshold or `maxPasses` is hit — a skewed
+    * sub-split (e.g. 39/1 with nSplit=2) is re-checked and re-split on
+    * the next pass, so the post-split bound holds beyond the first
+    * pass's geometry (a cell whose members are IDENTICAL vectors cannot
+    * be split by any vector clustering; the pass cap keeps that
+    * degenerate case terminating, and the returned report shows it).
     * Returns the UPDATED centroid table (parents replaced by trained
     * children) — the caller swaps it in for future assignment/search,
-    * exactly like production IVF systems rebuild off-line and swap.
+    * exactly like production IVF systems rebuild off-line and swap
+    * (persist it with [[graft.ops.Artifacts.saveArtifact]] so the
+    * maintained index survives a restart).
     *
     * Semantics: LOSSLESS on membership (the union of (pid, vector) rows
     * is unchanged — spec-gated); assignment within a split cell is the
@@ -1395,68 +1412,179 @@ object StreamingOps {
     * run against a PAUSED ingest (as with compaction) and hand the
     * returned centroid table to the restarted stream — a stream replay
     * across a re-split could otherwise re-admit a moved pid (the
-    * replay-guard prune reads the batch's cells under the NEW map). */
+    * replay-guard prune reads the batch's cells under the NEW map).
+    *
+    * Crash safety (per hot cell): (1) children fully staged under the
+    * hidden `.resplit-cell=N`; (2) a recovery manifest
+    * `.resplit-manifest-cell=N` is written at the root naming every
+    * child id; (3) the hot cell renames aside to `.trash-cell=N`;
+    * (4) children install one rename each (destination-checked);
+    * (5) trash, staging, and manifest delete. A crash anywhere is
+    * mechanically recoverable because the manifest names exactly the
+    * dirs steps 3-4 touch — [[recoverResplit]] rolls the cell BACK
+    * (delete any installed children from the manifest list, restore the
+    * trash dir, clear residue), and runs automatically at the start of
+    * every resplit/report call. Child ids are allocated past the max of
+    * BOTH the centroid table and the on-disk cell dirs, so a retry that
+    * is passed a stale (pre-crash) centroid table cannot collide with
+    * already-installed children. */
   def resplitHotCells(spark: SparkSession, indexPath: String,
                       centroids: DataFrame, maxSkew: Double = 4.0,
-                      nSplit: Int = 4, iters: Int = 2): DataFrame = {
+                      nSplit: Int = 4, iters: Int = 2,
+                      maxPasses: Int = 3): DataFrame = {
     require(maxSkew > 1.0, "maxSkew must exceed 1 (the mean itself)")
     require(nSplit >= 2, "a re-split needs at least two children")
+    require(maxPasses >= 1, "resplitHotCells needs at least one pass")
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val skew = cellSkewReport(spark, indexPath)
-      .select(col("cell"), col("skew")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val hot = skew.filter(_._2 > maxSkew).keys.toSeq.sorted
+    recoverResplit(spark, indexPath)
     var cents = centroids.select(col("cell").cast("long").as("cell"), col("cv"))
     val maxRow = cents.agg(max(col("cell"))).collect().head
     require(!maxRow.isNullAt(0), "resplitHotCells: empty centroid table")
-    var nextId = maxRow.getLong(0) + 1L
-    hot.foreach { cell =>
-      val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
-      // the [[incrementalAnnIndex]] layout stores (pid, pv) per cell dir
-      val members = spark.read.parquet(cellDir.toString)
-      // deterministic seeds: the nSplit lowest pids (TakeOrdered — never
-      // a full sort); a cell smaller than nSplit keeps every member as
-      // its own seed
-      val seeds = members.select(col("pid")).orderBy(col("pid"))
-        .limit(nSplit).collect().map(_.getLong(0))
-      val trained = graft.ops.Similarity.kmeansFit(
-        members, "pid", "pv", col("pid").isin(seeds.map(Long.box): _*),
-        iters = iters)
-      // local seed-pid cells → fresh global ids in seed order
-      val localIds = trained.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val idMap = localIds.zipWithIndex.map { case (l, i) => l -> (nextId + i) }.toMap
-      nextId += localIds.length
-      val mapExpr = map(idMap.toSeq.flatMap { case (l, g) =>
-        Seq(lit(l), lit(g)) }: _*)
-      val childCents = trained
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
-          s => s.getField("coord")).as("cv"))
-        .select(element_at(mapExpr, col("cell")).as("cell"), col("cv"))
-        .localCheckpoint(true)
-      val assigned = graft.ops.Similarity
-        .assignCells(members, "pid", "pv", childCents)
-      // stage every child under hidden dirs, then the two-rename install
-      val staging = new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell")
-      val trash = new org.apache.hadoop.fs.Path(root, s".trash-cell=$cell")
-      fs.delete(staging, true); fs.delete(trash, true)
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
-      require(fs.rename(cellDir, trash),
-        s"resplitHotCells: could not move $cellDir aside")
-      fs.listStatus(staging).filter(_.isDirectory)
-        .filter(_.getPath.getName.startsWith("cell=")).foreach { child =>
-          require(fs.rename(child.getPath,
-            new org.apache.hadoop.fs.Path(root, child.getPath.getName)),
-            s"resplitHotCells: could not install ${child.getPath.getName} " +
-              s"— original preserved at $trash")
-        }
-      fs.delete(staging, true); fs.delete(trash, true): Unit
-      cents = cents.where(col("cell") =!= cell).unionByName(childCents)
-        .localCheckpoint(true)
+    def diskMaxCell(): Long = fs.listStatus(root).filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName.stripPrefix("cell=").toLongOption)
+      .foldLeft(-1L)(math.max)
+    var nextId = math.max(maxRow.getLong(0), diskMaxCell()) + 1L
+    var pass = 0
+    var done = false
+    while (pass < maxPasses && !done) {
+      pass += 1
+      val skew = cellSkewReport(spark, indexPath)
+        .select(col("cell"), col("skew")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hot = skew.filter(_._2 > maxSkew).keys.toSeq.sorted
+      done = hot.isEmpty
+      hot.foreach { cell =>
+        val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
+        // the [[incrementalAnnIndex]] layout stores (pid, pv) per cell dir
+        val members = spark.read.parquet(cellDir.toString)
+        // deterministic seeds: the nSplit lowest pids (TakeOrdered — never
+        // a full sort); a cell smaller than nSplit keeps every member as
+        // its own seed
+        val seeds = members.select(col("pid")).orderBy(col("pid"))
+          .limit(nSplit).collect().map(_.getLong(0))
+        val trained = graft.ops.Similarity.kmeansFit(
+          members, "pid", "pv", col("pid").isin(seeds.map(Long.box): _*),
+          iters = iters)
+        // local seed-pid cells → fresh global ids in seed order
+        val localIds = trained.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val idMap = localIds.zipWithIndex.map { case (l, i) => l -> (nextId + i) }.toMap
+        nextId += localIds.length
+        val mapExpr = map(idMap.toSeq.flatMap { case (l, g) =>
+          Seq(lit(l), lit(g)) }: _*)
+        val childCents = trained
+          .groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+            s => s.getField("coord")).as("cv"))
+          .select(element_at(mapExpr, col("cell")).as("cell"), col("cv"))
+          .localCheckpoint(true)
+        val assigned = graft.ops.Similarity
+          .assignCells(members, "pid", "pv", childCents)
+        // (1) stage all children hidden; (2) write the recovery manifest;
+        // (3) move the hot cell aside; (4) install; (5) clear residue
+        val staging = new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell")
+        val trash = new org.apache.hadoop.fs.Path(root, s".trash-cell=$cell")
+        val manifest = new org.apache.hadoop.fs.Path(root, s".resplit-manifest-cell=$cell")
+        fs.delete(staging, true); fs.delete(trash, true); fs.delete(manifest, false)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+        val childIds = idMap.values.toSeq.sorted
+        val out = fs.create(manifest, true)
+        try out.write(childIds.mkString("\n").getBytes("UTF-8")) finally out.close()
+        require(fs.rename(cellDir, trash),
+          s"resplitHotCells: could not move $cellDir aside")
+        fs.listStatus(staging).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("cell=")).foreach { child =>
+            val dest = new org.apache.hadoop.fs.Path(root, child.getPath.getName)
+            require(!fs.exists(dest),
+              s"resplitHotCells: destination $dest already exists — " +
+                s"recover from $manifest before re-running")
+            require(fs.rename(child.getPath, dest),
+              s"resplitHotCells: could not install ${child.getPath.getName} " +
+                s"— original preserved at $trash")
+          }
+        fs.delete(trash, true); fs.delete(staging, true)
+        fs.delete(manifest, false): Unit
+        cents = cents.where(col("cell") =!= cell).unionByName(childCents)
+          .localCheckpoint(true)
+      }
     }
     cents
+  }
+
+  /** [[resplitHotCells]] wired through the artifact store — the
+    * restart-safe form of the maintenance loop: the CURRENT centroid
+    * table comes from the `ivf_centroids` artifact at `artifactRoot`
+    * (seeded once via [[graft.ops.Artifacts.saveArtifact]] after the
+    * initial [[graft.ops.Similarity.kmeansFit]]), the re-split runs
+    * against it, and the updated table commits back as the NEXT version
+    * (atomic staged rename) — so a restarted ingest/search session loads
+    * centroids consistent with the on-disk cell layout instead of
+    * depending on caller-held state. Returns (updated centroids,
+    * committed version). Run against a paused ingest, as with the
+    * unpersisted form. */
+  def resplitHotCellsPersisted(spark: SparkSession, indexPath: String,
+                               artifactRoot: String, maxSkew: Double = 4.0,
+                               nSplit: Int = 4, iters: Int = 2,
+                               maxPasses: Int = 3): (DataFrame, Long) = {
+    val (cents, meta) = graft.ops.Artifacts.loadArtifact(spark, artifactRoot,
+      family = "ivf_centroids")
+    val updated = resplitHotCells(spark, indexPath, cents,
+      maxSkew = maxSkew, nSplit = nSplit, iters = iters, maxPasses = maxPasses)
+      .localCheckpoint(true)
+    val v = graft.ops.Artifacts.saveArtifact(updated, artifactRoot,
+      family = "ivf_centroids",
+      params = meta.params ++ Map("maxSkew" -> maxSkew.toString,
+        "nSplit" -> nSplit.toString, "resplitOf" -> meta.version.toString))
+    (updated, v)
+  }
+
+  /** Roll back any interrupted [[resplitHotCells]] install under
+    * `indexPath`: for every recovery manifest `.resplit-manifest-cell=N`,
+    * delete the manifest's child dirs (installed or staged), restore
+    * `.trash-cell=N` to `cell=N` if the live dir is missing, and clear
+    * staging + manifest. After recovery the index is byte-identical to
+    * the pre-split state for that cell, so re-running the resplit is
+    * always safe. Called automatically by [[resplitHotCells]]; exposed
+    * for operational use. Returns the recovered cell ids. */
+  def recoverResplit(spark: SparkSession, indexPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val manifests = fs.listStatus(root).filter(_.isFile)
+      .map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix(".resplit-manifest-cell=")
+        .toLongOption.filter(_ => p.getName.startsWith(".resplit-manifest-cell="))
+        .map(_ -> p))
+      .sortBy(_._1)
+    manifests.map { case (cell, manifest) =>
+      val in = fs.open(manifest)
+      val childIds = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().flatMap(_.trim.toLongOption).toSeq
+      finally in.close()
+      val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
+      val trash = new org.apache.hadoop.fs.Path(root, s".trash-cell=$cell")
+      // Roll BACK only while the original rows still exist (live dir or
+      // trash). If neither does, the install COMMITTED (the happy path
+      // deletes trash first, then staging, then the manifest) and the
+      // children are the only copy — roll FORWARD: keep them, clear
+      // residue. This distinction is what makes every crash position
+      // recoverable without row loss.
+      if (fs.exists(trash) || fs.exists(cellDir)) {
+        childIds.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$id"), true)
+        }
+        if (fs.exists(trash)) {
+          if (!fs.exists(cellDir))
+            require(fs.rename(trash, cellDir),
+              s"recoverResplit: could not restore $trash to $cellDir")
+          else fs.delete(trash, true)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell"), true)
+      fs.delete(manifest, false)
+      cell
+    }.toSeq
   }
 
   /** Incremental PQ code maintenance (CDC × X2) — the compressed sibling

@@ -378,7 +378,8 @@ class PlanSpec extends SparkSpec {
       "x8_pagerank_states", "x8_personalized_pagerank", "x8_hits_states",
       "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores",
       "x3_bpe_merges_fast", "x3_bpe_bytes", "x3_bpe_bytes_apply",
-      "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall"),
+      "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall",
+      "x2_artifact_roundtrip"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -403,6 +404,10 @@ class PlanSpec extends SparkSpec {
       // aggregate. The projection results are broadcast shapes; the opq
       // recall's ranking windows are per-query (the bounded eval stripe),
       // the same shape the dedicated PQ plan tests gate.
+      // x2_artifact_roundtrip: constructing it trains the centroid table
+      // and COMMITS it to the versioned artifact store (a parquet write +
+      // rename is the op); the assignment it returns is the window-free
+      // broadcast argmin fold the kmeans plan test gates.
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")

@@ -1146,6 +1146,164 @@ class StreamingSpec extends SparkSpec {
     assert(residue.isEmpty, residue.toSeq.toString)
   }
 
+  test("ANN re-split multi-pass: a still-hot child is re-checked and re-split") {
+    import java.nio.file.Files
+    val index = Files.createTempDirectory("graft_ann_mp").toString + "/index"
+    // hot cell 0 = sub-lobe X (24 pts, y=+0.3) + sub-lobe Y (23, y=-0.3)
+    // + one stray at (5, 0); cold cells 1-3 hold 4 pts each. Pass 1
+    // (mean 15, skew 3.2) splits 0 into {X∪Y}=47 and {stray}=1 (seeds
+    // pid 0 ∈ X, pid 1 = stray); the 47-child is STILL hot (mean 12,
+    // skew 3.9) — the single-pass gap the advice named — so pass 2
+    // splits it into the lobes (seeds pid 0 ∈ X, pid 2 ∈ Y); pass 3
+    // verifies every skew ≤ 2.5 and stops.
+    val hot = Seq((0L, Seq(1.0, 0.3)), (1L, Seq(5.0, 0.0)), (2L, Seq(1.002, -0.3))) ++
+      (3L to 25L).map(i => (i, Seq(1.0 + 0.001 * i, 0.3))) ++
+      (26L to 47L).map(i => (i, Seq(1.0 + 0.001 * i, -0.3)))
+    val cold = (100L to 103L).map(i => (i, Seq(0.01 * (i - 100), 1.0))).map(p => (p._1, p._2, 1L)) ++
+      (110L to 113L).map(i => (i, Seq(0.01 * (i - 110), -1.0), 2L)) ++
+      (120L to 123L).map(i => (i, Seq(-1.0, 0.01 * (i - 120)), 3L))
+    (hot.map(p => (p._1, p._2, 0L)) ++ cold).toDF("pid", "pv", "cell")
+      .write.partitionBy("cell").parquet(index)
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, -1.0)), (3L, Seq(-1.0, 0.0))).toDF("cell", "cv")
+    val before = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    val newCents = StreamingOps.resplitHotCells(spark, index, cents,
+      maxSkew = 2.5, nSplit = 2, iters = 3)
+    val ids = newCents.select("cell").as[Long].collect().sorted
+    // 3 cold cells survive + 3 children (stray, lobe X, lobe Y): the
+    // third child can only come from a SECOND pass re-splitting the
+    // 47-point first-pass child
+    assert(ids.length == 6 && !ids.contains(0L), ids.toSeq.toString)
+    val post = StreamingOps.cellSkewReport(spark, index)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(post.forall(_._6 <= 2.5), post.toSeq.toString)
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    assert(after == before)
+    val residue = new java.io.File(index).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".resplit") || n.startsWith(".trash"))
+    assert(residue.isEmpty, residue.toSeq.toString)
+  }
+
+  test("ANN re-split recovery: mid-install crash rolls back; committed install rolls forward") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ann_rec").toString
+    val index = s"$root/index"
+    Seq((0L, Seq(1.0, 0.1), 0L), (1L, Seq(1.0, -0.1), 0L), (2L, Seq(0.0, 1.0), 1L))
+      .toDF("pid", "pv", "cell").write.partitionBy("cell").parquet(index)
+    val before = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(name: String) = new org.apache.hadoop.fs.Path(s"$index/$name")
+    def writeManifest(ids: Seq[Long]): Unit = {
+      val out = fs.create(p(".resplit-manifest-cell=0"), true)
+      try out.write(ids.mkString("\n").getBytes("UTF-8")) finally out.close()
+    }
+    // --- ROLLBACK: crash after the trash rename with one child installed.
+    // Fabricate: children 5 (installed) and 6 (still staged), manifest
+    // naming both, the hot cell moved aside to trash.
+    Seq((0L, Seq(1.0, 0.1))).toDF("pid", "pv").write.parquet(s"$index/cell=5")
+    Seq((1L, Seq(1.0, -0.1))).toDF("pid", "pv")
+      .write.parquet(s"$index/.resplit-cell=0/cell=6")
+    writeManifest(Seq(5L, 6L))
+    assert(fs.rename(p("cell=0"), p(".trash-cell=0")))
+    val recovered = StreamingOps.recoverResplit(spark, index)
+    assert(recovered == Seq(0L))
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(after == before, s"rollback must restore the pre-split index: $after")
+    val residue = new java.io.File(index).listFiles()
+      .map(_.getName).filter(n => n.startsWith(".resplit") || n.startsWith(".trash"))
+    assert(residue.isEmpty, residue.toSeq.toString)
+    // --- ROLL FORWARD: crash after the trash delete (install committed,
+    // manifest residue only). The children are the only copy — recovery
+    // must keep them.
+    assert(fs.rename(p("cell=0"), p(".trash-tmp"))) // simulate: split done
+    Seq((0L, Seq(1.0, 0.1))).toDF("pid", "pv").write.parquet(s"$index/cell=5")
+    Seq((1L, Seq(1.0, -0.1))).toDF("pid", "pv").write.parquet(s"$index/cell=6")
+    fs.delete(p(".trash-tmp"), true)
+    writeManifest(Seq(5L, 6L))
+    assert(StreamingOps.recoverResplit(spark, index) == Seq(0L))
+    val fwd = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(fwd == Set((0L, 5L), (1L, 6L), (2L, 1L)),
+      s"roll-forward must keep the committed children: $fwd")
+    // and resplitHotCells itself auto-heals a crashed install on entry
+    Seq((9L, Seq(0.5, 0.5))).toDF("pid", "pv").write.parquet(s"$index/cell=7")
+    writeManifest(Seq(7L))
+    assert(fs.rename(p("cell=5"), p(".trash-cell=0")))
+    val cents = Seq((1L, Seq(0.0, 1.0)), (5L, Seq(1.0, 0.1)), (6L, Seq(1.0, -0.1)))
+      .toDF("cell", "cv")
+    StreamingOps.resplitHotCells(spark, index, cents, maxSkew = 100.0)
+    val healed = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(healed == Set((0L, 0L), (1L, 6L), (2L, 1L)),
+      s"entry recovery must restore cell 0 and drop child 7: $healed")
+  }
+
+  test("ANN index restart: ingest resumes against a LOADED centroid artifact; " +
+      "persisted re-split commits the next version") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.ops.{Artifacts, Similarity}
+    val base = Files.createTempDirectory("graft_ann_art").toString
+    val index = s"$base/index"; val store = s"$base/centroids"
+    // session 1: train-equivalent centroids committed as artifact v1,
+    // then ingest two batches against the LOADED table
+    Artifacts.saveArtifact(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv"),
+      store, "ivf_centroids", Map("dim" -> "2"))
+    val (cents1, meta1) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    assert(meta1.version == 1L)
+    val mem1 = MemoryStream[(Long, Seq[Double])]
+    val q1 = StreamingOps.incrementalAnnIndex(
+      mem1.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents1, index, s"$base/ckpt1")
+    for (i <- 0L until 8L) {
+      val y = if (i % 2 == 0) 0.35 else -0.35
+      mem1.addData((i, Seq(1.0 + 0.01 * i, y)))
+    }
+    mem1.addData((100L, Seq(0.0, 1.0)))
+    q1.processAllAvailable(); q1.stop()
+    // session 2 (the RESTART): no caller-held state — centroids come
+    // from the artifact store; the replay guard must still hold (pid 3
+    // re-delivered) and new rows land in the same layout
+    val (cents2, meta2) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    assert(meta2.version == 1L)
+    val mem2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = StreamingOps.incrementalAnnIndex(
+      mem2.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents2, index, s"$base/ckpt2")
+    mem2.addData((3L, Seq(1.03, -0.35)), (8L, Seq(1.08, 0.35)), (9L, Seq(1.09, -0.35)))
+    q2.processAllAvailable(); q2.stop()
+    val pids = spark.read.parquet(index).groupBy(col("pid"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    assert(pids.values.forall(_ == 1L), s"replay across restart double-inserted: $pids")
+    assert(pids.keySet == (0L until 10L).toSet + 100L)
+    // maintenance on the restarted index: the persisted re-split reads
+    // v1, splits the hot cell, commits v2 — and the loaded v2 assigns
+    // identically to the returned table
+    val (updated, v2) = StreamingOps.resplitHotCellsPersisted(spark, index, store,
+      maxSkew = 1.5, nSplit = 2, iters = 3)
+    assert(v2 == 2L)
+    val (loaded, metaL) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    assert(metaL.params("resplitOf") == "1")
+    assert(loaded.as[(Long, Seq[Double])].collect().toSet ==
+      updated.as[(Long, Seq[Double])].collect().toSet)
+    val post = StreamingOps.cellSkewReport(spark, index)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(post.forall(_._6 <= 1.5), post.toSeq.toString)
+    // a third session searching with ONLY the store + index on disk
+    val qv = Seq((9999L, Seq(1.05, 0.36))).toDF("vec_id", "embedding")
+    val hits = Similarity.annIndexSearch(spark, index, qv,
+      "vec_id", "embedding", loaded, k = 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.subsetOf((0L until 10L by 2).toSet),
+      s"expected upper-lobe neighbors, got $hits")
+  }
+
   test("media codecs run unchanged on a readStream (map-only decode chain)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Multimodal
