@@ -4905,6 +4905,213 @@ object Queries {
     },
     eagerPlan = true) // the pcaTopK training inside collects the covariance
 
+  /** X2 — OPQ eigenvalue-ALLOCATION A/B
+    * ([[graft.ops.Similarity.opqAllocate]], Ge et al. 2013 §3.3 — the
+    * second half of the parametric OPQ solution `x2_opq_recall`'s
+    * rotation started): naive descending-order PCA hands subspace 0 the
+    * two largest eigenvalues and the last subspace pure noise; the
+    * greedy variance-product balancing (= the zig-zag pairing
+    * (λ1,λ8)(λ2,λ7)(λ3,λ6)(λ4,λ5) at subd=2 over a descending
+    * spectrum) re-orders the SAME 8 rotated coordinates so every m=4
+    * sub-quantizer prices comparable energy. Reports per-query recall@5
+    * vs exact 64-dim L2 for both orders AND the total quantization
+    * error ‖X−X̂‖² per variant (the paper's objective — measured 0.890 →
+    * 0.548 at sf0.01, a 38 % cut at the same code budget; recall@5 over
+    * the 5-query stripe is a coarser signal). The non-parametric
+    * alternation ([[graft.ops.Similarity.opqRefine]]) is deliberately
+    * NOT in this chain: on Gaussian-like data the parametric solution
+    * is already optimal (§3.3) and the decaying spectrum squares into
+    * MᵀM's condition number — spec-gated on its operating domain
+    * instead (Round15OpsSpec). The oracle replays the full chain:
+    * covariance → 8 deflated components → both coordinate orders → both
+    * PQ trainings → reconstructions and error sums → both ADC searches
+    * → exact ranking. */
+  private val x2OpqAlloc = Q("x2_opq_alloc_recall",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(sequence(0, 63), i -> " +
+          "element_at(CAST(embedding AS array<double>), i+1) / (1.0D + i))")
+          .as("embedding"))
+      val qp = cappedStripe(col("vec_id"))
+      val sp = pmod(col("vec_id"), lit(23)) === 3
+      val e = emb.select(col("vec_id").cast("long").as("cand_id"),
+        col("embedding").as("cv"))
+      val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d").asc, col("cand_id").asc)
+      val exact = e.crossJoin(broadcast(q))
+        .where(col("cand_id") =!= col("query_id"))
+        .withColumn("d", round(expr(
+          "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("cand_id"))
+      val comps = Similarity.pcaTopK(emb, "embedding", dim = 64, k = 8, iters = 3)
+      val rotP = Similarity.pcaRotate(emb, "vec_id", "embedding", comps)
+      val rotA = Similarity.pcaRotate(emb, "vec_id", "embedding",
+        Similarity.opqAllocate(comps, m = 4))
+      def variant(rot: DataFrame): (DataFrame, DataFrame) = {
+        val cb = Similarity.pqTrain(rot, "vec_id", "rv", m = 4, dim = 8,
+          seedPred = sp, iters = 2)
+        val cand = Similarity.pqSearch(rot, "vec_id", "rv", m = 4, dim = 8,
+          codebooks = cb, queryPred = qp, k = 5)
+          .select(col("query_id"), col("cand_id"))
+        val xh = Similarity.pqDecode(
+          Similarity.pqEncode(rot, "vec_id", "rv", m = 4, dim = 8, cb), cb)
+        val err = rot.select(col("vec_id").cast("long").as("pid"), col("rv"))
+          .join(xh, Seq("pid"))
+          .select(expr("aggregate(zip_with(rv, xhat, (a, b) -> (a-b)*(a-b)), " +
+            "0D, (acc, x) -> acc + x)").as("e"))
+          // 4-digit rounding for the cross-row error SUM: at 6 digits the
+          // engines' partial-sum orders measurably hit a lattice boundary
+          // (sf0.1: 0.981761 vs 0.98176); the per-row folds stay exact
+          .agg((floor(sum(col("e")) * lit(10000.0) + lit(0.5)) / lit(10000.0))
+            .as("err"))
+        (cand, err)
+      }
+      val (candP, errP) = variant(rotP)
+      val (candA, errA) = variant(rotA)
+      recallOf(exact, candP, 5)
+        .select(col("query_id"), col("recall").as("recall_pca"))
+        .join(recallOf(exact, candA, 5)
+          .select(col("query_id"), col("recall").as("recall_alloc")),
+          Seq("query_id"))
+        .crossJoin(broadcast(errP.select(col("err").as("err_pca"))))
+        .crossJoin(broadcast(errA.select(col("err").as("err_alloc"))))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      val dim = 64; val kComp = 8
+      // the x2_opq_recall builder chain, extended with the allocated
+      // coordinate order + per-variant reconstruction error
+      def iterCtes(matrix: String, p: String): String = (1 to 3).map { t =>
+        val prev = s"$p${t - 1}"
+        s"""w_$p$t AS (SELECT m.i, floor(sum(m.cov * vj) * 1000000.0 + 0.5) / 1000000.0 AS wi
+            FROM $matrix m JOIN $prev ON m.j = $prev.j GROUP BY m.i),
+          n_$p$t AS (SELECT sqrt(sum(wi * wi)) AS nrm FROM w_$p$t),
+          $p$t AS (SELECT i AS j, floor(wi / nrm * 1000000.0 + 0.5) / 1000000.0 AS vj
+            FROM w_$p$t, n_$p$t)"""
+      }.mkString(",\n        ")
+      val compCtes = (1 to kComp).map { c =>
+        val mat = s"g${c - 1}"; val p = s"p$c"
+        val defl = if (c < kComp) s""",
+          g$c AS MATERIALIZED (SELECT m.i, m.j,
+              floor((m.cov - lam * a.vj * b.vj) * 1000000.0 + 0.5) / 1000000.0 AS cov
+            FROM $mat m JOIN ${p}3 a ON m.i = a.j JOIN ${p}3 b ON m.j = b.j
+            CROSS JOIN lam$c)""" else ""
+        s"""${p}0 AS (SELECT i AS j, 1.0 AS vj FROM range($dim) t(i)),
+          ${iterCtes(mat, p)},
+          lam$c AS (SELECT floor(sum(m.cov * a.vj * b.vj) * 1000000.0 + 0.5)
+              / 1000000.0 AS lam
+            FROM $mat m JOIN ${p}3 a ON m.i = a.j JOIN ${p}3 b ON m.j = b.j)$defl"""
+      }.mkString(",\n        ")
+      val pcCtes = (1 to kComp).map(c =>
+        s"pc$c AS (SELECT list(vj ORDER BY j) AS pc FROM p${c}3)").mkString(",\n        ")
+      def rotScores(order: Seq[Int]): String = order.map(c =>
+        s"floor(${dotSql("v.v", s"pc$c.pc")} * 1000000.0 + 0.5) / 1000000.0")
+        .mkString("[", ", ", "]")
+      val rotJoin = (1 to kComp).map(c => s"CROSS JOIN pc$c").mkString(" ")
+      // greedy variance-product balancing over a DESCENDING spectrum at
+      // subd=2 is exactly the zig-zag pairing — a static coordinate
+      // order (the realized eigenvalue order is descending on this
+      // fixture; a violation would surface as a hash mismatch)
+      val allocOrder = Seq(1, 8, 2, 7, 3, 6, 4, 5)
+      def pqCtes(pfx: String, src: String, d: Int, m: Int): String = {
+        val subd = d / m
+        val dpc = dotSql("pv", "cv"); val dcc = dotSql("cv", "cv")
+        def distRk(cents: String) =
+          s"""SELECT pid, sub, pv, pn, cell FROM (
+            SELECT e.pid, e.sub, e.pv, e.pn, c.cell,
+              row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+                ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+            FROM ${pfx}e e JOIN $cents c USING (sub)) WHERE rk = 1"""
+        s"""${pfx}e0 AS (SELECT pid, s AS sub, v[s*$subd+1 : s*$subd+$subd] AS pv
+            FROM $src, range($m) t(s)),
+          ${pfx}e AS (SELECT pid, sub, pv, ${dotSql("pv", "pv")} AS pn FROM ${pfx}e0),
+          ${pfx}c0 AS (SELECT sub, CAST(pid AS BIGINT) AS cell, pv AS cv
+            FROM ${pfx}e0 WHERE pid % 23 = 3),
+          ${pfx}a0 AS (${distRk(s"${pfx}c0")}),
+          ${pfx}m0 AS (SELECT sub, cell, i AS pos,
+              floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM ${pfx}a0, range($subd) t(i) GROUP BY sub, cell, i),
+          ${pfx}c1 AS (SELECT sub, cell, list(m ORDER BY pos) AS cv
+            FROM ${pfx}m0 GROUP BY sub, cell),
+          ${pfx}a1 AS (${distRk(s"${pfx}c1")}),
+          ${pfx}m1 AS (SELECT sub, cell, i AS pos,
+              floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM ${pfx}a1, range($subd) t(i) GROUP BY sub, cell, i),
+          ${pfx}cb AS (SELECT sub, cell, list(m ORDER BY pos) AS cv
+            FROM ${pfx}m1 GROUP BY sub, cell),
+          ${pfx}codes AS (SELECT pid, sub, cell AS code FROM (
+            SELECT e.pid, e.sub, c.cell,
+              row_number() OVER (PARTITION BY e.pid, e.sub ORDER BY
+                ((e.pn - 2*$dpc) + $dcc) ASC, c.cell ASC) AS rk
+            FROM ${pfx}e e JOIN ${pfx}cb c USING (sub)) WHERE rk = 1),
+          ${pfx}xhat AS (SELECT codes.pid, flatten(list(cv ORDER BY codes.sub)) AS xh
+            FROM ${pfx}codes codes JOIN ${pfx}cb cb
+              ON codes.sub = cb.sub AND codes.code = cb.cell
+            GROUP BY codes.pid),
+          ${pfx}err AS (SELECT floor(sum(list_sum(list_transform(range($d),
+                i -> (s.v[i+1] - xh[i+1]) * (s.v[i+1] - xh[i+1])))) * 10000.0 + 0.5)
+              / 10000.0 AS err
+            FROM $src s JOIN ${pfx}xhat x ON s.pid = x.pid),
+          ${pfx}dt AS (SELECT q.pid AS query_id, q.sub, c.cell AS code,
+              ((q.pn - 2*${dotSql("q.pv", "c.cv")}) + ${dotSql("c.cv", "c.cv")}) AS d
+            FROM ${pfx}e q JOIN ${pfx}cb c USING (sub)
+            WHERE q.pid % 100 = 0 AND q.pid < 800),
+          ${pfx}sc AS (SELECT dt.query_id, codes.pid,
+              list_sum(list(dt.d ORDER BY dt.sub)) AS adc_dist
+            FROM ${pfx}codes codes JOIN ${pfx}dt dt
+              ON codes.sub = dt.sub AND codes.code = dt.code
+            WHERE codes.pid <> dt.query_id GROUP BY dt.query_id, codes.pid),
+          ${pfx}rk AS (SELECT query_id, pid AS cand_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dist ASC, pid ASC) AS rk FROM ${pfx}sc) WHERE rk <= 5)"""
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS pid,
+          list_transform(range(64), i -> (embedding::DOUBLE[])[i+1] / (1.0 + i)) AS v
+          FROM embeddings),
+        p AS (SELECT i, j, v[i+1] AS x, v[j+1] AS y
+          FROM v, range($dim) a(i), range($dim) b(j) WHERE i <= j),
+        up AS MATERIALIZED (SELECT i, j,
+            floor(((sum(x*y) - sum(x)*sum(y)/count(*)) / count(*)) * 1000000.0 + 0.5)
+              / 1000000.0 AS cov
+          FROM p GROUP BY i, j),
+        g0 AS MATERIALIZED (SELECT i, j, cov FROM up
+               UNION ALL SELECT j AS i, i AS j, cov FROM up WHERE i <> j),
+        $compCtes,
+        $pcCtes,
+        rotp AS MATERIALIZED (SELECT pid, ${rotScores(1 to kComp)} AS v FROM v $rotJoin),
+        rota AS MATERIALIZED (SELECT pid, ${rotScores(allocOrder)} AS v FROM v $rotJoin),
+        ${pqCtes("pp", "rotp", 8, 4)},
+        ${pqCtes("aa", "rota", 8, 4)},
+        q2 AS (SELECT pid AS query_id, v AS qv FROM v
+          WHERE pid % 100 = 0 AND pid < 800),
+        exsc AS (SELECT query_id, w.pid AS cand_id,
+            round(list_sum(list_transform(range(len(w.v)),
+              i -> (w.v[i+1]-qv[i+1])*(w.v[i+1]-qv[i+1]))), 6) AS d
+          FROM v w CROSS JOIN q2 WHERE w.pid <> query_id),
+        exrk AS (SELECT query_id, cand_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY d ASC, cand_id ASC) AS rk FROM exsc) WHERE rk <= 5),
+        qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+          FROM exrk GROUP BY query_id),
+        pph AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exrk JOIN pprk USING (query_id, cand_id) GROUP BY query_id),
+        aah AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM exrk JOIN aark USING (query_id, cand_id) GROUP BY query_id)
+        SELECT qs.query_id,
+          coalesce(pph.n_hits, 0) / CAST(least(qs.n_exact, 5) AS DOUBLE)
+            AS recall_pca,
+          coalesce(aah.n_hits, 0) / CAST(least(qs.n_exact, 5) AS DOUBLE)
+            AS recall_alloc,
+          pperr.err AS err_pca, aaerr.err AS err_alloc
+        FROM qs LEFT JOIN pph USING (query_id) LEFT JOIN aah USING (query_id)
+        CROSS JOIN pperr CROSS JOIN aaerr
+        ORDER BY qs.query_id"""
+    },
+    eagerPlan = true) // pcaTopK + opqAllocate collect bounded artifacts
+
   /** Shared oracle CTEs for the IVF+PQ composed index: coarse centroids
     * (vec_id%89==1) assign every vector / probe the 2 nearest cells per
     * query (vec_id%100==0), chained onto [[pqOracleCtes]]'s trained m=2
@@ -6744,7 +6951,7 @@ object Queries {
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
-    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew)
+    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -825,6 +825,194 @@ object Similarity {
       .select(col("pid"), col("sub"), col("cell").as("code"))
   }
 
+  /** X2 — PQ DECODE (reconstruction): each coded vector rebuilt as the
+    * concatenation of its assigned code centroids, in subspace order —
+    * the x̂ of Jégou et al.'s ‖x − x̂‖ quantization error, and the
+    * reconstruction side of the OPQ-NP Procrustes step ([[opqRefine]]).
+    * Codebooks in [[pqTrain]]'s (sub, cell, pos, coord) long form; codes
+    * in [[pqEncode]]'s (pid, sub, code) form. The codebook collapses to
+    * a broadcast (k·dim doubles) and the concatenation is one grouped
+    * fold per pid — order enforced inside the aggregate, no window.
+    * Output: (pid, xhat). */
+  def pqDecode(codes: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cb = codebooks.groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+        s => s.getField("coord")).as("cv"))
+      .select(col("sub"), col("cell").as("code"), col("cv"))
+    codes.join(broadcast(cb), Seq("sub", "code"))
+      .groupBy(col("pid"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("cv")))),
+        s => s.getField("cv"))).as("xhat"))
+  }
+
+  /** X2 — OPQ eigenvalue ALLOCATION (Ge et al. 2013 §3.3, the second
+    * half of the parametric solution [[pcaRotate]] started): re-order
+    * the PCA components so each PQ subspace receives a BALANCED variance
+    * product, instead of the naive descending order that hands subspace
+    * 0 the k/m largest eigenvalues and the last subspace pure noise.
+    * Greedy assignment (the paper's): components in descending
+    * eigenvalue order, each to the not-yet-full subspace with the
+    * smallest current log-variance product — choosing first by MINIMUM
+    * FILL COUNT, then by log-sum, then lowest subspace: the literal
+    * "smallest product with empty = 1" rule degenerates to consecutive
+    * pairing whenever every eigenvalue is < 1 (any partial product
+    * beats the empty bucket), so the balancing is done scale-invariantly
+    * on log-sums with round-filling. For subd = k/m = 2 over a
+    * descending spectrum this yields the zig-zag pairing
+    * (λ1,λk)(λ2,λk−1)… — the closed form the SQL oracle replays.
+    * Measured on the anisotropic fixture (sf0.01, m=4 over the top-8
+    * rotation): total quantization error 0.890 → 0.548, a 38 % cut at
+    * the same code budget.
+    *
+    * Input/output: pcaTopK's (comp, i, loading, eigenvalue) table with
+    * `comp` RELABELED to the allocated coordinate position — feed
+    * straight into [[pcaRotate]]. Eager by nature ([[pcaTopK]]'s k·d
+    * artifact is collected to build the k-entry permutation — bounded
+    * like the fit itself); requires every eigenvalue > 0 (a component
+    * pcaTopK could train but allocation cannot price signals a
+    * rank-deficient fit — fail loud). */
+  def opqAllocate(components: DataFrame, m: Int): DataFrame = {
+    val lams = components.select(col("comp").cast("long").as("comp"),
+        col("eigenvalue")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val k = lams.length
+    require(k > 0, "opqAllocate: empty component table")
+    require(k % m == 0, s"component count $k must divide into $m subspaces")
+    val slots = k / m
+    lams.foreach { case (c, l) =>
+      require(l > 0, s"opqAllocate: non-positive eigenvalue $l at component $c")
+    }
+    val prod = Array.fill(m)(0.0)
+    val cnt = Array.fill(m)(0)
+    val perm = scala.collection.mutable.Map[Long, Long]()
+    lams.sortBy { case (c, l) => (-l, c) }.foreach { case (c, l) =>
+      val s = (0 until m).filter(cnt(_) < slots)
+        .minBy(i => (cnt(i), prod(i), i))
+      perm(c) = (s * slots + cnt(s) + 1).toLong
+      prod(s) += math.log(l)
+      cnt(s) += 1
+    }
+    val mapExpr = map(perm.toSeq.sortBy(_._1).flatMap { case (c, p) =>
+      Seq(lit(c), lit(p)) }: _*)
+    components.select(element_at(mapExpr, col("comp").cast("long")).as("comp"),
+      col("i"), col("loading"), col("eigenvalue"))
+  }
+
+  /** X2 — one NON-PARAMETRIC OPQ alternation (Ge et al. 2013 §4, the
+    * OPQ-NP refinement on top of [[pcaRotate]]'s parametric baseline):
+    * train a PQ on the current (already-rotated) vectors, DECODE the
+    * reconstructions x̂, and solve the orthogonal Procrustes problem
+    * min_R ‖XR − X̂‖_F — the rotation that best aligns the data with
+    * what its quantizer can represent. R = M(MᵀM)^(-1/2) (the
+    * orthogonal polar factor of M = XᵀX̂), computed on the driver over
+    * the collected d² correlation matrix exactly like [[pcaTopK]]'s
+    * covariance split: the corpus-sized reductions (PQ training, x̂,
+    * M) stay distributed; the d-sized eigensolve of S = MᵀM runs as the
+    * same portable-rounded deflated power iteration (v₀ = 1⃗,
+    * `powerIters` rounded matvecs per component, Rayleigh λ, rank-1
+    * deflation — the identical lattice an unrolled-CTE oracle replays),
+    * then S^(-1/2) = Σ_c v_c·v_cᵀ/√λ_c and R = M·S^(-1/2), every entry
+    * portable-rounded. A matvec that annihilates the iterate or a
+    * non-positive rounded eigenvalue fails loud (S is PD whenever the
+    * reconstructions span the space; a deterministic restart here would
+    * silently diverge from the oracle's fixed-start replay). Because
+    * the eigenpairs come from a FIXED-iteration power method on the
+    * rounded lattice, R is only approximately orthogonal — the
+    * refinement's gate is the measured quantization error / recall
+    * (`x2_opq_np_recall`), not exact orthogonality.
+    *
+    * Returns the correction rotation as a [(comp, i, loading)] table —
+    * [[pcaRotate]]-compatible, loading(i, comp) = R[i][comp-1] — so the
+    * apply step is the same one-broadcast-row codegen projection:
+    * `pcaRotate(rotated, idCol, vecCol, opqRefine(...))` yields XR.
+    * Iterating the alternation = re-calling this op on the re-rotated
+    * frame.
+    *
+    * OPERATING DOMAIN (measured, Round15OpsSpec): the step helps when
+    * correlation structure is misaligned with the subspace cuts and the
+    * spectrum is moderate (the correlated fixture improves and R'R stays
+    * within 3e-3 of I at powerIters=24). It is the WRONG tool after a
+    * full parametric rotation on Gaussian-like data: there OPQ-P is
+    * already the optimum (Ge et al. §3.3 — measured here: refining the
+    * rotated anisotropic fixture moves total quantization error 0.89 →
+    * 1.07, pure approximation noise on zero headroom), and a strongly
+    * decaying spectrum squares into MᵀM's condition number, pushing the
+    * small eigenvalues under the rounding lattice (measured: refining
+    * the ALLOCATED anisotropic rotation explodes error 0.55 → 3.5 as
+    * 1/√λ amplifies lattice noise). Hence the oracle-gated OPQ query
+    * chain uses [[opqAllocate]] (the parametric completion); this op
+    * stays spec-gated on its domain. */
+  def opqRefine(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
+                seedPred: Column, iters: Int = 2, powerIters: Int = 3,
+                roundDigits: Int = 6, maxDim: Int = 256): DataFrame = {
+    require(dim <= maxDim,
+      s"opqRefine collects the d^2 correlation to the driver; dim=$dim " +
+        s"exceeds maxDim=$maxDim")
+    GraftFunctions.register(emb.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    def prc(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    def pr(x: Double): Double = math.floor(x * s + 0.5) / s
+    // distributed: train, encode, decode, and reduce M = Σ x·x̂ᵀ — the
+    // only corpus-sized stages; the shuffle carries d² partial sums
+    val cb = pqTrain(emb, idCol, vecCol, m, dim, seedPred, iters, roundDigits)
+    val codes = pqEncode(emb, idCol, vecCol, m, dim, cb)
+    val xh = pqDecode(codes, cb)
+    val mRows = emb
+      .select(col(idCol).cast("long").as("pid"), asDouble(col(vecCol)).as("pv"))
+      .join(xh, Seq("pid"))
+      .select(posexplode(col("pv")).as(Seq("i", "x")), col("xhat"))
+      .select(col("i"), col("x"), posexplode(col("xhat")).as(Seq("j", "xh")))
+      .groupBy(col("i"), col("j"))
+      .agg(prc(sum(col("x") * col("xh"))).as("mv"))
+      .collect()
+    val mm = Array.ofDim[Double](dim, dim)
+    mRows.foreach(r => mm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // driver: S = MᵀM (rounded), full eigensolve by deflation, S^(-1/2), R
+    val a = Array.tabulate(dim, dim) { (i, j) =>
+      var acc = 0.0; var k = 0
+      while (k < dim) { acc += mm(k)(i) * mm(k)(j); k += 1 }
+      pr(acc)
+    }
+    val vecs = Array.ofDim[Double](dim, dim)
+    val lams = Array.ofDim[Double](dim)
+    for (c <- 0 until dim) {
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to powerIters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+          pr(acc)
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        require(nrm > 0, s"opqRefine: power iterate annihilated at component ${c + 1}" +
+          " — reconstruction correlation is rank-deficient")
+        v = w.map(x => pr(x / nrm))
+      }
+      var ray = 0.0
+      for (i <- 0 until dim; j <- 0 until dim) ray += a(i)(j) * v(i) * v(j)
+      val lam = pr(ray)
+      require(lam > 0, s"opqRefine: non-positive eigenvalue $lam at component ${c + 1}" +
+        " — MᵀM must be positive definite for the polar factor")
+      vecs(c) = v; lams(c) = lam
+      for (i <- 0 until dim; j <- 0 until dim)
+        a(i)(j) = pr(a(i)(j) - lam * v(i) * v(j))
+    }
+    val ih = Array.tabulate(dim, dim) { (i, j) =>
+      var acc = 0.0; var c = 0
+      while (c < dim) { acc += vecs(c)(i) * vecs(c)(j) / math.sqrt(lams(c)); c += 1 }
+      pr(acc)
+    }
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    for (j <- 0 until dim; i <- 0 until dim) {
+      var acc = 0.0; var k = 0
+      while (k < dim) { acc += mm(i)(k) * ih(k)(j); k += 1 }
+      out += (((j + 1).toLong, i.toLong, pr(acc)))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.result().toDF("comp", "i", "loading")
+  }
+
   /** X2 — asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its distance to every code in every subspace (a
     * queries·m·k table — broadcast-tiny), and a corpus item's

@@ -102,6 +102,96 @@ class Round15OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("OPQ-NP refinement: near-orthogonal Procrustes factor, objective non-increase") {
+    import graft.ops.Similarity
+    // correlated fixture misaligned with the m=2 subspace cut: dims
+    // (2,3) correlate 0.8 with dims (0,1) across the cut, so independent
+    // sub-quantizers waste codes on shared information — the structure
+    // the Procrustes step can rotate out. Full-rank by construction
+    // (0.6 fresh noise): a near-rank-deficient M is the op's documented
+    // fail-loud case, not its operating point (it refines
+    // already-decorrelated PCA-rotated representations).
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 400L).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (i, Seq(a, b, 0.8 * a + 0.6 * rnd.nextGaussian(),
+        0.8 * b + 0.6 * rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val seeds = pmod(col("vec_id"), lit(23)) === 3
+    val r = Similarity.opqRefine(data, "vec_id", "embedding", m = 2, dim = 4,
+      seedPred = seeds, iters = 2, powerIters = 24)
+    val rm = Array.ofDim[Double](4, 4)
+    r.collect().foreach(x =>
+      rm(x.getLong(1).toInt)(x.getLong(0).toInt - 1) = x.getDouble(2))
+    // R approximately orthogonal: ‖RᵀR − I‖∞ bounded (power-iteration +
+    // rounding tolerance, not exact; near-degenerate eigen-pairs in this
+    // symmetric fixture converge slowly — 24 iterations measured 2.8e-3,
+    // vs 0.106 at 6)
+    val maxDev = (for (i <- 0 until 4; j <- 0 until 4) yield {
+      val dot = (0 until 4).map(k => rm(k)(i) * rm(k)(j)).sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max
+    assert(maxDev < 0.05, s"R'R deviates from I by $maxDev")
+    // the Procrustes objective itself: against the FIXED reconstructions
+    // x̂ the rotation was solved for, ‖XR − X̂‖² ≤ ‖X − X̂‖² (R = I is
+    // feasible, so the exact solution can only improve; the approximate
+    // R gets a 0.1 % tolerance). Retrained-codebook error is reported as
+    // info — re-seeding k-means after a rotation lands in a different
+    // local optimum, so the paper's monotonicity claim does not transfer
+    // to the retrained measurement.
+    def errAgainst(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                   xh: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("vec_id").cast("long").as("pid"),
+          col(vecCol).cast("array<double>").as("pv"))
+        .join(xh, "pid")
+        .select(expr(
+          "aggregate(zip_with(pv, xhat, (a,b) -> (a-b)*(a-b)), 0D, (acc,x) -> acc+x)")
+          .as("e"))
+        .agg(sum(col("e"))).collect().head.getDouble(0)
+    val cb = Similarity.pqTrain(data, "vec_id", "embedding", m = 2, dim = 4,
+      seedPred = seeds, iters = 2)
+    val xh = Similarity.pqDecode(
+      Similarity.pqEncode(data, "vec_id", "embedding", m = 2, dim = 4, cb), cb)
+      .cache()
+    val before = errAgainst(data, "embedding", xh)
+    val rotated = Similarity.pcaRotate(data, "vec_id", "embedding", r)
+    val after = errAgainst(rotated, "rv", xh)
+    assert(after <= before * 1.001,
+      s"Procrustes step must not worsen its own objective: $before -> $after")
+    info(f"fixed-reconstruction error: $before%.4f -> $after%.4f (${after / before}%.4f x)")
+  }
+
+  test("OPQ eigenvalue allocation: zig-zag on a descending spectrum, scale-invariant") {
+    import graft.ops.Similarity
+    // (comp, i, loading, eigenvalue) — loadings don't matter for the
+    // permutation; eigenvalues ALL < 1 (the case where the literal
+    // 'smallest product, empty = 1' greedy degenerates to consecutive
+    // pairing)
+    def comps(lams: Seq[Double]) = lams.zipWithIndex.flatMap { case (l, c) =>
+      (0 until 4).map(i => ((c + 1).toLong, i.toLong, 0.1, l))
+    }.toDF("comp", "i", "loading", "eigenvalue")
+    val small = comps(Seq(0.5, 0.2, 0.1, 0.04, 0.02, 0.01, 0.005, 0.001))
+    val got = Similarity.opqAllocate(small, m = 4)
+      .select("comp", "eigenvalue").distinct()
+      .as[(Long, Double)].collect().sortBy(_._1)
+    // positions (1..8) must carry eigen-ranks (1,8),(2,7),(3,6),(4,5)
+    val posToRank = got.map { case (pos, l) =>
+      pos -> (Seq(0.5, 0.2, 0.1, 0.04, 0.02, 0.01, 0.005, 0.001).indexOf(l) + 1)
+    }.toMap
+    assert(posToRank == Map(1L -> 1, 2L -> 8, 3L -> 2, 4L -> 7,
+      5L -> 3, 6L -> 6, 7L -> 4, 8L -> 5), posToRank.toString)
+    // scaling every eigenvalue by 1000 (all > 1) gives the SAME permutation
+    val big = comps(Seq(0.5, 0.2, 0.1, 0.04, 0.02, 0.01, 0.005, 0.001).map(_ * 1000))
+    val got2 = Similarity.opqAllocate(big, m = 4)
+      .select("comp", "eigenvalue").distinct().as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got2 == got.map(_._2 * 1000).toSeq)
+    // non-positive eigenvalue fails loud
+    intercept[IllegalArgumentException] {
+      Similarity.opqAllocate(comps(Seq(0.5, 0.0, 0.1, 0.04, 0.02, 0.01, 0.005, 0.001)), m = 4)
+    }
+  }
+
   test("artifact sidecar escapes quotes and backslashes in params") {
     val root = tmpRoot("esc")
     val params = Map("note" -> """a "quoted\path" value""", "k" -> "8")
