@@ -6274,6 +6274,50 @@ object Queries {
         FROM ap WHERE n_syms_before > 0 ORDER BY doc_id"""
     })
 
+  /** X3 — trained-TOKENIZER persistence round-trip
+    * ([[graft.ops.Artifacts]] × BPE, the string-typed artifact family —
+    * `x2_artifact_roundtrip` proves the store on numeric centroid
+    * arrays): the 3-merge table trains, commits as a `bpe_merges`
+    * artifact version, loads back in a fresh read, and the corpus
+    * re-encodes under the LOADED table. The oracle is `x3_bpe_apply`'s
+    * replay (identical training CTEs + ordered fuses), so a hash match
+    * proves the store preserves merge ORDER and symbol strings exactly —
+    * a reordered or truncated merge table would change almost every
+    * document's fuse sequence. */
+  private val x3BpeArtifact = Q("x3_bpe_artifact_apply",
+    (s, dir) => {
+      val root = "/tmp/graft_art_bpe_" + Tables.scratchTag(s, dir)
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeMerges(docs, "doc_id", "text", merges = 3)
+      val v = Artifacts.saveArtifact(merges, root, "bpe_merges",
+        Map("merges" -> "3", "alphabet" -> "char"))
+      val (loaded, _) = Artifacts.loadArtifactVersion(s, root, v, "bpe_merges")
+      TextOps.bpeApply(docs, "doc_id", "text", loaded, k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def fuse(inner: String, t: String): String =
+        s"""replace($inner,
+          '_' || (SELECT left_sym FROM $t) || '__' || (SELECT right_sym FROM $t) || '_',
+          '_' || (SELECT left_sym FROM $t) || (SELECT right_sym FROM $t) || '_')"""
+      val enc3 = fuse(fuse(fuse("enc", "t1"), "t2"), "t3")
+      s"""WITH base AS ($docsTokSql),
+        $bpeTrainCtes,
+        d AS (SELECT doc_id, array_to_string(list_transform(toks,
+            t -> regexp_replace(t, '(.)', '_\\1_', 'g')), ' ') AS enc FROM base),
+        ap AS (SELECT doc_id,
+            CAST((strlen(enc) - strlen(replace(enc, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_before,
+            CAST((strlen($enc3) - strlen(replace($enc3, '_', ''))) // 2 AS BIGINT)
+              AS n_syms_after
+          FROM d)
+        SELECT doc_id, n_syms_before, n_syms_after,
+          floor(n_syms_before / n_syms_after * 10000.0 + 0.5) / 10000.0
+            AS compression
+        FROM ap WHERE n_syms_before > 0 ORDER BY doc_id"""
+    },
+    eagerPlan = true) // constructing commits the merge-table artifact
+
   /** X3 — BYTE-LEVEL tokenizer APPLY
     * ([[graft.ops.TextOps.bpeApplyBytes]] ∘ bpeMergesBytes): the
     * open-alphabet merge artifact actually RUN over the corpus — UTF-8
@@ -6951,7 +6995,7 @@ object Queries {
     x2IvfRerankRecall, x4DecodePng, x4PixelStats, x4DecodeJpeg, x4PngRoundtrip,
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
-    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc)
+    x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc, x3BpeArtifact)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -379,7 +379,8 @@ class PlanSpec extends SparkSpec {
       "x8_hop_distances", "x3_train_classifier", "x3_classifier_scores",
       "x3_bpe_merges_fast", "x3_bpe_bytes", "x3_bpe_bytes_apply",
       "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall",
-      "x2_artifact_roundtrip", "x2_opq_alloc_recall"),
+      "x2_artifact_roundtrip", "x2_opq_alloc_recall",
+      "x3_bpe_artifact_apply"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -412,6 +413,10 @@ class PlanSpec extends SparkSpec {
       // plus opqAllocate's k-eigenvalue collect for the greedy
       // permutation; the search windows are the per-query PQ shapes the
       // dedicated PQ plan tests gate.
+      // x3_bpe_artifact_apply: constructing it trains the merge table
+      // (TakeOrdered argmax per iteration, eager) and commits it to the
+      // artifact store; the apply is the broadcast-row projection the
+      // BPE-apply plan test gates.
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")
