@@ -4951,8 +4951,11 @@ object Queries {
       val rotA = Similarity.pcaRotate(emb, "vec_id", "embedding",
         Similarity.opqAllocate(comps, m = 4))
       def variant(rot: DataFrame): (DataFrame, DataFrame) = {
+        // the trained codebook feeds THREE consumers (search, encode,
+        // decode) — uncached, each replays the 2-iteration Lloyd chain
+        // over the corpus (cb is m·k·subd rows — cache is ~free)
         val cb = Similarity.pqTrain(rot, "vec_id", "rv", m = 4, dim = 8,
-          seedPred = sp, iters = 2)
+          seedPred = sp, iters = 2).cache()
         val cand = Similarity.pqSearch(rot, "vec_id", "rv", m = 4, dim = 8,
           codebooks = cb, queryPred = qp, k = 5)
           .select(col("query_id"), col("cand_id"))

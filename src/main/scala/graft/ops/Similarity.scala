@@ -107,6 +107,20 @@ object Similarity {
         col("cand_id"), col("cosine"))
   }
 
+  /** [[annIndexSearch]] against the CURRENT `ivf_centroids` version of
+    * an [[Artifacts]] store — the restart-safe serving composition: the
+    * centroids that prune the scan are, by construction, the ones the
+    * last committed maintenance pass (initial fit or
+    * [[graft.streaming.StreamingOps.resplitHotCellsPersisted]]) installed
+    * alongside the index layout, with no caller-held state. */
+  def annIndexSearchFromStore(spark: SparkSession, indexPath: String,
+                              artifactRoot: String, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              k: Int = 5): DataFrame = {
+    val (cents, _) = Artifacts.loadArtifact(spark, artifactRoot, "ivf_centroids")
+    annIndexSearch(spark, indexPath, queries, idCol, vecCol, cents, k)
+  }
+
   /** Brute-force cosine top-k: for each query vector (selected by a
     * deterministic pk predicate), the k nearest corpus vectors by cosine.
     * Scores are rounded *before* ranking so rank order is identical in any

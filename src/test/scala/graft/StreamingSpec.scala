@@ -1295,10 +1295,11 @@ class StreamingSpec extends SparkSpec {
     val post = StreamingOps.cellSkewReport(spark, index)
       .as[(Long, Long, Long, Long, Double, Double)].collect()
     assert(post.forall(_._6 <= 1.5), post.toSeq.toString)
-    // a third session searching with ONLY the store + index on disk
+    // a third session searching with ONLY the store + index on disk —
+    // via the store-loading composition itself
     val qv = Seq((9999L, Seq(1.05, 0.36))).toDF("vec_id", "embedding")
-    val hits = Similarity.annIndexSearch(spark, index, qv,
-      "vec_id", "embedding", loaded, k = 3)
+    val hits = Similarity.annIndexSearchFromStore(spark, index, store, qv,
+      "vec_id", "embedding", k = 3)
       .select("cand_id").as[Long].collect().toSet
     assert(hits.nonEmpty && hits.subsetOf((0L until 10L by 2).toSet),
       s"expected upper-lobe neighbors, got $hits")
