@@ -52,9 +52,28 @@ object Bench {
     "x8_triangle_counts",        // degree-oriented exact triangles
     "x3_train_classifier")       // in-engine GD training loop
 
+  /** The measurement-heavy tail (recall evals carrying brute-force exact
+    * references, iterative graph/training evals): ~20 % of the board's
+    * time in ~4 % of its queries. `SPARK_GRAFT_BENCH_TIER=core` skips
+    * them, `eval` runs only them; default (unset/`all`) is the full
+    * board — byte-identical behavior to rounds ≤ 14. The split exists so
+    * a tightened time budget can keep per-operator signal without paying
+    * the eval tail every sweep (SCALING.md round-15 design note). */
+  private val evalTier = Set(
+    "x2_ann_recall", "x2_ivf_recall", "x2_pq_recall", "x2_ivf_pq_recall",
+    "x2_ivf_rerank_recall", "x2_matryoshka_recall", "x2_opq_recall",
+    "x2_opq_alloc_recall", "x8_hits_states", "x8_pagerank_states",
+    "x8_personalized_pagerank", "x3_train_classifier", "x3_classifier_scores")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "all")
+    val inTier: String => Boolean = tier match {
+      case "core" => name => !evalTier(name)
+      case "eval" => evalTier
+      case _      => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +90,8 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(q => inTier(q._1))
+        .sortBy(_._1).map { case (name, fn) =>
         // Cache cleared before EVERY query (round 8): each timing is the
         // query's self-contained full cost. Previously only passes were
         // isolated, so queries sharing session-lifetime operator caches
@@ -95,7 +115,7 @@ object Bench {
     // 50s idle — both passes were slow together); a third pass widens the
     // window a transient load spike must fully cover to distort the min.
     val passes = (1 to 3).map(_ => onePass().toMap)
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val results = SparkEntry.queries.keys.toSeq.filter(inTier).sorted
       .map(k => k -> passes.map(_(k)).min)
     // Locale.ROOT: the f-interpolator uses the default locale, which
     // renders a comma decimal separator on e.g. de_DE JVMs → broken JSON

@@ -699,6 +699,67 @@ object ScaleProbe {
       val (_, tS2) = time("ann compaction search post")(search())
       println(f"[probe] ann compaction files $fBefore->$fAfter rewrite=$tC%6.2f s search $tS1%5.2f->$tS2%5.2f s")
     }
+    // round-15: simhash hot-bucket guard — a template-heavy corpus (30 %
+    // of docs share one boilerplate template) is the degeneracy band
+    // width cannot defuse. The CAPPED path must scale ~linearly with the
+    // corpus; the uncapped quadratic base is priced at 1× only (at Nx it
+    // is (N·0.3n)²/2 candidates by construction — the point of the guard).
+    if (only.forall(_.exists("simhash guard".startsWith))) {
+      val tpl = "data pipelines shuffle partitions and broadcast joins " +
+        "across executors while caching columnar batches near storage "
+      def corpus(n: Long): DataFrame = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 3,
+          concat(lit(tpl), lit("tail "), col("id").cast("string")))
+        .otherwise(concat(lit("unique doc "), col("id").cast("string"),
+          lit(" carries content token "),
+          (col("id") * lit(2654435761L) % lit(1000003L)).cast("string")))
+        .as("text")).cache()
+      val c1 = corpus(5000L); val cN = corpus(5000L * scale)
+      println(s"[probe] simhash guard corpus ${c1.count()}/${cN.count()}")
+      val (u, tU) = time("simhash guard UNCAPPED 1x")(
+        Dedup.simhashPairs(c1, "doc_id", "text").count())
+      probe("simhash guard (capped)",
+        cnt(Dedup.simhashPairs(c1, "doc_id", "text", maxBucketSize = Some(200))),
+        cnt(Dedup.simhashPairs(cN, "doc_id", "text", maxBucketSize = Some(200))))
+      val cap1 = Dedup.simhashPairs(c1, "doc_id", "text",
+        maxBucketSize = Some(200)).count()
+      val capN = Dedup.simhashPairs(cN, "doc_id", "text",
+        maxBucketSize = Some(200)).count()
+      println(f"[probe] simhash guard pairs uncapped-1x=$u (${tU}%.2f s) " +
+        s"capped-1x=$cap1 capped-${scale}x=$capN")
+      c1.unpersist(); cN.unpersist(): Unit
+    }
+    // round-15: hot-cell re-split — cost must scale with the HOT CELL's
+    // bytes (per-cell k-means + rewrite), not the index: one 80 %-hot
+    // cell + 3 cold, 1× vs Nx rows.
+    if (only.forall(_.exists("resplit".startsWith))) {
+      import spark.implicits._
+      def mkIndex(n: Long): String = {
+        val d = java.nio.file.Files.createTempDirectory("graft_rsp_probe")
+          .toString + "/index"
+        spark.range(n).select(col("id").as("pid"),
+          when(pmod(col("id"), lit(10)) < 8,
+            array(lit(1.0) + col("id").cast("double") / lit(1e9),
+              when(pmod(col("id"), lit(2)) === 0, lit(0.3)).otherwise(lit(-0.3))))
+          .otherwise(array(lit(-1.0) + col("id").cast("double") / lit(1e9),
+            pmod(col("id"), lit(3)).cast("double") / lit(10.0))).as("pv"),
+          when(pmod(col("id"), lit(10)) < 8, lit(0L))
+            .otherwise(pmod(col("id"), lit(3)) + 1L).as("cell"))
+          .write.partitionBy("cell").parquet(d)
+        d
+      }
+      val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0)),
+        (2L, Seq(-1.0, 0.1)), (3L, Seq(-1.0, 0.2))).toDF("cell", "cv")
+      val (i1, iN) = (mkIndex(5000L), mkIndex(5000L * scale))
+      val t1 = time("resplit hot cell 1x")(
+        graft.streaming.StreamingOps.resplitHotCells(spark, i1, cents,
+          maxSkew = 2.5, nSplit = 2, iters = 2).count())._2
+      val tN = time(s"resplit hot cell ${scale}x")(
+        graft.streaming.StreamingOps.resplitHotCells(spark, iN, cents,
+          maxSkew = 2.5, nSplit = 2, iters = 2).count())._2
+      println(f"[probe] resplit hot cell                ratio ${tN / t1}%6.1f (linear = $scale)")
+    }
     spark.stop()
   }
 }

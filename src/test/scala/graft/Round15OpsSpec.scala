@@ -192,6 +192,24 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("artifact save refuses to overwrite a concurrently-committed version") {
+    val root = tmpRoot("cc")
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    Artifacts.saveArtifact(df, root, "ivf_centroids")
+    // simulate a racing/corrupt writer: something occupies the NAME this
+    // save will allocate (v2) without being a committed version dir (a
+    // plain file is invisible to the committed-version listing, exactly
+    // like a directory that appears between the listing and the rename);
+    // the save must fail loud instead of clobbering it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "v" + "0" * 19 + "2"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      Artifacts.saveArtifact(df, root, "ivf_centroids")
+    }
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("artifact sidecar escapes quotes and backslashes in params") {
     val root = tmpRoot("esc")
     val params = Map("note" -> """a "quoted\path" value""", "k" -> "8")
