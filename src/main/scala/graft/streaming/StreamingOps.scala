@@ -1539,6 +1539,33 @@ object StreamingOps {
     (updated, v)
   }
 
+  /** ONE maintenance pass over a maintained ANN index — the composed
+    * operational entry point (run against a paused ingest, then hand the
+    * returned centroids to the restarted stream):
+    *   1. [[recoverResplit]] — heal any interrupted prior install;
+    *   2. [[compactAnnIndex]] — collapse the small-file accretion;
+    *   3. [[resplitHotCellsPersisted]] — re-split hot cells and commit
+    *      the updated centroid table as the next `ivf_centroids`
+    *      artifact version.
+    * Returns (updated centroids, committed artifact version, compaction
+    * report). Each stage's cost is bounded by the OFFENDING cells, not
+    * the index — see the per-op scaladocs; together they are the
+    * complete periodic-maintenance story a cell-partitioned streaming
+    * index needs (file tax + skew + restart-safe trained state). */
+  def maintainAnnIndex(spark: SparkSession, indexPath: String,
+                       artifactRoot: String, maxFilesPerCell: Int = 4,
+                       targetBytesPerFile: Long = 128L * 1024 * 1024,
+                       maxSkew: Double = 4.0, nSplit: Int = 4,
+                       iters: Int = 2, maxPasses: Int = 3): (DataFrame, Long, DataFrame) = {
+    recoverResplit(spark, indexPath)
+    val compaction = compactAnnIndex(spark, indexPath, maxFilesPerCell,
+      targetBytesPerFile).localCheckpoint(true)
+    val (cents, version) = resplitHotCellsPersisted(spark, indexPath,
+      artifactRoot, maxSkew = maxSkew, nSplit = nSplit, iters = iters,
+      maxPasses = maxPasses)
+    (cents, version, compaction)
+  }
+
   /** Roll back any interrupted [[resplitHotCells]] install under
     * `indexPath`: for every recovery manifest `.resplit-manifest-cell=N`,
     * delete the manifest's child dirs (installed or staged), restore

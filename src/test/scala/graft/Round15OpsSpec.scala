@@ -212,9 +212,16 @@ class Round15OpsSpec extends SparkSpec {
 
   test("artifact sidecar escapes quotes and backslashes in params") {
     val root = tmpRoot("esc")
-    val params = Map("note" -> """a "quoted\path" value""", "k" -> "8")
+    val params = Map(
+      "note" -> """a "quoted\path" value""",
+      "k" -> "8",
+      "multiline" -> "line one\nline two\ttabbed",
+      "json-ish" -> """{"family":"trap","params":{}}""",
+      "unicode" -> "λ₁=0.02, é → c3 a9",
+      "edge\"key\\" -> "\"")
     Artifacts.saveArtifact(Seq((1L, "x")).toDF("id", "s"), root, "bpe_merges", params)
     val (_, meta) = Artifacts.loadArtifact(spark, root, "bpe_merges")
     assert(meta.params == params)
+    assert(meta.family == "bpe_merges", "a JSON-shaped param value must not spoof the family")
   }
 }

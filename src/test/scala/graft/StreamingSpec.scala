@@ -1305,6 +1305,61 @@ class StreamingSpec extends SparkSpec {
       s"expected upper-lobe neighbors, got $hits")
   }
 
+  test("ANN maintainAnnIndex: one pass compacts, re-splits, and commits the artifact") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    import graft.ops.{Artifacts, Similarity}
+    val base = Files.createTempDirectory("graft_ann_mnt").toString
+    val index = s"$base/index"; val store = s"$base/centroids"
+    Artifacts.saveArtifact(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv"),
+      store, "ivf_centroids")
+    val (cents, _) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingOps.incrementalAnnIndex(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, index, s"$base/ckpt")
+    // 10 micro-batches accrete files in the (skewed) hot cell 0
+    for (b <- 0 until 10) {
+      for (i <- 0 until 4) {
+        val id = 4L * b + i
+        mem.addData((id, Seq(1.0 + 0.001 * id, if (id % 2 == 0) 0.3 else -0.3)))
+      }
+      if (b == 0) mem.addData((100L, Seq(0.0, 1.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val before = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    val (newCents, version, compaction) = StreamingOps.maintainAnnIndex(
+      spark, index, store, maxFilesPerCell = 2, maxSkew = 1.5,
+      nSplit = 2, iters = 3)
+    // compaction touched the accreted hot cell
+    val comp = compaction.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(comp(0L)._2 >= 10L && comp(0L)._3 <= 2L, comp.toString)
+    // re-split bounded the skew and committed version 2
+    assert(version == 2L)
+    val post = StreamingOps.cellSkewReport(spark, index)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(post.forall(_._6 <= 1.5), post.toSeq.toString)
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("pv")).as[(Long, Seq[Double])].collect().toMap
+    assert(after == before)
+    // the committed artifact equals the returned centroids, and a fresh
+    // store-driven search resolves against the new layout
+    val (loaded, metaL) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    assert(metaL.version == 2L)
+    assert(loaded.as[(Long, Seq[Double])].collect().toSet ==
+      newCents.as[(Long, Seq[Double])].collect().toSet)
+    val hits = Similarity.annIndexSearchFromStore(spark, index, store,
+      Seq((9999L, Seq(1.02, 0.31))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0),
+      s"expected upper-lobe neighbors, got $hits")
+  }
+
   test("media codecs run unchanged on a readStream (map-only decode chain)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ops.Multimodal
