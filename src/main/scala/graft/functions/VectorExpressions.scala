@@ -138,6 +138,90 @@ object SignLshBucket {
   }
 }
 
+/** Fused nearest-centroid argmin over `(array<double>,
+  * array<struct<cell: long, cv: array<double>>>)` — the per-row inner
+  * loop of the ENTIRE ANN/clustering family (`kmeansFit` assignment,
+  * `ivfTopK`/`ivfPqSearch` coarse cells, `semanticDedup` partitioning,
+  * the streaming incremental index, PQ sub-code assignment): for each
+  * centroid struct in ARRAY ORDER, dist = (‖p‖² − 2·p·c) + ‖c‖² with
+  * strict `<` (ties keep the earlier = lowest cell, the sorted-array
+  * contract), returning the winning cell id (−1 on an empty list, the
+  * HOF fold's init — and a length-mismatched centroid is SKIPPED,
+  * matching zip_with's null-padded dot folding to a null dist that
+  * loses the IF).
+  *
+  * Bit-identical to the `aggregate(transform(cents, …))` HOF fold it
+  * replaces (asserted in Round15OpsSpec against the retained HOF form):
+  * ‖p‖² and each dot accumulate left-to-right from 0.0 — the graft_dot
+  * order — and the distance association `(pn − 2·d) + dcc` is preserved
+  * verbatim. The HOF form allocates a named_struct per centroid and
+  * boxes every lambda variable, k·(2 array passes) per row interpreted;
+  * this kernel is one tight primitive loop per row inlined into
+  * whole-stage codegen — the difference between an interpreted and a
+  * fused inner loop on the operator family's 100 TB hot path. */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(org.apache.spark.sql.types.StructType(fields), _))
+        if fields.length == 2 &&
+          fields(0).dataType == org.apache.spark.sql.types.LongType &&
+          fields(1).dataType.isInstanceOf[ArrayType] &&
+          fields(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_cell expects (array<double>, array<struct<cell: bigint, " +
+        s"cv: array<double>>>), got ${l.simpleString} and ${r.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCell.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NearestCell.nearest($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object NearestCell {
+  /** One row's argmin: ‖p‖² once, then per centroid one fused
+    * dot+norm pass. FP op order matches the HOF fold exactly. */
+  def nearest(p: ArrayData, cents: ArrayData): Long = {
+    val n = p.numElements()
+    var pn = 0.0
+    var i = 0
+    while (i < n) { val v = p.getDouble(i); pn += v * v; i += 1 }
+    var bestCell = -1L
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      val s = cents.getStruct(c, 2)
+      val cv = s.getArray(1)
+      if (cv.numElements() == n) {
+        var d = 0.0
+        var dcc = 0.0
+        var j = 0
+        while (j < n) {
+          val x = cv.getDouble(j)
+          d += p.getDouble(j) * x
+          dcc += x * x
+          j += 1
+        }
+        val dist = (pn - 2.0 * d) + dcc
+        if (dist < bestDist) { bestDist = dist; bestCell = s.getLong(0) }
+      }
+      c += 1
+    }
+    bestCell
+  }
+}
+
 /** Fused squared L2 norm — what [[NormRewrite]] turns `graft_dot(a, a)`
   * into: one array traversal instead of two bindings of the same child.
   * Same left-to-right summation as DotProductD → bit-identical result. */
@@ -205,7 +289,7 @@ object GraftFunctions {
     // registered an earlier surface and leave the new functions
     // unresolved (exactly the graft_nfc regression this line fixed).
     val already = spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cdc_cuts"))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cell"))
     if (!already) registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
@@ -237,6 +321,8 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Number].longValue(),
         exprs(3).eval().asInstanceOf[Number].longValue()), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -293,6 +379,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Number].longValue(),
         exprs(3).eval().asInstanceOf[Number].longValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => NormRewrite)
   }
 }

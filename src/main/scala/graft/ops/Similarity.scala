@@ -43,6 +43,24 @@ object Similarity {
   private def assignNearestCell(pts: DataFrame, centroids: DataFrame): DataFrame = {
     val one = centroids.agg(
       sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    // the fold evaluates through the fused codegen kernel
+    // [[graft.functions.NearestCell]] (r15) — one tight loop per row in
+    // whole-stage codegen instead of k interpreted lambda allocations;
+    // [[assignNearestCellHof]] is the declarative form it must match
+    // bit-for-bit (cross-checked in Round15OpsSpec, and every assignment
+    // query's DuckDB oracle replays the same closed form)
+    pts.join(broadcast(one))
+      .select(col("pid"), col("pv"),
+        expr("graft_nearest_cell(pv, cents)").as("cell"))
+  }
+
+  /** The declarative HOF form of the [[graft.functions.NearestCell]]
+    * kernel — the closed form the DuckDB oracles mirror; retained as the
+    * cross-check reference (Round15OpsSpec asserts kernel ≡ HOF on
+    * random, tied, and length-mismatched inputs). */
+  private[graft] def assignNearestCellHof(pts: DataFrame, centroids: DataFrame): DataFrame = {
+    val one = centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
     pts.withColumn("pn", expr("graft_dot(pv, pv)"))
       .join(broadcast(one))
       .withColumn("best", expr(
@@ -776,18 +794,11 @@ object Similarity {
     // Any extra columns on `slices` (e.g. the coarse IVF cell in
     // [[ivfPqSearch]]) ride through the scan untouched — the fold only
     // ADDS the winning sub-code, so the composed index needs one pass.
-    slices.withColumn("pn", expr("graft_dot(pv, pv)"))
-      .join(broadcast(bySub), Seq("sub"))
-      .withColumn("best", expr(
-        """aggregate(
-             transform(cents, c -> named_struct(
-               'cell', c.cell,
-               'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
-             named_struct('cell', CAST(-1 AS BIGINT),
-                          'dist', CAST('Infinity' AS DOUBLE)),
-             (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
-      .withColumn("cell", col("best.cell"))
-      .drop("pn", "cents", "best")
+    // Same fused [[graft.functions.NearestCell]] kernel as the coarse
+    // assignment (r15) — identical closed form per subspace.
+    slices.join(broadcast(bySub), Seq("sub"))
+      .withColumn("cell", expr("graft_nearest_cell(pv, cents)"))
+      .drop("cents")
   }
 
   /** X2 — PQ codebook training: [[kmeansFit]]'s Lloyd's loop run over all

@@ -1,0 +1,56 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the fused NearestCell codegen kernel vs the interpreted
+  * HOF argmin fold, same session, on an assignment-dominated shape
+  * (rows × k centroids × d dims is the whole job). Numbers cited in
+  * SCALING.md round-15. */
+object AssignProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+    val rows = args.headOption.map(_.toLong).getOrElse(50000L)
+    val k = args.lift(1).map(_.toInt).getOrElse(256)
+    val d = 64
+    def vec(seed: Int) = expr(
+      s"transform(sequence(0, ${d - 1}), i -> " +
+      s"CAST(pmod(id * (i + $seed) * 2654435761, 1000003) AS DOUBLE) / 1000003.0D)")
+    val pts = spark.range(rows).select(col("id").as("pid"), vec(3).as("pv")).cache()
+    val cents = spark.range(k).select(col("id").as("cell"), vec(7).as("cv")).cache()
+    pts.count(); cents.count()
+    val one = cents.agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    def timeIt(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[assign-probe] $label%-12s min=${ts.min}%7.2f s  all=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    val kernel = pts.join(broadcast(one))
+      .select(col("pid"), expr("graft_nearest_cell(pv, cents)").as("cell"))
+    val hof = pts.withColumn("pn", expr("graft_dot(pv, pv)"))
+      .join(broadcast(one))
+      .withColumn("best", expr(
+        """aggregate(
+             transform(cents, c -> named_struct(
+               'cell', c.cell,
+               'dist', (pn - 2 * graft_dot(pv, c.cv)) + graft_dot(c.cv, c.cv))),
+             named_struct('cell', CAST(-1 AS BIGINT),
+                          'dist', CAST('Infinity' AS DOUBLE)),
+             (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
+      .select(col("pid"), col("best.cell").as("cell"))
+    println(s"[assign-probe] rows=$rows k=$k d=$d")
+    timeIt("kernel")(kernel)
+    timeIt("hof")(hof)
+    // parity double-check at this scale
+    val diff = kernel.as("a").join(hof.as("b"), Seq("pid"))
+      .where(col("a.cell") =!= col("b.cell")).count()
+    println(s"[assign-probe] mismatches=$diff")
+    spark.stop()
+  }
+}

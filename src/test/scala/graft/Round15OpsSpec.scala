@@ -161,6 +161,42 @@ class Round15OpsSpec extends SparkSpec {
     info(f"fixed-reconstruction error: $before%.4f -> $after%.4f (${after / before}%.4f x)")
   }
 
+  test("NearestCell codegen kernel ≡ the declarative HOF argmin fold") {
+    import graft.ops.Similarity
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val pts = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("pid", "pv")
+    val cents = (0L until 23L).map(c =>
+      (c, Seq.fill(16)(rnd.nextGaussian()))).toDF("cell", "cv")
+    def viaKernel(c: org.apache.spark.sql.DataFrame) =
+      Similarity.assignCells(pts, "pid", "pv", c)
+        .select("pid", "cell").as[(Long, Long)].collect().toMap
+    def viaHof(c: org.apache.spark.sql.DataFrame) =
+      Similarity.assignNearestCellHof(
+        pts.select(col("pid"), col("pv").cast("array<double>").as("pv")),
+        c.select(col("cell").cast("long").as("cell"),
+          col("cv").cast("array<double>").as("cv")))
+        .select("pid", "cell").as[(Long, Long)].collect().toMap
+    assert(viaKernel(cents) == viaHof(cents))
+    // exact tie: duplicated centroid vector under two ids → lowest wins
+    val tied = Seq((7L, Seq.fill(16)(0.5)), (3L, Seq.fill(16)(0.5)))
+      .toDF("cell", "cv")
+    assert(viaKernel(tied).values.toSet == Set(3L))
+    assert(viaKernel(tied) == viaHof(tied))
+    // a length-mismatched centroid is SKIPPED by both forms (zip_with
+    // null-pads → null dist loses the IF; the kernel skips explicitly)
+    val mixed = cents.unionByName(
+      Seq((99L, Seq(1.0, 2.0))).toDF("cell", "cv"))
+    assert(viaKernel(mixed) == viaHof(mixed))
+    assert(!viaKernel(mixed).values.toSet.contains(99L))
+    // empty centroid table → the fold's init cell (-1) on both forms
+    val empty = cents.where(col("cell") < 0)
+    assert(viaKernel(empty).values.toSet == Set(-1L))
+    assert(viaKernel(empty) == viaHof(empty))
+  }
+
   test("OPQ eigenvalue allocation: zig-zag on a descending spectrum, scale-invariant") {
     import graft.ops.Similarity
     // (comp, i, loading, eigenvalue) — loadings don't matter for the
