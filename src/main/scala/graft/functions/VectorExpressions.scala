@@ -222,6 +222,80 @@ object NearestCell {
   }
 }
 
+/** Fused max-cosine over a broadcast vector set — the per-row inner
+  * loop of SEMANTIC DECONTAMINATION (`Similarity.semanticDecontaminate`:
+  * corpus rows × |benchmark set| × d — at 100 TB with a 10k-item eval
+  * suite this is the family's dominant term). For each benchmark vector
+  * in ARRAY ORDER: cos = p·b / (‖p‖·‖b‖), folded with Spark's
+  * `greatest` double ordering (java.lang.Double.compare — NaN largest,
+  * −0.0 < 0.0) from the HOF's −1.0 seed; a length-mismatched benchmark
+  * vector contributes null in the HOF (`greatest` skips nulls) and is
+  * skipped here. Bit-identical to the retained HOF fold — asserted in
+  * Round15OpsSpec, and the x3_semantic_decontaminate oracle re-proves
+  * it end-to-end. */
+case class MaxCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_max_cosine expects (array<double>, array<array<double>>), " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_max_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MaxCosine.maxCos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.MaxCosine.maxCos($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object MaxCosine {
+  /** ‖p‖ once, then per benchmark vector one fused dot+norm pass; the
+    * max uses Double.compare — Spark's `greatest` ordering. A zero-norm
+    * vector (either side) throws, matching the ANSI divide-by-zero the
+    * HOF form raises: a zero embedding is a data bug, not a cosine. */
+  def maxCos(p: ArrayData, bvs: ArrayData): Double = {
+    val n = p.numElements()
+    var pn2 = 0.0
+    var i = 0
+    while (i < n) { val v = p.getDouble(i); pn2 += v * v; i += 1 }
+    val pn = java.lang.Math.sqrt(pn2)
+    var acc = -1.0
+    var c = 0
+    val k = bvs.numElements()
+    while (c < k) {
+      val bv = bvs.getArray(c)
+      if (bv.numElements() == n) {
+        var d = 0.0
+        var bb = 0.0
+        var j = 0
+        while (j < n) {
+          val x = bv.getDouble(j)
+          d += p.getDouble(j) * x
+          bb += x * x
+          j += 1
+        }
+        val den = pn * java.lang.Math.sqrt(bb)
+        if (den == 0.0) throw new ArithmeticException(
+          "graft_max_cosine: zero-norm vector — cosine undefined " +
+            "(the HOF form's ANSI divide-by-zero)")
+        val cos = d / den
+        if (java.lang.Double.compare(cos, acc) > 0) acc = cos
+      }
+      c += 1
+    }
+    acc
+  }
+}
+
 /** Fused squared L2 norm — what [[NormRewrite]] turns `graft_dot(a, a)`
   * into: one array traversal instead of two bindings of the same child.
   * Same left-to-right summation as DotProductD → bit-identical result. */
@@ -289,7 +363,7 @@ object GraftFunctions {
     // registered an earlier surface and leave the new functions
     // unresolved (exactly the graft_nfc regression this line fixed).
     val already = spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nearest_cell"))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_max_cosine"))
     if (!already) registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
@@ -323,6 +397,8 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Number].longValue()), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_cell", exprs => NearestCell(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_max_cosine", exprs => MaxCosine(exprs(0), exprs(1)), "scala_udf")
   }
 }
 
@@ -383,6 +459,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
       (exprs: Seq[Expression]) => NearestCell(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_max_cosine"),
+      new ExpressionInfo(classOf[MaxCosine].getName, "graft_max_cosine"),
+      (exprs: Seq[Expression]) => MaxCosine(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => NormRewrite)
   }
 }

@@ -633,6 +633,30 @@ object Similarity {
     def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     val bRow = bench.select(asDouble(col(benchVecCol)).as("bv"))
       .agg(collect_list(col("bv")).as("bvs"))
+    // the max fold evaluates through the fused codegen kernel
+    // [[graft.functions.MaxCosine]] (r15) — [[semanticDecontaminateHof]]
+    // is the declarative form it must match bit-for-bit (Round15OpsSpec
+    // cross-checks; the query oracle replays the same closed form)
+    corpus.select(col(idCol), asDouble(col(vecCol)).as("pv"))
+      .crossJoin(broadcast(bRow))
+      .withColumn("max_cos", pr(expr("graft_max_cosine(pv, bvs)")))
+      .select(col(idCol), col("max_cos"),
+        (col("max_cos") >= lit(tau)).as("contaminated"))
+  }
+
+  /** The declarative HOF form of [[graft.functions.MaxCosine]] — the
+    * closed form the DuckDB oracle mirrors; retained as the cross-check
+    * reference. */
+  private[graft] def semanticDecontaminateHof(corpus: DataFrame, idCol: String,
+                                              vecCol: String, bench: DataFrame,
+                                              benchVecCol: String,
+                                              tau: Double = 0.3,
+                                              roundDigits: Int = 6): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val s = math.pow(10.0, roundDigits)
+    def pr(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val bRow = bench.select(asDouble(col(benchVecCol)).as("bv"))
+      .agg(collect_list(col("bv")).as("bvs"))
     corpus.select(col(idCol), asDouble(col(vecCol)).as("pv"))
       .crossJoin(broadcast(bRow))
       .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))

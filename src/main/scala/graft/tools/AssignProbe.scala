@@ -18,7 +18,7 @@ object AssignProbe {
     val d = 64
     def vec(seed: Int) = expr(
       s"transform(sequence(0, ${d - 1}), i -> " +
-      s"CAST(pmod(id * (i + $seed) * 2654435761, 1000003) AS DOUBLE) / 1000003.0D)")
+      s"CAST(pmod((id + 1) * (i + $seed) * 2654435761, 1000003) AS DOUBLE) / 1000003.0D)")
     val pts = spark.range(rows).select(col("id").as("pid"), vec(3).as("pv")).cache()
     val cents = spark.range(k).select(col("id").as("cell"), vec(7).as("cv")).cache()
     pts.count(); cents.count()
@@ -44,13 +44,32 @@ object AssignProbe {
                           'dist', CAST('Infinity' AS DOUBLE)),
              (acc, c) -> IF(c.dist < acc.dist, c, acc))"""))
       .select(col("pid"), col("best.cell").as("cell"))
-    println(s"[assign-probe] rows=$rows k=$k d=$d")
-    timeIt("kernel")(kernel)
-    timeIt("hof")(hof)
-    // parity double-check at this scale
-    val diff = kernel.as("a").join(hof.as("b"), Seq("pid"))
-      .where(col("a.cell") =!= col("b.cell")).count()
-    println(s"[assign-probe] mismatches=$diff")
+    if (args.contains("maxcos")) {
+      // the semantic-decontamination shape: corpus rows × |bench| × d
+      val bRow = cents.agg(collect_list(col("cv")).as("bvs"))
+      val mcKernel = pts.crossJoin(broadcast(bRow))
+        .select(col("pid"), expr("graft_max_cosine(pv, bvs)").as("max_cos"))
+      val mcHof = pts.crossJoin(broadcast(bRow))
+        .withColumn("pn", sqrt(expr("graft_dot(pv, pv)")))
+        .select(col("pid"), expr(
+          """aggregate(bvs, CAST(-1.0 AS DOUBLE),
+               (acc, bv) -> greatest(acc,
+                 graft_dot(pv, bv) / (pn * sqrt(graft_dot(bv, bv)))))""").as("max_cos"))
+      println(s"[assign-probe] maxcos rows=$rows bench=$k d=$d")
+      timeIt("mc-kernel")(mcKernel)
+      timeIt("mc-hof")(mcHof)
+      val mcDiff = mcKernel.as("a").join(mcHof.as("b"), Seq("pid"))
+        .where(col("a.max_cos") =!= col("b.max_cos")).count()
+      println(s"[assign-probe] maxcos mismatches=$mcDiff")
+    } else {
+      println(s"[assign-probe] rows=$rows k=$k d=$d")
+      timeIt("kernel")(kernel)
+      timeIt("hof")(hof)
+      // parity double-check at this scale
+      val diff = kernel.as("a").join(hof.as("b"), Seq("pid"))
+        .where(col("a.cell") =!= col("b.cell")).count()
+      println(s"[assign-probe] mismatches=$diff")
+    }
     spark.stop()
   }
 }

@@ -214,7 +214,8 @@ class PlanSpec extends SparkSpec {
 
   test("semantic decontamination: bench set broadcasts as one row; corpus side never shuffles") {
     val p = plan("x3_semantic_decontaminate")
-    assert(p.contains("graft_dot"), "cosine fold must use the codegen dot kernel")
+    assert(p.contains("graft_max_cosine"),
+      "the max-cosine fold must use the fused codegen kernel (r15)")
     assert(!p.contains("Window"), "no ranking window — the max is a per-row fold")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the bench embedding row must broadcast into the corpus scan")
@@ -438,6 +439,8 @@ class PlanSpec extends SparkSpec {
       "centroid relation must broadcast")
     assert(!p.contains("SortMergeJoin"), "no corpus-wide join shuffle")
     assert(!p.contains("Window"), "assignment is a fold, not a ranking window")
+    assert(p.contains("graft_nearest_cell"),
+      "assignment must evaluate through the fused argmin kernel (r15)")
   }
 
   test("heavy hitters plans partial sketch aggregation, no token-level shuffle") {

@@ -197,6 +197,35 @@ class Round15OpsSpec extends SparkSpec {
     assert(viaKernel(empty) == viaHof(empty))
   }
 
+  test("MaxCosine codegen kernel ≡ the declarative greatest-fold (incl. mismatch, zero-norm)") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 200L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("doc_id", "embedding")
+    val bench = ((0L until 15L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))) :+
+      (99L, Seq(1.0, 2.0))) // length-mismatched bench vector: skipped
+      .toDF("vec_id", "embedding")
+    def collectOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "max_cos", "contaminated")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val kernel = collectOf(Similarity.semanticDecontaminate(
+      corpus, "doc_id", "embedding", bench, "embedding", tau = 0.3))
+    val hof = collectOf(Similarity.semanticDecontaminateHof(
+      corpus, "doc_id", "embedding", bench, "embedding", tau = 0.3))
+    assert(kernel == hof)
+    // a zero-norm corpus vector FAILS LOUD on both forms (the HOF raises
+    // ANSI divide-by-zero; the kernel matches rather than minting a NaN)
+    val zero = Seq((900L, Seq.fill(8)(0.0))).toDF("doc_id", "embedding")
+    intercept[Exception] {
+      Similarity.semanticDecontaminate(
+        zero, "doc_id", "embedding", bench, "embedding").collect()
+    }
+    intercept[Exception] {
+      Similarity.semanticDecontaminateHof(
+        zero, "doc_id", "embedding", bench, "embedding").collect()
+    }
+  }
+
   test("OPQ eigenvalue allocation: zig-zag on a descending spectrum, scale-invariant") {
     import graft.ops.Similarity
     // (comp, i, loading, eigenvalue) — loadings don't matter for the
