@@ -696,4 +696,49 @@ object Graft {
                                   idCol: String = "doc_id") =
     StreamingOps.incrementalShardAssignTxn(docs, idCol, sizeCol, shards,
       rootPath, checkpoint)
+
+  /** Persist a trained artifact (centroids, PQ codebooks, PCA
+    * components, BPE merges) as the next committed version at `root` —
+    * parquet + JSON sidecar, one atomic rename. Returns the version. */
+  def saveArtifact(df: DataFrame, root: String, family: String,
+                   params: Map[String, String] = Map.empty): Long =
+    Artifacts.saveArtifact(df, root, family, params)
+
+  /** Load the CURRENT committed version of a trained artifact (fails
+    * loud on family mismatch or empty store). */
+  def loadArtifact(spark: SparkSession, root: String,
+                   family: String): (DataFrame, Artifacts.ArtifactMeta) =
+    Artifacts.loadArtifact(spark, root, family)
+
+  /** X2 maintenance, the COMPOSED pass: recover any interrupted install,
+    * compact accreted files, re-split hot cells, and commit the updated
+    * centroid table to the `ivf_centroids` artifact store. Returns
+    * (centroids, artifact version, compaction report). */
+  def maintainAnnIndex(spark: SparkSession, indexPath: String,
+                       artifactRoot: String, maxFilesPerCell: Int = 4,
+                       maxSkew: Double = 4.0, nSplit: Int = 4): (DataFrame, Long, DataFrame) =
+    StreamingOps.maintainAnnIndex(spark, indexPath, artifactRoot,
+      maxFilesPerCell = maxFilesPerCell, maxSkew = maxSkew, nSplit = nSplit)
+
+  /** X2 serving: search the maintained index against the CURRENT
+    * committed centroid version — no caller-held state. */
+  def searchAnnIndexFromStore(spark: SparkSession, indexPath: String,
+                              artifactRoot: String, queries: DataFrame,
+                              k: Int = 5, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame =
+    Similarity.annIndexSearchFromStore(spark, indexPath, artifactRoot,
+      queries, idCol, vecCol, k)
+
+  /** X2: re-order trained PCA components so each PQ subspace receives a
+    * balanced variance product (Ge et al. OPQ eigenvalue allocation);
+    * feed the result to [[whitenEmbeddings]]/`pcaRotate` unchanged. */
+  def allocateComponents(components: DataFrame, m: Int): DataFrame =
+    Similarity.opqAllocate(components, m)
+
+  /** X1 diagnosis: (band, bucket) population + quadratic candidate price
+    * for the simhash blocking key — the measurement behind
+    * `simhashPairs`' per-bucket cap. */
+  def simhashBucketSkew(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    Dedup.simhashBucketReport(docs, idCol, textCol)
 }

@@ -121,4 +121,37 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.decodeImages(img).collect().forall(d =>
       d.effective_w == 30 && d.effective_h == 40))
   }
+
+  test("facade artifact + maintenance + serving surface round-trips") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_facade_art").toString
+    val index = s"$base/index"; val store = s"$base/centroids"
+    val v = Graft.saveArtifact(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv"),
+      store, "ivf_centroids", Map("dim" -> "2"))
+    assert(v == 1L)
+    val (cents, meta) = Graft.loadArtifact(spark, store, "ivf_centroids")
+    assert(meta.params("dim") == "2" && cents.count() == 2L)
+    // a small skewed index on disk, then the composed pass + serving
+    ((0L until 12L).map(i =>
+      (i, Seq(1.0 + 0.001 * i, if (i % 2 == 0) 0.3 else -0.3), 0L)) :+
+      ((100L, Seq(0.0, 1.0), 1L)))
+      .toDF("pid", "pv", "cell").write.partitionBy("cell").parquet(index)
+    val (_, v2, report) = Graft.maintainAnnIndex(spark, index, store,
+      maxFilesPerCell = 2, maxSkew = 1.5, nSplit = 2)
+    assert(v2 == 2L && report.count() >= 2L)
+    val hits = Graft.searchAnnIndexFromStore(spark, index, store,
+      Seq((9999L, Seq(1.0, 0.31))).toDF("vec_id", "embedding"), k = 3)
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0), hits.toString)
+    // allocation + simhash skew delegate
+    val comps = (1 to 4).flatMap(c => (0 until 4).map(i =>
+      (c.toLong, i.toLong, 0.1, 1.0 / c))).toDF("comp", "i", "loading", "eigenvalue")
+    val alloc = Graft.allocateComponents(comps, m = 2)
+      .select("comp", "eigenvalue").distinct().as[(Long, Double)].collect().toMap
+    assert(alloc == Map(1L -> 1.0, 2L -> 0.25, 3L -> 0.5, 4L -> 1.0 / 3))
+    assert(Graft.simhashBucketSkew(
+      Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee")).toDF("doc_id", "text"))
+      .count() >= 1L)
+  }
 }
