@@ -62,8 +62,9 @@ object Bench {
   private val evalTier = Set(
     "x2_ann_recall", "x2_ivf_recall", "x2_pq_recall", "x2_ivf_pq_recall",
     "x2_ivf_rerank_recall", "x2_matryoshka_recall", "x2_opq_recall",
-    "x2_opq_alloc_recall", "x8_hits_states", "x8_pagerank_states",
-    "x8_personalized_pagerank", "x3_train_classifier", "x3_classifier_scores")
+    "x2_opq_alloc_recall", "x2_opq_refine_recall", "x8_hits_states",
+    "x8_pagerank_states", "x8_personalized_pagerank", "x3_train_classifier",
+    "x3_classifier_scores")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

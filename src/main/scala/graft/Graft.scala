@@ -711,14 +711,17 @@ object Graft {
     Artifacts.loadArtifact(spark, root, family)
 
   /** X2 maintenance, the COMPOSED pass: recover any interrupted install,
-    * compact accreted files, re-split hot cells, and commit the updated
-    * centroid table to the `ivf_centroids` artifact store. Returns
-    * (centroids, artifact version, compaction report). */
+    * compact accreted files, re-split hot cells, commit the updated
+    * centroid table to the `ivf_centroids` artifact store, and prune the
+    * version chain to the newest `retainVersions`. Returns (centroids,
+    * artifact version, compaction report). */
   def maintainAnnIndex(spark: SparkSession, indexPath: String,
                        artifactRoot: String, maxFilesPerCell: Int = 4,
-                       maxSkew: Double = 4.0, nSplit: Int = 4): (DataFrame, Long, DataFrame) =
+                       maxSkew: Double = 4.0, nSplit: Int = 4,
+                       retainVersions: Int = 16): (DataFrame, Long, DataFrame) =
     StreamingOps.maintainAnnIndex(spark, indexPath, artifactRoot,
-      maxFilesPerCell = maxFilesPerCell, maxSkew = maxSkew, nSplit = nSplit)
+      maxFilesPerCell = maxFilesPerCell, maxSkew = maxSkew, nSplit = nSplit,
+      retainVersions = retainVersions)
 
   /** X2 serving: search the maintained index against the CURRENT
     * committed centroid version — no caller-held state. */

@@ -37,8 +37,17 @@ case class DotProductD(left: Expression, right: Expression)
 
   // null on length mismatch (matching aggregate(zip_with(...)), where
   // zip_with null-pads the shorter side and the sum becomes NULL) —
-  // so the expression is always nullable, even over non-null inputs
+  // so the expression is always nullable, even over non-null inputs.
+  // A null ELEMENT likewise nulls the sum (x*NULL → NULL in the fold) —
+  // checked only when the child schema admits element nulls, so the
+  // internal hot paths keep the branch-free loop (r16; before this the
+  // kernel read a null slot as garbage bytes on the public SQL surface).
   override def nullable: Boolean = true
+
+  private lazy val mayHaveNulls: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, l), ArrayType(_, r)) => l || r
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,9 +56,20 @@ case class DotProductD(left: Expression, right: Expression)
     if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (mayHaveNulls) {
+      // fused single pass: the null test is one predicted bit-check per
+      // element (measured: a separate pre-pass cost the dot-dominated
+      // kernels ~35-50%)
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
     }
     acc
   }
@@ -59,16 +79,25 @@ case class DotProductD(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val loop = if (mayHaveNulls)
+        s"""for (int $i = 0; $i < $n; $i++) {
+              if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+              $acc += $a.getDouble($i) * $b.getDouble($i);
+            }"""
+      else
+        s"""for (int $i = 0; $i < $n; $i++) {
+              $acc += $a.getDouble($i) * $b.getDouble($i);
+            }"""
       s"""
         int $n = $a.numElements();
         if ($b.numElements() != $n) {
           ${ev.isNull} = true;
         } else {
           double $acc = 0.0;
-          for (int $i = 0; $i < $n; $i++) {
-            $acc += $a.getDouble($i) * $b.getDouble($i);
+          $loop
+          if (!${ev.isNull}) {
+            ${ev.value} = $acc;
           }
-          ${ev.value} = $acc;
         }
       """
     })
@@ -177,12 +206,26 @@ case class NearestCell(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_nearest_cell"
 
+  // The function is registered as PUBLIC SQL (user SQL can feed arrays
+  // with null entries, not just the internally-built non-null frames), so
+  // the kernel must mirror the HOF's null-skip semantics. The per-element
+  // checks are compiled in only when the child SCHEMA admits nulls — the
+  // internal hot paths keep the branch-free loop.
+  private lazy val mayHaveNulls: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, pNulls),
+          ArrayType(st: org.apache.spark.sql.types.StructType, centNulls)) =>
+      pNulls || centNulls || st(0).nullable || st(1).nullable ||
+        st(1).dataType.asInstanceOf[ArrayType].containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    NearestCell.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    NearestCell.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      mayHaveNulls)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.NearestCell.nearest($a, $b)")
+      s"graft.functions.NearestCell.nearest($a, $b, $mayHaveNulls)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -190,8 +233,18 @@ case class NearestCell(left: Expression, right: Expression)
 
 object NearestCell {
   /** One row's argmin: ‖p‖² once, then per centroid one fused
-    * dot+norm pass. FP op order matches the HOF fold exactly. */
-  def nearest(p: ArrayData, cents: ArrayData): Long = {
+    * dot+norm pass. FP op order matches the HOF fold exactly. With
+    * `checkNulls` (schema admits nulls): a null element in `p` nulls
+    * every HOF distance → return the fold init −1; a null centroid
+    * struct, null cell id, null cv, or null cv element skips that
+    * centroid, exactly as the HOF folds those entries to a null dist
+    * that loses the IF. The checks fuse into the main loops (one
+    * predicted bit-test per element — a separate pre-pass measured
+    * ~50% slower on the assignment probe). */
+  def nearest(p: ArrayData, cents: ArrayData, checkNulls: Boolean): Long =
+    if (checkNulls) nearestChecked(p, cents) else nearestFast(p, cents)
+
+  private def nearestFast(p: ArrayData, cents: ArrayData): Long = {
     val n = p.numElements()
     var pn = 0.0
     var i = 0
@@ -215,6 +268,49 @@ object NearestCell {
         }
         val dist = (pn - 2.0 * d) + dcc
         if (dist < bestDist) { bestDist = dist; bestCell = s.getLong(0) }
+      }
+      c += 1
+    }
+    bestCell
+  }
+
+  private def nearestChecked(p: ArrayData, cents: ArrayData): Long = {
+    val n = p.numElements()
+    var pn = 0.0
+    var i = 0
+    while (i < n) {
+      if (p.isNullAt(i)) return -1L
+      val v = p.getDouble(i); pn += v * v; i += 1
+    }
+    var bestCell = -1L
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      if (!cents.isNullAt(c)) {
+        val s = cents.getStruct(c, 2)
+        if (!s.isNullAt(0) && !s.isNullAt(1)) {
+          val cv = s.getArray(1)
+          if (cv.numElements() == n) {
+            var d = 0.0
+            var dcc = 0.0
+            var j = 0
+            var ok = true
+            while (ok && j < n) {
+              if (cv.isNullAt(j)) ok = false
+              else {
+                val x = cv.getDouble(j)
+                d += p.getDouble(j) * x
+                dcc += x * x
+                j += 1
+              }
+            }
+            if (ok) {
+              val dist = (pn - 2.0 * d) + dcc
+              if (dist < bestDist) { bestDist = dist; bestCell = s.getLong(0) }
+            }
+          }
+        }
       }
       c += 1
     }
@@ -246,12 +342,30 @@ case class MaxCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_max_cosine"
 
+  // Public-SQL hardening, mirroring NearestCell: per-element null checks
+  // compile in only when the child schema admits nulls.
+  private lazy val mayHaveNulls: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, pNulls), ArrayType(ArrayType(_, elemNulls), vecNulls)) =>
+      pNulls || vecNulls || elemNulls
+    case _ => true
+  }
+  // Divide-by-zero policy follows the session's ANSI mode so the kernel
+  // stays bit-identical to the retained HOF fold under BOTH configs:
+  // ANSI on (Spark 4 default) → a zero-norm vector throws, exactly like
+  // the HOF's ANSI division error; ANSI off → the HOF's x/0 yields null
+  // and `greatest` skips it, so the kernel skips the vector. Captured at
+  // planning/codegen time — the same point the HOF's Divide expression
+  // binds its own ANSI behavior.
+  private lazy val ansiThrow: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    MaxCosine.maxCos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    MaxCosine.maxCos(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      mayHaveNulls, ansiThrow)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.MaxCosine.maxCos($a, $b)")
+      s"graft.functions.MaxCosine.maxCos($a, $b, $mayHaveNulls, $ansiThrow)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -260,9 +374,23 @@ case class MaxCosine(left: Expression, right: Expression)
 object MaxCosine {
   /** ‖p‖ once, then per benchmark vector one fused dot+norm pass; the
     * max uses Double.compare — Spark's `greatest` ordering. A zero-norm
-    * vector (either side) throws, matching the ANSI divide-by-zero the
-    * HOF form raises: a zero embedding is a data bug, not a cosine. */
-  def maxCos(p: ArrayData, bvs: ArrayData): Double = {
+    * vector throws under ANSI (`ansiThrow`, the Spark 4 default —
+    * matching the HOF form's ANSI divide-by-zero: a zero embedding is a
+    * data bug, not a cosine) and is SKIPPED with ANSI off (the HOF's x/0
+    * folds to null there and `greatest` skips it). With `checkNulls`: a
+    * null element in `p` nulls every HOF cosine → return the −1.0 seed;
+    * a null benchmark vector or null element skips that vector — checks
+    * fused into the main loops, same pattern as [[NearestCell]]. */
+  def maxCos(p: ArrayData, bvs: ArrayData, checkNulls: Boolean,
+             ansiThrow: Boolean): Double =
+    if (checkNulls) maxCosChecked(p, bvs, ansiThrow)
+    else maxCosFast(p, bvs, ansiThrow)
+
+  private def zeroNorm(): Unit = throw new ArithmeticException(
+    "graft_max_cosine: zero-norm vector — cosine undefined " +
+      "(the HOF form's ANSI divide-by-zero)")
+
+  private def maxCosFast(p: ArrayData, bvs: ArrayData, ansiThrow: Boolean): Double = {
     val n = p.numElements()
     var pn2 = 0.0
     var i = 0
@@ -284,11 +412,55 @@ object MaxCosine {
           j += 1
         }
         val den = pn * java.lang.Math.sqrt(bb)
-        if (den == 0.0) throw new ArithmeticException(
-          "graft_max_cosine: zero-norm vector — cosine undefined " +
-            "(the HOF form's ANSI divide-by-zero)")
-        val cos = d / den
-        if (java.lang.Double.compare(cos, acc) > 0) acc = cos
+        if (den == 0.0) { if (ansiThrow) zeroNorm() }
+        else {
+          val cos = d / den
+          if (java.lang.Double.compare(cos, acc) > 0) acc = cos
+        }
+      }
+      c += 1
+    }
+    acc
+  }
+
+  private def maxCosChecked(p: ArrayData, bvs: ArrayData, ansiThrow: Boolean): Double = {
+    val n = p.numElements()
+    var pn2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (p.isNullAt(i)) return -1.0
+      val v = p.getDouble(i); pn2 += v * v; i += 1
+    }
+    val pn = java.lang.Math.sqrt(pn2)
+    var acc = -1.0
+    var c = 0
+    val k = bvs.numElements()
+    while (c < k) {
+      if (!bvs.isNullAt(c)) {
+        val bv = bvs.getArray(c)
+        if (bv.numElements() == n) {
+          var d = 0.0
+          var bb = 0.0
+          var j = 0
+          var ok = true
+          while (ok && j < n) {
+            if (bv.isNullAt(j)) ok = false
+            else {
+              val x = bv.getDouble(j)
+              d += p.getDouble(j) * x
+              bb += x * x
+              j += 1
+            }
+          }
+          if (ok) {
+            val den = pn * java.lang.Math.sqrt(bb)
+            if (den == 0.0) { if (ansiThrow) zeroNorm() }
+            else {
+              val cos = d / den
+              if (java.lang.Double.compare(cos, acc) > 0) acc = cos
+            }
+          }
+        }
       }
       c += 1
     }
@@ -310,14 +482,28 @@ case class SquaredNormD(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm2"
 
+  // graft_dot(a, a) nulls on a null element (r16) — the rewrite target
+  // must agree, or NormRewrite would change results
+  override def nullable: Boolean = true
+  private lazy val mayHaveNulls: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
-    while (i < x.numElements()) {
-      val v = x.getDouble(i)
-      acc += v * v
-      i += 1
+    if (mayHaveNulls) {
+      while (i < n) {
+        if (x.isNullAt(i)) return null
+        val v = x.getDouble(i); acc += v * v; i += 1
+      }
+    } else {
+      while (i < n) {
+        val v = x.getDouble(i); acc += v * v; i += 1
+      }
     }
     acc
   }
@@ -327,17 +513,83 @@ case class SquaredNormD(child: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val loop = if (mayHaveNulls)
+        s"""for (int $i = 0; $i < $a.numElements(); $i++) {
+              if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+              double $v = $a.getDouble($i);
+              $acc += $v * $v;
+            }"""
+      else
+        s"""for (int $i = 0; $i < $a.numElements(); $i++) {
+              double $v = $a.getDouble($i);
+              $acc += $v * $v;
+            }"""
       s"""
         double $acc = 0.0;
-        for (int $i = 0; $i < $a.numElements(); $i++) {
-          double $v = $a.getDouble($i);
-          $acc += $v * $v;
+        $loop
+        if (!${ev.isNull}) {
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Schema-tightening density assertion (r16): validates ONCE that an
+  * array has no null elements and re-declares its type with
+  * `containsNull = false` — the boundary contract that lets every
+  * downstream vector kernel ([[NearestCell]], [[MaxCosine]],
+  * [[DotProductD]], [[SquaredNormD]]) compile its branch-free loop
+  * instead of a per-element null check (measured: schema-blind checks
+  * cost the 500k-row assignment probe ~50%, because parquet list
+  * elements are OPTIONAL so every internal frame's schema admits nulls
+  * the data never contains). A null element THROWS — for the engine's
+  * internal ops a sparse vector is a data bug, same posture as the
+  * zero-norm cosine — while the public SQL kernels keep their HOF
+  * null-skip semantics over un-tightened schemas. Registered as
+  * `graft_dense` composed under `AssertNotNull` (array-level null is
+  * equally a contract violation). */
+case class DenseElements(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dense expects an array, got ${other.simpleString}")
+  }
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(et, _) => ArrayType(et, containsNull = false)
+    case other => other
+  }
+  override def prettyName: String = "graft_dense"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    DenseElements.check(x)
+    x
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      graft.functions.DenseElements.check($a);
+      ${ev.value} = $a;
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object DenseElements {
+  def check(a: ArrayData): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_dense: null element at position $i — engine vector " +
+          "columns are dense by contract (a sparse vector is a data bug)")
+      i += 1
+    }
+  }
 }
 
 /** Optimizer rule: `graft_dot(a, a)` → `graft_norm2(a)` whenever both sides
@@ -363,7 +615,7 @@ object GraftFunctions {
     // registered an earlier surface and leave the new functions
     // unresolved (exactly the graft_nfc regression this line fixed).
     val already = spark.sessionState.functionRegistry.functionExists(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_max_cosine"))
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dense"))
     if (!already) registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(NormRewrite)) {
       spark.experimental.extraOptimizations =
@@ -376,6 +628,16 @@ object GraftFunctions {
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm2", exprs => SquaredNormD(exprs(0)), "scala_udf")
+    // density contract (r16): element validation + containsNull=false,
+    // under an array-level AssertNotNull; graft_nn = the scalar form
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dense", exprs =>
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          DenseElements(exprs(0))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nn", exprs =>
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_tokens", exprs => TokenizeWords(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -22,7 +22,22 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  private def asDouble(c: Column): Column = c.cast("array<double>")
+  // density contract (r16): parquet list elements are OPTIONAL, so a bare
+  // cast leaves containsNull=true and every downstream kernel would pay a
+  // per-element null branch (measured ~50% on the assignment probe).
+  // graft_dense validates ONCE per array and re-declares the type dense —
+  // kernels then compile their branch-free loops; a null element fails
+  // loud (engine vectors are dense by contract).
+  private def asDouble(c: Column): Column =
+    call_function("graft_dense", c.cast("array<double>"))
+
+  /** One-row broadcast centroid frame with the density contract declared
+    * on both struct fields, so [[graft.functions.NearestCell]] and the
+    * probe-expansion dot folds compile without null branches. */
+  private def centsRow(centroids: DataFrame): DataFrame =
+    centroids.agg(sort_array(collect_list(struct(
+      call_function("graft_nn", col("cell")).as("cell"),
+      call_function("graft_dense", col("cv")).as("cv")))).as("cents"))
 
   /** cosine from a fused dot + precomputed norms. */
   private def fastCosine: Column =
@@ -41,8 +56,7 @@ object Similarity {
     * is bit-identical to any engine evaluating the same closed form.
     * Input pts: (pid, pv); output: (pid, pv, cell). */
   private def assignNearestCell(pts: DataFrame, centroids: DataFrame): DataFrame = {
-    val one = centroids.agg(
-      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val one = centsRow(centroids)
     // the fold evaluates through the fused codegen kernel
     // [[graft.functions.NearestCell]] (r15) — one tight loop per row in
     // whole-stage codegen instead of k interpreted lambda allocations;
@@ -59,8 +73,7 @@ object Similarity {
     * cross-check reference (Round15OpsSpec asserts kernel ≡ HOF on
     * random, tied, and length-mismatched inputs). */
   private[graft] def assignNearestCellHof(pts: DataFrame, centroids: DataFrame): DataFrame = {
-    val one = centroids.agg(
-      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val one = centsRow(centroids)
     pts.withColumn("pn", expr("graft_dot(pv, pv)"))
       .join(broadcast(one))
       .withColumn("best", expr(
@@ -291,8 +304,7 @@ object Similarity {
       emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("pv")), centroids)
       .select(col("pid").as("cand_id"), col("pv").as("cvec"), col("cell"))
       .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
-    val one = centroids.agg(
-      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val one = centsRow(centroids)
     val queries = emb.where(queryPred)
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
       .withColumn("pn", expr("graft_dot(qvec, qvec)"))
@@ -602,7 +614,11 @@ object Similarity {
     val pcsRow = components.groupBy(col("comp"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
         p => p.getField("loading")).as("pc"))
-      .agg(transform(array_sort(collect_list(struct(col("comp"), col("pc")))),
+      // density contract on each component vector so the per-row dot
+      // fold below compiles branch-free (see asDouble)
+      .select(col("comp"), call_function("graft_dense", col("pc")).as("pc"))
+      .agg(transform(array_sort(collect_list(struct(
+        call_function("graft_nn", col("comp")).as("comp"), col("pc")))),
         p => p.getField("pc")).as("pcs"))
     emb.select(col(idCol), asDouble(col(vecCol)).as("pv"))
       .crossJoin(broadcast(pcsRow))
@@ -814,7 +830,9 @@ object Similarity {
     * row expansion appears. Ties break to the lowest code in the fold. */
   private def assignSubCells(slices: DataFrame, codebooks: DataFrame): DataFrame = {
     val bySub = codebooks.groupBy(col("sub")).agg(
-      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+      sort_array(collect_list(struct(
+        call_function("graft_nn", col("cell")).as("cell"),
+        call_function("graft_dense", col("cv")).as("cv")))).as("cents"))
     // Any extra columns on `slices` (e.g. the coarse IVF cell in
     // [[ivfPqSearch]]) ride through the scan untouched — the fold only
     // ADDS the winning sub-code, so the composed index needs one pass.
@@ -833,20 +851,41 @@ object Similarity {
     * separate kmeansFit calls, the corpus is sliced and scanned once per
     * iteration for ALL subspaces. Codes are seeded from `seedPred`
     * vectors' slices (same seed ids across subspaces). Output:
-    * (sub, cell, pos, coord, n) — the trained codebooks exploded. */
+    * (sub, cell, pos, coord, n) — the trained codebooks exploded.
+    *
+    * `latticeMeans`: the classic `pr(avg(x))` centroid mean is
+    * partial-sum-order-dependent at rounding half-boundaries — and when
+    * the inputs are THEMSELVES lattice values (a rotated frame), exact
+    * half-boundary means are common (two adjacent lattice values average
+    * onto one), so different partition orders (or engines) legitimately
+    * land one lattice step apart. With `latticeMeans = true` each member
+    * coordinate rounds onto the integer 1e-`roundDigits` lattice FIRST,
+    * the integers sum exactly (order-free), and two fixed-order FP ops
+    * (÷n, ÷scale) render the mean — bit-deterministic across
+    * partitionings and engines. [[opqRefine]] requires this (its
+    * Procrustes reduction floors products of the reconstructions, so a
+    * one-step codebook wobble cascades); the demo/search queries keep
+    * the classic mean, whose boundary jitter their re-rounding consumers
+    * absorb. */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String, m: Int, dim: Int,
-              seedPred: Column, iters: Int = 2, roundDigits: Int = 6): DataFrame = {
+              seedPred: Column, iters: Int = 2, roundDigits: Int = 6,
+              latticeMeans: Boolean = false): DataFrame = {
     require(iters >= 1, "pqTrain needs at least one Lloyd iteration")
     GraftFunctions.register(emb.sparkSession)
     val scale = math.pow(10.0, roundDigits)
     def pr(c: Column): Column = floor(c * lit(scale) + lit(0.5)) / lit(scale)
+    def mean(c: Column): Column =
+      if (latticeMeans)
+        pr(sum(floor(c * lit(scale) + lit(0.5)).cast("long")).cast("double")
+          / count(lit(1)) / lit(scale))
+      else pr(avg(c))
     val pts = subSlices(emb, idCol, vecCol, m, dim)
     def update(assigned: DataFrame, withN: Boolean): DataFrame = {
       val base = assigned
         .select(col("sub"), col("cell"), posexplode(col("pv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("cell"), col("pos"))
-      if (withN) base.agg(pr(avg(col("x"))).as("coord"), count(lit(1)).as("n"))
-      else base.agg(pr(avg(col("x"))).as("m"))
+      if (withN) base.agg(mean(col("x")).as("coord"), count(lit(1)).as("n"))
+      else base.agg(mean(col("x")).as("m"))
         .groupBy(col("sub"), col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
@@ -1002,8 +1041,14 @@ object Similarity {
     def prc(c: Column): Column = floor(c * lit(s) + lit(0.5)) / lit(s)
     def pr(x: Double): Double = math.floor(x * s + 0.5) / s
     // distributed: train, encode, decode, and reduce M = Σ x·x̂ᵀ — the
-    // only corpus-sized stages; the shuffle carries d² partial sums
-    val cb = pqTrain(emb, idCol, vecCol, m, dim, seedPred, iters, roundDigits)
+    // only corpus-sized stages; the shuffle carries d² partial sums.
+    // Each product lands on the integer 1e-6 lattice BEFORE the sum, so
+    // the reduction is an exact integer sum — order-independent across
+    // partitionings AND engines (a raw-FP sum rounded after the fact is
+    // partial-sum-order-dependent; measured: the r16 oracle replay
+    // diverged ~1e-6 per M entry, cascading to ~1e-4 on the error sum).
+    val cb = pqTrain(emb, idCol, vecCol, m, dim, seedPred, iters, roundDigits,
+      latticeMeans = true)
     val codes = pqEncode(emb, idCol, vecCol, m, dim, cb)
     val xh = pqDecode(codes, cb)
     val mRows = emb
@@ -1012,7 +1057,8 @@ object Similarity {
       .select(posexplode(col("pv")).as(Seq("i", "x")), col("xhat"))
       .select(col("i"), col("x"), posexplode(col("xhat")).as(Seq("j", "xh")))
       .groupBy(col("i"), col("j"))
-      .agg(prc(sum(col("x") * col("xh"))).as("mv"))
+      .agg((sum(floor(col("x") * col("xh") * lit(s) + lit(0.5)).cast("long"))
+        .cast("double") / lit(s)).as("mv"))
       .collect()
     val mm = Array.ofDim[Double](dim, dim)
     mRows.foreach(r => mm(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
@@ -1152,8 +1198,7 @@ object Similarity {
     // (3): query probe list — nprobe nearest coarse cells per query
     // (the ivfTopKProbe expansion: sorted slice of the one-row centroid
     // frame; struct order (dist, cell) makes array_sort the tie-break)
-    val one = coarse.agg(
-      sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val one = centsRow(coarse)
     val qprobe = emb.where(queryPred)
       .select(col(idCol).cast("long").as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("pn", expr("graft_dot(qv, qv)"))

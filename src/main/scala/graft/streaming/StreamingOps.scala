@@ -1546,23 +1546,32 @@ object StreamingOps {
     *   2. [[compactAnnIndex]] — collapse the small-file accretion;
     *   3. [[resplitHotCellsPersisted]] — re-split hot cells and commit
     *      the updated centroid table as the next `ivf_centroids`
-    *      artifact version.
+    *      artifact version;
+    *   4. [[graft.ops.Artifacts.pruneArtifacts]] — drop centroid versions
+    *      older than the newest `retainVersions` (default 16, generous:
+    *      each version is one tiny file, but the chain must not grow
+    *      FOREVER under a scheduled maintenance loop). Serving is
+    *      unaffected mid-prune: readers take the highest committed
+    *      version, which is never in the pruned suffix.
     * Returns (updated centroids, committed artifact version, compaction
     * report). Each stage's cost is bounded by the OFFENDING cells, not
     * the index — see the per-op scaladocs; together they are the
     * complete periodic-maintenance story a cell-partitioned streaming
-    * index needs (file tax + skew + restart-safe trained state). */
+    * index needs (file tax + skew + restart-safe trained state +
+    * bounded version history). */
   def maintainAnnIndex(spark: SparkSession, indexPath: String,
                        artifactRoot: String, maxFilesPerCell: Int = 4,
                        targetBytesPerFile: Long = 128L * 1024 * 1024,
                        maxSkew: Double = 4.0, nSplit: Int = 4,
-                       iters: Int = 2, maxPasses: Int = 3): (DataFrame, Long, DataFrame) = {
+                       iters: Int = 2, maxPasses: Int = 3,
+                       retainVersions: Int = 16): (DataFrame, Long, DataFrame) = {
     recoverResplit(spark, indexPath)
     val compaction = compactAnnIndex(spark, indexPath, maxFilesPerCell,
       targetBytesPerFile).localCheckpoint(true)
     val (cents, version) = resplitHotCellsPersisted(spark, indexPath,
       artifactRoot, maxSkew = maxSkew, nSplit = nSplit, iters = iters,
       maxPasses = maxPasses)
+    graft.ops.Artifacts.pruneArtifacts(spark, artifactRoot, keep = retainVersions)
     (cents, version, compaction)
   }
 
@@ -1591,22 +1600,44 @@ object StreamingOps {
       finally in.close()
       val cellDir = new org.apache.hadoop.fs.Path(root, s"cell=$cell")
       val trash = new org.apache.hadoop.fs.Path(root, s".trash-cell=$cell")
-      // Roll BACK only while the original rows still exist (live dir or
-      // trash). If neither does, the install COMMITTED (the happy path
-      // deletes trash first, then staging, then the manifest) and the
-      // children are the only copy — roll FORWARD: keep them, clear
-      // residue. This distinction is what makes every crash position
-      // recoverable without row loss.
-      if (fs.exists(trash) || fs.exists(cellDir)) {
+      // Roll BACK only while the TRASH copy still exists — the trash dir
+      // IS the pre-install copy being restored. When it is gone, the
+      // install COMMITTED (the happy path deletes trash first, then
+      // staging, then the manifest) and the children are the ONLY copy of
+      // the moved rows — roll FORWARD regardless of a live cell dir: an
+      // ingest may have re-created cell=N with NEW rows after the commit
+      // (broken paused-ingest discipline), and deleting the children for
+      // that would lose the moved rows. This distinction is what makes
+      // every crash position recoverable without row loss.
+      if (fs.exists(trash)) {
         childIds.foreach { id =>
           fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$id"), true)
         }
-        if (fs.exists(trash)) {
-          if (!fs.exists(cellDir))
-            require(fs.rename(trash, cellDir),
-              s"recoverResplit: could not restore $trash to $cellDir")
-          else fs.delete(trash, true)
+        if (!fs.exists(cellDir))
+          require(fs.rename(trash, cellDir),
+            s"recoverResplit: could not restore $trash to $cellDir")
+        else {
+          // live dir recreated by an ingest AFTER the aside-rename: merge
+          // the pre-split files back in (part-file names are UUID-unique)
+          // — never drop the only pre-split copy
+          fs.listStatus(trash).filter(_.isFile)
+            .filterNot(f => f.getPath.getName.startsWith("_")
+              || f.getPath.getName.startsWith(".")).foreach { f =>
+              require(fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(cellDir, f.getPath.getName)),
+                s"recoverResplit: could not merge ${f.getPath} into $cellDir")
+            }
+          fs.delete(trash, true)
         }
+      } else if (fs.exists(cellDir) && childIds.exists(id =>
+          fs.exists(new org.apache.hadoop.fs.Path(root, s"cell=$id")))) {
+        // committed children coexist with a re-created parent dir: rows
+        // are intact in both (the parent holds only post-commit ingest),
+        // but the centroid artifact may predate the split — surface it
+        System.err.println(s"[graft] recoverResplit: committed children of " +
+          s"cell=$cell coexist with a re-created live cell dir under " +
+          s"$indexPath — an ingest ran during maintenance; keeping both " +
+          s"(re-run the resplit to converge the centroid table)")
       }
       fs.delete(new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell"), true)
       fs.delete(manifest, false)

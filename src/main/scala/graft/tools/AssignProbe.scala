@@ -19,10 +19,15 @@ object AssignProbe {
     def vec(seed: Int) = expr(
       s"transform(sequence(0, ${d - 1}), i -> " +
       s"CAST(pmod((id + 1) * (i + $seed) * 2654435761, 1000003) AS DOUBLE) / 1000003.0D)")
-    val pts = spark.range(rows).select(col("id").as("pid"), vec(3).as("pv")).cache()
-    val cents = spark.range(k).select(col("id").as("cell"), vec(7).as("cv")).cache()
+    // graft_dense mirrors the op boundary (Similarity.asDouble): validate
+    // density once, let the kernels compile branch-free (r16)
+    val pts = spark.range(rows).select(col("id").as("pid"),
+      call_function("graft_dense", vec(3)).as("pv")).cache()
+    val cents = spark.range(k).select(col("id").as("cell"),
+      call_function("graft_dense", vec(7)).as("cv")).cache()
     pts.count(); cents.count()
-    val one = cents.agg(sort_array(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    val one = cents.agg(sort_array(collect_list(struct(
+      call_function("graft_nn", col("cell")).as("cell"), col("cv")))).as("cents"))
     def timeIt(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -381,7 +381,8 @@ class PlanSpec extends SparkSpec {
       "x3_bpe_merges_fast", "x3_bpe_bytes", "x3_bpe_bytes_apply",
       "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall",
       "x2_artifact_roundtrip", "x2_opq_alloc_recall",
-      "x3_bpe_artifact_apply"),
+      "x3_bpe_artifact_apply", "x2_opq_refine_recall",
+      "x2_pq_artifact_roundtrip", "x2_pca_artifact_roundtrip"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -418,6 +419,15 @@ class PlanSpec extends SparkSpec {
       // (TakeOrdered argmax per iteration, eager) and commits it to the
       // artifact store; the apply is the broadcast-row projection the
       // BPE-apply plan test gates.
+      // x2_opq_refine_recall: pcaTopK's covariance collect plus
+      // opqRefine's d^2 Procrustes reduction (M = X^T·X̂ collected, the
+      // op's documented driver stage); the PQ search windows are the
+      // bounded per-query eval shapes the PQ plan tests gate.
+      // x2_pq_artifact_roundtrip / x2_pca_artifact_roundtrip:
+      // constructing them trains codebooks/components and COMMITS them
+      // to the versioned artifact store (write + rename is the op, same
+      // as x2_artifact_roundtrip); pcaTopK's collect applies to the
+      // latter. The encode/projection they return are broadcast folds.
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")

@@ -272,7 +272,9 @@ class Round15OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Artifacts.saveArtifact(df, root, "ivf_centroids")
     }
-    assert(e.getMessage.contains("serialized"))
+    // r16: with the claim lease, a foreign object on the committed name
+    // can only mean out-of-band tampering — still fail loud
+    assert(e.getMessage.contains("tampered"))
   }
 
   test("artifact sidecar escapes quotes and backslashes in params") {
