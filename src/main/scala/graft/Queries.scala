@@ -2851,28 +2851,28 @@ object Queries {
     * verified against DuckDB's quantile_disc). */
   private val x5ApproxQuantile = Q("x5_approx_quantile",
     (s, dir) => {
-      // Exact discrete quantiles via window rank: percentile_disc(q) is
-      // the value at 1-based position ceil(q·n) in (group, value) order.
-      // Spark's percentile_disc aggregate instead collects a per-group
-      // value map into ONE task's buffer — a single-node sort the rank
-      // form distributes (measured 2.3 s → the window's parallel sort
-      // here; at 100 TB the map form is a straight OOM). The GK sketch
-      // (approx_percentile) rides the same pass, and sketch_ok asserts it
-      // lands within 2% of the exact p50 — the approx-vs-exact contract
+      // Exact discrete quantiles (percentile_disc position rule: the
+      // value at 1-based position ceil(q·n)) via the DISTRIBUTED
+      // selection primitive (AggOps.exactQuantiles, r16): bucket counts
+      // locate each rank's bucket, only that bucket's rows rank. The
+      // previous global-rank window partitioned by l_returnflag — THREE
+      // groups, so one task sorted each group's whole slice (measured
+      // ×6.5 at the 10× board; a straight single-node sort at 100 TB).
+      // Spark's percentile_disc aggregate is equally single-node (per-
+      // group value map in one buffer). The GK sketch (approx_percentile)
+      // rides a plain aggregate, and sketch_ok asserts it lands within
+      // 2% of the exact p50 — the approx-vs-exact contract
       // x5_approx_distinct also follows.
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      li.withColumn("rn", row_number().over(w))
-        .join(broadcast(counts), Seq("l_returnflag"))
+      val exact = AggOps.exactQuantiles(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq(0.5, 0.9))
         .groupBy(col("l_returnflag"))
-        .agg(
-          min(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"),
-            col("l_extendedprice"))).as("p50"),
-          min(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"),
-            col("l_extendedprice"))).as("p90"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap50"))
+        .agg(min(when(col("__q") === lit(0.5), col("__qval"))).as("p50"),
+          min(when(col("__q") === lit(0.9), col("__qval"))).as("p90"))
+      li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(2000)).as("ap50"))
+        .join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("p50"), col("p90"),
           (abs(col("ap50") - col("p50")) <= col("p50") * lit(0.02)).as("sketch_ok"))
         .orderBy(col("l_returnflag"))
@@ -4611,15 +4611,21 @@ object Queries {
     * labels?) doubling as a weak-labeler for unlabeled slices. Majority
     * of the 10 nearest labels; ties broken by strongest supporting
     * cosine then lowest label — all explicit, so both engines rank
-    * identically. */
+    * identically. r16: the query stripe is CAPPED (`vec_id < 2100` —
+    * ≤300 queries at any scale, identical at/below sf0.1 for vec_id
+    * density 1): the uncapped 1/7 stripe made the eval quadratic in the
+    * corpus (the 10× board measured ×7.5) — a real kNN eval probes a
+    * FIXED query set against a growing corpus, the same argument as the
+    * r15 recall stripes. */
   private val x2Knn = Q("x2_knn_classify",
     (s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label", pmod(col("vec_id"), lit(7)) === 0, k = 10)
+        "embedding", "label",
+        pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") < 2100, k = 10)
       .orderBy(col("query_id")),
     Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
           embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
-        WHERE vec_id % 7 = 0),
+        WHERE vec_id % 7 = 0 AND vec_id < 2100),
       scored AS (SELECT query_id, qlabel, e.vec_id AS cand_id,
           e.label AS clabel, ${cosSql("qv", "v")} AS cosine
         FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
@@ -4640,15 +4646,20 @@ object Queries {
     * nearest wrong-label hard negative) — the candidate generator for
     * contrastive embedding training; negative `margin` = an active
     * triplet (imposter outranks the positive). One scored frame, one
-    * window over (anchor, same-label?). */
+    * window over (anchor, same-label?). r16: anchor stripe CAPPED
+    * (`vec_id < 2100`), same rationale as `x2_knn_classify` — the
+    * uncapped 1/7 anchors made mining quadratic (×7.3 at the 10×
+    * board); a training loop mines hard negatives for a bounded anchor
+    * BATCH against the corpus, not all-pairs. */
   private val x2Triplet = Q("x2_triplet_mining",
     (s, dir) => Similarity.tripletMine(Tables.embeddings(s, dir), "vec_id",
-        "embedding", "label", pmod(col("vec_id"), lit(7)) === 3)
+        "embedding", "label",
+        pmod(col("vec_id"), lit(7)) === 3 && col("vec_id") < 2100)
       .orderBy(col("query_id")),
     Some(s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
           embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
-        WHERE vec_id % 7 = 3),
+        WHERE vec_id % 7 = 3 AND vec_id < 2100),
       scored AS (SELECT query_id, qlabel, e.vec_id AS cand_id,
           e.label AS clabel, (e.label = qlabel) AS same,
           ${cosSql("qv", "v")} AS cosine
