@@ -211,6 +211,27 @@ class Round16OpsSpec extends SparkSpec {
     // ANSI ON (the default): both forms fail loud — pinned in Round15OpsSpec
   }
 
+  test("exactQuantiles ≡ the sort-based position rule (random data, " +
+      "many buckets crossed, constant group)") {
+    import graft.ops.AggOps
+    val rnd = new scala.util.Random(31)
+    val data = (1 to 500).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)) ++
+      (1 to 7).map(_ => ("const", 42.0)) // min == max: single-bucket path
+    val df = data.toDF("k", "v").repartition(7)
+    val qs = Seq(0.05, 0.5, 0.9, 1.0)
+    val got = AggOps.exactQuantiles(df, Seq("k"), "v", qs, buckets = 16)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expect = data.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      qs.map(q => (k, q) -> sorted(math.ceil(sorted.size * q).toInt.max(1) - 1))
+    }
+    expect.foreach { case (key, v) =>
+      assert(got(key) == v, s"$key: got ${got(key)}, want $v")
+    }
+    assert(got.size == expect.size)
+  }
+
   test("pqTrain latticeMeans: bit-deterministic across partitionings, " +
       "exact half-boundary means included") {
     // two members whose coordinate sits exactly between lattice steps:
