@@ -234,10 +234,20 @@ object Graft {
     ops.AggOps.madOutliers(df, groupCols, valueCol, k)
 
   /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
-    * (appends `<col>_w`); distributed rank quantiles, broadcast bounds. */
+    * (appends `<col>_w`); distributed selection quantiles, broadcast
+    * bounds. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
+
+  /** EXACT discrete quantiles per group (percentile_disc position rule,
+    * value at sorted position ceil(q·n)) — fully distributed (r16):
+    * bucket counts locate each rank's bucket, only that bucket's rows
+    * rank, so no stage ever sorts a whole group in one task. Output:
+    * (groupCols…, __q, __qval). */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     qs: Seq[Double], buckets: Int = 1024): DataFrame =
+    AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets)
 
   /** X3: per-group adaptive quality gate — keep each group's top
     * `keepTopFrac` of rows by score against the group's OWN quantile

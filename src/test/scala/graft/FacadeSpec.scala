@@ -77,6 +77,8 @@ class FacadeSpec extends SparkSpec {
     assert(Graft.similaritySearch(Graft.embeddings(spark, sf001),
       col("vec_id") === 0L, k = 3).count() == 3)
     assert(Graft.redactPii(docs).count() == 500)
+    assert(Graft.exactQuantiles(docs, Seq("lang"), "n_chars", Seq(0.5, 0.9))
+      .columns.toSeq == Seq("lang", "__q", "__qval"))
     assert(Graft.classifyQuality(docs).columns.contains("clf_score"))
     val kept = Graft.selectByTokenBudget(docs, budget = 2000L)
     assert(kept.count() > 0 && kept.count() < 500)
