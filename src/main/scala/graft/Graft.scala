@@ -235,19 +235,25 @@ object Graft {
 
   /** S3: clamp a column at its per-group exact [lowQ, highQ] quantiles
     * (appends `<col>_w`); distributed selection quantiles, broadcast
-    * bounds. */
+    * bounds. NULL values take no part in the quantile positions
+    * (percentile_disc / quantile_disc semantics — since r16; the r15
+    * window form ranked NULLs first) and clamp to NULL in `<col>_w`. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
 
   /** EXACT discrete quantiles per group (percentile_disc position rule,
-    * value at sorted position ceil(q·n)) — fully distributed (r16):
-    * bucket counts locate each rank's bucket, only that bucket's rows
-    * rank, so no stage ever sorts a whole group in one task. Output:
+    * value at sorted position ceil(q·n); NULLs take no part) — fully
+    * distributed (r16) and skew-bounded (r17): bucket counts locate each
+    * rank's bucket; a single-valued bucket short-circuits (no sort), an
+    * oversized one re-buckets on its own range up to `levels` rounds, so
+    * no stage ever sorts more than one small value slice in one task —
+    * heavy-tie, power-law, and constant columns included. Output:
     * (groupCols…, __q, __qval). */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                     qs: Seq[Double], buckets: Int = 1024): DataFrame =
-    AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets)
+                     qs: Seq[Double], buckets: Int = 1024,
+                     sortThreshold: Long = 1L << 16, levels: Int = 3): DataFrame =
+    AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets, sortThreshold, levels)
 
   /** X3: per-group adaptive quality gate — keep each group's top
     * `keepTopFrac` of rows by score against the group's OWN quantile

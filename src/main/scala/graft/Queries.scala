@@ -1310,6 +1310,29 @@ object Queries {
         FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
       SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b"""))
 
+  /** X2 — bounded-output cosine near-dup view
+    * ([[Similarity.cosineNearDupTopK]], r17): same sign-LSH bucket
+    * candidate generation as x2_cosine_neardup, but each id keeps only
+    * its top-3 partners — ≤ 3 output rows per vector at ANY corpus size
+    * (the uncapped pair set measured ×196 at ×10 data). Symmetric view:
+    * a qualifying pair ranks under both endpoints. */
+  private val x2NearDupTopK = Q("x2_neardup_topk",
+    (s, dir) => Similarity.cosineNearDupTopK(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.35, bits = 4, k = 3)
+      .orderBy(col("id"), col("neighbor_id")),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
+      p AS (SELECT l.vec_id AS id, r.vec_id AS neighbor_id,
+          round(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*r.v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*l.v[i+1])))
+             * sqrt(list_sum(list_transform(range(len(r.v)), i -> r.v[i+1]*r.v[i+1])))), 6) AS cosine
+        FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+      f AS (SELECT * FROM p WHERE cosine >= 0.35),
+      rk AS (SELECT id, neighbor_id, cosine, row_number() OVER (PARTITION BY id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM f)
+      SELECT id, neighbor_id, cosine FROM rk WHERE rk <= 3
+      ORDER BY id, neighbor_id"""))
+
   /** S4: CSV time-series source + sink round-trip (reference make_plots
     * pd.read_csv, notebook cell 1): dump a (step, value) series to CSV with
     * an explicit schema, read it back, EMA-fold it. The oracle reads the
@@ -4038,6 +4061,28 @@ object Queries {
       FROM k a JOIN k b ON a.id < b.id
       WHERE levenshtein(a.key, b.key) <= 2
       ORDER BY a_id, b_id"""))
+
+  /** X1 — bounded-output edit-distance neighbors ([[Dedup.editDistanceTopK]],
+    * r17): the same lossless prefix-filter chain, emission capped at each
+    * id's 3 nearest keys. The uncapped x1_edit_distance_join output grew
+    * ×408 at ×10 data (near-clique replicas); this view's output is ≤ 3
+    * rows per doc by construction. Oracle: brute-force all-pairs,
+    * symmetrized, ranked. */
+  private val x1EditTopK = Q("x1_edit_join_topk",
+    (s, dir) => Dedup.editDistanceTopK(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2, k = 3)
+      .orderBy(col("id"), col("nbr_id")),
+    Some("""WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 40)) AS key
+        FROM documents),
+      p AS (SELECT a.id AS a_id, b.id AS b_id,
+          CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        FROM k a JOIN k b ON a.id < b.id
+        WHERE levenshtein(a.key, b.key) <= 2),
+      s AS (SELECT a_id AS id, b_id AS nbr_id, dist FROM p
+        UNION ALL SELECT b_id AS id, a_id AS nbr_id, dist FROM p),
+      rk AS (SELECT id, nbr_id, dist, row_number() OVER (PARTITION BY id
+          ORDER BY dist ASC, nbr_id ASC) AS rk FROM s)
+      SELECT id, nbr_id, dist FROM rk WHERE rk <= 3 ORDER BY id, nbr_id"""))
 
   /** X6 — DSIR-style target-domain data selection
     * ([[Curation.dsirWeights]]): hashed-token importance weights toward
@@ -7353,7 +7398,8 @@ object Queries {
     x3BpeFast, x2PcaTopK, x2PcaProjectTopK, x3BpeBytes, x4ExifOrientation,
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
     x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc, x3BpeArtifact,
-    x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt)
+    x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt,
+    x2NearDupTopK, x1EditTopK)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -353,10 +353,13 @@ case class MaxCosine(left: Expression, right: Expression)
   // stays bit-identical to the retained HOF fold under BOTH configs:
   // ANSI on (Spark 4 default) → a zero-norm vector throws, exactly like
   // the HOF's ANSI division error; ANSI off → the HOF's x/0 yields null
-  // and `greatest` skips it, so the kernel skips the vector. Captured at
-  // planning/codegen time — the same point the HOF's Divide expression
-  // binds its own ANSI behavior.
-  private lazy val ansiThrow: Boolean =
+  // and `greatest` skips it, so the kernel skips the vector. A STRICT
+  // val (r17): captured at expression CONSTRUCTION on the driver — the
+  // same point the HOF's Divide binds its own ANSI flag — so the
+  // interpreted eval path sees the planning-time value even when first
+  // forced on an executor after deserialization (a lazy val there would
+  // read the executor's SQLConf instead).
+  private val ansiThrow: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -238,50 +238,91 @@ object AggOps {
 
   /** EXACT discrete quantiles per group — the value at 1-based sorted
     * position ceil(q·n), DuckDB's `quantile_disc` position rule —
-    * computed fully distributed (r16). The previous form ranked every
-    * row with `row_number() OVER (PARTITION BY group ORDER BY value)`:
-    * with a LOW-cardinality group key (3 return flags) that is one task
-    * PER GROUP sorting the group's entire slice — the r16 sf1.0 board
-    * measured it ×6.5 at ×10 data and at 100 TB it is a straight
-    * single-node sort. This form never sorts more than a bucket:
+    * computed fully distributed (r16) and SKEW-BOUNDED (r17). The r15
+    * form ranked every row with `row_number() OVER (PARTITION BY group
+    * ORDER BY value)`: with a LOW-cardinality group key (3 return flags)
+    * that is one task PER GROUP sorting the group's entire slice — the
+    * r16 sf1.0 board measured it ×6.5 at ×10 data and at 100 TB it is a
+    * straight single-node sort. This form never sorts more than one
+    * small value slice:
     *   1. per-group (n, min, max) — one aggregate;
     *   2. rows map monotonically onto `buckets` uniform value ranges;
-    *      per-(group, bucket) counts — one aggregate, ≤ groups·buckets
-    *      rows;
+    *      per-(group, bucket) (count, min, max) — one aggregate,
+    *      ≤ groups·buckets rows;
     *   3. a cumulative count over the ≤`buckets` rows per group locates
     *      the bucket containing each target rank ceil(q·n) and the
     *      offset within it;
-    *   4. only the SELECTED buckets' rows get a ranking window — n/B
-    *      expected occupancy, not n.
+    *   4. per-target routing (all lazy, one plan, no driver actions):
+    *      - TIE SHORT-CIRCUIT: if the selected bucket's min <=> max,
+    *        every row in it is that value — the answer is emitted with
+    *        NO row materialization at all. This is what bounds
+    *        heavy-tie / power-law columns and the constant-group branch
+    *        (which puts ALL rows in bucket 0): the r16 form sorted that
+    *        O(n) bucket in one task.
+    *      - SMALL (count ≤ sortThreshold): the bucket's rows get the
+    *        ranking window — n/B expected occupancy. The common exit.
+    *      - BIG (count > sortThreshold, ≥ 2 distinct values): the
+    *        bucket is re-bucketed on ITS OWN [min, max] range and the
+    *        routing repeats, up to `levels` rounds. Each round shrinks
+    *        the slice's value range ×`buckets` (1024³ ≈ 2³⁰ effective
+    *        resolution at the defaults) or resolves it as a tie; after
+    *        the last round whatever remains is sorted (correct always —
+    *        only slow if > sortThreshold DISTINCT-but-2⁻³⁰-range values
+    *        share one slice, i.e. adjacent-double clustering).
     * Correct for ANY monotone bucketing (ties share a bucket; the
     * in-bucket offset is exact arithmetic on exact counts), so the
-    * result is identical to the global-rank form. Pathological value
-    * concentration (most of a group inside one bucket's value range)
-    * degrades step 4 toward the old shape for that group — `buckets` is
-    * the lever; one uniform level suffices for the engine's data.
-    * NULL values take no part (groups of only NULLs are absent).
+    * result is identical to the global-rank form — re-bucketing a slice
+    * re-ranks WITHIN it with the offset already localized, and Sterbenz
+    * subtraction of nearby doubles keeps (v−lo)/(hi−lo) monotone at any
+    * depth. NULL values take no part (groups of only NULLs are absent).
+    *
+    * Plan-shape note (why refinement re-joins the BASE rows instead of
+    * chaining the previous level's join output): a slice's rows are
+    * exactly `lo ≤ v ≤ hi` against its located bucket's actual min/max —
+    * monotone bucketing means no foreign row can fall between two bucket
+    * members — so each level is `rows ⋈ broadcast(tiny targets)`, a
+    * map-side filter. Chaining instead multiplies the DATA subtree's
+    * references ~4× per level; with [[madOutliers]] nesting one
+    * exactQuantiles inside another, that tree blows up exponentially and
+    * Catalyst analysis alone took minutes (measured r17). Here every
+    * level adds only one more scan of `rows` plus tiny aggregate
+    * subtrees, all lazy — no checkpoint, no driver action. The common
+    * case (every located bucket small or tied) routes all targets out at
+    * level 1 and AQE's empty-relation propagation collapses the unused
+    * deeper levels at runtime.
     * Output: (groupCols…, __q, __qval), one row per (group, q). */
   def exactQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                      valueCol: String, qs: Seq[Double],
-                     buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+                     buckets: Int = 1024, sortThreshold: Long = 1L << 16,
+                     levels: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "exactQuantiles needs at least one group column")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1]: $qs")
     require(buckets >= 2, "need at least two buckets")
+    require(sortThreshold >= 1, "sortThreshold must be positive")
+    require(levels >= 1, "need at least one bucketing level")
     val gs = groupCols.map(col)
     // all group-key joins below are NULL-SAFE (<=> on renamed right-side
     // keys): a null-keyed group is a real group here, same as groupBy's
-    val rows = df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).as("__v"): _*)
-    val stats = rows.groupBy(gs: _*)
-      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
-        max(col("__v")).as("__mx"))
     def renamed(in: org.apache.spark.sql.DataFrame, pfx: String) =
       in.select(in.columns.map(c =>
         if (groupCols.contains(c)) col(c).as(s"$pfx$c") else col(c)): _*)
     def keyCond(pfx: String) =
       groupCols.map(c => col(c) <=> col(s"$pfx$c")).reduce(_ && _)
+    // __q is a literal from qs — never null, but <=> keeps the join shape
+    // uniform with the group keys
+    def keyCondQ(pfx: String) = keyCond(pfx) && col("__q") <=> col(s"${pfx}__q")
+    def renamedQ(in: org.apache.spark.sql.DataFrame, pfx: String) =
+      in.select(in.columns.map(c =>
+        if (groupCols.contains(c) || c == "__q") col(c).as(s"$pfx$c")
+        else col(c)): _*)
+    val rows = df.where(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).as("__v"): _*)
+    val stats = rows.groupBy(gs: _*)
+      .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
+        max(col("__v")).as("__mx"))
+    // ---- level 1: bucket once per group (q-free — targets share it) ----
     val bucketed = rows
       .join(renamed(stats, "__s_"), keyCond("__s_"))
       .withColumn("__b", when(col("__mx") <=> col("__mn"), lit(0))
@@ -289,30 +330,117 @@ object AggOps {
             (col("__mx") - col("__mn")) * lit(buckets.toDouble)),
           lit((buckets - 1).toDouble))).cast("int"))
       .select(gs ++ Seq(col("__v"), col("__b")): _*)
-    val cum = bucketed.groupBy(gs :+ col("__b"): _*).agg(count(lit(1)).as("__c"))
+    val cum = bucketed.groupBy(gs :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
+        max(col("__v")).as("__bmx"))
       .withColumn("__cumIncl",
         sum(col("__c")).over(Window.partitionBy(gs: _*).orderBy(col("__b"))))
       .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
-    // the rank expression is verbatim the old form's ceil(n · q) so the
+    // the rank expression is verbatim the r15 form's ceil(n · q) so the
     // selected position (and the hash-gated result) is unchanged
     val targets = stats
       .select(gs :+ col("__n") :+ explode(array(qs.map(lit): _*)).as("__q"): _*)
       .withColumn("__k",
         greatest(ceil(col("__n") * col("__q")).cast("long"), lit(1L)))
+    // located: one row per (group, q) — the selected bucket, the 1-based
+    // offset of the target within it, and the bucket's own stats
     val located = targets
       .join(renamed(cum, "__c_"), keyCond("__c_"))
       .where(col("__cumBefore") < col("__k") && col("__k") <= col("__cumIncl"))
       .select(gs ++ Seq(col("__q"), col("__b"),
-        (col("__k") - col("__cumBefore")).as("__off")): _*)
-    bucketed
-      .join(renamed(located, "__l_").withColumnRenamed("__b", "__lb"),
+        (col("__k") - col("__cumBefore")).as("__off"),
+        col("__c"), col("__bmn"), col("__bmx")): _*)
+    // tie short-circuit: a single-valued bucket IS its every rank — the
+    // O(n) heavy-tie bucket never reaches a join, let alone a sort
+    val tie1 = located.where(col("__bmn") <=> col("__bmx"))
+      .select(gs ++ Seq(col("__q"), col("__bmn").as("__qval")): _*)
+    val live1 = located.where(!(col("__bmn") <=> col("__bmx")))
+    // SMALL buckets: the r16 terminal join+rank, now gated on occupancy.
+    // renamed (group keys only): bucketed is q-free, so live1's __q flows
+    // through unprefixed to tag the slice rows
+    val small1 = live1.where(col("__c") <= lit(sortThreshold))
+    val sorted1 = bucketed
+      .join(renamed(small1, "__l_").withColumnRenamed("__b", "__lb"),
         keyCond("__l_") && col("__b") === col("__lb"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__v"))))
       .where(col("__rn") === col("__off"))
       .select(gs ++ Seq(col("__q"), col("__v").as("__qval")): _*)
+    // BIG buckets recurse: slice described by (rank-in-slice, lo, hi, cnt)
+    val tgt1 = live1.where(col("__c") > lit(sortThreshold))
+      .select(gs ++ Seq(col("__q"), col("__off").as("__k"),
+        col("__c").as("__cnt"), col("__bmn").as("__lo"),
+        col("__bmx").as("__hi")): _*)
+
+    /** Slice rows via the broadcast range-join: by monotonicity,
+      * lo ≤ v ≤ hi against the located bucket's ACTUAL min/max selects
+      * exactly the bucket's rows from the base — no chained lineage. */
+    def sliceRows(tgt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      rows.join(broadcast(renamedQ(tgt, "__t_")),
+        keyCond("__t_") && col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .select(gs ++ Seq(col("__t___q").as("__q"), col("__v"),
+          col("__k"), col("__lo"), col("__hi")): _*)
+
+    /** Rank a slice and pick position __k — the terminal sort, only ever
+      * over one slice's rows in a task. */
+    def sortResolve(tgt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      sliceRows(tgt)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__v"))))
+        .where(col("__rn") === col("__k"))
+        .select(gs ++ Seq(col("__q"), col("__v").as("__qval")): _*)
+
+    /** One refinement round: re-bucket each oversized slice on its own
+      * [lo, hi] range, tie-short-circuit single-valued sub-buckets, sort
+      * the small ones, recurse on the rest. `tgt` rows always have
+      * __lo < __hi and __cnt > sortThreshold. */
+    def refine(tgt: org.apache.spark.sql.DataFrame,
+               remaining: Int): org.apache.spark.sql.DataFrame =
+      if (remaining == 0) sortResolve(tgt)
+      else {
+        val bw = sliceRows(tgt)
+          .withColumn("__b", least(floor((col("__v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * lit(buckets.toDouble)),
+            lit((buckets - 1).toDouble)).cast("int"))
+        val subCum = bw.groupBy(gs ++ Seq(col("__q"), col("__b")): _*)
+          .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
+            max(col("__v")).as("__bmx"))
+          .withColumn("__cumIncl", sum(col("__c")).over(
+            Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__b"))))
+          .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
+        val subLocated = tgt
+          .join(renamedQ(subCum, "__c_"), keyCondQ("__c_"))
+          .where(col("__cumBefore") < col("__k") && col("__k") <= col("__cumIncl"))
+          .select(gs ++ Seq(col("__q"),
+            (col("__k") - col("__cumBefore")).as("__k2"),
+            col("__c"), col("__bmn"), col("__bmx")): _*)
+          .withColumnRenamed("__k2", "__k")
+        val tie = subLocated.where(col("__bmn") <=> col("__bmx"))
+          .select(gs ++ Seq(col("__q"), col("__bmn").as("__qval")): _*)
+        val live = subLocated.where(!(col("__bmn") <=> col("__bmx")))
+          .select(gs ++ Seq(col("__q"), col("__k"), col("__c").as("__cnt"),
+            col("__bmn").as("__lo"), col("__bmx").as("__hi")): _*)
+        val small = live.where(col("__cnt") <= lit(sortThreshold))
+        val big = live.where(col("__cnt") > lit(sortThreshold))
+        sortResolve(small).unionByName(tie)
+          .unionByName(refine(big, remaining - 1))
+      }
+
+    tie1.unionByName(sorted1).unionByName(refine(tgt1, levels - 1))
   }
 
+  /** S3 winsorize — clamp `valueCol` into its per-group exact
+    * [lowQ, highQ] discrete quantiles, appended as `<valueCol>_w`.
+    *
+    * NULL semantics (changed r16, documented r17): NULL values take no
+    * part in the quantile positions and can never be selected as a bound
+    * — percentile_disc / quantile_disc's rule, and what the DuckDB oracle
+    * computes. (The r15 window form ranked NULLs FIRST inside the group,
+    * which shifted every position on nullable columns and could pick
+    * NULL as a bound — arguably a bug this replaced.) A NULL value row
+    * itself clamps to NULL: least/greatest propagate it. A group whose
+    * values are ALL null gets NULL bounds via the left join, so its rows
+    * also pass through as NULL. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                 valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")
@@ -327,9 +455,13 @@ object AggOps {
       .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
         Seq(col("__lo"), col("__hi")): _*)
     val cond = groupCols.map(c => df(c) <=> col(s"__g_$c")).reduce(_ && _)
+    // NULL passthrough is explicit: Spark's least/greatest SKIP nulls
+    // (greatest(NULL, lo) = lo), which would silently clamp a NULL value
+    // to the lower bound — "clamp an unknown value" stays unknown instead
     df.join(broadcast(bounds), cond, "left")
       .withColumn(valueCol + "_w",
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 }

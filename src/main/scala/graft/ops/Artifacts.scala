@@ -181,8 +181,13 @@ object Artifacts {
         else fs.create(marker, false).close()
         claimed = true
       } catch {
+        // ONLY already-exists is a lost race (r17 — was: any IOException,
+        // which spun 64 list-and-create rounds on permissions/quota/
+        // connectivity failures and then discarded the root cause).
+        // Both variants: java.nio throws the nio exception, Hadoop
+        // filesystems throw their own (itself an IOException subclass).
         case _: java.nio.file.FileAlreadyExistsException => () // lost; recompute
-        case _: java.io.IOException => ()                      // lost; recompute
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
       }
     }
     val staging = new org.apache.hadoop.fs.Path(root, s".tmp-${versionName(version)}")
@@ -242,10 +247,15 @@ object Artifacts {
 
   /** Drop committed versions older than the newest `keep` (default: keep
     * the current and one rollback target). Never touches hidden staging
-    * residue younger saves may be writing; DOES sweep stale claim markers
-    * below the highest committed version (their writer either committed —
-    * the marker is leftover — or died, and the number is a permanent gap
-    * either way), leaving only claims that may still be mid-save. */
+    * residue younger saves may be writing; DOES sweep ALL claim markers
+    * below the highest committed version. That can include the claim of a
+    * still-running slow save that was overtaken by a faster writer — safe
+    * even so: once a higher version commits, `takenVersions.max + 1` can
+    * never hand that number to a new claimant again, and the overtaken
+    * writer holds its version in a local variable (it never re-reads the
+    * marker), so it still commits its own directory intact. Claims ABOVE
+    * the newest committed version (possibly mid-save, not yet overtaken)
+    * are the only ones left untouched. */
   def pruneArtifacts(spark: SparkSession, rootPath: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val versions = committedVersions(spark, rootPath)

@@ -928,4 +928,30 @@ object Dedup {
         lit(0L).as("dist"))
     within.union(cross).orderBy(col("a_id"), col("b_id"))
   }
+
+  /** X1 — BOUNDED-OUTPUT edit-distance neighbor view (r17): for each id,
+    * its `k` nearest keys within distance ≤ `maxDist` (ties broken by the
+    * lower neighbor id). Candidate generation and verification are
+    * [[editDistanceJoin]]'s lossless prefix-filter chain unchanged; only
+    * the EMISSION is capped — the uncapped pair set grew ×408 at ×10 data
+    * on the r16 board (per-source duplicate replicas form near-cliques:
+    * m copies ⇒ m² pairs), correct but quadratic in clique size, where a
+    * 100 TB user wants each doc's best matches. Symmetric: each verified
+    * pair ranks under both endpoints. The per-id ranking window sorts at
+    * most an id's own verified-match list, which the cap then truncates.
+    * Output: (id, nbr_id, dist), ≤ k rows per id. */
+  def editDistanceTopK(docs: DataFrame, idCol: String, key: Column,
+                       maxDist: Int = 2, q: Int = 2, k: Int = 3,
+                       caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pairs = editDistanceJoin(docs, idCol, key, maxDist, q, caches)
+    val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nbr_id"), col("dist"))
+      .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nbr_id"),
+        col("dist")))
+    sym.withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("dist").asc, col("nbr_id").asc)))
+      .where(col("__rk") <= k)
+      .select(col("id"), col("nbr_id"), col("dist"))
+  }
 }

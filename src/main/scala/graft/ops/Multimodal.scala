@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2.8 X4).
   *
   * Media (image/audio/video) are opaque `binary` columns with typed
-  * metadata travelling alongside. The Spark-side mechanics — schema,
-  * partition sizing, batch shape, pruning — are real; the codec itself is
-  * a deterministic STUB (`fakeDecode*`) because no media libraries ship in
-  * this container. Swapping the stub for a real decoder keeps every plan
-  * unchanged: the decode is a per-row expression / mapPartitions kernel
-  * with the same signature.
+  * metadata travelling alongside. Both the Spark-side mechanics — schema,
+  * partition sizing, batch shape, pruning — AND the codecs are real
+  * (r11–r13, oracle-gated by `x4_decode_real`, `x4_png_roundtrip`, …):
+  * byte-level container parsers written against the public format specs —
+  * PNG (zlib inflate + per-scanline defilter + CRC check), JPEG baseline
+  * SOF0 / progressive SOF2 headers, EXIF in both endiannesses, WAV
+  * (PCM / IEEE-float / EXTENSIBLE), and MP4 (version-1 and largesize
+  * boxes). The one remaining fake, [[fakeDecodeFeatures]], is NOT a codec
+  * stand-in: it is the deterministic feature-vector synthesizer the
+  * media-embedding fixtures use (binary → array<double> with a stable
+  * contract), kept so embedding-space ops have reproducible inputs
+  * without a model in the container.
   *
   * Scale notes: binary payloads dominate row size, so (a) metadata-only
   * queries must prune the binary column at the scan (verified via

@@ -343,6 +343,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** X2 — BOUNDED-OUTPUT near-duplicate view (r17): for each vector, its
+    * top-`k` near-dup partners by cosine (ties broken by the lower
+    * neighbor id), searched within the same sign-LSH buckets as
+    * [[cosineNearDup]]. Identical candidate generation — bucket-keyed,
+    * never all-pairs — but the RESULT is ≤ k rows per id, so the output
+    * grows linearly with the corpus. The uncapped pair set measured ×196
+    * rows at ×10 data on the r16 board (near-clique duplicate groups emit
+    * quadratically); that is the correct answer to "all pairs ≥ t", but
+    * not a thing anyone materializes at 100 TB — keep-best / components
+    * consumers want each doc's best survivors, which this emits directly.
+    * The per-id ranking window sorts only an id's own bucket cohort
+    * (already the bound on the uncapped op's verify stage). Symmetric:
+    * each qualifying pair appears under BOTH endpoints' top-k views.
+    * Output: (id, neighbor_id, cosine), ≤ k rows per id. */
+  def cosineNearDupTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.99, bits: Int = 8,
+                        k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    GraftFunctions.register(emb.sparkSession)
+    val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      signLshBucket(col(vecCol), bits).as("bucket"))
+    val l = withBucket.select(col(idCol).as("id"), col("v").as("qvec"), col("bucket"))
+      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+    val r = withBucket.select(col(idCol).as("neighbor_id"), col("v").as("cvec"),
+        col("bucket"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+    l.join(r, Seq("bucket"))
+      .where(col("id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(fastCosine, 6))
+      .where(col("cosine") >= threshold)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .where(col("__rk") <= k)
+      .select(col("id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** X2 scale path — int8 scalar quantization of the embedding column:
     * q = round_half_up(clamp(v, −1, 1) · 127), with the reconstruction
     * and its absolute error per element. 4× memory cut for ANN shortlists;
