@@ -4385,6 +4385,31 @@ object Queries {
         FROM sc ORDER BY doc_id"""),
     eagerPlan = true) // training inside runs the per-step materialization
 
+  /** X3 — CLASSIFIER-WEIGHTS artifact round-trip (r17, the last trained
+    * family without an oracle-gated save→load→apply): the 3-step GD
+    * weight table commits to the versioned store, loads back in a fresh
+    * read, and every document scores against the LOADED weights. Oracle =
+    * the `x3_classifier_scores` replay from source rows (identical SQL —
+    * the store must be invisible to the result), completing the artifact
+    * gate across all five trained families: centroids, PQ codebooks, PCA
+    * components, BPE merges, classifier weights. */
+  private lazy val x3ClfArtifactRt = Q("x3_classifier_artifact_apply",
+    (s, dir) => {
+      val root = "/tmp/graft_art_clfw_" + Tables.scratchTag(s, dir)
+      val w = TextOps.trainHashClassifier(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", buckets = 32, iters = 3)
+      val v = Artifacts.saveArtifact(w, root, "classifier_weights",
+        Map("buckets" -> "32", "iters" -> "3", "label" -> "lang=en"))
+      val (loaded, meta) = Artifacts.loadArtifactVersion(s, root, v,
+        "classifier_weights")
+      require(meta.params("buckets") == "32", "sidecar params must round-trip")
+      TextOps.applyHashClassifier(Tables.documents(s, dir), "doc_id", "text",
+          loaded, buckets = 32)
+        .orderBy(col("doc_id"))
+    },
+    x3Apply.oracle,
+    eagerPlan = true) // constructing commits the artifact version on disk
+
   /** X6 — per-source epoch upsampling ([[Curation.upsampleBy]]):
     * src0 runs 2.5 epochs, src1 1.3, src2 is downsampled to 40% —
     * whole-copy explode + stable id-bucket slice for the remainder,
@@ -7399,7 +7424,7 @@ object Queries {
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
     x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc, x3BpeArtifact,
     x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt,
-    x2NearDupTopK, x1EditTopK)
+    x2NearDupTopK, x1EditTopK, x3ClfArtifactRt)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

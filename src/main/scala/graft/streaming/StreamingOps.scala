@@ -1539,15 +1539,76 @@ object StreamingOps {
     (updated, v)
   }
 
+  /** Converge the centroid artifact with the on-disk cell layout (r17):
+    * find ORPHAN cell dirs — on disk with rows, but absent from the
+    * CURRENT `ivf_centroids` artifact — and add each orphan's centroid
+    * (the per-position mean of its member vectors: k-means' own update
+    * step over exactly that dir) to the table, committing the result as
+    * the next artifact version. Orphans are the residue of two crash
+    * shapes the install discipline cannot close on its own: (a) a crash
+    * BETWEEN a cell's children committing and the re-split's artifact
+    * save — the children exist, the stored table still has only the
+    * parent; (b) [[recoverResplit]]'s keep-both outcome, where an ingest
+    * broke the paused discipline and re-created the parent dir next to
+    * committed children. In both, every row is intact on disk but the
+    * children are INVISIBLE to assignment and search (probing walks the
+    * centroid table) until their centroid rows exist. Convergence moves
+    * ZERO data — rows stay where they are and become probe-reachable.
+    * Cost: one scan of the orphan dirs only. A perfectly-converged index
+    * is a no-op: no new version is committed. Returns (current centroids,
+    * current version, orphan cell ids added). */
+  def convergeAnnIndex(spark: SparkSession, indexPath: String,
+                       artifactRoot: String): (DataFrame, Long, Seq[Long]) = {
+    val (cents, meta) = graft.ops.Artifacts.loadArtifact(spark, artifactRoot,
+      family = "ivf_centroids")
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val diskCells =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).filter(_.isDirectory)
+        .filter { st => // only dirs holding at least one data file
+          fs.listStatus(st.getPath).exists(f => f.isFile
+            && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        }
+        .flatMap(_.getPath.getName.stripPrefix("cell=").toLongOption).toSeq.sorted
+    // centroid-bounded collect (k rows), same bound as every probe path
+    val known = cents.select(col("cell").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    val orphans = diskCells.filterNot(known)
+    if (orphans.isEmpty) return (cents, meta.version, Seq.empty)
+    val dirs = orphans.map(c =>
+      new org.apache.hadoop.fs.Path(root, s"cell=$c").toString)
+    val orphanCents = spark.read.option("basePath", indexPath)
+      .parquet(dirs: _*)
+      .select(col("cell").cast("long").as("cell"), posexplode(col("pv")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val updated = cents.select(col("cell").cast("long").as("cell"), col("cv"))
+      .unionByName(orphanCents).localCheckpoint(true)
+    val v = graft.ops.Artifacts.saveArtifact(updated, artifactRoot,
+      family = "ivf_centroids",
+      params = meta.params ++ Map("convergedOf" -> meta.version.toString,
+        "convergedCells" -> orphans.mkString(",")))
+    (updated, v, orphans)
+  }
+
   /** ONE maintenance pass over a maintained ANN index — the composed
     * operational entry point (run against a paused ingest, then hand the
     * returned centroids to the restarted stream):
     *   1. [[recoverResplit]] — heal any interrupted prior install;
-    *   2. [[compactAnnIndex]] — collapse the small-file accretion;
-    *   3. [[resplitHotCellsPersisted]] — re-split hot cells and commit
+    *   2. [[convergeAnnIndex]] — add centroid rows for any orphan cell
+    *      dirs the recovery left behind (committed-children crash residue
+    *      or keep-both conflicts), so no on-disk row stays
+    *      probe-invisible; r17 — previously a stderr note told the
+    *      operator to re-run the resplit by hand;
+    *   3. [[compactAnnIndex]] — collapse the small-file accretion;
+    *   4. [[resplitHotCellsPersisted]] — re-split hot cells and commit
     *      the updated centroid table as the next `ivf_centroids`
     *      artifact version;
-    *   4. [[graft.ops.Artifacts.pruneArtifacts]] — drop centroid versions
+    *   5. [[graft.ops.Artifacts.pruneArtifacts]] — drop centroid versions
     *      older than the newest `retainVersions` (default 16, generous:
     *      each version is one tiny file, but the chain must not grow
     *      FOREVER under a scheduled maintenance loop). Serving is
@@ -1557,8 +1618,8 @@ object StreamingOps {
     * report). Each stage's cost is bounded by the OFFENDING cells, not
     * the index — see the per-op scaladocs; together they are the
     * complete periodic-maintenance story a cell-partitioned streaming
-    * index needs (file tax + skew + restart-safe trained state +
-    * bounded version history). */
+    * index needs (file tax + skew + crash convergence + restart-safe
+    * trained state + bounded version history). */
   def maintainAnnIndex(spark: SparkSession, indexPath: String,
                        artifactRoot: String, maxFilesPerCell: Int = 4,
                        targetBytesPerFile: Long = 128L * 1024 * 1024,
@@ -1566,6 +1627,7 @@ object StreamingOps {
                        iters: Int = 2, maxPasses: Int = 3,
                        retainVersions: Int = 16): (DataFrame, Long, DataFrame) = {
     recoverResplit(spark, indexPath)
+    convergeAnnIndex(spark, indexPath, artifactRoot)
     val compaction = compactAnnIndex(spark, indexPath, maxFilesPerCell,
       targetBytesPerFile).localCheckpoint(true)
     val (cents, version) = resplitHotCellsPersisted(spark, indexPath,
@@ -1637,7 +1699,8 @@ object StreamingOps {
         System.err.println(s"[graft] recoverResplit: committed children of " +
           s"cell=$cell coexist with a re-created live cell dir under " +
           s"$indexPath — an ingest ran during maintenance; keeping both " +
-          s"(re-run the resplit to converge the centroid table)")
+          s"([[convergeAnnIndex]] makes the children probe-reachable; " +
+          s"maintainAnnIndex runs it automatically)")
       }
       fs.delete(new org.apache.hadoop.fs.Path(root, s".resplit-cell=$cell"), true)
       fs.delete(manifest, false)

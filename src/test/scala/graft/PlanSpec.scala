@@ -382,7 +382,8 @@ class PlanSpec extends SparkSpec {
       "x2_pca_topk", "x2_pca_project_topk", "x2_opq_recall",
       "x2_artifact_roundtrip", "x2_opq_alloc_recall",
       "x3_bpe_artifact_apply", "x2_opq_refine_recall",
-      "x2_pq_artifact_roundtrip", "x2_pca_artifact_roundtrip"),
+      "x2_pq_artifact_roundtrip", "x2_pca_artifact_roundtrip",
+      "x3_classifier_artifact_apply"),
       // x1_dedup_components/_pipeline/_keep_best: constructing them runs the
       // adaptive local-vs-distributed component decision (counts the edge
       // graph); s4/s7/s8/s10 roundtrips + s9 bucketed write their fixture
@@ -428,6 +429,11 @@ class PlanSpec extends SparkSpec {
       // to the versioned artifact store (write + rename is the op, same
       // as x2_artifact_roundtrip); pcaTopK's collect applies to the
       // latter. The encode/projection they return are broadcast folds.
+      // x3_classifier_artifact_apply: constructing it runs the
+      // localCheckpoint-per-step GD trainer (same as x3_train_classifier)
+      // and COMMITS the weight table to the artifact store; the apply it
+      // returns is the same window-free scoring join as
+      // x3_classifier_scores.
       // Window shapes of the underlying building blocks are covered by the
       // per-operator plan tests above.
       "eagerPlan exclusions changed — re-justify each one here")

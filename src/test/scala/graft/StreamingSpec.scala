@@ -1186,6 +1186,65 @@ class StreamingSpec extends SparkSpec {
     assert(residue.isEmpty, residue.toSeq.toString)
   }
 
+  test("ANN keep-both conflict auto-converges: broken pause discipline + " +
+      "crash, one maintenance pass makes every row probe-reachable, zero loss") {
+    import java.nio.file.Files
+    import graft.ops.Artifacts
+    val base = Files.createTempDirectory("graft_ann_conv").toString
+    val index = s"$base/index"; val store = s"$base/centroids"
+    // artifact v1 predates the split (the crash hit between the children's
+    // install and the re-split's artifact save): cells 0 and 1 only
+    Artifacts.saveArtifact(
+      Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cell", "cv"),
+      store, "ivf_centroids", Map("dim" -> "2"))
+    // committed children of cell 0 (trash already deleted = install done)…
+    Seq((0L, Seq(1.0, 0.3)), (2L, Seq(1.02, 0.3)), (4L, Seq(1.04, 0.3)))
+      .toDF("pid", "pv").write.parquet(s"$index/cell=5")
+    Seq((1L, Seq(1.0, -0.3)), (3L, Seq(1.02, -0.3)))
+      .toDF("pid", "pv").write.parquet(s"$index/cell=6")
+    // …the manifest residue of the crash…
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$index/.resplit-manifest-cell=0"), true)
+    try out.write("5\n6".getBytes("UTF-8")) finally out.close()
+    // …and a broken-pause-discipline ingest that re-created cell=0 with a
+    // NEW row (assigned under the stale v1 table), plus untouched cell=1
+    Seq((50L, Seq(1.0, 0.01))).toDF("pid", "pv").write.parquet(s"$index/cell=0")
+    Seq((100L, Seq(0.0, 1.0))).toDF("pid", "pv").write.parquet(s"$index/cell=1")
+
+    // ONE maintenance pass (no new split: maxSkew high). recoverResplit
+    // keeps both copies; convergeAnnIndex must then add centroid rows for
+    // the orphan children 5 and 6 — previously a stderr note told the
+    // operator to re-run by hand while search silently skipped the
+    // children's rows.
+    val (cents, _, _) = StreamingOps.maintainAnnIndex(spark, index, store,
+      maxSkew = 100.0)
+    // zero row loss, rows unmoved
+    val after = spark.read.parquet(index)
+      .select(col("pid"), col("cell")).as[(Long, Long)].collect().toSet
+    assert(after == Set((0L, 5L), (2L, 5L), (4L, 5L), (1L, 6L), (3L, 6L),
+      (50L, 0L), (100L, 1L)), s"rows moved or lost: $after")
+    // every on-disk cell has a centroid row — all rows probe-reachable
+    val served = cents.select(col("cell")).as[Long].collect().toSet
+    assert(served == Set(0L, 1L, 5L, 6L), s"centroid table not converged: $served")
+    val (loaded, metaL) = Artifacts.loadArtifact(spark, store, "ivf_centroids")
+    assert(loaded.select(col("cell")).as[Long].collect().toSet == served,
+      "stored table must match the returned one")
+    // the convergence version recorded what it added (v2: between the v1
+    // seed and the resplit's own commit)
+    val (_, metaC) = Artifacts.loadArtifactVersion(spark, store, 2L, "ivf_centroids")
+    assert(metaC.params("convergedCells") == "5,6", metaC.params.toString)
+    // orphan centroid = member mean (k-means' update step on the dir)
+    val c5 = loaded.where(col("cell") === 5L).select(col("cv"))
+      .as[Seq[Double]].head()
+    assert(math.abs(c5(0) - 1.02) < 1e-9 && math.abs(c5(1) - 0.3) < 1e-9, c5)
+    // converged index is a fixpoint: another converge call is a no-op
+    val (_, vSame, orphans) = StreamingOps.convergeAnnIndex(spark, index, store)
+    assert(orphans.isEmpty && vSame == metaL.version,
+      s"second converge must be a no-op: $orphans $vSame vs ${metaL.version}")
+  }
+
   test("ANN re-split recovery: mid-install crash rolls back; committed install rolls forward") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft_ann_rec").toString
