@@ -284,12 +284,13 @@ object AggOps {
     * map-side filter. Chaining instead multiplies the DATA subtree's
     * references ~4× per level; with [[madOutliers]] nesting one
     * exactQuantiles inside another, that tree blows up exponentially and
-    * Catalyst analysis alone took minutes (measured r17). Here every
-    * level adds only one more scan of `rows` plus tiny aggregate
-    * subtrees, all lazy — no checkpoint, no driver action. The common
-    * case (every located bucket small or tied) routes all targets out at
-    * level 1 and AQE's empty-relation propagation collapses the unused
-    * deeper levels at runtime.
+    * Catalyst analysis alone took minutes (measured r17). On top of the
+    * re-join shape, every REUSED frame (the row projection and each
+    * level's bounded aggregates) is a lazy `localCheckpoint` — see the
+    * reuse-discipline comment in the body for why cache() alone does not
+    * stop the analysis-time blowup. The common case (every located
+    * bucket small or tied) routes all targets out at level 1; the deeper
+    * levels' aggregates run over empty slices at negligible cost.
     * Output: (groupCols…, __q, __qval), one row per (group, q). */
   def exactQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                      valueCol: String, qs: Seq[Double],
@@ -317,11 +318,37 @@ object AggOps {
       in.select(in.columns.map(c =>
         if (groupCols.contains(c) || c == "__q") col(c).as(s"$pfx$c")
         else col(c)): _*)
+    // REUSE DISCIPLINE (r17, the regression the first sweep caught): the
+    // plan references `rows` ~3× per level and the located-targets lineage
+    // ~4× per level — multiplicatively through the levels, and
+    // multiplicatively AGAIN when a caller nests one exactQuantiles inside
+    // another ([[madOutliers]]). cache() alone does NOT fix it: cached
+    // subtrees are substituted at optimization time, so ANALYSIS still
+    // walks the exponentially-embedded tree (a_mad_outliers measured
+    // 335 s at sf0.1 uncached, 93 s cached — both dominated by Catalyst,
+    // not data). `localCheckpoint(eager = false)` truncates the LOGICAL
+    // plan itself: every reused frame becomes a LogicalRDD leaf, computed
+    // once at first action and block-read after, and downstream analysis
+    // sees a leaf instead of the subtree (a_mad_outliers back to ~2 s).
+    // Still fully lazy — no driver action here. The narrow (group, value)
+    // projection is the only sizable materialization, the same order the
+    // r15 sort-based form shuffled anyway. Caveat (same as the PageRank
+    // per-step localCheckpoint, GraphOps): checkpointed blocks are not
+    // fault-tolerant — on executor loss the query fails and re-runs
+    // rather than recomputing lineage; at cluster scale prefer a
+    // reliable checkpoint dir if that trade matters.
     val rows = df.where(col(valueCol).isNotNull)
       .select(gs :+ col(valueCol).as("__v"): _*)
+      .localCheckpoint(false)
+    // The BOUNDED intermediates (stats ≤ groups, cum ≤ groups·buckets,
+    // located ≤ groups·qs rows) are checkpointed too: each is referenced
+    // by 3–4 downstream branches per level (tie / small / big routing),
+    // and those references multiply through the levels. All are aggregate
+    // outputs bounded by design, so the materialized footprint is trivial.
     val stats = rows.groupBy(gs: _*)
       .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
         max(col("__v")).as("__mx"))
+      .localCheckpoint(false)
     // ---- level 1: bucket once per group (q-free — targets share it) ----
     val bucketed = rows
       .join(renamed(stats, "__s_"), keyCond("__s_"))
@@ -336,6 +363,7 @@ object AggOps {
       .withColumn("__cumIncl",
         sum(col("__c")).over(Window.partitionBy(gs: _*).orderBy(col("__b"))))
       .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
+      .localCheckpoint(false)
     // the rank expression is verbatim the r15 form's ceil(n · q) so the
     // selected position (and the hash-gated result) is unchanged
     val targets = stats
@@ -350,6 +378,7 @@ object AggOps {
       .select(gs ++ Seq(col("__q"), col("__b"),
         (col("__k") - col("__cumBefore")).as("__off"),
         col("__c"), col("__bmn"), col("__bmx")): _*)
+      .localCheckpoint(false)
     // tie short-circuit: a single-valued bucket IS its every rank — the
     // O(n) heavy-tie bucket never reaches a join, let alone a sort
     val tie1 = located.where(col("__bmn") <=> col("__bmx"))
@@ -408,6 +437,7 @@ object AggOps {
           .withColumn("__cumIncl", sum(col("__c")).over(
             Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__b"))))
           .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
+          .localCheckpoint(false)
         val subLocated = tgt
           .join(renamedQ(subCum, "__c_"), keyCondQ("__c_"))
           .where(col("__cumBefore") < col("__k") && col("__k") <= col("__cumIncl"))
@@ -415,6 +445,7 @@ object AggOps {
             (col("__k") - col("__cumBefore")).as("__k2"),
             col("__c"), col("__bmn"), col("__bmx")): _*)
           .withColumnRenamed("__k2", "__k")
+          .localCheckpoint(false)
         val tie = subLocated.where(col("__bmn") <=> col("__bmx"))
           .select(gs ++ Seq(col("__q"), col("__bmn").as("__qval")): _*)
         val live = subLocated.where(!(col("__bmn") <=> col("__bmx")))

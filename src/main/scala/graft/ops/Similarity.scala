@@ -34,10 +34,18 @@ object Similarity {
   /** One-row broadcast centroid frame with the density contract declared
     * on both struct fields, so [[graft.functions.NearestCell]] and the
     * probe-expansion dot folds compile without null branches. */
-  private def centsRow(centroids: DataFrame): DataFrame =
+  private def centsRow(centroids: DataFrame): DataFrame = {
+    // register on the CENTROID frame's session, not just the points' —
+    // inside a foreachBatch the points come from the micro-batch clone
+    // session while `centroids` was built on the parent session, and
+    // Dataset construction analyzes call_function eagerly THERE; a
+    // standalone stream (no prior batch op on the parent) would hit
+    // UNRESOLVED_ROUTINE without this (StreamingSpec-in-isolation, r17)
+    GraftFunctions.register(centroids.sparkSession)
     centroids.agg(sort_array(collect_list(struct(
       call_function("graft_nn", col("cell")).as("cell"),
       call_function("graft_dense", col("cv")).as("cv")))).as("cents"))
+  }
 
   /** cosine from a fused dot + precomputed norms. */
   private def fastCosine: Column =
@@ -647,6 +655,7 @@ object Similarity {
   def pcaRotate(emb: DataFrame, idCol: String, vecCol: String,
                 components: DataFrame, roundDigits: Int = 6): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    GraftFunctions.register(components.sparkSession) // see centsRow
     val s = math.pow(10.0, roundDigits)
     val pcsRow = components.groupBy(col("comp"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("loading")))),
@@ -866,6 +875,7 @@ object Similarity {
     * joins on `sub`, so the sliced corpus never shuffles and no window or
     * row expansion appears. Ties break to the lowest code in the fold. */
   private def assignSubCells(slices: DataFrame, codebooks: DataFrame): DataFrame = {
+    GraftFunctions.register(codebooks.sparkSession) // see centsRow
     val bySub = codebooks.groupBy(col("sub")).agg(
       sort_array(collect_list(struct(
         call_function("graft_nn", col("cell")).as("cell"),

@@ -120,6 +120,66 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupTopK ≡ per-id top-k of the symmetric uncapped pair " +
+      "set (bounded output, identical candidate generation)") {
+    val rnd = new scala.util.Random(7)
+    // 3 clusters of 6 jittered copies: within-cluster cosine ≈ 1 (a
+    // 5-partner clique per id — more than k), across clusters lower
+    val bases = Seq(Seq(1.0, 0.5, 0.25, 0.8), Seq(-0.9, 0.4, 0.7, -0.2),
+      Seq(0.3, -0.8, 0.5, 0.6))
+    val data = for {
+      (b, c) <- bases.zipWithIndex; j <- 0 until 6
+    } yield (c * 10L + j, b.map(x => x + (rnd.nextDouble() - 0.5) * 0.02))
+    val df = data.toDF("vec_id", "embedding")
+    val k = 3
+    val capped = graft.ops.Similarity.cosineNearDupTopK(df, "vec_id",
+        "embedding", threshold = 0.9, bits = 4, k = k)
+      .as[(Long, Long, Double)].collect()
+    val uncapped = graft.ops.Similarity.cosineNearDup(df, "vec_id",
+        "embedding", threshold = 0.9, bits = 4)
+      .as[(Long, Long, Double)].collect()
+    // expected: symmetric-expand the uncapped pairs, rank per id by
+    // (cosine desc, neighbor asc), keep k — the emitter's declared rule
+    val expect = (uncapped.map(p => (p._1, p._2, p._3)) ++
+        uncapped.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(k).toSeq
+      }.toSet
+    assert(expect.nonEmpty, "fixture produced no qualifying pairs")
+    assert(capped.toSet == expect)
+    capped.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length <= k, s"id $id emitted ${rows.length} > k rows")
+    }
+    // the clique makes the cap bite: some id must have dropped a partner
+    assert(capped.length < uncapped.length * 2,
+      "cap never engaged — fixture cliques too small")
+  }
+
+  test("editDistanceTopK ≡ per-id best-k of the symmetric uncapped " +
+      "edit-distance join") {
+    // near-clique of one-edit variants plus unrelated keys
+    val keys = Seq("spark", "spa rk", "sparks", "spark!", "sprak",
+      "hadoop", "hadoo", "flink", "graft", "grafty", "grift")
+    val df = keys.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "key")
+    val k = 2
+    val capped = graft.ops.Dedup.editDistanceTopK(df, "doc_id", col("key"),
+        maxDist = 2, q = 2, k = k)
+      .as[(Long, Long, Long)].collect()
+    val pairs = graft.ops.Dedup.editDistanceJoin(df, "doc_id", col("key"),
+        maxDist = 2, q = 2)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Long)].collect()
+    val expect = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(k).toSeq
+      }.toSet
+    assert(expect.nonEmpty, "fixture produced no matches")
+    assert(capped.toSet == expect)
+    capped.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.length <= k, s"id $id emitted ${rows.length} > k rows")
+    }
+  }
+
   test("saveArtifact claim loop: a persistent create failure surfaces " +
       "the root cause instead of spinning 64 rounds") {
     import java.nio.file.{Files, Paths}
