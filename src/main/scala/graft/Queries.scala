@@ -1333,6 +1333,60 @@ object Queries {
       SELECT id, neighbor_id, cosine FROM rk WHERE rk <= 3
       ORDER BY id, neighbor_id"""))
 
+  /** X2 — sign-LSH hot-bucket skew report
+    * ([[Similarity.cosineBucketReport]], r18): every bucket of the cosine
+    * near-dup family's blocking key with its member count and the
+    * quadratic candidate-pair count the within-bucket join pays there —
+    * the diagnosis behind `cosineNearDup`'s `maxBucketSize` guard (one
+    * duplicate-saturated corpus region concentrates a bucket no matter
+    * the bit width; the r17 30× board measured the uncapped join at
+    * 91 s for 16 buckets). The simhash family's skew report
+    * (`x1_simhash_bucket_skew`) applied to the embedding side. */
+  private val x2CosineSkew = Q("x2_cosine_bucket_skew",
+    (s, dir) => Similarity.cosineBucketReport(Tables.embeddings(s, dir), "vec_id",
+      "embedding", bits = 4, minVecs = 2),
+    Some(s"""WITH e AS (SELECT vec_id,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings))
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
+      FROM e GROUP BY bucket HAVING count(*) >= 2
+      ORDER BY n_vecs DESC, bucket"""))
+
+  /** X2 — hot-bucket-GUARDED cosine near-dup
+    * ([[Similarity.cosineNearDup]] with `maxBucketSize`, r18): buckets
+    * over the cap degrade to a star comparison against the bucket's
+    * lowest-id member — O(n) per bucket instead of O(n²), the bounded
+    * recall trade `x2_cosine_bucket_skew` prices (capped buckets named
+    * there). At sf0.01 the cap splits the 16 buckets into both branches,
+    * so this oracle pins all-pairs AND star semantics; at 30× data the
+    * guarded form is output- and candidate-bounded where the uncapped
+    * `x2_cosine_neardup` join is quadratic per bucket. */
+  private val x2NearDupCapped = Q("x2_neardup_capped",
+    (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id",
+      "embedding", threshold = 0.35, bits = 4, maxBucketSize = Some(40))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        ${lshBucketSql("(embedding::DOUBLE[])", 4)} AS bucket FROM embeddings),
+      st AS (SELECT bucket, count(*) AS n, min(vec_id) AS rep
+             FROM e GROUP BY bucket),
+      small AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+          round(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*r.v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(l.v)), i -> l.v[i+1]*l.v[i+1])))
+             * sqrt(list_sum(list_transform(range(len(r.v)), i -> r.v[i+1]*r.v[i+1])))), 6) AS cosine
+        FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        JOIN st ON st.bucket = l.bucket AND st.n <= 40),
+      star AS (SELECT st.rep AS id_a, m.vec_id AS id_b,
+          round(list_sum(list_transform(range(len(rv.v)), i -> rv.v[i+1]*m.v[i+1]))
+            / (sqrt(list_sum(list_transform(range(len(rv.v)), i -> rv.v[i+1]*rv.v[i+1])))
+             * sqrt(list_sum(list_transform(range(len(m.v)), i -> m.v[i+1]*m.v[i+1])))), 6) AS cosine
+        FROM e m JOIN st ON st.bucket = m.bucket AND st.n > 40
+          AND m.vec_id <> st.rep
+        JOIN e rv ON rv.vec_id = st.rep),
+      p AS (SELECT * FROM small UNION ALL SELECT * FROM star)
+      SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+      ORDER BY id_a, id_b"""))
+
   /** S4: CSV time-series source + sink round-trip (reference make_plots
     * pd.read_csv, notebook cell 1): dump a (step, value) series to CSV with
     * an explicit schema, read it back, EMA-fold it. The oracle reads the
@@ -4053,7 +4107,7 @@ object Queries {
     * Spark side must find exactly the pairs the quadratic scan finds. */
   private val x1EditJoin = Q("x1_edit_distance_join",
     (s, dir) => Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id",
-      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2),
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4),
     Some("""WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 40)) AS key
         FROM documents)
       SELECT a.id AS a_id, b.id AS b_id,
@@ -4070,7 +4124,7 @@ object Queries {
     * symmetrized, ranked. */
   private val x1EditTopK = Q("x1_edit_join_topk",
     (s, dir) => Dedup.editDistanceTopK(Tables.documents(s, dir), "doc_id",
-      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 2, k = 3)
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4, k = 3)
       .orderBy(col("id"), col("nbr_id")),
     Some("""WITH k AS (SELECT doc_id AS id, lower(substr(text, 1, 40)) AS key
         FROM documents),
@@ -7424,7 +7478,8 @@ object Queries {
     x4DecodeWav, x4DecodeMp4, x4ImageCuration, x4MediaBudget,
     x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc, x3BpeArtifact,
     x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt,
-    x2NearDupTopK, x1EditTopK, x3ClfArtifactRt)
+    x2NearDupTopK, x1EditTopK, x3ClfArtifactRt,
+    x2CosineSkew, x2NearDupCapped)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -275,6 +275,12 @@ object AggOps {
     * re-ranks WITHIN it with the offset already localized, and Sterbenz
     * subtraction of nearby doubles keeps (v−lo)/(hi−lo) monotone at any
     * depth. NULL values take no part (groups of only NULLs are absent).
+    * SMALL-GROUP FAST PATH (r18): groups whose whole slice is ≤
+    * `sortThreshold` rows skip steps 2–4 entirely — one ranking window
+    * over the group's own rows answers every q (the r15 rank rule,
+    * safe exactly because the gate bounds what one task sorts). A
+    * high-cardinality group key (per-episode quantiles) never touches
+    * the bucket machinery at all.
     *
     * Plan-shape note (why refinement re-joins the BASE rows instead of
     * chaining the previous level's join output): a slice's rows are
@@ -332,53 +338,79 @@ object AggOps {
     // sees a leaf instead of the subtree (a_mad_outliers back to ~2 s).
     // Still fully lazy — no driver action here. The narrow (group, value)
     // projection is the only sizable materialization, the same order the
-    // r15 sort-based form shuffled anyway. Caveat (same as the PageRank
-    // per-step localCheckpoint, GraphOps): checkpointed blocks are not
-    // fault-tolerant — on executor loss the query fails and re-runs
-    // rather than recomputing lineage; at cluster scale prefer a
-    // reliable checkpoint dir if that trade matters.
-    val rows = df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).as("__v"): _*)
-      .localCheckpoint(false)
+    // r15 sort-based form shuffled anyway. Fault tolerance (r18 lever):
+    // local checkpoint blocks die with their executor — set
+    // `spark.graft.reliableCheckpointDir` to switch every site below to a
+    // durable Dataset.checkpoint ([[Checkpoints.planCheckpoint]]) when a
+    // cluster-scale run can't afford whole-query re-runs. Block lifetime:
+    // the checkpointed RDDs are released by ContextCleaner when the
+    // DataFrames are garbage-collected — a session running MANY
+    // quantile-family queries reclaims them nondeterministically (driver
+    // GC), which is bounded in practice by the narrow projection being
+    // the only data-sized frame. Two further shapes rely on runtime
+    // re-planning: checkpoint leaves carry unknown size statistics, so
+    // the rows⋈stats and targets⋈cum joins below depend on AQE (on by
+    // default) choosing broadcast at runtime; only frames bounded by
+    // construction (≤ groups·qs rows) carry explicit broadcast() hints.
+    val rows = Checkpoints.planCheckpoint(df.where(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).as("__v"): _*))
     // The BOUNDED intermediates (stats ≤ groups, cum ≤ groups·buckets,
     // located ≤ groups·qs rows) are checkpointed too: each is referenced
     // by 3–4 downstream branches per level (tie / small / big routing),
     // and those references multiply through the levels. All are aggregate
     // outputs bounded by design, so the materialized footprint is trivial.
-    val stats = rows.groupBy(gs: _*)
+    val stats = Checkpoints.planCheckpoint(rows.groupBy(gs: _*)
       .agg(count(lit(1)).as("__n"), min(col("__v")).as("__mn"),
-        max(col("__v")).as("__mx"))
-      .localCheckpoint(false)
+        max(col("__v")).as("__mx")))
+    // ---- SMALL-GROUP FAST PATH (r18): a group whose entire slice fits
+    // under sortThreshold needs none of the bucket/locate/refine
+    // machinery — one ranking window over its own rows (partition size
+    // ≤ sortThreshold by the gate) answers every q directly, exactly the
+    // r15 rank rule. High-cardinality group keys (per-episode quantiles)
+    // route ENTIRELY through here: one window pass, no bucket aggregates.
+    // Groups above the gate take the distributed path below unchanged.
+    val smallG = stats.where(col("__n") <= lit(sortThreshold))
+    val bigG = stats.where(col("__n") > lit(sortThreshold))
+    val fastTgt = smallG
+      .select(gs :+ col("__n") :+ explode(array(qs.map(lit): _*)).as("__q"): _*)
+      .withColumn("__k",
+        greatest(ceil(col("__n") * col("__q")).cast("long"), lit(1L)))
+      .select(gs ++ Seq(col("__q"), col("__k")): _*)
+    val fast = rows
+      .join(broadcast(renamed(smallG.select(gs: _*), "__f_")), keyCond("__f_"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gs: _*).orderBy(col("__v"))))
+      .join(broadcast(renamed(fastTgt, "__t_")),
+        keyCond("__t_") && col("__rn") === col("__k"))
+      .select(gs ++ Seq(col("__q"), col("__v").as("__qval")): _*)
     // ---- level 1: bucket once per group (q-free — targets share it) ----
     val bucketed = rows
-      .join(renamed(stats, "__s_"), keyCond("__s_"))
+      .join(renamed(bigG, "__s_"), keyCond("__s_"))
       .withColumn("__b", when(col("__mx") <=> col("__mn"), lit(0))
         .otherwise(least(floor((col("__v") - col("__mn")) /
             (col("__mx") - col("__mn")) * lit(buckets.toDouble)),
           lit((buckets - 1).toDouble))).cast("int"))
       .select(gs ++ Seq(col("__v"), col("__b")): _*)
-    val cum = bucketed.groupBy(gs :+ col("__b"): _*)
+    val cum = Checkpoints.planCheckpoint(bucketed.groupBy(gs :+ col("__b"): _*)
       .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
         max(col("__v")).as("__bmx"))
       .withColumn("__cumIncl",
         sum(col("__c")).over(Window.partitionBy(gs: _*).orderBy(col("__b"))))
-      .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
-      .localCheckpoint(false)
+      .withColumn("__cumBefore", col("__cumIncl") - col("__c")))
     // the rank expression is verbatim the r15 form's ceil(n · q) so the
     // selected position (and the hash-gated result) is unchanged
-    val targets = stats
+    val targets = bigG
       .select(gs :+ col("__n") :+ explode(array(qs.map(lit): _*)).as("__q"): _*)
       .withColumn("__k",
         greatest(ceil(col("__n") * col("__q")).cast("long"), lit(1L)))
     // located: one row per (group, q) — the selected bucket, the 1-based
     // offset of the target within it, and the bucket's own stats
-    val located = targets
+    val located = Checkpoints.planCheckpoint(targets
       .join(renamed(cum, "__c_"), keyCond("__c_"))
       .where(col("__cumBefore") < col("__k") && col("__k") <= col("__cumIncl"))
       .select(gs ++ Seq(col("__q"), col("__b"),
         (col("__k") - col("__cumBefore")).as("__off"),
-        col("__c"), col("__bmn"), col("__bmx")): _*)
-      .localCheckpoint(false)
+        col("__c"), col("__bmn"), col("__bmx")): _*))
     // tie short-circuit: a single-valued bucket IS its every rank — the
     // O(n) heavy-tie bucket never reaches a join, let alone a sort
     val tie1 = located.where(col("__bmn") <=> col("__bmx"))
@@ -431,21 +463,20 @@ object AggOps {
           .withColumn("__b", least(floor((col("__v") - col("__lo")) /
               (col("__hi") - col("__lo")) * lit(buckets.toDouble)),
             lit((buckets - 1).toDouble)).cast("int"))
-        val subCum = bw.groupBy(gs ++ Seq(col("__q"), col("__b")): _*)
-          .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
-            max(col("__v")).as("__bmx"))
-          .withColumn("__cumIncl", sum(col("__c")).over(
-            Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__b"))))
-          .withColumn("__cumBefore", col("__cumIncl") - col("__c"))
-          .localCheckpoint(false)
-        val subLocated = tgt
+        val subCum = Checkpoints.planCheckpoint(
+          bw.groupBy(gs ++ Seq(col("__q"), col("__b")): _*)
+            .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmn"),
+              max(col("__v")).as("__bmx"))
+            .withColumn("__cumIncl", sum(col("__c")).over(
+              Window.partitionBy(gs :+ col("__q"): _*).orderBy(col("__b"))))
+            .withColumn("__cumBefore", col("__cumIncl") - col("__c")))
+        val subLocated = Checkpoints.planCheckpoint(tgt
           .join(renamedQ(subCum, "__c_"), keyCondQ("__c_"))
           .where(col("__cumBefore") < col("__k") && col("__k") <= col("__cumIncl"))
           .select(gs ++ Seq(col("__q"),
             (col("__k") - col("__cumBefore")).as("__k2"),
             col("__c"), col("__bmn"), col("__bmx")): _*)
-          .withColumnRenamed("__k2", "__k")
-          .localCheckpoint(false)
+          .withColumnRenamed("__k2", "__k"))
         val tie = subLocated.where(col("__bmn") <=> col("__bmx"))
           .select(gs ++ Seq(col("__q"), col("__bmn").as("__qval")): _*)
         val live = subLocated.where(!(col("__bmn") <=> col("__bmx")))
@@ -457,7 +488,8 @@ object AggOps {
           .unionByName(refine(big, remaining - 1))
       }
 
-    tie1.unionByName(sorted1).unionByName(refine(tgt1, levels - 1))
+    fast.unionByName(tie1).unionByName(sorted1)
+      .unionByName(refine(tgt1, levels - 1))
   }
 
   /** S3 winsorize — clamp `valueCol` into its per-group exact

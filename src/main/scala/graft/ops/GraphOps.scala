@@ -140,7 +140,7 @@ object GraphOps {
       // SCALING.md; identical ranks either way (rounding is per-iteration
       // arithmetic, not a materialization effect).
       if (materialize && (i % checkpointEvery == 0 || i == iters))
-        next.localCheckpoint(true)
+        Checkpoints.planCheckpoint(next, eager = true)
       else next
     }.select(col("node"), col("r").as("rank"))
   }
@@ -181,7 +181,7 @@ object GraphOps {
       // materializes so the returned join reads two cut frames
       def ck(df: DataFrame): DataFrame =
         if (materialize && (i % checkpointEvery == 0 || i == iters))
-          df.localCheckpoint(true)
+          Checkpoints.planCheckpoint(df, eager = true)
         else df
       val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -236,7 +236,7 @@ object GraphOps {
         .select(col("node"),
           least(coalesce(col("hops"), col("relax")),
             coalesce(col("relax"), col("hops"))).as("hops"))
-      if (materialize) next.localCheckpoint(true) else next
+      if (materialize) Checkpoints.planCheckpoint(next, eager = true) else next
     }
     nodes.join(dK, Seq("node"), "left")
       .select(col("node"), col("hops"))
@@ -343,7 +343,7 @@ object GraphOps {
           pr(lit(1.0 - beta) * col("tp")
             + lit(beta) * (coalesce(col("insum"), lit(0.0))
               + col("dmt") * col("tp"))).as("r"))
-      if (materialize) next.localCheckpoint(true) else next
+      if (materialize) Checkpoints.planCheckpoint(next, eager = true) else next
     }.select(col("node"), col("r").as("rank"))
   }
 }

@@ -333,23 +333,124 @@ object Similarity {
         col("cand_id"), col("cosine"))
   }
 
-  /** X1 embedding near-dup: all unordered pairs above a cosine threshold,
-    * bucket-pruned by sign-LSH (exact within bucket). */
-  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.99, bits: Int = 8): DataFrame = {
+  /** X2 — hot-bucket diagnosis for the sign-LSH cosine family: every
+    * bucket holding ≥ `minVecs` vectors, with the quadratic candidate
+    * count the within-bucket join would pay there. Bit width bounds the
+    * EXPECTED bucket size (~|corpus| / 2^bits), but a duplicate-saturated
+    * corpus region concentrates one bucket regardless of width — the same
+    * failure mode [[graft.ops.Dedup.simhashBucketReport]] measures for
+    * simhash banding, and the measurement behind choosing
+    * [[cosineNearDup]]'s `maxBucketSize` guard. Shuffle carries one count
+    * row per bucket (≤ 2^bits rows). */
+  def cosineBucketReport(emb: DataFrame, idCol: String, vecCol: String,
+                         bits: Int = 8, minVecs: Long = 2): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
+    emb.select(signLshBucket(col(vecCol), bits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .where(col("n_vecs") >= minVecs)
+      .select(col("bucket"), col("n_vecs"),
+        (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long")
+          .as("n_candidate_pairs"))
+      .orderBy(col("n_vecs").desc, col("bucket"))
+  }
+
+  /** Shared candidate stage of [[cosineNearDup]] / [[cosineNearDupTopK]]:
+    * same-bucket DIRECTED pairs (id, neighbor_id, cosine), both
+    * orientations of each unordered pair, cosine already computed.
+    *
+    * `maxBucketSize` is the hot-bucket guard the bit width cannot give
+    * (r17 verdict): one near-duplicate-saturated bucket makes the
+    * within-bucket join quadratic in that bucket's size — measured 91 s
+    * for 0.15M vectors in 16 buckets at 30× data, ∝ n² per bucket. With
+    * the cap set, a bucket above it degrades to a STAR comparison (every
+    * member scores against the bucket's lowest-id member only — O(n) per
+    * bucket, and join-free: the representative's vector rides the
+    * broadcast per-bucket stats row). Within a truly degenerate bucket
+    * (near-identical vectors, the case that creates it) the star finds
+    * (rep, member) for every member; what it can miss is a pair both ≥
+    * threshold-close to each OTHER but not to the representative — the
+    * same bounded, documented recall trade as
+    * [[graft.ops.Dedup.simhashPairs]]' cap, only in capped buckets
+    * ([[cosineBucketReport]] names them). Default None preserves exact
+    * within-bucket all-pairs. */
+  /** (id, v, bucket) frame of the sign-LSH cosine family — shared by the
+    * batch near-dup ops and the streaming top-k mirror
+    * ([[graft.streaming.StreamingOps.incrementalCosineTopK]], which also
+    * persists it as the vector ledger's schema). */
+  private[graft] def lshBucketFrame(emb: DataFrame, idCol: String,
+                                    vecCol: String, bits: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signLshBucket(col(vecCol), bits).as("bucket"))
-    val l = withBucket.select(col(idCol).as("id_a"), col("v").as("qvec"), col("bucket"))
+  }
+
+  /** Directed same-bucket cosine pairs: every `l0` row against every
+    * same-bucket `r0` row (both [[lshBucketFrame]]-shaped), id-distinct.
+    * The bucket-keyed join is the family's only corpus-sized shuffle. */
+  private[graft] def cosineDirectedBetween(l0: DataFrame,
+                                           r0: DataFrame): DataFrame = {
+    val l = l0.select(col("id"), col("v").as("qvec"), col("bucket"))
       .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
-    val r = withBucket.select(col(idCol).as("id_b"), col("v").as("cvec"), col("bucket"))
+    val r = r0.select(col("id").as("neighbor_id"), col("v").as("cvec"),
+        col("bucket"))
       .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
     l.join(r, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+      .where(col("id") =!= col("neighbor_id"))
       .withColumn("cosine", round(fastCosine, 6))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col("id"), col("neighbor_id"), col("cosine"))
   }
+
+  private def cosineBucketCandidates(emb: DataFrame, idCol: String,
+                                     vecCol: String, bits: Int,
+                                     maxBucketSize: Option[Int]): DataFrame = {
+    val withBucket = lshBucketFrame(emb, idCol, vecCol, bits)
+    def allPairs(buckets: DataFrame): DataFrame =
+      cosineDirectedBetween(buckets, buckets)
+    maxBucketSize match {
+      case None => allPairs(withBucket)
+      case Some(cap) =>
+        require(cap >= 2, "maxBucketSize must allow at least one pair")
+        // per-bucket count + representative (lowest id, vector attached):
+        // ≤ 2^bits rows — broadcast, so sizing the members is shuffle-free
+        val stats = broadcast(withBucket.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col("id"), col("v"))).as("__rep")))
+        val sized = withBucket.join(stats, Seq("bucket"))
+        val smallPairs = allPairs(sized.where(col("__n") <= cap)
+          .select(col("id"), col("v"), col("bucket")))
+        // hot buckets: star against the representative — O(n) per bucket
+        // and join-free (the rep vector is already on the row)
+        val starPairs = sized.where(col("__n") > cap
+            && col("id") =!= col("__rep.id"))
+          .select(col("id"), col("v").as("qvec"),
+            col("__rep.id").as("neighbor_id"), col("__rep.v").as("cvec"))
+          .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
+          .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
+          .withColumn("cosine", round(fastCosine, 6))
+          .select(col("id"), col("neighbor_id"), col("cosine"))
+        // star emits one orientation; mirror it so downstream consumers
+        // see the same directed-pair contract as the all-pairs branch
+        smallPairs.unionAll(starPairs).unionAll(
+          starPairs.select(col("neighbor_id").as("id"),
+            col("id").as("neighbor_id"), col("cosine")))
+    }
+  }
+
+  /** X1 embedding near-dup: all unordered pairs above a cosine threshold,
+    * bucket-pruned by sign-LSH (exact within bucket; optional
+    * `maxBucketSize` hot-bucket star guard — see
+    * [[cosineBucketCandidates]]). */
+  def cosineNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.99, bits: Int = 8,
+                    maxBucketSize: Option[Int] = None): DataFrame =
+    // no distinct needed: a vector lives in exactly one bucket, every
+    // candidate branch emits each directed pair once, and the id order
+    // filter keeps one orientation per unordered pair
+    cosineBucketCandidates(emb, idCol, vecCol, bits, maxBucketSize)
+      .where(col("id") < col("neighbor_id") && col("cosine") >= threshold)
+      .select(col("id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
 
   /** X2 — BOUNDED-OUTPUT near-duplicate view (r17): for each vector, its
     * top-`k` near-dup partners by cosine (ties broken by the lower
@@ -367,19 +468,10 @@ object Similarity {
     * Output: (id, neighbor_id, cosine), ≤ k rows per id. */
   def cosineNearDupTopK(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.99, bits: Int = 8,
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     require(k >= 1, "k must be positive")
-    GraftFunctions.register(emb.sparkSession)
-    val withBucket = emb.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      signLshBucket(col(vecCol), bits).as("bucket"))
-    val l = withBucket.select(col(idCol).as("id"), col("v").as("qvec"), col("bucket"))
-      .withColumn("qnorm", sqrt(expr("graft_dot(qvec, qvec)")))
-    val r = withBucket.select(col(idCol).as("neighbor_id"), col("v").as("cvec"),
-        col("bucket"))
-      .withColumn("cnorm", sqrt(expr("graft_dot(cvec, cvec)")))
-    l.join(r, Seq("bucket"))
-      .where(col("id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(fastCosine, 6))
+    cosineBucketCandidates(emb, idCol, vecCol, bits, maxBucketSize)
       .where(col("cosine") >= threshold)
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))

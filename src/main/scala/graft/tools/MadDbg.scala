@@ -16,6 +16,10 @@ object MadDbg {
   }
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    if (!new java.io.File(dir).isDirectory) {
+      System.err.println(s"usage: MadDbg [sfDir]  (data dir not found: $dir)")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

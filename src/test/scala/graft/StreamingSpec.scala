@@ -654,6 +654,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == 3)
   }
 
+  test("incremental cosine top-k view equals the batch capped emitter " +
+      "after every micro-batch; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.nio.file.Files
+    val ledger = Files.createTempDirectory("graft_ctk").toString + "/ledger"
+    val view = Files.createTempDirectory("graft_ctk").toString + "/view"
+    val ckpt = Files.createTempDirectory("graft_ctk_ck").toString
+    val rnd = new scala.util.Random(183)
+    def jitter(base: Array[Float]) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val coneA = Array(1.0f, 0.9f, 0.8f, 0.7f)
+    val coneB = Array(-1.0f, 0.8f, -0.6f, 0.4f)
+    // near-dup cliques spanning batch boundaries: later arrivals must
+    // enter EARLIER ids' top-k (the cross-batch direction a per-batch
+    // window cannot see)
+    val b1 = Seq.tabulate(6)(i => (i.toLong, jitter(coneA))) ++
+      Seq((100L, jitter(coneB)), (101L, jitter(coneB)))
+    val b2 = Seq.tabulate(5)(i => (10L + i, jitter(coneA))) ++
+      Seq((102L, jitter(coneB)))
+    val b3 = Seq((20L, jitter(coneA)), (103L, jitter(coneB)),
+      (104L, Array(0.0f, 0.0f, 1.0f, -1.0f)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val df = mem.toDF().toDF("vec_id", "embedding")
+    val q = StreamingOps.incrementalCosineTopK(df, "vec_id", "embedding",
+      ledger, view, ckpt, threshold = 0.9, bits = 4, k = 2)
+    def check(acc: Seq[(Long, Array[Float])]): Unit = {
+      val expect = ops.Similarity.cosineNearDupTopK(
+          acc.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          threshold = 0.9, bits = 4, k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = spark.read.parquet(view)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect,
+        s"view diverged: extra=${got diff expect} missing=${expect diff got}")
+    }
+    mem.addData(b1: _*); q.processAllAvailable(); check(b1)
+    mem.addData(b2: _*); q.processAllAvailable(); check(b1 ++ b2)
+    mem.addData(b3: _*); q.processAllAvailable(); check(b1 ++ b2 ++ b3)
+    // at-least-once redelivery: already-ledgered ids must change nothing
+    mem.addData(b3: _*); q.processAllAvailable(); check(b1 ++ b2 ++ b3)
+    q.stop()
+  }
+
   test("incremental near-dedup: cross-batch sig-prefilter positives are exact-verified") {
     implicit val sqlCtx = spark.sqlContext
     import java.nio.file.Files
