@@ -103,6 +103,20 @@ object Bench {
         // r6→r7→r8 ±10-60% "drift" was exactly this). Within-query reuse
         // — the part that is a real operator property — still counts.
         spark.sharedState.cacheManager.clearCache()
+        // ALSO release RDD-level persistence (round 18): localCheckpoint
+        // blocks (the quantile family's reuse discipline, PageRank's
+        // per-step cuts) are NOT cacheManager entries — they linger until
+        // driver GC lets ContextCleaner run, so a long board accumulates
+        // dead MEMORY_AND_DISK blocks from every finished query.
+        // Explicitly unpersisting restores per-query storage isolation
+        // (the r8 clearCache rationale, applied to the storage layer).
+        // Measured effect on the r18 sf3.0 board: ≈0 (1341 → 1358 s run
+        // to run) — at 32 GiB heap the leak wasn't yet evicting live
+        // state — but the failure mode is heap-relative, so the guard is
+        // kept as bench semantics rather than rediscovered at the scale
+        // where it bites.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         // A crashing query must not vanish into a fast-looking timing:
         // record it in `failed`, surfaced in the output JSON.
