@@ -239,8 +239,9 @@ object Graft {
     * (percentile_disc / quantile_disc semantics — since r16; the r15
     * window form ranked NULLs first) and clamp to NULL in `<col>_w`. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                lowQ: Double = 0.05, highQ: Double = 0.95): DataFrame =
-    AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ)
+                lowQ: Double = 0.05, highQ: Double = 0.95,
+                checkpointRows: Boolean = true): DataFrame =
+    AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ, checkpointRows)
 
   /** EXACT discrete quantiles per group (percentile_disc position rule,
     * value at sorted position ceil(q·n); NULLs take no part) — fully
@@ -252,8 +253,10 @@ object Graft {
     * (groupCols…, __q, __qval). */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      qs: Seq[Double], buckets: Int = 1024,
-                     sortThreshold: Long = 1L << 16, levels: Int = 3): DataFrame =
-    AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets, sortThreshold, levels)
+                     sortThreshold: Long = 1L << 16, levels: Int = 3,
+                     checkpointRows: Boolean = true): DataFrame =
+    AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets, sortThreshold,
+      levels, checkpointRows)
 
   /** X3: per-group adaptive quality gate — keep each group's top
     * `keepTopFrac` of rows by score against the group's OWN quantile

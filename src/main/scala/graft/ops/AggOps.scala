@@ -301,7 +301,8 @@ object AggOps {
   def exactQuantiles(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                      valueCol: String, qs: Seq[Double],
                      buckets: Int = 1024, sortThreshold: Long = 1L << 16,
-                     levels: Int = 3): org.apache.spark.sql.DataFrame = {
+                     levels: Int = 3,
+                     checkpointRows: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "exactQuantiles needs at least one group column")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -352,8 +353,20 @@ object AggOps {
     // the rows⋈stats and targets⋈cum joins below depend on AQE (on by
     // default) choosing broadcast at runtime; only frames bounded by
     // construction (≤ groups·qs rows) carry explicit broadcast() hints.
-    val rows = Checkpoints.planCheckpoint(df.where(col(valueCol).isNotNull)
-      .select(gs :+ col(valueCol).as("__v"): _*))
+    // checkpointRows is the caller's re-scan-vs-materialize lever
+    // (measured r18, sf10 = 60M rows): when `df` is a cheap re-computable
+    // scan, the ~6 plan references to `rows` re-read pruned parquet faster
+    // than materializing 60M rows once (x5_approx_quantile 44.9 → 28.9 s
+    // with false) — but when `df` embeds a derived subtree (madOutliers
+    // nests one exactQuantiles inside another), re-execution costs more
+    // than the blocks save (a_mad_outliers 15.0 → 23.2 s with false).
+    // Default true = safe for ANY input; pass false only for scan-rooted
+    // frames. The BOUNDED aggregates below stay checkpointed either way —
+    // they are what stops the multiplicative analysis blowup.
+    val rowsPlain = df.where(col(valueCol).isNotNull)
+      .select(gs :+ col(valueCol).as("__v"): _*)
+    val rows =
+      if (checkpointRows) Checkpoints.planCheckpoint(rowsPlain) else rowsPlain
     // The BOUNDED intermediates (stats ≤ groups, cum ≤ groups·buckets,
     // located ≤ groups·qs rows) are checkpointed too: each is referenced
     // by 3–4 downstream branches per level (tie / small / big routing),
@@ -505,12 +518,15 @@ object AggOps {
     * values are ALL null gets NULL bounds via the left join, so its rows
     * also pass through as NULL. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
-                valueCol: String, lowQ: Double, highQ: Double): org.apache.spark.sql.DataFrame = {
+                valueCol: String, lowQ: Double, highQ: Double,
+                checkpointRows: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")
     val gs = groupCols.map(col)
     // distributed discrete quantiles (r16 — see exactQuantiles: the old
-    // global-rank window sorted each group in one task)
-    val bounds = exactQuantiles(df, groupCols, valueCol, Seq(lowQ, highQ))
+    // global-rank window sorted each group in one task); checkpointRows
+    // passes through — false for scan-rooted inputs (see exactQuantiles)
+    val bounds = exactQuantiles(df, groupCols, valueCol, Seq(lowQ, highQ),
+      checkpointRows = checkpointRows)
       .groupBy(gs: _*)
       .agg(
         min(when(col("__q") === lit(lowQ), col("__qval"))).as("__lo"),

@@ -127,6 +127,20 @@ class Round18OpsSpec extends SparkSpec {
     quantilesMatch(data, Seq(0.25, 0.5, 0.9, 1.0), sortThreshold = 32)
   }
 
+  test("exactQuantiles checkpointRows=false (scan-rooted re-scan mode) " +
+      "≡ sort rule on mixed small/big groups") {
+    val rnd = new scala.util.Random(182)
+    val data =
+      Seq.tabulate(25)(i => ("s", rnd.nextDouble() * 7)) ++
+      Seq.tabulate(400)(i => ("big", rnd.nextDouble() * 50))
+    val got = graft.ops.AggOps.exactQuantiles(
+        data.toDF("k", "v").repartition(5), Seq("k"), "v", Seq(0.5, 0.9),
+        sortThreshold = 32, checkpointRows = false)
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == bruteQuantiles(data, Seq(0.5, 0.9)).toMap)
+  }
+
   test("exactQuantiles reliable-checkpoint lever: identical results, " +
       "durable checkpoint files written when the conf is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rck").toString
