@@ -163,10 +163,23 @@ object Bench {
       .map(t => s""","q1_anchor_ratio":${num(t / 0.446)}""").getOrElse("")
     val meanPart = s""","pq_mean":${num(pqMean)}$q1Ratio"""
     try {
+      val fullJson =
+        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail$meanPart,"queries":$full,"normalized":${fmt(normalized)},"sf":"$sfDir"}"""
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fail$meanPart,"queries":$full,"normalized":${fmt(normalized)},"sf":"$sfDir"}""".getBytes)
+      java.nio.file.Files.write(p, fullJson.getBytes)
+      // Every sweep ALSO lands a timestamped copy under bench_archive/
+      // (r19): target/bench_full.json is single-generation, and the r18
+      // closing sweep's per-query detail was overwritten by the next
+      // driver sweep before anyone archived it. The archive makes every
+      // sweep's full map durable without changing the driver contract.
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+      val ap = java.nio.file.Paths.get(
+        s"bench_archive/bench_full_${ts}_${sfBase}_$tier.json")
+      java.nio.file.Files.createDirectories(ap.getParent)
+      java.nio.file.Files.write(ap, fullJson.getBytes)
     } catch { case _: Throwable => () }
     // stdout stays SHORT (round 15): the driver captures a bounded tail,
     // and r14's line — headline + normalized headline — overflowed it,

@@ -240,7 +240,7 @@ object Graft {
     * window form ranked NULLs first) and clamp to NULL in `<col>_w`. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lowQ: Double = 0.05, highQ: Double = 0.95,
-                checkpointRows: Boolean = true): DataFrame =
+                checkpointRows: Option[Boolean] = None): DataFrame =
     AggOps.winsorize(df, groupCols, valueCol, lowQ, highQ, checkpointRows)
 
   /** EXACT discrete quantiles per group (percentile_disc position rule,
@@ -254,7 +254,7 @@ object Graft {
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      qs: Seq[Double], buckets: Int = 1024,
                      sortThreshold: Long = 1L << 16, levels: Int = 3,
-                     checkpointRows: Boolean = true): DataFrame =
+                     checkpointRows: Option[Boolean] = None): DataFrame =
     AggOps.exactQuantiles(df, groupCols, valueCol, qs, buckets, sortThreshold,
       levels, checkpointRows)
 

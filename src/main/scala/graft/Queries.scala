@@ -77,7 +77,8 @@ object Queries extends QueriesAssembly {
     x3BpeBytesApply, x4DecodeWavExt, x2OpqRecall, x2ArtifactRt, x1SimhashSkew, x2OpqAlloc, x3BpeArtifact,
     x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt,
     x2NearDupTopK, x1EditTopK, x3ClfArtifactRt,
-    x2CosineSkew, x2NearDupCapped)
+    x2CosineSkew, x2NearDupCapped,
+    x1EditSkew, x1EditCapped)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

@@ -530,10 +530,9 @@ private[graft] trait QueriesBatch2 extends QueriesX14 {
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))
       val exact = AggOps.exactQuantiles(li, Seq("l_returnflag"),
-          "l_extendedprice", Seq(0.5, 0.9),
-          // scan-rooted input: re-reading pruned parquet beats
-          // materializing the projection (44.9 → 28.9 s at 60M rows)
-          checkpointRows = false)
+          // scan-rooted input auto-detected (r19): re-reading pruned
+          // parquet beats materializing (44.9 → 28.9 s at 60M rows)
+          "l_extendedprice", Seq(0.5, 0.9))
         .groupBy(col("l_returnflag"))
         .agg(min(when(col("__q") === lit(0.5), col("__qval"))).as("p50"),
           min(when(col("__q") === lit(0.9), col("__qval"))).as("p90"))

@@ -1335,9 +1335,9 @@ private[graft] trait QueriesEval extends QueriesPipelines {
     (s, dir) => {
       val v = col("l_extendedprice"); val vw = col("l_extendedprice_w")
       AggOps.winsorize(Tables.lineitem(s, dir), Seq("l_returnflag"),
-          // scan-rooted input: skip the 60M-row projection materialization
-          // (time-neutral at sf10, removes the footprint — see exactQuantiles)
-          "l_extendedprice", 0.05, 0.95, checkpointRows = false)
+          // scan-rooted input auto-detected (r19): skips the 60M-row
+          // projection materialization — see exactQuantiles
+          "l_extendedprice", 0.05, 0.95)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(when(vw > v, 1L).otherwise(0L)).as("n_clamped_lo"),

@@ -965,6 +965,101 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
           ORDER BY dist ASC, nbr_id ASC) AS rk FROM s)
       SELECT id, nbr_id, dist FROM rk WHERE rk <= 3 ORDER BY id, nbr_id"""))
 
+  /** The Ed-Join long branch's prefix-token derivation as DuckDB CTEs —
+    * shared by the r19 skew-report and capped-join oracles, and a literal
+    * mirror of [[Dedup.prefixTokens]] at d=2, q=4 on the 40-char key:
+    * distinct keys (min-id representative) → positional 4-grams
+    * tokenized (gram, occurrence#) → corpus frequency → per-key rarity
+    * rank (tf, gram, occ) → the q·d+1 = 9 rarest kept. */
+  private def edPrefixCtes: String =
+    """k0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+          lower(substr(text, 1, 40)) AS key FROM documents),
+      keys AS (SELECT key, min(id) AS id, length(key) AS len
+        FROM k0 GROUP BY key),
+      longs AS (SELECT * FROM keys WHERE len >= 12),
+      grams AS (SELECT id, len, key, p, substr(key, p + 1, 4) AS gram
+        FROM (SELECT id, len, key, unnest(range(0, len - 3)) AS p FROM longs)),
+      tok AS (SELECT id, len, key, gram,
+          row_number() OVER (PARTITION BY id, gram ORDER BY p) AS occ
+        FROM grams),
+      freq AS (SELECT gram, occ, count(*) AS tf FROM tok GROUP BY gram, occ),
+      pfx AS (SELECT id, len, key, gram, occ FROM (
+          SELECT t.id, t.len, t.key, t.gram, t.occ,
+            row_number() OVER (PARTITION BY t.id
+              ORDER BY f.tf ASC, t.gram ASC, t.occ ASC) AS pr
+          FROM tok t JOIN freq f ON f.gram = t.gram AND f.occ = t.occ)
+        WHERE pr <= 9)"""
+
+  /** X1 — Ed-Join prefix-group skew report ([[Dedup.editGroupReport]],
+    * r19): every (gram, occ) prefix token of the long branch with its
+    * distinct-key count and the quadratic candidate-pair count the prefix
+    * self-join pays there — the diagnosis behind the `maxGroupSize`
+    * guard, mirroring `x2_cosine_bucket_skew`/`x1_simhash_bucket_skew`
+    * for X1's last unguarded family. The oracle re-derives the ENTIRE
+    * prefix chain (positional q-grams, occurrence numbering, corpus
+    * rarity, q·d+1 retention), so this gate also pins the blocking key
+    * the join and capped queries rely on. */
+  protected val x1EditSkew = Q("x1_edit_group_skew",
+    (s, dir) => Dedup.editGroupReport(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4, minKeys = 2),
+    Some(s"""WITH $edPrefixCtes
+      SELECT gram, occ, CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_candidate_pairs
+      FROM pfx GROUP BY gram, occ HAVING count(*) >= 2
+      ORDER BY n_keys DESC, gram, occ"""))
+
+  /** X1 — hot-group-GUARDED edit-distance join ([[Dedup.editDistanceJoin]]
+    * with `maxGroupSize`, r19): prefix groups above the cap degrade to a
+    * star verify against the group's lowest-id key — O(n) per group where
+    * the lossless form's candidate mass is C(n, 2), the bounded recall
+    * trade `x1_edit_group_skew` prices. At sf0.01 cap=7 routes the 84
+    * hottest groups (8–10 keys) through the star and the remaining 769
+    * through all-pairs, so this oracle pins BOTH branch semantics plus
+    * the untouched short-string pool, exact-key collapse, and member
+    * expansion. At 100× data the guarded form bounds the candidate join
+    * the uncapped `x1_edit_distance_join` pays 78.6 s for. */
+  protected val x1EditCapped = Q("x1_edit_join_capped",
+    (s, dir) => Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4,
+      maxGroupSize = Some(7)),
+    Some(s"""WITH $edPrefixCtes,
+      stats AS (SELECT gram, occ, count(*) AS n, min(id) AS repid
+        FROM pfx GROUP BY gram, occ),
+      rep AS (SELECT s.gram, s.occ, s.n, s.repid, k.key AS repkey,
+          k.len AS replen
+        FROM stats s JOIN longs k ON k.id = s.repid),
+      smallp AS (SELECT l.id AS a_id, r.id AS b_id, l.key AS ka, r.key AS kb
+        FROM pfx l JOIN pfx r ON l.gram = r.gram AND l.occ = r.occ
+          AND l.id < r.id AND abs(l.len - r.len) <= 2
+        JOIN stats s ON s.gram = l.gram AND s.occ = l.occ AND s.n <= 7),
+      star AS (SELECT rp.repid AS a_id, m.id AS b_id, rp.repkey AS ka,
+          m.key AS kb
+        FROM pfx m JOIN rep rp ON rp.gram = m.gram AND rp.occ = m.occ
+          AND rp.n > 7 AND m.id <> rp.repid AND abs(m.len - rp.replen) <= 2),
+      sp AS (SELECT id AS sa, len AS la, key AS ksa FROM keys WHERE len < 12),
+      tp AS (SELECT id AS sb, len AS lb, key AS ksb FROM keys WHERE len < 14),
+      shortp AS (SELECT least(sa, sb) AS a_id, greatest(sa, sb) AS b_id,
+          ksa AS ka, ksb AS kb
+        FROM sp JOIN tp ON sa <> sb AND abs(la - lb) <= 2),
+      verified AS (SELECT a_id, b_id,
+          CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+        FROM (SELECT * FROM shortp UNION ALL
+              SELECT * FROM smallp UNION ALL
+              SELECT * FROM star)
+        WHERE levenshtein(ka, kb) <= 2),
+      repp AS (SELECT DISTINCT a_id, b_id, dist FROM verified),
+      members AS (SELECT k.id AS rep, k0.id AS id
+        FROM k0 JOIN keys k ON k.key = k0.key),
+      crossp AS (SELECT least(ma.id, mb.id) AS a_id,
+          greatest(ma.id, mb.id) AS b_id, p.dist
+        FROM repp p JOIN members ma ON ma.rep = p.a_id
+        JOIN members mb ON mb.rep = p.b_id),
+      withinp AS (SELECT l.id AS a_id, r.id AS b_id, CAST(0 AS BIGINT) AS dist
+        FROM members l JOIN members r ON l.rep = r.rep AND l.id < r.id)
+      SELECT a_id, b_id, dist FROM
+        (SELECT * FROM withinp UNION ALL SELECT * FROM crossp)
+      ORDER BY a_id, b_id"""))
+
   /** X6 — DSIR-style target-domain data selection
     * ([[Curation.dsirWeights]]): hashed-token importance weights toward
     * the English slice, top-100 raw docs kept. The feature space is a

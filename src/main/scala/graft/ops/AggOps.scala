@@ -12,6 +12,26 @@ import org.apache.spark.sql.functions._
   */
 object AggOps {
 
+  /** True iff `df`'s analyzed plan is a cheap re-scannable tree: every
+    * node is a leaf (file scan, local rows, checkpoint-block read) or a
+    * narrow Project/Filter/alias over one. Used to default the
+    * quantile family's `checkpointRows` lever (r19, closing the r18
+    * call-site opt-out): a scan-rooted input re-reads pruned parquet
+    * cheaper than materializing the projection once (x5_approx_quantile
+    * 44.9 → 28.9 s at 60M rows), while a DERIVED input (joins,
+    * aggregates, windows — e.g. [[madOutliers]]' nested quantiles) must
+    * checkpoint or each of the ~6 plan references re-executes the
+    * subtree (a_mad_outliers 15.0 → 23.2 s the other way). */
+  private[graft] def isScanRooted(df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias => p.children.forall(ok)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
   /** A3 — torch-style lower median (`torch.median` returns the lower of
     * the two middle elements, reference fawac.py:471,493,501,509), i.e.
     * the element at 1-based rank ⌊(n+1)/2⌋ of the sorted column.
@@ -302,7 +322,7 @@ object AggOps {
                      valueCol: String, qs: Seq[Double],
                      buckets: Int = 1024, sortThreshold: Long = 1L << 16,
                      levels: Int = 3,
-                     checkpointRows: Boolean = true): org.apache.spark.sql.DataFrame = {
+                     checkpointRows: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "exactQuantiles needs at least one group column")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
@@ -353,20 +373,24 @@ object AggOps {
     // the rows⋈stats and targets⋈cum joins below depend on AQE (on by
     // default) choosing broadcast at runtime; only frames bounded by
     // construction (≤ groups·qs rows) carry explicit broadcast() hints.
-    // checkpointRows is the caller's re-scan-vs-materialize lever
-    // (measured r18, sf10 = 60M rows): when `df` is a cheap re-computable
-    // scan, the ~6 plan references to `rows` re-read pruned parquet faster
-    // than materializing 60M rows once (x5_approx_quantile 44.9 → 28.9 s
-    // with false) — but when `df` embeds a derived subtree (madOutliers
-    // nests one exactQuantiles inside another), re-execution costs more
-    // than the blocks save (a_mad_outliers 15.0 → 23.2 s with false).
-    // Default true = safe for ANY input; pass false only for scan-rooted
-    // frames. The BOUNDED aggregates below stay checkpointed either way —
-    // they are what stops the multiplicative analysis blowup.
+    // checkpointRows is the re-scan-vs-materialize lever (measured r18,
+    // sf10 = 60M rows): when `df` is a cheap re-computable scan, the ~6
+    // plan references to `rows` re-read pruned parquet faster than
+    // materializing 60M rows once (x5_approx_quantile 44.9 → 28.9 s
+    // without the checkpoint) — but when `df` embeds a derived subtree
+    // (madOutliers nests one exactQuantiles inside another), re-execution
+    // costs more than the blocks save (a_mad_outliers 15.0 → 23.2 s the
+    // other way). Since r19 the default (None) reads the answer off the
+    // input plan itself ([[isScanRooted]]: leaf/Project/Filter-only →
+    // re-scan, anything derived → checkpoint); Some(_) still overrides.
+    // The BOUNDED aggregates below stay checkpointed either way — they
+    // are what stops the multiplicative analysis blowup.
     val rowsPlain = df.where(col(valueCol).isNotNull)
       .select(gs :+ col(valueCol).as("__v"): _*)
     val rows =
-      if (checkpointRows) Checkpoints.planCheckpoint(rowsPlain) else rowsPlain
+      if (checkpointRows.getOrElse(!isScanRooted(df)))
+        Checkpoints.planCheckpoint(rowsPlain)
+      else rowsPlain
     // The BOUNDED intermediates (stats ≤ groups, cum ≤ groups·buckets,
     // located ≤ groups·qs rows) are checkpointed too: each is referenced
     // by 3–4 downstream branches per level (tie / small / big routing),
@@ -389,11 +413,17 @@ object AggOps {
       .withColumn("__k",
         greatest(ceil(col("__n") * col("__q")).cast("long"), lit(1L)))
       .select(gs ++ Seq(col("__q"), col("__k")): _*)
+    // No broadcast() hints here (r19): smallG/fastTgt are GROUPS-sized,
+    // and this path is precisely the high-group-cardinality route
+    // (per-episode quantiles → groups is data-sized). A mandatory
+    // broadcast could blow Spark's broadcast limit on a query the bucket
+    // path handled; AQE picks broadcast at runtime when the key set is
+    // actually small — the same reliance documented for rows⋈stats.
     val fast = rows
-      .join(broadcast(renamed(smallG.select(gs: _*), "__f_")), keyCond("__f_"))
+      .join(renamed(smallG.select(gs: _*), "__f_"), keyCond("__f_"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(gs: _*).orderBy(col("__v"))))
-      .join(broadcast(renamed(fastTgt, "__t_")),
+      .join(renamed(fastTgt, "__t_"),
         keyCond("__t_") && col("__rn") === col("__k"))
       .select(gs ++ Seq(col("__q"), col("__v").as("__qval")): _*)
     // ---- level 1: bucket once per group (q-free — targets share it) ----
@@ -519,12 +549,12 @@ object AggOps {
     * also pass through as NULL. */
   def winsorize(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                 valueCol: String, lowQ: Double, highQ: Double,
-                checkpointRows: Boolean = true): org.apache.spark.sql.DataFrame = {
+                checkpointRows: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     require(lowQ > 0 && highQ < 1 && lowQ < highQ, s"need 0 < $lowQ < $highQ < 1")
     val gs = groupCols.map(col)
     // distributed discrete quantiles (r16 — see exactQuantiles: the old
     // global-rank window sorted each group in one task); checkpointRows
-    // passes through — false for scan-rooted inputs (see exactQuantiles)
+    // passes through — None auto-detects off the plan (see exactQuantiles)
     val bounds = exactQuantiles(df, groupCols, valueCol, Seq(lowQ, highQ),
       checkpointRows = checkpointRows)
       .groupBy(gs: _*)

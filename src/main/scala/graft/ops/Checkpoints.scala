@@ -21,11 +21,24 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpointDir"
 
+  /** Last raw conf value we passed to `setCheckpointDir`, tracked locally
+    * because `sc.getCheckpointDir` returns the RESOLVED URI (scheme +
+    * random subdir) and never string-matches the raw conf value — the
+    * naive `contains` guard would re-set global SparkContext state on
+    * every call. Caveat: the checkpoint dir is SparkContext-global, so
+    * two sessions sharing one context with DIFFERENT `ConfKey` values
+    * would race each other; the engine assumes one value per context. */
+  @volatile private var lastDirSet: String = null
+
   def planCheckpoint(df: DataFrame, eager: Boolean = false): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (lastDirSet != dir) synchronized {
+          if (lastDirSet != dir) {
+            df.sparkSession.sparkContext.setCheckpointDir(dir)
+            lastDirSet = dir
+          }
+        }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

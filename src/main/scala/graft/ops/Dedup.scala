@@ -867,15 +867,90 @@ object Dedup {
     * Output: (a_id, b_id, dist), a_id < b_id. */
   def editDistanceJoin(docs: DataFrame, idCol: String, key: Column,
                        maxDist: Int = 2, q: Int = 2,
+                       maxGroupSize: Option[Int] = None,
                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
-    editDistancePairs(docs, idCol, key, maxDist, q, caches)
+    editDistancePairs(docs, idCol, key, maxDist, q, maxGroupSize, caches)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** X1 — Ed-Join prefix-group skew report (r19, the diagnosis behind
+    * [[editDistanceJoin]]'s `maxGroupSize` guard — the simhash/cosine
+    * skew reports applied to the Ed-Join blocking key): every
+    * (gram, occurrence#) PREFIX token of the long branch with the number
+    * of distinct keys whose q·d+1 rarest-token prefix retains it, and the
+    * quadratic candidate-pair count the prefix self-join pays there.
+    * Candidate mass is Σ C(n_keys, 2) over these groups — one
+    * boilerplate-heavy corpus region concentrates a (gram, occ) group no
+    * matter how rare the prefix ordering tries to keep tokens (every key
+    * in the region shares its rarest grams), which is exactly where the
+    * 100× probe measured the uncapped join's 78.6 s. Output:
+    * (gram, occ, n_keys, n_candidate_pairs), hottest first. */
+  def editGroupReport(docs: DataFrame, idCol: String, key: Column,
+                      maxDist: Int = 2, q: Int = 2,
+                      minKeys: Long = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
+    val keysAll = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
+    val keys = keysAll.groupBy(col("key")).agg(min(col("id")).as("id"))
+      .withColumn("len", length(col("key")))
+    prefixTokens(keys, maxDist, q)
+      .groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("n_keys"))
+      .where(col("n_keys") >= minKeys)
+      .select(col("gram"), col("occ"), col("n_keys"),
+        (col("n_keys") * (col("n_keys") - 1) / 2).cast("long")
+          .as("n_candidate_pairs"))
+      .orderBy(col("n_keys").desc, col("gram"), col("occ"))
+  }
+
+  /** Long-branch prefix frame shared by [[editDistancePairs]] and
+    * [[editGroupReport]]: positional q-grams of each distinct key of
+    * length ≥ q·(d+1), tokenized as (gram, occurrence#), kept only in the
+    * key's q·d+1 globally-rarest positions (rarity = corpus token
+    * frequency; ties broken (gram, occ) so the per-key order is total and
+    * both the engine and the DuckDB oracle derive the identical prefix).
+    * Key text and length ride along for the verify-in-join. */
+  private def prefixTokens(keys: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val d = maxDist
+    val longMin = q * (d + 1)
+    val longs = keys.where(col("len") >= longMin)
+    val toks = longs.select(col("id"), col("len"), col("key"),
+        explode(sequence(lit(0), col("len") - lit(q))).as("p"))
+      .withColumn("gram", expr(s"substring(key, p + 1, $q)"))
+    val occ = Window.partitionBy(col("id"), col("gram")).orderBy(col("p"))
+    val tokens = toks
+      .withColumn("occ", row_number().over(occ))
+      .select(col("id"), col("len"), col("key"), col("gram"), col("occ"))
+    val freq = tokens.groupBy(col("gram"), col("occ"))
+      .agg(count(lit(1)).as("tf"))
+    val rarity = Window.partitionBy(col("id"))
+      .orderBy(col("tf").asc, col("gram").asc, col("occ").asc)
+    tokens.join(freq, Seq("gram", "occ"))
+      .withColumn("pr", row_number().over(rarity))
+      .where(col("pr") <= q * d + 1)
+      .select(col("id"), col("len"), col("key"), col("gram"), col("occ"))
+  }
+
   /** [[editDistanceJoin]] without the terminal global sort — for consumers
-    * that re-partition anyway (the top-k ranking window, components). */
+    * that re-partition anyway (the top-k ranking window, components).
+    *
+    * `maxGroupSize` (r19) is the hot-group guard, the cosine family's
+    * `maxBucketSize` pattern applied to X1's last unguarded quadratic:
+    * the prefix self-join's candidate mass is Σ C(holders, 2) per
+    * (gram, occ) group — clique-quadratic where boilerplate concentrates
+    * the rarest grams (measured 78.6 s at 100× data, vs FLAT for the
+    * guarded cosine ops). With the cap set, a prefix group above it
+    * degrades to a STAR comparison: each member verifies against the
+    * group's lowest-id key only — O(n) per group, the representative's
+    * key riding the per-group stats row. The recall trade is bounded and
+    * the same as the cosine star's: within a capped group, a pair within
+    * distance d of each OTHER but (a) not within d of the representative
+    * and (b) sharing no other ≤-cap prefix token is missed;
+    * [[editGroupReport]] names the capped groups. Exact-key collapse is
+    * untouched, so identical keys (the dominant duplicate mass) are
+    * always found. Default None preserves the lossless chain. */
   private[graft] def editDistancePairs(
       docs: DataFrame, idCol: String, key: Column,
-      maxDist: Int, q: Int, caches: DedupCaches): DataFrame = {
+      maxDist: Int, q: Int, maxGroupSize: Option[Int],
+      caches: DedupCaches): DataFrame = {
     require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
     val d = maxDist
     val longMin = q * (d + 1) // both >= longMin → prefix principle holds
@@ -910,29 +985,39 @@ object Dedup {
 
     // long branch: positional q-grams → (gram, occ) tokens → global
     // rarity order → q·d+1 prefix (key text carried) → token-equality
-    // candidates verified inline
-    val longs = keys.where(col("len") >= longMin)
-    val toks = longs.select(col("id"), col("len"), col("key"),
-        explode(sequence(lit(0), col("len") - lit(q))).as("p"))
-      .withColumn("gram", expr(s"substring(key, p + 1, $q)"))
-    val occ = Window.partitionBy(col("id"), col("gram")).orderBy(col("p"))
-    val tokens = toks
-      .withColumn("occ", row_number().over(occ))
-      .select(col("id"), col("len"), col("key"), col("gram"), col("occ"))
-    val freq = tokens.groupBy(col("gram"), col("occ"))
-      .agg(count(lit(1)).as("tf"))
-    val rarity = Window.partitionBy(col("id"))
-      .orderBy(col("tf").asc, col("gram").asc, col("occ").asc)
-    val prefix = caches.track(tokens.join(freq, Seq("gram", "occ"))
-      .withColumn("pr", row_number().over(rarity))
-      .where(col("pr") <= q * d + 1)
-      .select(col("id"), col("len"), col("key"), col("gram"), col("occ")))
-    val longPairs = verify(prefix.as("l").join(prefix.as("r"),
-        col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
-          && col("l.id") < col("r.id")
-          && abs(col("l.len") - col("r.len")) <= d)
-      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
-        col("l.key").as("ka"), col("r.key").as("kb")))
+    // candidates verified inline ([[prefixTokens]] — shared with the
+    // skew report so the diagnosis counts EXACTLY the joined groups)
+    val prefix = caches.track(prefixTokens(keys, maxDist, q))
+    def allPairsOf(pfx: DataFrame): DataFrame =
+      verify(pfx.as("l").join(pfx.as("r"),
+          col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
+            && col("l.id") < col("r.id")
+            && abs(col("l.len") - col("r.len")) <= d)
+        .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+          col("l.key").as("ka"), col("r.key").as("kb")))
+    val longPairs = maxGroupSize match {
+      case None => allPairsOf(prefix)
+      case Some(cap) =>
+        require(cap >= 2, "maxGroupSize must allow at least one pair")
+        // per-(gram, occ) size + representative (lowest id, key attached);
+        // token-cardinality sized, so the join back is keyed, never
+        // broadcast — unlike the cosine guard's ≤2^bits stats frame
+        val stats = prefix.groupBy(col("gram"), col("occ"))
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col("id"), col("len"), col("key"))).as("__rep"))
+        val sized = prefix.join(stats, Seq("gram", "occ"))
+        val smallG = allPairsOf(sized.where(col("__n") <= cap)
+          .select(col("id"), col("len"), col("key"), col("gram"), col("occ")))
+        // hot groups: star against the representative — O(n) per group,
+        // join-free (the rep key is already on the row); rep id is the
+        // group minimum so a_id < b_id holds by construction
+        val starG = verify(sized.where(col("__n") > cap
+            && col("id") =!= col("__rep.id")
+            && abs(col("len") - col("__rep.len")) <= d)
+          .select(col("__rep.id").as("a_id"), col("id").as("b_id"),
+            col("__rep.key").as("ka"), col("key").as("kb")))
+        smallG.union(starG)
+    }
 
     // representative-level matches (distinct keys ⇒ dist ≥ 1 here); a pair
     // sharing several prefix tokens verifies once per shared token — the
@@ -968,9 +1053,11 @@ object Dedup {
     * Output: (id, nbr_id, dist), ≤ k rows per id. */
   def editDistanceTopK(docs: DataFrame, idCol: String, key: Column,
                        maxDist: Int = 2, q: Int = 2, k: Int = 3,
+                       maxGroupSize: Option[Int] = None,
                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     require(k >= 1, "k must be positive")
-    val pairs = editDistancePairs(docs, idCol, key, maxDist, q, caches)
+    val pairs = editDistancePairs(docs, idCol, key, maxDist, q, maxGroupSize,
+      caches)
     val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nbr_id"), col("dist"))
       .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nbr_id"),
         col("dist")))

@@ -430,10 +430,18 @@ object Similarity {
           .withColumn("cosine", round(fastCosine, 6))
           .select(col("id"), col("neighbor_id"), col("cosine"))
         // star emits one orientation; mirror it so downstream consumers
-        // see the same directed-pair contract as the all-pairs branch
-        smallPairs.unionAll(starPairs).unionAll(
-          starPairs.select(col("neighbor_id").as("id"),
-            col("id").as("neighbor_id"), col("cosine")))
+        // see the same directed-pair contract as the all-pairs branch.
+        // Both orientations come from ONE pass (explode over the scored
+        // row) — a union of starPairs with its own flip would execute the
+        // star subtree (stats agg + broadcast join + cosine) twice per
+        // action, since nothing here is persisted.
+        val starBoth = starPairs.select(explode(array(
+            struct(col("id"), col("neighbor_id"), col("cosine")),
+            struct(col("neighbor_id").as("id"), col("id").as("neighbor_id"),
+              col("cosine")))).as("__p"))
+          .select(col("__p.id").as("id"), col("__p.neighbor_id").as("neighbor_id"),
+            col("__p.cosine").as("cosine"))
+        smallPairs.unionAll(starBoth)
     }
   }
 

@@ -1115,8 +1115,15 @@ object StreamingOps {
         // merge is bounded: ≤ k existing rows + this batch's pairs per id
         val rk = Window.partitionBy(col("id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        // dropDuplicates makes the merge idempotent across the one replay
+        // window the ledger guard can't see: a crash BETWEEN the view swap
+        // and the ledger append replays pairs already in oldView — without
+        // the dedup a duplicated (id, neighbor_id) would take two of the k
+        // rank slots and permanently evict a distinct legitimate neighbor.
+        // Cosine is deterministic per pair, so keeping either row is exact.
         val updated = oldView.join(touched, Seq("id"), "left_semi")
           .unionByName(newPairs)
+          .dropDuplicates("id", "neighbor_id")
           .withColumn("__rk", row_number().over(rk))
           .where(col("__rk") <= k).drop("__rk")
         val untouched = oldView.join(touched, Seq("id"), "left_anti")

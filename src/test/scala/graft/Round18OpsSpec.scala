@@ -135,7 +135,7 @@ class Round18OpsSpec extends SparkSpec {
       Seq.tabulate(400)(i => ("big", rnd.nextDouble() * 50))
     val got = graft.ops.AggOps.exactQuantiles(
         data.toDF("k", "v").repartition(5), Seq("k"), "v", Seq(0.5, 0.9),
-        sortThreshold = 32, checkpointRows = false)
+        sortThreshold = 32, checkpointRows = Some(false))
       .as[(String, Double, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got == bruteQuantiles(data, Seq(0.5, 0.9)).toMap)
