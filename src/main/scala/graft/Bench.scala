@@ -129,7 +129,12 @@ object Bench {
     // run (round 3's driver bench measured 98s for work that re-measures at
     // 50s idle — both passes were slow together); a third pass widens the
     // window a transient load spike must fully cover to distort the min.
-    val passes = (1 to 3).map(_ => onePass().toMap)
+    // SPARK_GRAFT_BENCH_PASSES (r19, default 3 — driver semantics
+    // unchanged) exists for the big scaled boards, where one pass is
+    // hours and per-query times are tens of seconds — far above the
+    // noise the min-of-3 exists to cancel; the stat field labels it.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = (1 to nPasses).map(_ => onePass().toMap)
     val results = SparkEntry.queries.keys.toSeq.filter(inTier).sorted
       .map(k => k -> passes.map(_(k)).min)
     // Locale.ROOT: the f-interpolator uses the default locale, which
@@ -185,7 +190,7 @@ object Bench {
     // and r14's line — headline + normalized headline — overflowed it,
     // clipping the leading '{' so BENCH_r14.json parsed null. The
     // normalized map lives only in target/bench_full.json now.
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_3"$meanPart,"queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":${results.size},"failed":$fail,"stat":"min_of_$nPasses"$meanPart,"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
