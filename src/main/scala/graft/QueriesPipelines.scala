@@ -1018,11 +1018,13 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
     * the untouched short-string pool, exact-key collapse, and member
     * expansion. At 100× data the guarded form bounds the candidate join
     * the uncapped `x1_edit_distance_join` pays 78.6 s for. */
-  protected val x1EditCapped = Q("x1_edit_join_capped",
-    (s, dir) => Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id",
-      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4,
-      maxGroupSize = Some(7)),
-    Some(s"""WITH $edPrefixCtes,
+  /** The capped chain's member-level pair set as CTEs (builds on
+    * [[edPrefixCtes]]; `cappedp` = the star-guarded equivalent of the
+    * lossless join's output, cap 7): per-group stats + representative,
+    * ≤-cap all-pairs branch, >-cap star branch, short pool, banded
+    * verify, pair-level distinct, exact-key member expansion. */
+  private def edCappedPairsCtes: String =
+    s"""$edPrefixCtes,
       stats AS (SELECT gram, occ, count(*) AS n, min(id) AS repid
         FROM pfx GROUP BY gram, occ),
       rep AS (SELECT s.gram, s.occ, s.n, s.repid, k.key AS repkey,
@@ -1055,10 +1057,36 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
         FROM repp p JOIN members ma ON ma.rep = p.a_id
         JOIN members mb ON mb.rep = p.b_id),
       withinp AS (SELECT l.id AS a_id, r.id AS b_id, CAST(0 AS BIGINT) AS dist
-        FROM members l JOIN members r ON l.rep = r.rep AND l.id < r.id)
-      SELECT a_id, b_id, dist FROM
-        (SELECT * FROM withinp UNION ALL SELECT * FROM crossp)
-      ORDER BY a_id, b_id"""))
+        FROM members l JOIN members r ON l.rep = r.rep AND l.id < r.id),
+      cappedp AS (SELECT * FROM withinp UNION ALL SELECT * FROM crossp)"""
+
+  protected val x1EditCapped = Q("x1_edit_join_capped",
+    (s, dir) => Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4,
+      maxGroupSize = Some(7)),
+    Some(s"""WITH $edCappedPairsCtes
+      SELECT a_id, b_id, dist FROM cappedp ORDER BY a_id, b_id"""))
+
+  /** X1 — hot-group-guarded BOUNDED-OUTPUT edit-distance view
+    * ([[Dedup.editDistanceTopK]] with `maxGroupSize`, r19): the capped
+    * candidate chain above, emission further bounded at each id's k=3
+    * nearest keys — the pipeline form at 100 TB, where the uncapped
+    * `x1_edit_join_topk` pays the full clique-quadratic candidate mass
+    * (750.5 s at the sf10 board vs 34.7 s for the capped join's shared
+    * candidate stage). Kept as its OWN query so the uncapped view's
+    * cross-round board numbers stay comparable. */
+  protected val x1EditTopKCapped = Q("x1_edit_topk_capped",
+    (s, dir) => Dedup.editDistanceTopK(Tables.documents(s, dir), "doc_id",
+      lower(substring(col("text"), 1, 40)), maxDist = 2, q = 4, k = 3,
+      maxGroupSize = Some(7))
+      .orderBy(col("id"), col("nbr_id")),
+    Some(s"""WITH $edCappedPairsCtes,
+      sym AS (SELECT a_id AS id, b_id AS nbr_id, dist FROM cappedp
+        UNION ALL SELECT b_id AS id, a_id AS nbr_id, dist FROM cappedp),
+      rk AS (SELECT id, nbr_id, dist, row_number() OVER (PARTITION BY id
+          ORDER BY dist ASC, nbr_id ASC) AS rk FROM sym)
+      SELECT id, nbr_id, dist FROM rk WHERE rk <= 3
+      ORDER BY id, nbr_id"""))
 
   /** X6 — DSIR-style target-domain data selection
     * ([[Curation.dsirWeights]]): hashed-token importance weights toward
