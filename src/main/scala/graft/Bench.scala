@@ -133,7 +133,17 @@ object Bench {
     // unchanged) exists for the big scaled boards, where one pass is
     // hours and per-query times are tens of seconds — far above the
     // noise the min-of-3 exists to cancel; the stat field labels it.
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val nPasses = {
+      val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+      // validate BEFORE the hours-long run: a typo'd or non-positive
+      // value must fail here, not as an opaque min-of-empty at the end
+      val n = try raw.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer >= 1, got '$raw'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $n")
+      n
+    }
     val passes = (1 to nPasses).map(_ => onePass().toMap)
     val results = SparkEntry.queries.keys.toSeq.filter(inTier).sorted
       .map(k => k -> passes.map(_(k)).min)

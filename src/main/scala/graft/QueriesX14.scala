@@ -48,17 +48,16 @@ private[graft] trait QueriesX14 extends QueriesCore {
   }
 
   /** X1 — near-dup pairs → dedup clusters: connected components by
-    * iterative min-label propagation (Dedup.connectedComponents); the
-    * oracle computes the same min-reachable-id per node with a recursive
-    * CTE over the identical pair set. */
+    * iterative min-label propagation, exact-rep contracted + member
+    * re-expanded ([[graft.ops.Dedup.nearDupComponents]], r20); the oracle
+    * computes min-reachable-id per node with a recursive CTE over the
+    * FULL pair graph — the hash gate is the contraction's losslessness
+    * proof on real data. */
   protected val x1Components = Q("x1_dedup_components",
-    (s, dir) => {
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 8, r = 4, estMin = 0.75, threshold = 0.8)
-      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-        .select(col("id").as("doc_id"), col("component").as("component_id"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => Dedup.nearDupComponents(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.8, k = 8, r = 4, estMin = 0.75)
+      .select(col("id").as("doc_id"), col("component").as("component_id"))
+      .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE $lshPairCtes,
       p AS (SELECT doc_a, doc_b FROM v
             WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8),

@@ -21,12 +21,22 @@ object AggOps {
     * 44.9 → 28.9 s at 60M rows), while a DERIVED input (joins,
     * aggregates, windows — e.g. [[madOutliers]]' nested quantiles) must
     * checkpoint or each of the ~6 plan references re-executes the
-    * subtree (a_mad_outliers 15.0 → 23.2 s the other way). */
+    * subtree (a_mad_outliers 15.0 → 23.2 s the other way).
+    *
+    * Determinism gate (r20): a narrow tree over a NONDETERMINISTIC
+    * expression (`rand()` projection, sampling predicate, Sample node) is
+    * cheap to re-scan but yields a DIFFERENT row set per scan — the ~6
+    * plan references would each quantile a different sample, silently
+    * producing internally inconsistent bounds. Those trees route to the
+    * checkpoint path, restoring the r18 default's safe-for-any-input
+    * contract. */
   private[graft] def isScanRooted(df: org.apache.spark.sql.DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def ok(p: LogicalPlan): Boolean = p match {
+      case _: Sample => false
       case _: LeafNode => true
-      case _: Project | _: Filter | _: SubqueryAlias => p.children.forall(ok)
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        p.expressions.forall(_.deterministic) && p.children.forall(ok)
       case _ => false
     }
     ok(df.queryExecution.analyzed)

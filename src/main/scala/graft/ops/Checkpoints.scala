@@ -33,9 +33,14 @@ object Checkpoints {
   def planCheckpoint(df: DataFrame, eager: Boolean = false): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (lastDirSet != dir) synchronized {
-          if (lastDirSet != dir) {
-            df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        // also re-set when the CONTEXT has no dir: lastDirSet is
+        // JVM-global, a restarted context (stop + new session, same conf
+        // value) starts with an empty checkpoint dir and `df.checkpoint`
+        // would throw if the stale cache short-circuited the set
+        if (lastDirSet != dir || sc.getCheckpointDir.isEmpty) synchronized {
+          if (lastDirSet != dir || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
             lastDirSet = dir
           }
         }

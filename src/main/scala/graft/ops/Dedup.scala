@@ -116,6 +116,28 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** One representative document — the lowest-id member, i.e. exactly
+    * [[exactDedup]]'s keeper — per distinct normalized text, carrying its
+    * (id, text) so downstream similarity stages can run on it directly.
+    * This is the EXACT-KEY COLLAPSE input for the minhash family (see
+    * [[dedupPipeline]]): feeding near-dup candidate generation m copies
+    * of one text buys C(m, 2) guaranteed-collision pairs and no
+    * information. One aggregation, map-side combined (each map partition
+    * forwards at most one (fp, min struct) per distinct fingerprint it
+    * saw — text rides the shuffle once per distinct text per partition,
+    * never per copy), replacing the exact-keeper semi join + full-corpus
+    * minhash the r19 pipelines paid. Tracked in `caches` because every
+    * caller references it from two plan positions (survivor list + pair
+    * generation). */
+  def exactRepresentatives(docs: DataFrame, idCol: String, textCol: String,
+                           caches: DedupCaches = DedupCaches.unmanaged): DataFrame =
+    caches.track(
+      docs.select(TextOps.fingerprint(col(textCol)).as("fp"),
+          struct(col(idCol).as("id"), col(textCol).as("text")).as("__doc"))
+        .groupBy(col("fp"))
+        .agg(min_by(col("__doc"), col("__doc.id")).as("__rep"))
+        .select(col("__rep.id").as(idCol), col("__rep.text").as(textCol)))
+
   /** X1 cross-corpus dedup — drop every new-shard document whose
     * normalized-content fingerprint already exists in a REFERENCE corpus
     * (prior training rounds, a held-out benchmark, an earlier crawl).
@@ -411,16 +433,31 @@ object Dedup {
     * The cluster representative always survives exact dedup too: identical
     * texts produce identical signatures, so an exact-dup group is always
     * fully connected in the pair graph, and the component min is therefore
-    * also the min of its fingerprint group. */
+    * also the min of its fingerprint group.
+    *
+    * EXACT-KEY COLLAPSE (r20): the minhash stage runs over
+    * [[exactRepresentatives]] — one document per distinct normalized
+    * text — never the raw corpus. Identical texts collide in EVERY LSH
+    * band, so an exact-dup group of m copies fed to the pair join emits
+    * C(m, 2) candidate rows that all verify at jaccard 1.0 and say
+    * nothing the fingerprint didn't: on a duplicate-heavy corpus that m²
+    * term dominates the stage (measured ×14–22 on the 100× board for
+    * this pipeline family; same blowup [[editDistancePairs]] kills with
+    * its collapse). The contraction is LOSSLESS here: survivors are the
+    * exact keepers, every member's near-dup edges are mirrored on its
+    * representative (identical text ⇒ identical signature and jaccard),
+    * and `exactDedup`'s keeper is the min id per fingerprint, so the
+    * min-id component label over representatives equals the full-graph
+    * label — zero output bits change (gated by the unchanged DuckDB
+    * oracle, which still clusters the FULL pair graph). */
   def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.8,
                     k: Int = 8, r: Int = 4, estMin: Double = 0.75,
                     shingleN: Int = 3,
                     caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
-    val survivors = docs.select(col(idCol).as("doc_id"))
-      .join(exactKept, Seq("doc_id"), "left_semi")
-    val pairs = minhashLshPairs(docs, idCol, textCol, k = k, r = r,
+    val reps = exactRepresentatives(docs, idCol, textCol, caches)
+    val survivors = reps.select(col(idCol).as("doc_id"))
+    val pairs = minhashLshPairs(reps, idCol, textCol, k = k, r = r,
       estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
     val nonRepresentatives = connectedComponents(pairs, "doc_a", "doc_b", caches = caches)
       .where(col("id") =!= col("component")).select(col("id").as("doc_id"))
@@ -441,17 +478,28 @@ object Dedup {
     * Scale shape: identical to [[dedupPipeline]] (LSH-bounded pair graph,
     * components over pairs only) plus one `max_by` aggregate on the
     * cluster-member table — component-cardinality, never the corpus, and
-    * no window. Output: (doc_id) survivors. */
+    * no window. Output: (doc_id) survivors.
+    *
+    * The minhash stage runs over [[exactRepresentatives]] (the
+    * [[dedupPipeline]] EXACT-KEY COLLAPSE; rationale and losslessness
+    * argument there). `base` only ever holds exact survivors, so
+    * restricting the component table to representatives drops exactly the
+    * rows the left join discarded anyway — with one visible shift: an
+    * exact-dup group with NO external near-dup edge used to reach `base`
+    * as a self-component (its members' jaccard-1.0 edges) and win its own
+    * `max_by`; contracted, its representative takes the
+    * `component IS NULL` branch instead. Both branches emit the same
+    * single doc_id, so the union is row-identical. */
   def dedupPipelineKeepBest(docs: DataFrame, idCol: String, textCol: String,
                             quality: Column,
                             threshold: Double = 0.8,
                             k: Int = 8, r: Int = 4, estMin: Double = 0.75,
                             shingleN: Int = 3,
                             caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
-    val exactKept = exactDedup(docs, idCol, textCol).select(col("keep_id").as("doc_id"))
+    val reps = exactRepresentatives(docs, idCol, textCol, caches)
     val base = docs.select(col(idCol).as("doc_id"), quality.as("__q"))
-      .join(exactKept, Seq("doc_id"), "left_semi")
-    val pairs = minhashLshPairs(docs, idCol, textCol, k = k, r = r,
+      .join(reps.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = minhashLshPairs(reps, idCol, textCol, k = k, r = r,
       estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
     val comp = connectedComponents(pairs, "doc_a", "doc_b", caches = caches)
       .select(col("id").as("doc_id"), col("component"))
@@ -462,6 +510,69 @@ object Dedup {
         .as("doc_id"))
       .select(col("doc_id"))
     m.where(col("component").isNull).select(col("doc_id")).unionAll(winners)
+  }
+
+  /** X1 — near-dup components over the FULL corpus: (id, component) for
+    * every document that appears in the [[minhashLshPairs]] pair graph,
+    * component = min reachable id — the same answer as
+    * `connectedComponents(minhashLshPairs(docs, …))`, computed WITHOUT
+    * ever materializing the exact-dup groups' m² internal pairs.
+    *
+    * EXACT-KEY COLLAPSE + member re-expansion: the pair machinery runs on
+    * [[exactRepresentatives]] only; member rows come back via the
+    * fingerprint → representative map in an OUTPUT-sized join (each
+    * expanded row is a result row). Losslessness, piece by piece:
+    *
+    *  - contracted edges = full edges restricted to representatives
+    *    (signatures and jaccard are per-document functions of the text);
+    *  - any full-graph path detouring through a non-representative member
+    *    reroutes through its representative (identical text ⇒ the member's
+    *    every edge exists on the representative), so two representatives
+    *    share a full component iff they share a contracted one;
+    *  - the full component min is the min over its representatives
+    *    (each exact group's min IS its representative), so contracted
+    *    labels equal full labels;
+    *  - members of an exact group inherit the representative's label; a
+    *    group with ≥2 copies and a NON-EMPTY shingle set is in the graph
+    *    even with no external edge (its internal jaccard-1.0 pairs),
+    *    labelled by its own representative — the empty-set gate matters:
+    *    null/short texts produce no signature rows, so such a group is
+    *    absent from the full pair graph and must stay absent here.
+    *
+    * Scale shape: everything quadratic-looking is representative- or
+    * output-bounded; the corpus contributes one fingerprint aggregation
+    * and one (id, fp) ⋈ (fp, component) expansion join keyed on the
+    * 16-byte fingerprint. */
+  def nearDupComponents(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8,
+                        k: Int = 8, r: Int = 4, estMin: Double = 0.75,
+                        shingleN: Int = 3,
+                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
+    val fps = docs.select(col(idCol).cast("long").as("id"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val groups = fps.groupBy(col("fp"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("m"))
+    val reps = exactRepresentatives(docs, idCol, textCol, caches)
+    val repPairs = minhashLshPairs(reps, idCol, textCol, k = k, r = r,
+      estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
+    val repComp = connectedComponents(repPairs, "doc_a", "doc_b", caches = caches)
+      .select(col("id").as("rep_id"), col("component"))
+    // same cached plan minhashLshPairs builds internally (CacheManager
+    // substitutes on the canonicalized match), reread for the gate only
+    val nonEmptyReps = docShingleSets(reps, idCol, textCol, shingleN)
+      .where(col("n_toks") > 0)
+      .select(col("doc_id").cast("long").as("rep_id"), lit(true).as("__ne"))
+    // a group's internal pairs verify at est/jaccard exactly 1.0 — they
+    // exist iff the thresholds admit 1.0 (they always do in practice;
+    // the guard keeps degenerate >1.0 parameters honest)
+    val selfPairs = lit(threshold <= 1.0 && estMin <= 1.0)
+    val groupComp = groups
+      .join(repComp, Seq("rep_id"), "left")
+      .join(nonEmptyReps, Seq("rep_id"), "left")
+      .where(col("component").isNotNull ||
+        (col("m") >= 2 && selfPairs && col("__ne").isNotNull))
+      .select(col("fp"), coalesce(col("component"), col("rep_id")).as("component"))
+    fps.join(groupComp, Seq("fp")).select(col("id"), col("component"))
   }
 
   /** Connected components over a near-dup pair graph — the step that turns
@@ -896,7 +1007,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_keys"))
       .where(col("n_keys") >= minKeys)
       .select(col("gram"), col("occ"), col("n_keys"),
-        (col("n_keys") * (col("n_keys") - 1) / 2).cast("long")
+        // integer DIV, not `/`: Spark's `/` is double division, exact
+        // only below 2^53 — the DuckDB oracle divides exactly
+        expr("CAST(n_keys * (n_keys - 1) DIV 2 AS BIGINT)")
           .as("n_candidate_pairs"))
       .orderBy(col("n_keys").desc, col("gram"), col("occ"))
   }
