@@ -78,7 +78,7 @@ object Queries extends QueriesAssembly {
     x2OpqNp, x2PqArtifactRt, x2PcaArtifactRt,
     x2NearDupTopK, x1EditTopK, x3ClfArtifactRt,
     x2CosineSkew, x2NearDupCapped,
-    x1EditSkew, x1EditCapped, x1EditTopKCapped)
+    x1EditSkew, x1EditCapped, x1EditTopKCapped, x2PqRecallFixedK)
 
   /** Flagship end-to-end slice (SURVEY.md §7.1): per-episode discounted
     * cost return + feasibility gate — S1 scan, W1 window, W3 groupBy, W4

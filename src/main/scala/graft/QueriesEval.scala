@@ -200,30 +200,37 @@ private[graft] trait QueriesEval extends QueriesPipelines {
     * a usable operating point rather than the oracle-friendly toy. Exact L2
     * distances round portable-free at 6 digits before ranking (same
     * accepted trade as the cosine recalls). */
-  protected val x2PqRecall = Q("x2_pq_recall",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val qp = cappedStripe(col("vec_id"))
-      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
-        seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
-      val pq = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8, dim = 64,
-        codebooks = cb, queryPred = qp, k = 5)
-        .select(col("query_id"), col("cand_id"))
-      val e = emb.select(col("vec_id").cast("long").as("cand_id"),
-        col("embedding").cast("array<double>").as("cv"))
-      val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("d").asc, col("cand_id").asc)
-      val exact = e.crossJoin(broadcast(q))
-        .where(col("cand_id") =!= col("query_id"))
-        .withColumn("d", round(expr(
-          "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
-        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
-        .select(col("query_id"), col("cand_id"))
-      recallOf(exact, pq, k = 5)
-    },
-    Some(s"""${pqOracleCtes(23, 8)},
+  /** Shared dataflow of `x2_pq_recall` (seedCap = 0, the original
+    * corpus-proportional %23 seed stripe) and `x2_pq_recall_fixedk`
+    * (seedCap > 0, the r20 scale path: codebook cardinality pinned at
+    * the operating point). */
+  private def pqRecallRun(s: SparkSession, dir: String, seedCap: Long) = {
+    val emb = Tables.embeddings(s, dir)
+    val qp = cappedStripe(col("vec_id"))
+    val sp0 = pmod(col("vec_id"), lit(23)) === 3
+    val sp = if (seedCap > 0) sp0 && col("vec_id") < lit(seedCap) else sp0
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
+      seedPred = sp, iters = 2)
+    val pq = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8, dim = 64,
+      codebooks = cb, queryPred = qp, k = 5)
+      .select(col("query_id"), col("cand_id"))
+    val e = emb.select(col("vec_id").cast("long").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val q = emb.where(qp).select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("cand_id").asc)
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("cand_id") =!= col("query_id"))
+      .withColumn("d", round(expr(
+        "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    recallOf(exact, pq, k = 5)
+  }
+
+  private def pqRecallOracle(seedCap: Long): String =
+    s"""${pqOracleCtes(23, 8, seedCap)},
       m1 AS (SELECT sub, cell, i AS pos,
           floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
         FROM a1, range(8) t(i) GROUP BY sub, cell, i),
@@ -258,7 +265,30 @@ private[graft] trait QueriesEval extends QueriesPipelines {
         FROM exrk GROUP BY query_id)
       SELECT qs.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
         coalesce(n_hits, 0) / CAST(least(n_exact, 5) AS DOUBLE) AS recall
-      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""))
+      FROM qs LEFT JOIN hits USING (query_id) ORDER BY query_id"""
+
+  protected val x2PqRecall = Q("x2_pq_recall",
+    (s, dir) => pqRecallRun(s, dir, seedCap = 0L),
+    Some(pqRecallOracle(0L)))
+
+  /** X2 — `x2_pq_recall` at a SCALE-INVARIANT operating point (r20): the
+    * %23 seed stripe additionally capped at id < 5888, pinning the
+    * codebook at ≤256 cells per subspace (87 from sf0.1 up, 22 at
+    * sf0.01) regardless of corpus size. The original stripe grows the
+    * codebook WITH the corpus (2,558 cells/sub at sf3, 7,911 at sf10),
+    * which turns every broadcast-assign stage — Lloyd's iterations,
+    * encoding, the ADC table — into O(N·cells) ≈ O(N²/23): measured
+    * train+search 16.2 s → 67.9 s across sf3 → sf10 for the uncapped
+    * stripe vs 5.0 s → 5.5 s FLAT for this operating point (SCALING.md
+    * round 20). A PQ codebook is fixed-k by definition (8-bit codes =
+    * 256 cells); the uncapped sibling stays as the denser-codebook
+    * diagnostic and its own oracle anchor. At the correctness SFs
+    * (max vec_id 1999 < 5888) the cap does not bind and the two queries
+    * coincide by construction — the hash gate pins the shared dataflow;
+    * the divergence is purely the plan's scale behavior. */
+  protected val x2PqRecallFixedK = Q("x2_pq_recall_fixedk",
+    (s, dir) => pqRecallRun(s, dir, seedCap = 5888L),
+    Some(pqRecallOracle(5888L)))
 
   /** X2 — OPQ-rotation recall A/B ([[graft.ops.Similarity.pcaRotate]] ∘
     * pcaTopK → pqTrain/pqSearch): the measurement the `covarianceMatrix`

@@ -808,8 +808,13 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
   /** Shared oracle scaffolding for the PQ queries: 2 subspaces × 32 dims
     * over the 64-dim embeddings, seeds vec_id%97==3, 2 Lloyd iterations —
     * the per-subspace generalization of the x2_kmeans_fit CTE chain. */
-  protected def pqOracleCtes(seedMod: Int = 97, m: Int = 2): String = {
+  protected def pqOracleCtes(seedMod: Int = 97, m: Int = 2,
+                             seedCap: Long = 0L): String = {
     val subd = 64 / m
+    // seedCap > 0 pins the codebook cardinality at the OPERATING POINT
+    // (ids below the cap only), independent of corpus size — the r20
+    // scale path; 0 keeps the original corpus-proportional seed stripe
+    val capSql = if (seedCap > 0) s" AND pid < $seedCap" else ""
     val dpc = dotSql("pv", "cv"); val dcc = dotSql("cv", "cv")
     def distRk(cents: String) =
       s"""SELECT pid, sub, pv, pn, cell FROM (
@@ -821,7 +826,7 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
       e0 AS (SELECT pid, s AS sub, v[s*$subd+1 : s*$subd+$subd] AS pv FROM v, range($m) t(s)),
       e AS (SELECT pid, sub, pv, ${dotSql("pv", "pv")} AS pn FROM e0),
       c0 AS (SELECT sub, CAST(pid AS BIGINT) AS cell, pv AS cv
-        FROM e0 WHERE pid % $seedMod = 3),
+        FROM e0 WHERE pid % $seedMod = 3$capSql),
       a0 AS (${distRk("c0")}),
       m0 AS (SELECT sub, cell, i AS pos,
           floor(avg(pv[i+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
