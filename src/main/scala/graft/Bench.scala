@@ -60,7 +60,8 @@ object Bench {
     * a tightened time budget can keep per-operator signal without paying
     * the eval tail every sweep (SCALING.md round-15 design note). */
   private val evalTier = Set(
-    "x2_ann_recall", "x2_ivf_recall", "x2_pq_recall", "x2_ivf_pq_recall",
+    "x2_ann_recall", "x2_ivf_recall", "x2_pq_recall", "x2_pq_recall_fixedk",
+    "x2_ivf_pq_recall",
     "x2_ivf_rerank_recall", "x2_matryoshka_recall", "x2_opq_recall",
     "x2_opq_alloc_recall", "x2_opq_refine_recall", "x8_hits_states",
     "x8_pagerank_states", "x8_personalized_pagerank", "x3_train_classifier",
