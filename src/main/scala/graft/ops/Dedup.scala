@@ -441,9 +441,11 @@ object Dedup {
     * band, so an exact-dup group of m copies fed to the pair join emits
     * C(m, 2) candidate rows that all verify at jaccard 1.0 and say
     * nothing the fingerprint didn't: on a duplicate-heavy corpus that m²
-    * term dominates the stage (measured ×14–22 on the 100× board for
-    * this pipeline family; same blowup [[editDistancePairs]] kills with
-    * its collapse). The contraction is LOSSLESS here: survivors are the
+    * term dominates the stage (the contraction measured ×34–54 on the
+    * 100× board for this pipeline family — 715/1,046/885 s →
+    * 19.3/19.3/25.8 s, SCALING.md round 20; same blowup
+    * [[editDistancePairs]] kills with its collapse). The contraction is
+    * LOSSLESS here: survivors are the
     * exact keepers, every member's near-dup edges are mirrored on its
     * representative (identical text ⇒ identical signature and jaccard),
     * and `exactDedup`'s keeper is the min id per fingerprint, so the
