@@ -86,6 +86,16 @@ object Graft {
                   threshold: Double = 0.8): DataFrame =
     Dedup.dedupPipeline(docs, idCol, textCol, threshold)
 
+  /** X1: near-dup cluster id per document, straight from the corpus —
+    * exact-rep contracted minhash components with member re-expansion
+    * ([[graft.ops.Dedup.nearDupComponents]], r20), so exact-duplicate
+    * groups never materialize their m² internal pairs. Docs absent from
+    * the pair graph (no duplicate, no near-dup) emit no row. */
+  def dedupClustersOf(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.8): DataFrame =
+    Dedup.nearDupComponents(docs, idCol, textCol, threshold)
+
   /** X2: cosine top-k for a query subset (brute force, codegen kernel). */
   def similaritySearch(emb: DataFrame, queryPred: Column, k: Int = 5,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
