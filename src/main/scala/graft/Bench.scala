@@ -83,6 +83,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is a nanosecond parquet timestamp → read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21: let AQE re-plan the output partitioning of cached plans.
+      // The engine caches bounded/derived frames (dedup signatures, graph
+      // edge/node tables, eval rotations); with the default `false` every
+      // cached frame pins the static shuffle.partitions count, so each of
+      // an iterative query's ~dozens of stages reads N tiny cached
+      // partitions (x8_hits: 95 stages × ~20 tasks at sf0.1). With AQE
+      // allowed to size them from runtime bytes the partitioning stays
+      // scale-adaptive at every SF (64 MB advisory target at 100 TB, one
+      // task at sf0.1). Measured interleaved A/B (ConfAb, min-of-3):
+      // x8_hits 6.33→2.67 s, x8_pagerank 5.32→3.03 s, x3_classifier_scores
+      // 7.19→2.98 s, no regressions (quantile family flat). Results are
+      // partition-count-invariant by the engine's determinism discipline
+      // (the driver already benches at several core counts).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: JIT/codegen + file-index the inputs once so the first timed

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.ts is a nanosecond parquet timestamp → read as epoch-nanos long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r21: AQE re-plans cached-plan partitioning (see Bench.scala) —
+      // kept identical here so the correctness dump runs the same plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -15,6 +15,7 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true") // r21 — match Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
