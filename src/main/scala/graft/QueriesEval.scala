@@ -209,8 +209,11 @@ private[graft] trait QueriesEval extends QueriesPipelines {
     val qp = cappedStripe(col("vec_id"))
     val sp0 = pmod(col("vec_id"), lit(23)) === 3
     val sp = if (seedCap > 0) sp0 && col("vec_id") < lit(seedCap) else sp0
+    // cb is referenced twice inside pqSearch (the encode fold and the ADC
+    // distance table) — uncached, each reference replays the 2-iteration
+    // Lloyd chain over the corpus (r21; k·dim rows, cache is ~free)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
-      seedPred = sp, iters = 2)
+      seedPred = sp, iters = 2).cache()
     val pq = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8, dim = 64,
       codebooks = cb, queryPred = qp, k = 5)
       .select(col("query_id"), col("cand_id"))
@@ -328,14 +331,20 @@ private[graft] trait QueriesEval extends QueriesPipelines {
           "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("query_id"), col("cand_id"))
+        .cache() // feeds both recallOf sides (r21; queries·5 rows)
+      // r21 within-query reuse: each codebook is referenced twice inside
+      // its pqSearch (encode fold + ADC table) and `rot` feeds both the
+      // rotated training chain and the rotated search — uncached, every
+      // reference replayed the full upstream chain. All are bounded
+      // (k·dim codebook rows, N×8 rotated doubles).
       val cbP = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = 64,
-        seedPred = sp, iters = 2)
+        seedPred = sp, iters = 2).cache()
       val plain = Similarity.pqSearch(emb, "vec_id", "embedding", m = 8,
         dim = 64, codebooks = cbP, queryPred = qp, k = 5)
       val comps = Similarity.pcaTopK(emb, "embedding", dim = 64, k = 8, iters = 3)
-      val rot = Similarity.pcaRotate(emb, "vec_id", "embedding", comps)
+      val rot = Similarity.pcaRotate(emb, "vec_id", "embedding", comps).cache()
       val cbR = Similarity.pqTrain(rot, "vec_id", "rv", m = 8, dim = 8,
-        seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2)
+        seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 2).cache()
       val pqR = Similarity.pqSearch(rot, "vec_id", "rv", m = 8, dim = 8,
         codebooks = cbR, queryPred = cappedStripe(col("vec_id")), k = 5)
       recallOf(exact, plain, 5)
@@ -504,10 +513,14 @@ private[graft] trait QueriesEval extends QueriesPipelines {
           "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("query_id"), col("cand_id"))
+        .cache() // feeds both recallOf sides (r21; queries·5 rows)
       val comps = Similarity.pcaTopK(emb, "embedding", dim = 64, k = 8, iters = 3)
-      val rotP = Similarity.pcaRotate(emb, "vec_id", "embedding", comps)
+      // r21: each rotation feeds FOUR consumers inside variant() (train,
+      // search, encode, the error join) — uncached, every consumer
+      // replayed the projection chain; N×8 doubles, cache is ~free
+      val rotP = Similarity.pcaRotate(emb, "vec_id", "embedding", comps).cache()
       val rotA = Similarity.pcaRotate(emb, "vec_id", "embedding",
-        Similarity.opqAllocate(comps, m = 4))
+        Similarity.opqAllocate(comps, m = 4)).cache()
       def variant(rot: DataFrame): (DataFrame, DataFrame) = {
         // the trained codebook feeds THREE consumers (search, encode,
         // decode) — uncached, each replays the 2-iteration Lloyd chain
@@ -731,8 +744,12 @@ private[graft] trait QueriesEval extends QueriesPipelines {
           "aggregate(zip_with(cv, qv, (a, b) -> (a-b)*(a-b)), 0D, (acc, x) -> acc + x)"), 6))
         .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
         .select(col("query_id"), col("cand_id"))
+        .cache() // feeds both recallOf sides (r21; queries·5 rows)
       val comps = Similarity.pcaTopK(emb, "embedding", dim = 8, k = 8, iters = 6)
-      val rotP = Similarity.pcaRotate(emb, "vec_id", "embedding", comps)
+      // r21: rotP feeds variant() (4 consumers) AND opqRefine's internal
+      // train/encode/decode/M chain; rotN feeds variant() — cached, each
+      // chain replays once instead of per consumer (N×8 doubles)
+      val rotP = Similarity.pcaRotate(emb, "vec_id", "embedding", comps).cache()
       def variant(rot: DataFrame): (DataFrame, DataFrame) = {
         // latticeMeans: this chain's codebooks feed opqRefine's floored
         // Procrustes reduction — the mean must be bit-deterministic
@@ -760,7 +777,7 @@ private[graft] trait QueriesEval extends QueriesPipelines {
       val (candP, errP) = variant(rotP)
       val r = Similarity.opqRefine(rotP, "vec_id", "rv", m = 4, dim = 8,
         seedPred = sp, iters = 2, powerIters = 12)
-      val rotN = Similarity.pcaRotate(rotP, "vec_id", "rv", r)
+      val rotN = Similarity.pcaRotate(rotP, "vec_id", "rv", r).cache()
       val (candN, errN) = variant(rotN)
       recallOf(exact, candP, 5)
         .select(col("query_id"), col("recall").as("recall_pca"))
@@ -1050,6 +1067,7 @@ private[graft] trait QueriesEval extends QueriesPipelines {
       val emb = Tables.embeddings(s, dir)
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+        .cache() // r21: referenced by both the encode fold and the ADC table
       Similarity.ivfPqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
         codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
         queryPred = pmod(col("vec_id"), lit(100)) === 0, k = 5, nprobe = 2)
@@ -1073,6 +1091,7 @@ private[graft] trait QueriesEval extends QueriesPipelines {
       val qp = cappedStripe(col("vec_id"))
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+        .cache() // r21: referenced by both the encode fold and the ADC table
       val ivfpq = Similarity.ivfPqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
         codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
         queryPred = qp, k = 5, nprobe = 2)
@@ -1122,6 +1141,7 @@ private[graft] trait QueriesEval extends QueriesPipelines {
       val emb = Tables.embeddings(s, dir)
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+        .cache() // r21: referenced by both the encode fold and the ADC table
       Similarity.ivfPqRerank(emb, "vec_id", "embedding", m = 2, dim = 64,
         codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
         queryPred = pmod(col("vec_id"), lit(100)) === 0,
@@ -1158,6 +1178,7 @@ private[graft] trait QueriesEval extends QueriesPipelines {
       val qp = cappedStripe(col("vec_id"))
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+        .cache() // r21: referenced by both the encode fold and the ADC table
       val rr = Similarity.ivfPqRerank(emb, "vec_id", "embedding", m = 2, dim = 64,
         codebooks = cb, centroidPred = pmod(col("vec_id"), lit(89)) === 1,
         queryPred = qp, k = 5, nprobe = 2, shortlist = 20)

@@ -161,8 +161,12 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
       val vNet = element_at(ModelOps.mlp(array(sC), Seq(
         (Seq(Seq(0.3), Seq(-0.15)), Seq(-2.0, 4.0), ModelOps.relu),
         (Seq(Seq(0.5, -0.4)), Seq(0.05), ModelOps.identityAct))), 1)
+      // cached (r21): the scaladoc's "TD-target window computes ONCE"
+      // promise — step 2's plan embeds base both directly and through the
+      // broadcast of step 1's coefficient, so uncached it computed 3×
       val base = JoinOps.tdTarget(tr.withColumn("v", vNet), "episode_id", ord,
         rC, col("done"), col("v"), Gamma, "q_tgt")
+        .select(sC, aC, col("v"), col("q_tgt")).cache()
       def expectile(u: Column): Column =
         abs(lit(IqlTau) - CoreOps.indicator(u < lit(0.0))) * u * u
       def advWith(c: Column): Column = (sC * c + aC * lit(0.3) - lit(0.1)) - col("v")
@@ -858,6 +862,7 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
       val emb = Tables.embeddings(s, dir)
       val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 2, dim = 64,
         seedPred = pmod(col("vec_id"), lit(97)) === 3, iters = 2)
+        .cache() // r21: referenced by both the encode fold and the ADC table
       Similarity.pqSearch(emb, "vec_id", "embedding", m = 2, dim = 64,
         codebooks = cb, queryPred = col("vec_id") < 3, k = 5)
         .orderBy(col("query_id"), col("rk"))
@@ -1380,10 +1385,15 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
     * the DoReMi pattern on the classifier); scores round at 6. */
   protected val x3Apply = Q("x3_classifier_scores",
     (s, dir) => {
-      val w = TextOps.trainHashClassifier(Tables.documents(s, dir),
-        "doc_id", "text", col("lang") === "en", buckets = 32, iters = 3)
-      TextOps.applyHashClassifier(Tables.documents(s, dir), "doc_id", "text",
-          w, buckets = 32)
+      // r21: featurize ONCE and share the cached table between training
+      // and scoring — the tokenize+explode+count pass is the corpus-sized
+      // part of both; scoring folds the same per-doc feature arrays
+      // ([[TextOps.applyFromFeatures]], bit-identical to the re-featurized
+      // form — hash-gated)
+      val feats = TextOps.classifierFeatures(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", buckets = 32).cache()
+      val w = TextOps.trainFromFeatures(feats, buckets = 32, iters = 3)
+      TextOps.applyFromFeatures(feats, w)
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH ${trainCtes(3)},
@@ -1405,15 +1415,18 @@ private[graft] trait QueriesPipelines extends QueriesBatch2 {
   protected lazy val x3ClfArtifactRt = Q("x3_classifier_artifact_apply",
     (s, dir) => {
       val root = "/tmp/graft_art_clfw_" + Tables.scratchTag(s, dir)
-      val w = TextOps.trainHashClassifier(Tables.documents(s, dir),
-        "doc_id", "text", col("lang") === "en", buckets = 32, iters = 3)
+      // r21: one shared cached featurization for train + apply (see
+      // x3_classifier_scores); the artifact round-trip is unchanged —
+      // the LOADED weights score the corpus
+      val feats = TextOps.classifierFeatures(Tables.documents(s, dir),
+        "doc_id", "text", col("lang") === "en", buckets = 32).cache()
+      val w = TextOps.trainFromFeatures(feats, buckets = 32, iters = 3)
       val v = Artifacts.saveArtifact(w, root, "classifier_weights",
         Map("buckets" -> "32", "iters" -> "3", "label" -> "lang=en"))
       val (loaded, meta) = Artifacts.loadArtifactVersion(s, root, v,
         "classifier_weights")
       require(meta.params("buckets") == "32", "sidecar params must round-trip")
-      TextOps.applyHashClassifier(Tables.documents(s, dir), "doc_id", "text",
-          loaded, buckets = 32)
+      TextOps.applyFromFeatures(feats, loaded)
         .orderBy(col("doc_id"))
     },
     x3Apply.oracle,

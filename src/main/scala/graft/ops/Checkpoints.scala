@@ -21,27 +21,32 @@ import org.apache.spark.sql.DataFrame
 object Checkpoints {
   val ConfKey = "spark.graft.reliableCheckpointDir"
 
-  /** Last raw conf value we passed to `setCheckpointDir`, tracked locally
-    * because `sc.getCheckpointDir` returns the RESOLVED URI (scheme +
-    * random subdir) and never string-matches the raw conf value — the
-    * naive `contains` guard would re-set global SparkContext state on
-    * every call. Caveat: the checkpoint dir is SparkContext-global, so
-    * two sessions sharing one context with DIFFERENT `ConfKey` values
-    * would race each other; the engine assumes one value per context. */
-  @volatile private var lastDirSet: String = null
+  /** Last (context, raw conf value) we passed to `setCheckpointDir`,
+    * tracked locally because `sc.getCheckpointDir` returns the RESOLVED
+    * URI (scheme + random subdir) and never string-matches the raw conf
+    * value — the naive `contains` guard would re-set global SparkContext
+    * state (and mint a fresh random subdir) on every call. Keying the
+    * cache on the CONTEXT IDENTITY too (r21, closing the r20 advice)
+    * removes the restarted-context stale hit outright: a new context —
+    * even one whose conf carries the same dir string — never
+    * short-circuits on the previous context's entry, whether or not its
+    * checkpoint dir was pre-set externally to some other path. Caveat
+    * (unchanged): the checkpoint dir is SparkContext-global, so two
+    * sessions sharing one context with DIFFERENT `ConfKey` values would
+    * race each other; the engine assumes one value per context. */
+  @volatile private var lastSet: (org.apache.spark.SparkContext, String) = null
 
   def planCheckpoint(df: DataFrame, eager: Boolean = false): DataFrame =
     df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // also re-set when the CONTEXT has no dir: lastDirSet is
-        // JVM-global, a restarted context (stop + new session, same conf
-        // value) starts with an empty checkpoint dir and `df.checkpoint`
-        // would throw if the stale cache short-circuited the set
-        if (lastDirSet != dir || sc.getCheckpointDir.isEmpty) synchronized {
-          if (lastDirSet != dir || sc.getCheckpointDir.isEmpty) {
+        // also re-set when the CONTEXT has no dir: a context constructed
+        // without one would make `df.checkpoint` throw if a stale cache
+        // entry short-circuited the set
+        if (lastSet != ((sc, dir)) || sc.getCheckpointDir.isEmpty) synchronized {
+          if (lastSet != ((sc, dir)) || sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
-            lastDirSet = dir
+            lastSet = (sc, dir)
           }
         }
         df.checkpoint(eager)

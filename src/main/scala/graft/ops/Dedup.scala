@@ -552,9 +552,25 @@ object Dedup {
                         caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     val fps = docs.select(col(idCol).cast("long").as("id"),
       TextOps.fingerprint(col(textCol)).as("fp"))
-    val groups = fps.groupBy(col("fp"))
-      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("m"))
-    val reps = exactRepresentatives(docs, idCol, textCol, caches)
+    // ONE corpus fingerprint aggregate yields BOTH the group table and the
+    // representatives (r21, closing the r20 advice): the separate
+    // exactRepresentatives call duplicated the corpus-wide aggregation,
+    // and its min_by ordered by the ORIGINAL idCol type while rep_id
+    // ordered by the long cast — divergent orderings for a string-typed
+    // id would silently desync the groups⋈repComp join. Here both come
+    // from the same min_by on the long id; idCol must be long-castable
+    // (connectedComponents already casts the pair ids to long, so the op
+    // as a whole always required it).
+    val grouped = caches.track(docs
+      .select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("__lid"),
+        struct(col(idCol).as("id"), col(textCol).as("text")).as("__doc"))
+      .groupBy(col("fp"))
+      .agg(min_by(col("__doc"), col("__lid")).as("__rep"),
+        min(col("__lid")).as("rep_id"), count(lit(1)).as("m")))
+    val groups = grouped.select(col("fp"), col("rep_id"), col("m"))
+    val reps = grouped.select(col("__rep.id").as(idCol),
+      col("__rep.text").as(textCol))
     val repPairs = minhashLshPairs(reps, idCol, textCol, k = k, r = r,
       estMin = estMin, threshold = threshold, shingleN = shingleN, caches = caches)
     val repComp = connectedComponents(repPairs, "doc_a", "doc_b", caches = caches)
@@ -803,7 +819,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
       .select(col("band"), col("bucket"), col("n_docs"),
-        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_candidate_pairs"))
+        // integer DIV, not `/`: Spark's `/` is double division, exact
+        // only below 2^53 — the editGroupReport fix (r19), applied here
+        expr("CAST(n_docs * (n_docs - 1) DIV 2 AS BIGINT)")
+          .as("n_candidate_pairs"))
       .orderBy(col("n_docs").desc, col("band"), col("bucket"))
 
   /** X1 SimHash near-dup — candidate pairs share at least one band of the

@@ -108,8 +108,10 @@ object GraphOps {
       .union(e.select(col("dst").as("node"))).distinct())
     val nn = nodes.agg(count(lit(1)).cast("double").as("n"))
     val outw = caches.track(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
-    val dangling = nodes.join(outw.select(col("src").as("node")),
-      Seq("node"), "left_anti")
+    // loop-invariant: every iteration's dangling-mass aggregate reads this
+    // anti-join — cache it once instead of re-deriving nodes⋈outw 5× (r21)
+    val dangling = caches.track(nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
     val r0 = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     (1 to iters).foldLeft(r0) { (ranks, i) =>
@@ -183,17 +185,25 @@ object GraphOps {
         if (materialize && (i % checkpointEvery == 0 || i == iters))
           Checkpoints.planCheckpoint(df, eager = true)
         else df
-      val araw = e.join(h.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("h")).as("araw"))
+      // araw/hraw are each referenced TWICE (the max normalizer's scalar
+      // subtree and the normalize join) — uncached, the edge-keyed
+      // aggregate ran once per reference, doubling every iteration's
+      // edge-scan work (r21; same rationale as the dedup family's
+      // signature caches, and it also pins one evaluation's partial-sum
+      // order for both consumers)
+      val araw = caches.track(
+        e.join(h.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("w") * col("h")).as("araw")))
       val amax = araw.agg(max(col("araw")).as("am"))
       val a = ck(nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(amax))
         .select(col("node"),
           pr(coalesce(col("araw"), lit(0.0)) / col("am")).as("a")))
-      val hraw = e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("w") * col("a")).as("hraw"))
+      val hraw = caches.track(
+        e.join(a.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("w") * col("a")).as("hraw")))
       val hmax = hraw.agg(max(col("hraw")).as("hm"))
       val hNext = ck(nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(hmax))
@@ -320,8 +330,9 @@ object GraphOps {
     val nodes = caches.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val outw = caches.track(e.groupBy(col("src")).agg(sum(col("w")).as("ow")))
-    val dangling = nodes.join(outw.select(col("src").as("node")),
-      Seq("node"), "left_anti")
+    // loop-invariant, read every iteration — cached (see pagerank, r21)
+    val dangling = caches.track(nodes.join(outw.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
     val seedNodes = nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
     val ns = seedNodes.agg(count(lit(1)).cast("double").as("n_seeds"))
     val tp = caches.track(nodes

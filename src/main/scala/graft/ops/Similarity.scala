@@ -350,7 +350,9 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
       .where(col("n_vecs") >= minVecs)
       .select(col("bucket"), col("n_vecs"),
-        (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long")
+        // integer DIV, not `/`: double division is exact only below 2^53
+        // (the editGroupReport/simhashBucketReport fix, r19/r21)
+        expr("CAST(n_vecs * (n_vecs - 1) DIV 2 AS BIGINT)")
           .as("n_candidate_pairs"))
       .orderBy(col("n_vecs").desc, col("bucket"))
   }
@@ -518,6 +520,10 @@ object Similarity {
     * `roundDigits` (cross-engine partial-sum order). */
   def covarianceMatrix(emb: DataFrame, vecCol: String,
                        roundDigits: Int = 6): DataFrame = {
+    // asDouble resolves graft_dense at ANALYSIS — register here so the op
+    // works in isolation, not only after another registering op ran in
+    // the session (r21; surfaced by the single-query probe tools)
+    GraftFunctions.register(emb.sparkSession)
     val s = math.pow(10.0, roundDigits)
     val pts = emb.select(asDouble(col(vecCol)).as("v"))
     pts.select(posexplode(col("v")).as(Seq("i", "x")), col("v"))
@@ -1194,8 +1200,10 @@ object Similarity {
     // partitionings AND engines (a raw-FP sum rounded after the fact is
     // partial-sum-order-dependent; measured: the r16 oracle replay
     // diverged ~1e-6 per M entry, cascading to ~1e-4 on the error sum).
+    // referenced by BOTH the encode and the decode below — cached so the
+    // Lloyd chain replays once (r21; m·k·subd rows, cache is ~free)
     val cb = pqTrain(emb, idCol, vecCol, m, dim, seedPred, iters, roundDigits,
-      latticeMeans = true)
+      latticeMeans = true).cache()
     val codes = pqEncode(emb, idCol, vecCol, m, dim, cb)
     val xh = pqDecode(codes, cb)
     val mRows = emb

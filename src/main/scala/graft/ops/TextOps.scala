@@ -294,9 +294,14 @@ object TextOps {
 
     var vocab = enc0
     val steps = (1 to merges).map { it =>
-      val top = pairTable(vocab)
+      // cached (r21): each iteration's 1-row argmax is referenced by the
+      // NEXT vocab's fuse broadcast AND by this iteration's output row —
+      // uncached, iteration i's output replayed the whole i-deep
+      // pairTable chain (top1 ran ~2^(k-1)× at k merges); the cache makes
+      // each argmax compute exactly once per query
+      val top = caches.track(pairTable(vocab)
         .orderBy(col("pair_weight").desc, col("left_sym"), col("right_sym"))
-        .limit(1)
+        .limit(1))
       vocab = vocab.crossJoin(broadcast(top))
         .withColumn("enc", call_function("replace", col("enc"),
           concat(lit("_"), col("left_sym"), lit("__"), col("right_sym"), lit("_")),
@@ -1218,8 +1223,6 @@ object TextOps {
     * Docs with zero tokens are absent (no features ⇒ no score). */
   def applyHashClassifier(docs: DataFrame, idCol: String, textCol: String,
                           weights: DataFrame, buckets: Int = 32): DataFrame = {
-    val wMap = weights.agg(map_from_entries(
-      collect_list(struct(col("bucket"), col("weight")))).as("wm"))
     val xt = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("n_toks", size(col("__toks")).cast("double"))
       .where(col("n_toks") > 0)
@@ -1227,7 +1230,22 @@ object TextOps {
       .withColumn("bucket", Curation.dsirBucket(col("__w"), buckets))
       .groupBy(col("doc_id"), col("n_toks"), col("bucket"))
       .agg((count(lit(1)).cast("double") / col("n_toks")).as("x"))
-    xt.groupBy(col("doc_id"))
+    applyFromFeatures(xt, weights)
+  }
+
+  /** [[applyHashClassifier]] over an ALREADY-FEATURIZED (doc_id, bucket, x)
+    * table — [[classifierFeatures]]' output (its label column, if present,
+    * is ignored). Train-then-apply queries featurize the corpus ONCE and
+    * share the frame between [[trainFromFeatures]] and this (r21): the
+    * tokenize + explode + count pass is the corpus-sized part of both ops,
+    * and the score is a pure fold over the per-doc feature array, so
+    * re-deriving it for the apply side doubled the corpus work for zero
+    * information. Scoring is bit-identical to [[applyHashClassifier]]:
+    * same sorted-bucket fold, same single exp, same 1e-6 rounding. */
+  def applyFromFeatures(features: DataFrame, weights: DataFrame): DataFrame = {
+    val wMap = weights.agg(map_from_entries(
+      collect_list(struct(col("bucket"), col("weight")))).as("wm"))
+    features.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("x")))).as("xarr"))
       .crossJoin(broadcast(wMap))
       .select(col("doc_id"),

@@ -34,6 +34,7 @@ object JobProbe {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskNanos = 0L
+    val stageRows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -47,6 +48,12 @@ object JobProbe {
         stages += 1
         tasks += s.stageInfo.numTasks
         taskNanos += s.stageInfo.taskMetrics.executorRunTime * 1000000L
+        val m = s.stageInfo.taskMetrics
+        stageRows += ((s.stageInfo.taskMetrics.executorRunTime,
+          s"tasks=${s.stageInfo.numTasks} in=${m.inputMetrics.recordsRead} " +
+            s"sRead=${m.shuffleReadMetrics.recordsRead} " +
+            s"sWrite=${m.shuffleWriteMetrics.recordsWritten} " +
+            s"${s.stageInfo.name.take(90)}"))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -60,6 +67,7 @@ object JobProbe {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         jobs = 0; jobNanos = 0L; stages = 0; tasks = 0; taskNanos = 0L
+        stageRows.clear()
         val t0 = System.nanoTime()
         try graft.SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -70,6 +78,10 @@ object JobProbe {
         Thread.sleep(150) // let the listener bus drain before reading counters
         val gap = wall - jobNanos / 1e9
         println(f"$name%-32s $wall%7.2f $jobs%5d ${jobNanos / 1e9}%8.2f $stages%6d $tasks%6d ${taskNanos / 1e9}%8.2f $gap%9.2f  (pass $pass)")
+        if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").exists(_ == "1") && pass == 2)
+          stageRows.sortBy(-_._1).take(10).foreach { case (ms, desc) =>
+            println(f"    stage ${ms / 1000.0}%8.2fs  $desc")
+          }
       }
     }
     spark.stop()
