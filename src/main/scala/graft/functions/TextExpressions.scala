@@ -142,6 +142,26 @@ object TextKernels {
 
   /** Distinct word n-gram shingle set; first-occurrence order (same set
     * as `array_distinct` over the declarative n-gram transform). */
+  /** Positional q-grams with occurrence numbers — see
+    * [[PositionalQGrams]] for the contract it replicates. */
+  def posQGramsArray(text: UTF8String, q: Int): ArrayData = {
+    val len = text.numChars()
+    if (len < q) return new GenericArrayData(Array.empty[Any])
+    val n = len - q + 1
+    val out = new Array[AnyRef](n)
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var p = 0
+    while (p < n) {
+      val gram = text.substring(p, p + q)
+      val prev = counts.get(gram)
+      val occ = if (prev == null) 1 else prev.intValue + 1
+      counts.put(gram, Integer.valueOf(occ))
+      out(p) = new GenericInternalRow(Array[Any](gram, occ))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shinglesArray(text: UTF8String, n: Int): ArrayData = {
     val toks = tokenize(text)
     val seen = new java.util.LinkedHashSet[String]()
@@ -365,6 +385,39 @@ case class CdcCuts(child: Expression, w: Int, p: Long, m: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.functions.TextKernels.cdcCutsArray($t, $w, ${p}L, ${m}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_pos_qgrams(key, q)` — positional q-grams with per-gram
+  * occurrence numbers, ONE pass per key (r21). Replaces the Ed-Join
+  * prefix chain's `explode(sequence) + substring + row_number() OVER
+  * (PARTITION BY id, gram ORDER BY p)` derivation, whose window
+  * SHUFFLES the full positional-gram stream (≈ len−q+1 rows per key,
+  * a corpus-scale exchange at 100 TB) just to number occurrences that
+  * are a per-row function of the key string. Semantics are EXACTLY the
+  * declarative chain's: gram(p) = substring(key, p+1, q) for p in
+  * 0..len−q (code-point positions, as Spark's `substring`), occ =
+  * 1-based occurrence index of that gram in ascending-p order; keys
+  * shorter than q yield an empty array (callers pre-filter anyway). */
+case class PositionalQGrams(child: Expression, q: Int) extends UnaryExpression {
+  require(q >= 1, "q-gram width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pos_qgrams expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("occ", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pos_qgrams"
+
+  override def nullSafeEval(t: Any): Any =
+    TextKernels.posQGramsArray(t.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.TextKernels.posQGramsArray($t, $q)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

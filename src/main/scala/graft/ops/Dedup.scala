@@ -366,10 +366,20 @@ object Dedup {
       .where(col("na") > 0 && col("nb") > 0)
       .withColumn("inter",
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-    j.select(col("doc_a"), col("doc_b"),
-        (col("inter") / col("na").cast("double")).as("containment"))
-      .unionAll(j.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-        (col("inter") / col("nb").cast("double")).as("containment")))
+    // both directed containments emitted IN-ROW from the one symmetric
+    // intersection (r21): the previous unionAll of two projections of `j`
+    // re-executed the whole candidate-join + array-intersect verify chain
+    // once PER DIRECTION (plan subtree referenced twice, no common-
+    // subexpression elimination across union branches) — the explode
+    // halves the verify work at every scale with bit-identical output
+    j.select(explode(array(
+        struct(col("doc_a"), col("doc_b"),
+          (col("inter") / col("na").cast("double")).as("containment")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          (col("inter") / col("nb").cast("double")).as("containment"))))
+        .as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"),
+        col("e.containment").as("containment"))
       .where(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("containment"), 6).as("containment"))
@@ -1046,13 +1056,21 @@ object Dedup {
     val d = maxDist
     val longMin = q * (d + 1)
     val longs = keys.where(col("len") >= longMin)
-    val toks = longs.select(col("id"), col("len"), col("key"),
-        explode(sequence(lit(0), col("len") - lit(q))).as("p"))
-      .withColumn("gram", expr(s"substring(key, p + 1, $q)"))
-    val occ = Window.partitionBy(col("id"), col("gram")).orderBy(col("p"))
-    val tokens = toks
-      .withColumn("occ", row_number().over(occ))
-      .select(col("id"), col("len"), col("key"), col("gram"), col("occ"))
+    // (gram, occurrence#) tokens in ONE pass per key via the codegen
+    // kernel [[graft.functions.PositionalQGrams]] (r21). The previous
+    // derivation — explode(sequence) + substring + row_number() OVER
+    // (PARTITION BY id, gram ORDER BY p) — SHUFFLED the full positional
+    // gram stream (≈ len−q+1 rows per key) on (id, gram) just to number
+    // occurrences that are a per-row function of the key string; at
+    // corpus scale that exchange carries the whole token stream. Output
+    // is bit-identical (TextKernelSpec pins kernel ≡ declarative chain).
+    val tokens = longs.select(col("id"), col("len"), col("key"),
+        explode(org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.PositionalQGrams(
+            org.apache.spark.sql.GraftPlanBridge.expression(col("key")), q)))
+          .as("t"))
+      .select(col("id"), col("len"), col("key"),
+        col("t.gram").as("gram"), col("t.occ").as("occ"))
     val freq = tokens.groupBy(col("gram"), col("occ"))
       .agg(count(lit(1)).as("tf"))
     val rarity = Window.partitionBy(col("id"))
@@ -1088,11 +1106,25 @@ object Dedup {
     require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
     val d = maxDist
     val longMin = q * (d + 1) // both >= longMin → prefix principle holds
+    // Verify parallelism floor (r21). The Levenshtein verify stages are
+    // compute-quadratic in rows per partition but tiny in BYTES, so
+    // byte-based AQE sizing (which the engine wants everywhere else —
+    // see canChangeCachedPlanOutputPartitioning) serializes them: the
+    // measured sf0.1 plan ran the two verify joins on 2 tasks (1.6 s
+    // each, sequential). Pinning the cached frames' partitioning BY THE
+    // DOWNSTREAM JOIN KEY at the cluster's defaultParallelism (runtime
+    // cores, not a constant) both floors the verify parallelism and
+    // removes the self-join / stats-join exchanges outright at every
+    // scale (guide §2.4 — operations keyed the same way share one
+    // exchange); oversized partitions at 100 TB still split via AQE
+    // skew-join handling.
+    val nParts = docs.sparkSession.sparkContext.defaultParallelism
     val keysAll = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
     // one representative per distinct key (lowest member id)
     val keys = caches.track(keysAll.groupBy(col("key"))
       .agg(min(col("id")).as("id"))
-      .withColumn("len", length(col("key"))))
+      .withColumn("len", length(col("key")))
+      .repartition(nParts, col("key")))
     // banded verify: the 3-arg threshold form early-exits once a row of
     // the DP band exceeds d (O(len·d) per pair vs O(len²)) and returns −1
     // past the bound — kept pairs carry the exact distance
@@ -1121,7 +1153,11 @@ object Dedup {
     // rarity order → q·d+1 prefix (key text carried) → token-equality
     // candidates verified inline ([[prefixTokens]] — shared with the
     // skew report so the diagnosis counts EXACTLY the joined groups)
-    val prefix = caches.track(prefixTokens(keys, maxDist, q))
+    // cached partitioned by the self-join/stats key: the (gram, occ)
+    // equi-joins below then read the cache exchange-free, and the verify
+    // runs at ≥ nParts tasks regardless of byte size (see nParts above)
+    val prefix = caches.track(prefixTokens(keys, maxDist, q)
+      .repartition(nParts, col("gram"), col("occ")))
     def allPairsOf(pfx: DataFrame): DataFrame =
       verify(pfx.as("l").join(pfx.as("r"),
           col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")
@@ -1158,10 +1194,15 @@ object Dedup {
     // distinct (on true pairs only, output-sized) collapses the copies …
     val repPairs = shortPairs.union(longPairs).distinct()
     // … expanded to member pairs (output-bounded), plus the dist-0
-    // within-group pairs the collapse absorbed
-    val members = keysAll
+    // within-group pairs the collapse absorbed. Cached pinned by `rep`
+    // (r21): this lightweight (rep, id) proxy frame is referenced four
+    // times (within self-join l/r + cross a/b); uncached, each reference
+    // re-ran the corpus scan + key join. The rep partitioning makes the
+    // within self-join exchange-free on the cache.
+    val members = caches.track(keysAll
       .join(keys.select(col("key"), col("id").as("rep")), Seq("key"))
       .select(col("rep"), col("id"))
+      .repartition(nParts, col("rep")))
     val cross = repPairs
       .join(members.select(col("rep").as("a_id"), col("id").as("ma")), Seq("a_id"))
       .join(members.select(col("rep").as("b_id"), col("id").as("mb")), Seq("b_id"))
@@ -1190,8 +1231,12 @@ object Dedup {
                        maxGroupSize: Option[Int] = None,
                        caches: DedupCaches = DedupCaches.unmanaged): DataFrame = {
     require(k >= 1, "k must be positive")
-    val pairs = editDistancePairs(docs, idCol, key, maxDist, q, maxGroupSize,
-      caches)
+    // tracked (r21): the symmetric view below references `pairs` twice
+    // (a→b and b→a), which re-ran the whole candidate+verify chain;
+    // the frame is output-bounded (true pairs only), so caching it is
+    // cheap at every scale
+    val pairs = caches.track(editDistancePairs(docs, idCol, key, maxDist, q,
+      maxGroupSize, caches))
     val sym = pairs.select(col("a_id").as("id"), col("b_id").as("nbr_id"), col("dist"))
       .unionByName(pairs.select(col("b_id").as("id"), col("a_id").as("nbr_id"),
         col("dist")))

@@ -277,9 +277,11 @@ object GraphOps {
       .where(col("a") =!= col("b")).distinct())
     val nodes = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node"))).distinct()
-    val deg = und.select(col("a").as("node"))
+    // tracked (r21): referenced twice (a-side and b-side orientation
+    // joins) — uncached, the corpus-wide degree aggregate ran twice
+    val deg = caches.track(und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     val oriented = caches.track(und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))

@@ -42,6 +42,39 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("graft_pos_qgrams equals the declarative explode+substring+window chain") {
+    // the Ed-Join prefix chain's positional (gram, occurrence#) tokens:
+    // kernel must be bit-identical to the previous declarative derivation
+    // (the DuckDB oracle mirrors the declarative form)
+    val texts = Seq(
+      "the quick brown fox", "aaaaaaaa", "abababab", "ab", "a", "",
+      "ünïcödé déjà vu", "ababa", "xyxyxyxyxyxy", "  spaces  here ",
+      "ümlaut ümlaut ümlaut") // repeated multi-byte grams
+    for (q <- Seq(1, 2, 3, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "key").withColumn("len", length(col("key")))
+        .where(col("len") >= q) // kernel contract: callers pre-filter len >= q
+      val kernel = df.select(col("id"),
+          explode(org.apache.spark.sql.GraftPlanBridge.column(
+            graft.functions.PositionalQGrams(
+              org.apache.spark.sql.GraftPlanBridge.expression(col("key")), q)))
+            .as("t"))
+        .select(col("id"), col("t.gram"), col("t.occ"))
+        .orderBy(col("id"), col("gram"), col("occ"))
+        .as[(Long, String, Int)].collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"), col("gram")).orderBy(col("p"))
+      val declarative = df.select(col("id"), col("key"),
+          explode(sequence(lit(0), col("len") - lit(q))).as("p"))
+        .withColumn("gram", expr(s"substring(key, p + 1, $q)"))
+        .withColumn("occ", row_number().over(w))
+        .select(col("id"), col("gram"), col("occ"))
+        .orderBy(col("id"), col("gram"), col("occ"))
+        .as[(Long, String, Int)].collect()
+      assert(kernel.toSeq == declarative.toSeq, s"pos-qgram mismatch at q=$q")
+    }
+  }
+
   test("graft_text_stats equals the declarative counter forms") {
     val df = cases.toDF("text") union Seq(
       "the la de que words shared across lists",  // multi-language stopwords
