@@ -15,11 +15,12 @@ object ConfAb {
   // regression can be pinned on one knob
   private val pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
   private val cc = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+  private val oc = "spark.sql.files.openCostInBytes"
   private val sides: Seq[(String, Map[String, String])] = Seq(
-    "A" -> Map.empty,                           // baseline
-    "B" -> Map(pf -> "false"),                  // size-target coalescing
-    "C" -> Map(cc -> "true"),                   // AQE on cached plans
-    "D" -> Map(pf -> "false", cc -> "true"))    // both
+    "A" -> Map(cc -> "true"),                   // the shipped board confs
+    "B" -> Map(cc -> "true", oc -> "131072"),   // + small-file scan splits
+    "C" -> Map(cc -> "true", oc -> "16384"),    // + even smaller
+    "D" -> Map(pf -> "false", cc -> "true"))    // (kept)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
@@ -36,7 +37,7 @@ object ConfAb {
     spark.sparkContext.setLogLevel("ERROR")
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
     graft.functions.GraftFunctions.register(spark)
-    val defaults = Seq(pf, cc).map(k => k -> spark.conf.get(k)).toMap
+    val defaults = Seq(pf, cc, oc).map(k => k -> spark.conf.get(k)).toMap
     names.foreach { name =>
       val times = scala.collection.mutable.Map[String, List[Double]]()
         .withDefaultValue(Nil)
