@@ -1106,25 +1106,33 @@ object Dedup {
     require(maxDist >= 1 && q >= 1, "need maxDist >= 1 and q >= 1")
     val d = maxDist
     val longMin = q * (d + 1) // both >= longMin → prefix principle holds
-    // Verify parallelism floor (r21). The Levenshtein verify stages are
+    val keysAll = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
+    // one representative per distinct key (lowest member id); the cache
+    // itself stays AQE-byte-sized — the count below materializes it and
+    // prices the verify parallelism from ROWS
+    val keys = caches.track(keysAll.groupBy(col("key"))
+      .agg(min(col("id")).as("id"))
+      .withColumn("len", length(col("key"))))
+    // Verify parallelism (r21). The Levenshtein verify stages are
     // compute-quadratic in rows per partition but tiny in BYTES, so
     // byte-based AQE sizing (which the engine wants everywhere else —
     // see canChangeCachedPlanOutputPartitioning) serializes them: the
     // measured sf0.1 plan ran the two verify joins on 2 tasks (1.6 s
-    // each, sequential). Pinning the cached frames' partitioning BY THE
-    // DOWNSTREAM JOIN KEY at the cluster's defaultParallelism (runtime
-    // cores, not a constant) both floors the verify parallelism and
-    // removes the self-join / stats-join exchanges outright at every
-    // scale (guide §2.4 — operations keyed the same way share one
-    // exchange); oversized partitions at 100 TB still split via AQE
-    // skew-join handling.
-    val nParts = docs.sparkSession.sparkContext.defaultParallelism
-    val keysAll = docs.select(col(idCol).cast("long").as("id"), key.as("key"))
-    // one representative per distinct key (lowest member id)
-    val keys = caches.track(keysAll.groupBy(col("key"))
-      .agg(min(col("id")).as("id"))
-      .withColumn("len", length(col("key")))
-      .repartition(nParts, col("key")))
+    // each, sequential). The frames below are therefore repartitioned
+    // BY THE DOWNSTREAM JOIN KEY with an explicit, ROW-derived count:
+    // floor = the cluster's defaultParallelism (a compute-bound stage
+    // must use every core even when bytes are tiny), above it ~64k keys
+    // per partition so a 100 TB corpus gets rows-bounded partitions,
+    // never corpus/cores-sized ones. The count's cost is one job over
+    // the cache every branch below reads anyway. Keying the cached
+    // prefix by the self-join key also removes the self-join/stats-join
+    // exchanges outright (guide §2.4); oversized partitions still split
+    // via AQE skew-join handling.
+    val nKeys = keys.count()
+    def partsFor(rows: Long): Int = math.max(
+      docs.sparkSession.sparkContext.defaultParallelism,
+      math.min(rows / 65536L + 1L, 1L << 20).toInt)
+    val nParts = partsFor(nKeys)
     // banded verify: the 3-arg threshold form early-exits once a row of
     // the DP band exceeds d (O(len·d) per pair vs O(len²)) and returns −1
     // past the bound — kept pairs carry the exact distance
@@ -1134,9 +1142,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist"))
 
     // short pool: any pair whose min side is < longMin has max side
-    // < longMin + d (length filter), so both live in `t`
+    // < longMin + d (length filter), so both live in `t`. The left side
+    // drives the nested-loop verify's task count — repartitioned to the
+    // row-derived verify parallelism (see nParts above)
     val sPool = keys.where(col("len") < longMin)
       .select(col("id").as("sa"), col("len").as("la"), col("key").as("ksa"))
+      .repartition(nParts, col("sa"))
     val tPool = keys.where(col("len") < longMin + d)
       .select(col("id").as("sb"), col("len").as("lb"), col("key").as("ksb"))
     // `=!=` not `<`: a pair with one side ≥ longMin lives only in tPool,
@@ -1155,9 +1166,10 @@ object Dedup {
     // skew report so the diagnosis counts EXACTLY the joined groups)
     // cached partitioned by the self-join/stats key: the (gram, occ)
     // equi-joins below then read the cache exchange-free, and the verify
-    // runs at ≥ nParts tasks regardless of byte size (see nParts above)
+    // runs at a rows-derived task count regardless of byte size (the
+    // token stream is q·d+1 prefix rows per long key)
     val prefix = caches.track(prefixTokens(keys, maxDist, q)
-      .repartition(nParts, col("gram"), col("occ")))
+      .repartition(partsFor(nKeys * (q * d + 1)), col("gram"), col("occ")))
     def allPairsOf(pfx: DataFrame): DataFrame =
       verify(pfx.as("l").join(pfx.as("r"),
           col("l.gram") === col("r.gram") && col("l.occ") === col("r.occ")

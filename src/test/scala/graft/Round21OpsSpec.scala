@@ -117,4 +117,60 @@ class Round21OpsSpec extends SparkSpec {
     assert(rows.length === 3)
     assert(rows.map(_.getDouble(2)).forall(_ >= 0.0))
   }
+
+  // ---- x2_pq_recall_fixedk seed cap, DATA-verified (r20 ADVICE item 3):
+  // at every oracle-gated SF max vec_id < 5888, so the capped branch of
+  // the Spark predicate and of the generated capSql oracle was only ever
+  // exercised by construction. This fixture makes the cap BIND. ----
+
+  test("pq_recall_fixedk seed cap binds on a >5888-id corpus, both cap paths in sync") {
+    // the two oracle texts must differ by EXACTLY the cap predicate: a
+    // future edit that moves one path desyncs this equality
+    val capped = SparkEntry.oracleSql("x2_pq_recall_fixedk")
+    val uncapped = SparkEntry.oracleSql("x2_pq_recall")
+    assert(capped.contains(" AND pid < 5888"), "capSql must render the cap")
+    assert(capped.replace(" AND pid < 5888", "") === uncapped,
+      "fixedk oracle must be the uncapped oracle plus only the cap predicate")
+
+    // synthetic embeddings dir with ids past the cap: seeds %23==3 exist
+    // BOTH below 5888 (kept) and above it (must be excluded)
+    val dir = java.nio.file.Files.createTempDirectory("r21capbind").toString
+    val dim = 64
+    // unique per (id, dim): the +id/1e5 term separates every sub-slice, so
+    // each seed's own point sits at distance 0 from its cell and every
+    // seed survives a 1-iteration train (deterministic cell set)
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(dim)(i =>
+        (((id * 31 + i * 7) % 97).toFloat - 48f) / 10f + id.toFloat / 100000f)
+    (0L until 6200L).map(id => (id, vec(id), (id % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+
+    // the Spark predicate, data-verified: a 1-iteration train's codebook
+    // cells are exactly the surviving seed ids — capped: only sub-5888
+    // stripe ids; uncapped: over-5888 stripe ids included
+    val emb = sources.Tables.embeddings(spark, dir)
+    val stripe = (0L until 6200L).filter(_ % 23 == 3)
+    val cbCap = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = dim,
+      seedPred = pmod(col("vec_id"), lit(23)) === 3 && col("vec_id") < lit(5888L),
+      iters = 1)
+    val cbAll = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, dim = dim,
+      seedPred = pmod(col("vec_id"), lit(23)) === 3, iters = 1)
+    val cellsCap = cbCap.select("cell").distinct().as[Long].collect().toSet
+    val cellsAll = cbAll.select("cell").distinct().as[Long].collect().toSet
+    assert(cellsCap === stripe.filter(_ < 5888L).toSet, "cap must bind")
+    assert(cellsAll === stripe.toSet, "uncapped stripe keeps over-cap seeds")
+    assert((cellsAll -- cellsCap).forall(_ >= 5888L), "cap excludes exactly the over-cap seeds")
+
+    // and the full declared queries run green on the binding corpus,
+    // DIVERGING (different codebooks => different search results) — at
+    // the oracle SFs they coincide by construction, so this is the first
+    // data point where the branch actually matters
+    val fixedk = SparkEntry.queries("x2_pq_recall_fixedk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = SparkEntry.queries("x2_pq_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fixedk.map(_._1) === plain.map(_._1), "same query stripe")
+    assert(fixedk.nonEmpty)
+  }
 }
